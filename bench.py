@@ -1,0 +1,58 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": sf}.
+
+Protocol (BASELINE.md): wall-clock per query on the TPC-H-derived corpus;
+each query is fully materialized via a count-collect (foreach-noop would
+skip result assembly; collect of aggregated results is tiny).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    from verax_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("verax-bench")
+    spark.sparkContext.setLogLevel("WARN")
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footer caches with one tiny query.
+    next(iter(qs.values()))(spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        rows = df.collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del rows
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "tpch_subset_total_wall_clock",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

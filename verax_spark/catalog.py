@@ -1,0 +1,69 @@
+"""Table catalog over the driver's parquet testdata.
+
+The reference models tables through connector metadata — a ``Table`` with
+physical layouts carrying partitioning/sort/bucketing info
+(axiom/connectors/ConnectorMetadata.h:176-353). Spark's DataSource V2 covers
+the mechanics (split enumeration, pushdown, pruning); this module is the thin
+metadata layer: name → DataFrame with optional size hints used by our
+planning helpers to pick broadcast candidates, mirroring how the reference's
+optimizer consults table cardinality (optimizer/Schema.h, TableLayout stats).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The ten driver tables (TESTDATA.md). `region` and `nation` are fixed-size
+# dimensions; the rest scale linearly with sf.
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+EXTRA_TABLES = ("events", "documents", "embeddings")
+ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
+
+# Tables small enough (at any sf the driver uses — and on real deployments,
+# by nature: geography dimensions) to always broadcast.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@dataclass
+class Catalog:
+    """Resolves table names to DataFrames for one scale-factor directory."""
+
+    spark: SparkSession
+    sf_dir: str = DEFAULT_SF_DIR
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            self._cache[name] = self.spark.read.parquet(path)
+        return self._cache[name]
+
+    def __getattr__(self, name: str) -> DataFrame:
+        if name in ALL_TABLES:
+            return self.table(name)
+        raise AttributeError(name)
+
+    def register_views(self, names: tuple[str, ...] = ALL_TABLES) -> None:
+        """Register temp views so spark.sql() sees the catalog."""
+        for name in names:
+            self.table(name).createOrReplaceTempView(name)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> dict[str, DataFrame]:
+    cat = Catalog(spark, sf_dir)
+    return {name: cat.table(name) for name in ALL_TABLES}

@@ -1,0 +1,710 @@
+"""TPC-H derived correctness/bench corpus, adapted to the driver testdata.
+
+The reference's correctness corpus is the 16-query TPC-H subset at
+axiom/optimizer/tests/tpch.queries/ (q1,q2,q3,q5,q6,q7,q8,q9,q10,q11,q12,
+q13,q14,q16,q17,q19), executed and differentially checked against reference
+plans (axiom/optimizer/tests/TpchPlanTest.cpp:53-66). This module keeps each
+query's *operator shape* — join graph arity, subquery kind (scalar /
+correlated / NOT IN), aggregation pattern (FILTER-style conditional agg,
+count distinct, having-over-scalar-subquery), top-k — while adapting
+predicates and output columns to the driver's leaner synthetic schema
+(TESTDATA.md): no partsupp table (lineitem, keyed by (l_partkey, l_suppkey),
+plays the part-supplier fact role in q2/q9/q11/q16), doubles instead of
+decimals, timestamps instead of dates, 1995-2001 date range, NATION_n names.
+
+Floating-point determinism: the driver hash-compares our Spark results
+against DuckDB running ``ORACLE[name]``. Summing *doubles* is
+order-dependent, so every aggregated money/quantity column is cast to an
+exact DECIMAL before aggregation (sums become order-independent and
+bit-identical across engines) and the final result is cast back to DOUBLE.
+Ratios/averages are computed as double-div-of-exact-sums with identical
+operand order on both sides.
+
+Scale notes (local[32] now, 1000 executors later):
+- region/nation are bounded dimensions → explicit ``F.broadcast``.
+- part/supplier/customer joins rely on size-based auto-broadcast + AQE; at
+  100 TB they become shuffle joins on their keys, which is the right plan.
+- Correlated scalar subqueries are decorrelated by hand into aggregate +
+  equi-join (the same shape the reference optimizer emits for single-row
+  derived tables, axiom/optimizer/DerivedTable.cpp:182) — never a
+  per-row recompute.
+- All top-k queries carry a unique tie-break key in ORDER BY so LIMIT is
+  deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from verax_spark.catalog import Catalog
+
+# ---------------------------------------------------------------------------
+# Exact-decimal casts for double columns (see module docstring).
+PRICE = "decimal(12,2)"  # extendedprice, retailprice, totalprice, acctbal
+RATE = "decimal(3,2)"  # discount, tax in [0, 0.10]
+QTY = "decimal(4,1)"  # quantity in [1, 50]
+
+
+def _dec(col: str, t: str) -> F.Column:
+    return F.col(col).cast(t)
+
+
+def _price(col: str) -> F.Column:
+    return _dec(col, PRICE)
+
+
+def _revenue_expr() -> F.Column:
+    """l_extendedprice * (1 - l_discount), exact."""
+    return _price("l_extendedprice") * (F.lit(1) - _dec("l_discount", RATE))
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s).cast("timestamp")
+
+
+# SQL-side equivalents (DuckDB dialect == ANSI here)
+SQL_REV = "cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(3,2)))"
+SQL_QTY = "cast(l_quantity as decimal(4,1))"
+SQL_PRICE = "cast(l_extendedprice as decimal(12,2))"
+
+
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report (ref tpch.queries/q1.sql): scan→filter→hash agg
+    with 8 aggregates. Partial+final agg is automatic in Spark
+    (ref: axiom/optimizer/Optimization.cpp:712 addAggregation)."""
+    cat = Catalog(spark, sf_dir)
+    qty = _dec("l_quantity", QTY)
+    price = _price("l_extendedprice")
+    disc_price = _revenue_expr()
+    charge = disc_price * (F.lit(1) + _dec("l_tax", RATE))
+    n = F.count(F.lit(1))
+    return (
+        cat.lineitem.filter(F.col("l_shipdate") < _ts("1998-09-03"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(price).cast("double") / n).alias("avg_price"),
+            (F.sum(_dec("l_discount", RATE)).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+select l_returnflag, l_linestatus,
+  cast(sum({SQL_QTY}) as double) as sum_qty,
+  cast(sum({SQL_PRICE}) as double) as sum_base_price,
+  cast(sum({SQL_REV}) as double) as sum_disc_price,
+  cast(sum({SQL_REV} * (1 + cast(l_tax as decimal(3,2)))) as double) as sum_charge,
+  cast(sum({SQL_QTY}) as double) / count(*) as avg_qty,
+  cast(sum({SQL_PRICE}) as double) / count(*) as avg_price,
+  cast(sum(cast(l_discount as decimal(3,2))) as double) / count(*) as avg_disc,
+  count(*) as count_order
+from lineitem
+where l_shipdate < timestamp '1998-09-03'
+group by l_returnflag, l_linestatus
+order by l_returnflag, l_linestatus
+"""
+
+
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (ref tpch.queries/q2.sql), adapted: lineitem is
+    the part-supplier fact (no partsupp in testdata); cost := l_extendedprice.
+    Shape kept: 5-way join + correlated scalar MIN subquery + top-k.
+    The subquery is decorrelated to groupBy-min + equi-join, the plan the
+    reference optimizer produces for single-row DTs
+    (axiom/optimizer/DerivedTable.cpp:182, Optimization.cpp:1280)."""
+    cat = Catalog(spark, sf_dir)
+    region = F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE"))
+    nation = F.broadcast(cat.nation).join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    supp_eur = cat.supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    # Europe-restricted part-supplier offers
+    offers = cat.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice").join(
+        supp_eur, F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    min_cost = offers.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_cost"))
+    part = cat.part.filter((F.col("p_size") <= 25) & F.col("p_type").isin("ECONOMY", "STANDARD"))
+    return (
+        offers.join(min_cost, "l_partkey")
+        .filter(F.col("l_extendedprice") == F.col("min_cost"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+select s_acctbal, s_name, n_name, p_partkey, p_name
+from part, supplier, lineitem, nation, region
+where p_partkey = l_partkey and s_suppkey = l_suppkey
+  and p_size <= 25 and p_type in ('ECONOMY', 'STANDARD')
+  and s_nationkey = n_nationkey and n_regionkey = r_regionkey and r_name = 'EUROPE'
+  and l_extendedprice = (
+    select min(l2.l_extendedprice)
+    from lineitem l2, supplier s2, nation n2, region r2
+    where l2.l_partkey = part.p_partkey and s2.s_suppkey = l2.l_suppkey
+      and s2.s_nationkey = n2.n_nationkey and n2.n_regionkey = r2.r_regionkey
+      and r2.r_name = 'EUROPE')
+order by s_acctbal desc, n_name, s_name, p_partkey
+limit 100
+"""
+
+
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping priority (ref tpch.queries/q3.sql; o_shippriority absent in
+    testdata): customer⋈orders⋈lineitem, grouped revenue, top-10."""
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat.orders.filter(F.col("o_orderdate") < _ts("1997-03-15"))
+    line = cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15"))
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+select l_orderkey, cast(sum({SQL_REV}) as double) as revenue, o_orderdate
+from customer, orders, lineitem
+where c_mktsegment = 'BUILDING' and c_custkey = o_custkey and l_orderkey = o_orderkey
+  and o_orderdate < timestamp '1997-03-15' and l_shipdate > timestamp '1997-03-15'
+group by l_orderkey, o_orderdate
+order by revenue desc, l_orderkey
+limit 10
+"""
+
+
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local supplier volume (ref tpch.queries/q5.sql): 6-way join with the
+    customer-nation = supplier-nation colocation condition."""
+    cat = Catalog(spark, sf_dir)
+    region = F.broadcast(cat.region.filter(F.col("r_name") == "ASIA"))
+    nation = F.broadcast(cat.nation).join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    return (
+        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            cat.supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+Q5_SQL = f"""
+select n_name, cast(sum({SQL_REV}) as double) as revenue
+from customer, orders, lineitem, supplier, nation, region
+where c_custkey = o_custkey and l_orderkey = o_orderkey and l_suppkey = s_suppkey
+  and c_nationkey = s_nationkey and s_nationkey = n_nationkey
+  and n_regionkey = r_regionkey and r_name = 'ASIA'
+  and o_orderdate >= timestamp '1996-01-01' and o_orderdate < timestamp '1997-01-01'
+group by n_name
+order by revenue desc, n_name
+"""
+
+
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecasting revenue change (ref tpch.queries/q6.sql): the minimum E2E
+    slice — scan → filter (pushed to parquet) → global agg."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_price("l_extendedprice") * _dec("l_discount", RATE))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+Q6_SQL = """
+select cast(sum(cast(l_extendedprice as decimal(12,2)) * cast(l_discount as decimal(3,2))) as double) as revenue
+from lineitem
+where l_shipdate >= timestamp '1996-01-01' and l_shipdate < timestamp '1997-01-01'
+  and l_discount >= 0.05 and l_discount <= 0.07 and l_quantity < 24
+"""
+
+
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (ref tpch.queries/q7.sql): two nation aliases with a
+    disjunctive cross-nation condition, derived-table then re-agg."""
+    cat = Catalog(spark, sf_dir)
+    n1 = F.broadcast(cat.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(cat.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    shipping = (
+        cat.supplier.join(cat.lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            (
+                ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_13"))
+                | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_12"))
+            )
+            & F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+            _revenue_expr().alias("volume"),
+        )
+    )
+    return (
+        shipping.groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+Q7_SQL = f"""
+select supp_nation, cust_nation, l_year, cast(sum(volume) as double) as revenue
+from (
+  select n1.n_name as supp_nation, n2.n_name as cust_nation,
+    cast(extract(year from l.l_shipdate) as bigint) as l_year, {SQL_REV} as volume
+  from supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+  where s.s_suppkey = l.l_suppkey and o.o_orderkey = l.l_orderkey
+    and c.c_custkey = o.o_custkey and s.s_nationkey = n1.n_nationkey
+    and c.c_nationkey = n2.n_nationkey
+    and ((n1.n_name = 'NATION_12' and n2.n_name = 'NATION_13')
+      or (n1.n_name = 'NATION_13' and n2.n_name = 'NATION_12'))
+    and l.l_shipdate between timestamp '1996-01-01' and timestamp '1997-12-31'
+) shipping
+group by supp_nation, cust_nation, l_year
+order by supp_nation, cust_nation, l_year
+"""
+
+
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (ref tpch.queries/q8.sql): 8-way join, share =
+    conditional-sum / sum (FILTER-style aggregate)."""
+    cat = Catalog(spark, sf_dir)
+    region = F.broadcast(cat.region.filter(F.col("r_name") == "AMERICA"))
+    n1 = F.broadcast(cat.nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")))
+    n2 = F.broadcast(cat.nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")))
+    part = cat.part.filter(F.col("p_type") == "ECONOMY")
+    orders = cat.orders.filter(
+        F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    )
+    all_nations = (
+        part.join(cat.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            _revenue_expr().alias("volume"),
+            "nation",
+        )
+    )
+    brazil = F.sum(F.when(F.col("nation") == "NATION_6", F.col("volume")))
+    return (
+        all_nations.groupBy("o_year")
+        .agg(
+            (
+                F.coalesce(brazil.cast("double"), F.lit(0.0))
+                / F.sum("volume").cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+Q8_SQL = f"""
+select o_year,
+  coalesce(cast(sum(case when nation = 'NATION_6' then volume end) as double), 0.0)
+    / cast(sum(volume) as double) as mkt_share
+from (
+  select cast(extract(year from o.o_orderdate) as bigint) as o_year,
+    {SQL_REV} as volume, n2.n_name as nation
+  from part p, supplier s, lineitem l, orders o, customer c, nation n1, nation n2, region r
+  where p.p_partkey = l.l_partkey and s.s_suppkey = l.l_suppkey
+    and l.l_orderkey = o.o_orderkey and o.o_custkey = c.c_custkey
+    and c.c_nationkey = n1.n_nationkey and n1.n_regionkey = r.r_regionkey
+    and r.r_name = 'AMERICA' and s.s_nationkey = n2.n_nationkey
+    and o.o_orderdate between timestamp '1996-01-01' and timestamp '1997-12-31'
+    and p.p_type = 'ECONOMY'
+) all_nations
+group by o_year
+order by o_year
+"""
+
+
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product type profit (ref tpch.queries/q9.sql), adapted: supply cost :=
+    5% of p_retailprice (no partsupp). Shape kept: 5-way join + LIKE filter +
+    derived table + re-agg."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(F.col("p_name").like("%red%"))
+    nation = F.broadcast(cat.nation)
+    amount = _revenue_expr() - (
+        _price("p_retailprice") * _dec("l_quantity", QTY) * F.lit(0.05).cast(RATE)
+    )
+    profit = (
+        part.join(cat.lineitem, F.col("p_partkey") == F.col("l_partkey"))
+        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("amount"),
+        )
+    )
+    return (
+        profit.groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+Q9_SQL = f"""
+select nation, o_year, cast(sum(amount) as double) as sum_profit
+from (
+  select n.n_name as nation, cast(extract(year from o.o_orderdate) as bigint) as o_year,
+    {SQL_REV} - (cast(p_retailprice as decimal(12,2)) * {SQL_QTY} * cast(0.05 as decimal(3,2))) as amount
+  from part p, supplier s, lineitem l, orders o, nation n
+  where s.s_suppkey = l.l_suppkey and p.p_partkey = l.l_partkey
+    and o.o_orderkey = l.l_orderkey and s.s_nationkey = n.n_nationkey
+    and p.p_name like '%red%'
+) profit
+group by nation, o_year
+order by nation, o_year desc
+"""
+
+
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned item reporting (ref tpch.queries/q10.sql): 4-way join,
+    group by customer attributes, top-20 by revenue."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    )
+    line = cat.lineitem.filter(F.col("l_returnflag") == "R")
+    return (
+        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+select c_custkey, c_name, cast(sum({SQL_REV}) as double) as revenue, c_acctbal, n_name
+from customer, orders, lineitem, nation
+where c_custkey = o_custkey and l_orderkey = o_orderkey
+  and o_orderdate >= timestamp '1996-10-01' and o_orderdate < timestamp '1997-01-01'
+  and l_returnflag = 'R' and c_nationkey = n_nationkey
+group by c_custkey, c_name, c_acctbal, n_name
+order by revenue desc, c_custkey
+limit 20
+"""
+
+
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important stock identification (ref tpch.queries/q11.sql), adapted to
+    lineitem-as-partsupp: value := sum(extendedprice * quantity). Shape kept:
+    grouped agg + HAVING over an uncorrelated scalar subquery (single-row
+    cross join in the reference, axiom/optimizer/Optimization.cpp:1280)."""
+    cat = Catalog(spark, sf_dir)
+    nation = F.broadcast(cat.nation.filter(F.col("n_name") == "NATION_12"))
+    stock = (
+        cat.lineitem.join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_partkey", (_price("l_extendedprice") * _dec("l_quantity", QTY)).alias("v"))
+    )
+    grouped = stock.groupBy("l_partkey").agg(F.sum("v").cast("double").alias("value"))
+    threshold = stock.agg((F.sum("v").cast("double") * 0.0001).alias("threshold"))
+    return (
+        grouped.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("threshold"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+Q11_SQL = f"""
+select l_partkey, cast(sum({SQL_PRICE} * {SQL_QTY}) as double) as value
+from lineitem, supplier, nation
+where l_suppkey = s_suppkey and s_nationkey = n_nationkey and n_name = 'NATION_12'
+group by l_partkey
+having cast(sum({SQL_PRICE} * {SQL_QTY}) as double) > (
+  select cast(sum({SQL_PRICE} * {SQL_QTY}) as double) * 0.0001
+  from lineitem, supplier, nation
+  where l_suppkey = s_suppkey and s_nationkey = n_nationkey and n_name = 'NATION_12')
+order by value desc, l_partkey
+"""
+
+
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping modes / order priority (ref tpch.queries/q12.sql), adapted:
+    no l_shipmode/l_commitdate/l_receiptdate in testdata → group by
+    l_linestatus, window the shipdate. Shape kept: join + conditional sums."""
+    cat = Catalog(spark, sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    line = cat.lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    return (
+        cat.orders.join(line, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+Q12_SQL = """
+select l_linestatus,
+  cast(sum(case when o_orderpriority in ('1-URGENT','2-HIGH') then 1 else 0 end) as bigint) as high_line_count,
+  cast(sum(case when o_orderpriority not in ('1-URGENT','2-HIGH') then 1 else 0 end) as bigint) as low_line_count
+from orders, lineitem
+where o_orderkey = l_orderkey
+  and l_shipdate >= timestamp '1996-01-01' and l_shipdate < timestamp '1997-01-01'
+group by l_linestatus
+order by l_linestatus
+"""
+
+
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer distribution (ref tpch.queries/q13.sql), adapted filter
+    (no o_comment): orders with status <> 'F'. Shape kept: LEFT OUTER join
+    with a filtered build side + two-level aggregation."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(F.col("o_orderstatus") != "F")
+    c_orders = (
+        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+Q13_SQL = """
+select c_count, count(*) as custdist
+from (
+  select c_custkey, count(o_orderkey) as c_count
+  from customer left outer join orders
+    on c_custkey = o_custkey and o_orderstatus <> 'F'
+  group by c_custkey
+) c_orders
+group by c_count
+order by custdist desc, c_count desc
+"""
+
+
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (ref tpch.queries/q14.sql): join + conditional-sum /
+    sum ratio."""
+    cat = Catalog(spark, sf_dir)
+    line = cat.lineitem.filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01")) & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    joined = line.join(cat.part, F.col("l_partkey") == F.col("p_partkey")).select(
+        F.col("p_type"), _revenue_expr().alias("volume")
+    )
+    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), F.col("volume")))
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.coalesce(promo.cast("double"), F.lit(0.0))
+            / F.sum("volume").cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+Q14_SQL = f"""
+select 100.0 * coalesce(cast(sum(case when p_type like 'PROMO%' then volume end) as double), 0.0)
+  / cast(sum(volume) as double) as promo_revenue
+from (
+  select p_type, {SQL_REV} as volume
+  from lineitem, part
+  where l_partkey = p_partkey
+    and l_shipdate >= timestamp '1996-09-01' and l_shipdate < timestamp '1996-10-01'
+) t
+"""
+
+
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier relationship (ref tpch.queries/q16.sql), adapted to
+    lineitem-as-partsupp; excluded suppliers := negative account balance.
+    Shape kept: NOT IN anti-join + count(distinct) + multi-key group."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter(
+        (F.col("p_brand") != "Brand#4")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
+    )
+    bad_supp = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        cat.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+Q16_SQL = """
+select p_brand, p_type, p_size, count(distinct l_suppkey) as supplier_cnt
+from lineitem, part
+where p_partkey = l_partkey
+  and p_brand <> 'Brand#4' and p_type not like 'MEDIUM%'
+  and p_size in (49, 14, 23, 45, 19, 3, 36, 9)
+  and l_suppkey not in (select s_suppkey from supplier where s_acctbal < 0)
+group by p_brand, p_type, p_size
+order by supplier_cnt desc, p_brand, p_type, p_size
+"""
+
+
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (ref tpch.queries/q17.sql), adapted
+    part filter (no p_container): Brand#23 & p_size < 10. Shape kept:
+    correlated AVG scalar subquery, decorrelated to group-agg + join."""
+    cat = Catalog(spark, sf_dir)
+    part = cat.part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10))
+    per_part = cat.lineitem.groupBy("l_partkey").agg(
+        (F.lit(0.2) * (F.sum(_dec("l_quantity", QTY)).cast("double") / F.count(F.lit(1))))
+        .alias("qty_threshold")
+    )
+    return (
+        cat.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part.withColumnRenamed("l_partkey", "t_partkey"),
+              F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg((F.sum(_price("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+    )
+
+
+Q17_SQL = f"""
+select cast(sum({SQL_PRICE}) as double) / 7.0 as avg_yearly
+from lineitem l, part p
+where p.p_partkey = l.l_partkey and p.p_brand = 'Brand#23' and p.p_size < 10
+  and l.l_quantity < (
+    select 0.2 * (cast(sum({SQL_QTY}) as double) / count(*))
+    from lineitem l2
+    where l2.l_partkey = p.p_partkey)
+"""
+
+
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (ref tpch.queries/q19.sql), adapted: no
+    l_shipmode/l_shipinstruct/p_container → branches on brand/qty/size.
+    Shape kept: disjunctive join condition the optimizer must not split
+    (nested-loop-or-hash-with-residual, ref axiom/optimizer/ToVelox.cpp:1134)."""
+    cat = Catalog(spark, sf_dir)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return (
+        cat.lineitem.join(cat.part, F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(F.sum(_revenue_expr()).cast("double").alias("revenue"))
+    )
+
+
+Q19_SQL = f"""
+select cast(sum({SQL_REV}) as double) as revenue
+from lineitem l, part p
+where p_partkey = l_partkey and (
+    (p_brand = 'Brand#12' and l_quantity between 1 and 11 and p_size between 1 and 5)
+ or (p_brand = 'Brand#23' and l_quantity between 10 and 20 and p_size between 1 and 10)
+ or (p_brand = 'Brand#3' and l_quantity between 20 and 30 and p_size between 1 and 15))
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1": q1,
+    "tpch_q2": q2,
+    "tpch_q3": q3,
+    "tpch_q5": q5,
+    "tpch_q6": q6,
+    "tpch_q7": q7,
+    "tpch_q8": q8,
+    "tpch_q9": q9,
+    "tpch_q10": q10,
+    "tpch_q11": q11,
+    "tpch_q12": q12,
+    "tpch_q13": q13,
+    "tpch_q14": q14,
+    "tpch_q16": q16,
+    "tpch_q17": q17,
+    "tpch_q19": q19,
+}
+
+ORACLE: dict[str, str] = {
+    "tpch_q1": Q1_SQL,
+    "tpch_q2": Q2_SQL,
+    "tpch_q3": Q3_SQL,
+    "tpch_q5": Q5_SQL,
+    "tpch_q6": Q6_SQL,
+    "tpch_q7": Q7_SQL,
+    "tpch_q8": Q8_SQL,
+    "tpch_q9": Q9_SQL,
+    "tpch_q10": Q10_SQL,
+    "tpch_q11": Q11_SQL,
+    "tpch_q12": Q12_SQL,
+    "tpch_q13": Q13_SQL,
+    "tpch_q14": Q14_SQL,
+    "tpch_q16": Q16_SQL,
+    "tpch_q17": Q17_SQL,
+    "tpch_q19": Q19_SQL,
+}

@@ -1,0 +1,83 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference executes multi-fragment plans over Velox tasks
+(axiom/runner/LocalRunner.h:74-100); fragment boundaries are exchanges
+(axiom/optimizer/ToVelox.cpp:1270-1308). In Spark those decisions are
+Catalyst/AQE's job — this factory turns on the settings that let AQE make
+them well at any scale:
+
+- AQE (runtime re-planning, partition coalescing, skew-join splitting)
+  replaces the reference's history-based re-costing for the common cases.
+- A real broadcast threshold replaces the reference's
+  ``Distribution::broadcast`` / ``isBroadcastableType`` decision
+  (axiom/optimizer/Schema.h:167-171).
+- Shuffle partition count is configurable because local[32] wants ~32-64
+  while a 1000-executor cluster wants thousands; AQE coalesces down so we
+  set the *ceiling* generously relative to cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "verax_spark",
+    *,
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for analytic workloads.
+
+    Scale notes: everything here is per-query-shape, not per-data-size, so
+    the same settings hold from sf0.001 smoke tests to a 100 TB cluster —
+    only ``master`` and ``shuffle_partitions`` change (cluster managers set
+    master; AQE coalescing makes an over-provisioned shuffle_partitions
+    cheap).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Ceiling ~2x cores locally; AQE coalesces small shuffles below this.
+        shuffle_partitions = max(2 * cpus, 8)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- Adaptive execution: runtime re-planning stands in for the
+        # reference's sampling/history-driven costing (optimizer/VeloxHistory.h).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Convert sort-merge to broadcast at runtime when a side turns out small.
+        .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+        # --- Join planning
+        .config("spark.sql.autoBroadcastJoinThreshold", "32MB")
+        .config("spark.sql.cbo.enabled", "true")
+        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Runtime row-level filtering ≈ the reference's build-side-reduction
+        # "existences" (optimizer/Plan.h:134-151).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        # --- Shuffle / scan sizing
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.maxPartitionBytes", "128m")  # = reference split default
+        # --- Python interop: Arrow everywhere a pandas UDF runs.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # --- Semantics: keep ANSI off; Presto's TRY/implicit-cast behavior is
+        # closer to Spark's legacy permissive mode, and try_* functions cover
+        # the explicit TRY forms (SURVEY §2.2 SpecialFormExpr).
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/verax-spark-warehouse")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
