@@ -48,7 +48,20 @@ class Catalog:
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
             path = os.path.join(self.sf_dir, f"{name}.parquet")
-            self._cache[name] = self.spark.read.parquet(path)
+            if name == "events":
+                # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
+                # rejects; read nanos as long, then truncate to microseconds.
+                # (Runtime-settable, so this works in any caller's session.)
+                self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                from pyspark.sql import functions as F
+
+                df = self.spark.read.parquet(path)
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+                self._cache[name] = df
+            else:
+                self._cache[name] = self.spark.read.parquet(path)
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:

@@ -1,0 +1,913 @@
+"""Per-operator correctness corpus: one differential query per SURVEY §2 row.
+
+Covers the reference's logical operator surface
+(axiom/logical_plan/LogicalPlanNode.h: Values/TableScan/Filter/Project/
+Aggregate[grouping sets, FILTER, DISTINCT, ordered]/Join[all types]/Sort/
+Limit/Set/Unnest/TableWrite) and expression kinds (axiom/logical_plan/Expr.h:
+special forms, lambdas/higher-order functions, window functions, subqueries,
+dereference). Every query returns a small (aggregated or limited)
+deterministic result so the driver's sf0.01 differential check and the sf0.1
+bench both stay cheap.
+
+Determinism rules (same as tpch.py): aggregated doubles go through exact
+DECIMAL casts; every LIMIT carries a unique-key ORDER BY; window frames
+order by unique keys (rows frames) or use value-based RANGE frames.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from verax_spark.catalog import Catalog
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+VAL = "decimal(12,2)"  # events.value fits (12,2)
+
+
+# ---------------------------------------------------------------------------
+# ValuesNode (axiom/logical_plan/LogicalPlanNode.h:121-157)
+@_register(
+    "op_values",
+    """
+    select a, upper(b) as ub, a * 10 as a10
+    from (values (1,'x'), (2,'y'), (3,'z')) t(a, b)
+    order by a
+    """,
+)
+def op_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "a int, b string")
+    return df.select(
+        "a", F.upper("b").alias("ub"), (F.col("a") * 10).alias("a10")
+    ).orderBy("a")
+
+
+# ---------------------------------------------------------------------------
+# Join types (axiom/logical_plan/LogicalPlanNode.h:368-445; semi/anti/mark
+# derivation axiom/optimizer/ToGraph.cpp:1478)
+@_register(
+    "op_join_left",
+    """
+    select c_custkey, count(o_orderkey) as n_open, coalesce(cast(sum(cast(o_totalprice as decimal(12,2))) as double), 0.0) as open_total
+    from customer left outer join orders
+      on c_custkey = o_custkey and o_orderstatus = 'O'
+    group by c_custkey
+    order by open_total desc, c_custkey limit 25
+    """,
+)
+def op_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(F.col("o_orderstatus") == "O")
+    return (
+        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_open"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(VAL)).cast("double"), F.lit(0.0)
+            ).alias("open_total"),
+        )
+        .orderBy(F.col("open_total").desc(), "c_custkey")
+        .limit(25)
+    )
+
+
+@_register(
+    "op_join_right",
+    """
+    select s_suppkey, count(l_orderkey) as n_items
+    from lineitem right outer join supplier on l_suppkey = s_suppkey and l_quantity > 45
+    group by s_suppkey
+    order by s_suppkey
+    """,
+)
+def op_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    line = cat.lineitem.filter(F.col("l_quantity") > 45)
+    return (
+        line.join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"), "right")
+        .groupBy("s_suppkey")
+        .agg(F.count("l_orderkey").alias("n_items"))
+        .orderBy("s_suppkey")
+    )
+
+
+@_register(
+    "op_join_full",
+    """
+    with hi_cust as (
+      select o_custkey, count(*) as n_hi from orders
+      where o_totalprice > 40000 group by o_custkey),
+    neg_cust as (
+      select c_custkey, c_acctbal from customer where c_acctbal < 0)
+    select coalesce(o_custkey, c_custkey) as custkey,
+           coalesce(n_hi, 0) as n_hi,
+           coalesce(cast(c_acctbal as double), 0.0) as neg_bal
+    from hi_cust full outer join neg_cust on o_custkey = c_custkey
+    order by custkey
+    """,
+)
+def op_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    hi = (
+        cat.orders.filter(F.col("o_totalprice") > 40000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_hi"))
+    )
+    neg = cat.customer.filter(F.col("c_acctbal") < 0).select("c_custkey", "c_acctbal")
+    return (
+        hi.join(neg, F.col("o_custkey") == F.col("c_custkey"), "full")
+        .select(
+            F.coalesce("o_custkey", "c_custkey").alias("custkey"),
+            F.coalesce("n_hi", F.lit(0)).alias("n_hi"),
+            F.coalesce(F.col("c_acctbal").cast("double"), F.lit(0.0)).alias("neg_bal"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@_register(
+    "op_join_semi",
+    """
+    select c_mktsegment, count(*) as n_cust
+    from customer
+    where exists (select 1 from orders where o_custkey = c_custkey and o_orderstatus = 'P'
+                  and o_totalprice > 30000)
+    group by c_mktsegment
+    order by c_mktsegment
+    """,
+)
+def op_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("o_totalprice") > 30000)
+    )
+    return (
+        cat.customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@_register(
+    "op_join_anti",
+    """
+    select p_type, count(*) as n_parts
+    from part
+    where not exists (select 1 from lineitem where l_partkey = p_partkey and l_quantity >= 45)
+    group by p_type
+    order by p_type
+    """,
+)
+def op_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    line = cat.lineitem.filter(F.col("l_quantity") >= 45)
+    return (
+        cat.part.join(line, F.col("p_partkey") == F.col("l_partkey"), "left_anti")
+        .groupBy("p_type")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("p_type")
+    )
+
+
+@_register(
+    "op_join_cross",
+    """
+    select r1.r_name as a, r2.r_name as b
+    from region r1 cross join region r2
+    order by a, b
+    """,
+)
+def op_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    r1 = cat.region.select(F.col("r_name").alias("a"))
+    r2 = cat.region.select(F.col("r_name").alias("b"))
+    return r1.crossJoin(r2).orderBy("a", "b")
+
+
+@_register(
+    "op_join_theta",
+    """
+    select r1.r_regionkey as lo, r2.r_regionkey as hi
+    from region r1 join region r2 on r1.r_regionkey < r2.r_regionkey
+    order by lo, hi
+    """,
+)
+def op_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join → BroadcastNestedLoopJoin, the Spark analog of
+    the reference's NestedLoopJoinNode (axiom/optimizer/ToVelox.cpp:1134)."""
+    cat = Catalog(spark, sf_dir)
+    r1 = cat.region.select(F.col("r_regionkey").alias("lo"))
+    r2 = cat.region.select(F.col("r_regionkey").alias("hi"))
+    return r1.join(r2, F.col("lo") < F.col("hi")).orderBy("lo", "hi")
+
+
+# ---------------------------------------------------------------------------
+# Set operations (axiom/logical_plan/LogicalPlanNode.h:520-569;
+# INTERSECT/EXCEPT→joins axiom/optimizer/ToGraph.cpp:1478-1530)
+_SET_A = "select c_nationkey as k from customer where c_acctbal > 9000"
+_SET_B = "select s_nationkey as k from supplier where s_acctbal > 1000"
+
+
+def _set_parts(cat: Catalog) -> tuple[DataFrame, DataFrame]:
+    a = cat.customer.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("k")
+    )
+    b = cat.supplier.filter(F.col("s_acctbal") > 1000).select(
+        F.col("s_nationkey").alias("k")
+    )
+    return a, b
+
+
+@_register(
+    "op_setop_union_all",
+    f"select k, count(*) as n from ({_SET_A} union all {_SET_B}) t group by k order by k",
+)
+def op_setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_parts(Catalog(spark, sf_dir))
+    return a.unionAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n")).orderBy("k")
+
+
+@_register(
+    "op_setop_union",
+    f"select k from ({_SET_A} union {_SET_B}) t order by k",
+)
+def op_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_parts(Catalog(spark, sf_dir))
+    return a.union(b).distinct().orderBy("k")
+
+
+@_register(
+    "op_setop_intersect",
+    f"select k from ({_SET_A} intersect {_SET_B}) t order by k",
+)
+def op_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_parts(Catalog(spark, sf_dir))
+    return a.intersect(b).orderBy("k")
+
+
+@_register(
+    "op_setop_except",
+    f"select k from ({_SET_A} except {_SET_B}) t order by k",
+)
+def op_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _set_parts(Catalog(spark, sf_dir))
+    return a.subtract(b).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants (axiom/logical_plan/LogicalPlanNode.h:282-366,
+# AggregateExpr FILTER/ORDER BY/DISTINCT axiom/logical_plan/Expr.h:453-524)
+@_register(
+    "op_agg_filter",
+    """
+    select event_type,
+      count(*) filter (where value > 100) as n_big,
+      coalesce(cast(sum(cast(value as decimal(12,2))) filter (where user_id % 2 = 0) as double), 0.0) as even_sum
+    from events group by event_type order by event_type
+    """,
+)
+def op_agg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-aggregate FILTER (Presto `agg(x) FILTER (WHERE p)`) — expressed
+    as conditional aggregation; Catalyst folds the `when` into the agg."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") > 100, 1)).alias("n_big"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("user_id") % 2 == 0, F.col("value").cast(VAL))
+                ).cast("double"),
+                F.lit(0.0),
+            ).alias("even_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_register(
+    "op_agg_distinct",
+    """
+    select l_returnflag, count(distinct l_suppkey) as n_supp,
+      cast(sum(distinct cast(l_quantity as decimal(4,1))) as double) as sum_dist_qty
+    from lineitem group by l_returnflag order by l_returnflag
+    """,
+)
+def op_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.sum_distinct(F.col("l_quantity").cast("decimal(4,1)"))
+            .cast("double")
+            .alias("sum_dist_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "op_agg_ordered",
+    """
+    select user_id, array_to_string(list_sort(list(distinct event_type)), ',') as types
+    from events where user_id < 20 group by user_id order by user_id
+    """,
+)
+def op_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregate (Presto array_agg(... ORDER BY ...)) via
+    sort_array(collect_set(...)) — deterministic independent of partitioning."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types")
+        )
+        .orderBy("user_id")
+    )
+
+
+@_register(
+    "op_grouping_sets",
+    """
+    select l_returnflag, l_linestatus, grouping(l_returnflag, l_linestatus) as gid,
+      count(*) as n
+    from lineitem
+    group by grouping sets ((l_returnflag, l_linestatus), (l_returnflag), ())
+    order by gid, l_returnflag, l_linestatus
+    """,
+)
+def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets (logical-layer feature the reference optimizer doesn't
+    yet consume, SURVEY §2.2 note; native in Spark)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+@_register(
+    "op_rollup",
+    """
+    select o_orderstatus, o_orderpriority, grouping(o_orderstatus, o_orderpriority) as gid,
+      count(*) as n, cast(sum(cast(o_totalprice as decimal(12,2))) as double) as total
+    from orders group by rollup (o_orderstatus, o_orderpriority)
+    order by gid, o_orderstatus, o_orderpriority
+    """,
+)
+def op_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(VAL)).cast("double").alias("total"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@_register(
+    "op_cube",
+    """
+    select l_returnflag, l_linestatus, grouping(l_returnflag, l_linestatus) as gid, count(*) as n
+    from lineitem group by cube (l_returnflag, l_linestatus)
+    order by gid, l_returnflag, l_linestatus
+    """,
+)
+def op_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (axiom/logical_plan/Expr.h:526-612; ROWS/RANGE frames,
+# ignoreNulls. GROUPS frames have no Spark analog — documented unsupported.)
+@_register(
+    "op_window_rank",
+    """
+    select * from (
+      select event_type, event_id,
+        rank() over (partition by event_type order by value desc, event_id) as rnk,
+        dense_rank() over (partition by event_type order by value desc, event_id) as drnk,
+        row_number() over (partition by event_type order by value desc, event_id) as rn
+      from events) t
+    where rnk <= 3 order by event_type, rnk, event_id
+    """,
+)
+def op_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), "event_id")
+    return (
+        cat.events.select(
+            "event_type",
+            "event_id",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .orderBy("event_type", "rnk", "event_id")
+    )
+
+
+@_register(
+    "op_window_rows_frame",
+    """
+    select user_id, event_id,
+      cast(sum(cast(value as decimal(12,2)))
+        over (partition by user_id order by event_id rows between 2 preceding and current row) as double) as mov_sum
+    from events where user_id < 10 order by user_id, event_id
+    """,
+)
+def op_window_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-2, 0)
+    return (
+        cat.events.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.sum(F.col("value").cast(VAL)).over(w).cast("double").alias("mov_sum"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "op_window_range_frame",
+    """
+    select user_id, event_id, value,
+      count(*) over (partition by user_id order by value range between 50 preceding and current row) as n_near
+    from events where user_id < 10 order by user_id, event_id
+    """,
+)
+def op_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("value").rangeBetween(-50, 0)
+    return (
+        cat.events.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.count(F.lit(1)).over(w).alias("n_near"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@_register(
+    "op_window_lead_lag",
+    """
+    select user_id, event_id,
+      lag(event_type) over (partition by user_id order by event_id) as prev_type,
+      lead(event_type, 1, 'NONE') over (partition by user_id order by event_id) as next_type,
+      lag(nullif(event_type, 'error') ignore nulls)
+        over (partition by user_id order by event_id) as prev_ok_type
+    from events where user_id < 10 order by user_id, event_id
+    """,
+)
+def op_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag + IGNORE NULLS (reference: WindowExpr ignoreNulls,
+    axiom/logical_plan/Expr.h:526-612). lag IGNORE NULLS ≡ last non-null
+    value over rows (unbounded preceding, 1 preceding)."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    ok_type = F.nullif(F.col("event_type"), F.lit("error"))
+    return (
+        cat.events.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type", 1, "NONE").over(w).alias("next_type"),
+            F.last(ok_type, ignorenulls=True).over(wprev).alias("prev_ok_type"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / Limit / Offset (axiom/logical_plan/LogicalPlanNode.h:447-518)
+@_register(
+    "op_sort_nulls",
+    """
+    select event_id, nullif(value, 0.0) as v
+    from events
+    order by v asc nulls first, event_id
+    limit 20
+    """,
+)
+def op_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit nulls-first ordering (SortNode asc/desc × nulls first/last).
+    Spark default for asc is nulls-first; DuckDB's is nulls-last — both
+    sides are explicit, per the FIXTURES.md caveat."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.select("event_id", F.nullif(F.col("value"), F.lit(0.0)).alias("v"))
+        .orderBy(F.col("v").asc_nulls_first(), "event_id")
+        .limit(20)
+    )
+
+
+@_register(
+    "op_limit_offset",
+    """
+    select o_orderkey, cast(o_totalprice as double) as price
+    from orders order by o_totalprice desc, o_orderkey
+    limit 10 offset 15
+    """,
+)
+def op_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.select("o_orderkey", F.col("o_totalprice").cast("double").alias("price"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .offset(15)
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unnest (axiom/logical_plan/LogicalPlanNode.h:571-657): array expand,
+# ordinality, map→(k,v), multi-unnest zip with null padding, empty-drop.
+@_register(
+    "op_unnest_array",
+    """
+    select w as word, count(*) as n
+    from documents, lateral (select unnest(string_split(text, ' ')) as w)
+    where doc_id < 100
+    group by w order by n desc, w limit 20
+    """,
+)
+def op_unnest_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.filter(F.col("doc_id") < 100)
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@_register(
+    "op_unnest_ordinality",
+    """
+    select doc_id, i + 1 as ord, string_split(text, ' ')[i + 1] as word
+    from documents, lateral (select unnest(range(len(string_split(text, ' ')))) as i)
+    where doc_id < 5
+    order by doc_id, ord
+    """,
+)
+def op_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNNEST WITH ORDINALITY — 1-based position column
+    (UnnestNode::withOrdinality, axiom/logical_plan/LogicalPlanNode.h:571)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.filter(F.col("doc_id") < 5)
+        .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
+        .select("doc_id", (F.col("pos") + 1).alias("ord"), "word")
+        .orderBy("doc_id", "ord")
+    )
+
+
+@_register(
+    "op_unnest_map",
+    """
+    select event_id, k, v from (
+      select event_id, 'user' as k, cast(user_id as double) as v from events
+      union all
+      select event_id, 'value' as k, value as v from events
+    ) t where event_id < 25 order by event_id, k
+    """,
+)
+def op_unnest_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map unnest → (key, value) columns (UnnestNode on MAP yields 2 cols)."""
+    cat = Catalog(spark, sf_dir)
+    m = F.create_map(
+        F.lit("user"), F.col("user_id").cast("double"), F.lit("value"), F.col("value")
+    )
+    return (
+        cat.events.filter(F.col("event_id") < 25)
+        .select("event_id", F.explode(m).alias("k", "v"))
+        .orderBy("event_id", "k")
+    )
+
+
+@_register(
+    "op_unnest_multi",
+    """
+    select doc_id, unnest(string_split(text, ' ')[1:3]) as w3,
+           unnest(string_split(text, ' ')[1:2]) as w2
+    from documents where doc_id < 10 order by doc_id, w3, w2
+    """,
+)
+def op_unnest_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple unnests zipped with NULL padding to the longest
+    (axiom/logical_plan/LogicalPlanNode.h:585-599). DuckDB zips parallel
+    unnests the same way; Spark expresses it as arrays_zip + explode."""
+    cat = Catalog(spark, sf_dir)
+    words = F.split("text", " ")
+    zipped = F.arrays_zip(
+        F.slice(words, 1, 3).alias("w3"), F.slice(words, 1, 2).alias("w2")
+    )
+    return (
+        cat.documents.filter(F.col("doc_id") < 10)
+        .select("doc_id", F.explode(zipped).alias("z"))
+        .select("doc_id", F.col("z.w3").alias("w3"), F.col("z.w2").alias("w2"))
+        .orderBy("doc_id", "w3", "w2")
+    )
+
+
+@_register(
+    "op_unnest_empty_drop",
+    """
+    select doc_id, count(*) as n_long
+    from documents, lateral (select unnest(list_filter(string_split(text, ' '), x -> length(x) > 6)) as w)
+    where doc_id < 200
+    group by doc_id order by doc_id
+    """,
+)
+def op_unnest_empty_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows whose (filtered) array is empty are DROPPED by unnest — Presto
+    semantics the reference documents (LogicalPlanNode.h:600-612); Spark's
+    explode does the same (vs explode_outer)."""
+    cat = Catalog(spark, sf_dir)
+    long_words = F.filter(F.split("text", " "), lambda w: F.length(w) > 6)
+    return (
+        cat.documents.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(long_words).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_long"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (axiom/logical_plan/Expr.h:657-677 SubqueryExpr; IN/EXISTS
+# special forms Expr.h:212-378)
+@_register(
+    "op_subquery_scalar",
+    """
+    select o_orderstatus, count(*) as n_above
+    from orders
+    where o_totalprice > (select avg(o_totalprice) from orders)
+    group by o_orderstatus order by o_orderstatus
+    """,
+)
+def op_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery → single-row broadcast cross join (the
+    reference's placeSingleRowDt, axiom/optimizer/Optimization.cpp:1280)."""
+    cat = Catalog(spark, sf_dir)
+    avg_price = cat.orders.agg(F.avg("o_totalprice").alias("avg_price"))
+    return (
+        cat.orders.join(F.broadcast(avg_price))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+        .orderBy("o_orderstatus")
+    )
+
+
+@_register(
+    "op_subquery_in",
+    """
+    select n_name, count(*) as n_cust
+    from customer join nation on c_nationkey = n_nationkey
+    where c_custkey in (select o_custkey from orders where o_totalprice > 45000)
+    group by n_name order by n_name
+    """,
+)
+def op_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    big_cust = cat.orders.filter(F.col("o_totalprice") > 45000).select("o_custkey")
+    return (
+        cat.customer.join(
+            big_cust, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-order functions / lambdas (axiom/logical_plan/Expr.h:614-655;
+# function metadata axiom/optimizer/FunctionRegistry.h:111-295)
+@_register(
+    "op_hof_transform_filter",
+    """
+    select doc_id,
+      array_to_string(list_transform(list_filter(string_split(text, ' '), w -> length(w) >= 5), w -> upper(w)), ',') as big_words
+    from documents where doc_id < 25 order by doc_id
+    """,
+)
+def op_hof_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    words = F.split("text", " ")
+    big = F.transform(
+        F.filter(words, lambda w: F.length(w) >= 5), lambda w: F.upper(w)
+    )
+    return (
+        cat.documents.filter(F.col("doc_id") < 25)
+        .select("doc_id", F.array_join(big, ",").alias("big_words"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "op_hof_aggregate",
+    """
+    select doc_id,
+      cast(list_sum(list_transform(string_split(text, ' '), w -> length(w))) as bigint) as total_chars
+    from documents where doc_id < 25 order by doc_id
+    """,
+)
+def op_hof_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.aggregate (Presto reduce/array fold) with an explicit lambda."""
+    cat = Catalog(spark, sf_dir)
+    total = F.aggregate(
+        F.transform(F.split("text", " "), lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cat.documents.filter(F.col("doc_id") < 25)
+        .select("doc_id", total.alias("total_chars"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "op_hof_zip_with",
+    """
+    select doc_id, unnest(string_split(text, ' ')[1:3]) as w,
+           unnest(range(1, len(string_split(text, ' ')[1:3]) + 1)) as idx
+    from documents where doc_id < 10 order by doc_id, idx
+    """,
+)
+def op_hof_zip_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zip_with two arrays (words × 1-based index sequence), then flatten."""
+    cat = Catalog(spark, sf_dir)
+    w3 = F.slice(F.split("text", " "), 1, 3)
+    pairs = F.zip_with(
+        w3,
+        F.sequence(F.lit(1), F.size(w3)),
+        lambda w, i: F.struct(w.alias("w"), i.alias("idx")),
+    )
+    return (
+        cat.documents.filter(F.col("doc_id") < 10)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.w").alias("w"), F.col("p.idx").cast("bigint").alias("idx"))
+        .orderBy("doc_id", "idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Special forms: CAST/TRY_CAST/COALESCE/IF/SWITCH/AND/OR (Expr.h:212-414)
+@_register(
+    "op_special_forms",
+    """
+    select doc_id,
+      try_cast(lang as bigint) as bad_cast,
+      coalesce(try_cast(lang as bigint), n_chars, 0) as first_ok,
+      case lang when 'en' then 'english' when 'de' then 'german' else 'other' end as lang_name,
+      if(n_chars > 250, 'long', 'short') as len_class,
+      (lang = 'en' or n_chars > 400) and source = 'src1' as flag
+    from documents where doc_id < 50 order by doc_id
+    """,
+)
+def op_special_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_CAST / COALESCE / SWITCH / IF / 3-valued AND-OR
+    (axiom/logical_plan/Expr.h:212-378 documents the exact semantics)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.filter(F.col("doc_id") < 50)
+        .select(
+            "doc_id",
+            F.try_to_number(F.col("lang"), F.lit("999")).cast("bigint").alias("bad_cast"),
+            F.coalesce(
+                F.try_to_number(F.col("lang"), F.lit("999")).cast("bigint"),
+                F.col("n_chars"),
+                F.lit(0),
+            ).alias("first_ok"),
+            F.when(F.col("lang") == "en", "english")
+            .when(F.col("lang") == "de", "german")
+            .otherwise("other")
+            .alias("lang_name"),
+            F.when(F.col("n_chars") > 250, "long").otherwise("short").alias("len_class"),
+            (
+                ((F.col("lang") == "en") | (F.col("n_chars") > 400))
+                & (F.col("source") == "src1")
+            ).alias("flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "op_dereference",
+    """
+    select event_id, cast(json_extract(props, '$.k') as bigint) as k_val
+    from events where event_id < 50 order by event_id
+    """,
+)
+def op_dereference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEREFERENCE (struct field access, Expr.h:258-265): parse the JSON
+    props column into a struct, then access field `k`."""
+    cat = Catalog(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        cat.events.filter(F.col("event_id") < 50)
+        .select("event_id", parsed.getField("k").alias("k_val"))
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "op_distinct",
+    """
+    select distinct event_type, user_id % 5 as bucket
+    from events order by event_type, bucket
+    """,
+)
+def op_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.select("event_type", (F.col("user_id") % 5).alias("bucket"))
+        .distinct()
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TableWrite (axiom/logical_plan/LogicalPlanNode.h:659-745): INSERT via
+# parquet write, then scan-back. DELETE/UPDATE need a table format with
+# row-level DML (Delta/Iceberg) — documented unsupported on plain files.
+@_register(
+    "op_table_write",
+    """
+    select l_returnflag, count(*) as n, cast(sum(cast(l_quantity as decimal(4,1))) as double) as qty
+    from lineitem where l_quantity >= 48 group by l_returnflag order by l_returnflag
+    """,
+)
+def op_table_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS round-trip: write a filtered projection to parquet, read it back,
+    aggregate. Proves the write path produces scannable, schema-stable files
+    (reference WriteKind::kCreate, axiom/connectors/ConnectorMetadata.h:457)."""
+    cat = Catalog(spark, sf_dir)
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    target = os.path.join(tempfile.gettempdir(), "verax_write", sf_tag, "hi_qty")
+    (
+        cat.lineitem.filter(F.col("l_quantity") >= 48)
+        .select("l_returnflag", "l_quantity")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(4,1)")).cast("double").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
