@@ -41,13 +41,15 @@ def main() -> None:
         del rows
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    tpch_total = sum(v for k, v in timings.items() if k.startswith("tpch_"))
     print(
         json.dumps(
             {
                 "metric": "tpch_subset_total_wall_clock",
-                "value": round(sum(timings.values()), 4),
+                "value": round(tpch_total, 4),
                 "unit": "sec",
                 "queries": timings,
+                "total_all_queries": round(sum(timings.values()), 4),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -1,0 +1,90 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The container has no image/audio codecs, so the decode kernels are STUBS
+(deterministic fakes clearly marked below) — but the Spark-side plumbing is
+real and tested: schema contracts, Arrow-batched mapInPandas with bounded
+batch sizes, partition-preserving metadata extraction. Swapping the stub
+body for PIL/torchaudio is a one-function change; the distributed shape
+(binary column → mapInPandas → feature columns) is what a 100 TB pipeline
+needs to get right.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# Schema contract for decoded media features.
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", LongType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Model a multimodal table: treat the utf-8 bytes of `text_col` as the
+    opaque binary payload (the testdata has no real media files)."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").cast(BinaryType()).alias("payload"),
+    )
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """STUB decode kernel — deterministic fake standing in for a real codec.
+
+    A real implementation would be e.g.::
+
+        img = PIL.Image.open(io.BytesIO(payload))   # NotImplementedError here
+        return resize_and_embed(img)
+
+    The fake emits 4 "features" derived from byte statistics so the full
+    pipeline (including downstream numeric ops) is exercisable.
+    """
+    n = len(payload)
+    if n == 0:
+        return [0.0, 0.0, 0.0, 0.0]
+    s = sum(payload)
+    return [float(n), float(s % 256), float(payload[0]), float(payload[-1])]
+
+
+def decode_media(df: DataFrame, *, batch_rows: int = 1024) -> DataFrame:
+    """Binary payloads → feature rows via Arrow-batched mapInPandas.
+
+    Batch size is bounded so a partition of large payloads can't blow
+    executor memory; output conforms to MEDIA_FEATURES_SCHEMA. This is the
+    real plumbing a codec plugs into.
+    """
+    import pandas as pd
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                payloads = chunk["payload"]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].astype("int64"),
+                        "n_bytes": payloads.map(len).astype("int64"),
+                        "checksum": payloads.map(lambda b: sum(b) % (1 << 31)).astype(
+                            "int64"
+                        ),
+                        "features": payloads.map(_fake_decode),
+                    }
+                )
+
+    return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)

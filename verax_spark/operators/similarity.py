@@ -1,0 +1,172 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design:
+
+- Embeddings are **quantized to integers** (floor(x · 2^20)) once at load.
+  Dot products and norms become exact bigint arithmetic: order-independent
+  (safe under any partitioning), cross-engine reproducible (differential
+  checks), and faster than float lambdas. This mirrors production ANN
+  practice (int8/int16 quantization) with a wider budget.
+- **Brute-force top-k** broadcasts the (small) query set and streams the
+  corpus: one pass, no shuffle on the corpus side, a tiny top-k-per-query
+  aggregation at the end. At 100 TB of corpus this is the right baseline —
+  it's embarrassingly parallel and I/O-bound.
+- **LSH-bucketed** variant (random signed projections → sign bits → bucket
+  equi-join) bounds the candidate set per query; recall trades off with
+  band count. The projection vectors are generated deterministically from
+  xxhash64 so the operator needs no stored model.
+- Everything is Column expressions (transform/zip_with/aggregate) — JVM
+  codegen, no Python UDFs in the hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+QUANT_SCALE = 1 << 20
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<bigint>, exact: floor(x · 2^20)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two array<bigint>."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine from exact integer dot/norms; the only floats are two sqrts
+    and one division, identical on any engine given the same integers."""
+    return dot(a, b).cast("double") / (
+        F.sqrt(dot(a, a).cast("double")) * F.sqrt(dot(b, b).cast("double"))
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query → (query_id, neighbor_id,
+    cosine, rnk). Self-matches excluded. Broadcast the query side."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+def _projection_component(dim_index: Column, proj: int) -> Column:
+    """Deterministic pseudo-random ±1 component for projection `proj` at
+    dimension `dim_index`: sign of xxhash64(proj, dim_index)."""
+    return F.when(F.xxhash64(F.lit(proj), dim_index) % 2 == 0, 1).otherwise(-1)
+
+
+def lsh_signature(vec_q: Column, *, n_projections: int = 16) -> Column:
+    """Sign-projection signature as one bigint: bit p = [⟨v, r_p⟩ > 0] with
+    r_p a deterministic ±1 vector."""
+    def component(p: int):
+        # two-arg lambda exactly — seed p must come via closure, not a
+        # default arg (PySpark maps lambda arity onto HOF arguments)
+        return lambda x, i: x * _projection_component(i, p)
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_projections):
+        proj_dot = F.aggregate(
+            F.zip_with(
+                vec_q,
+                F.sequence(F.lit(0), F.size(vec_q) - 1),
+                component(p),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(proj_dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_projections: int = 16,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates share at least one signature band with
+    the query (equi-join on (band, key) — linear shuffle, no cross join),
+    then exact cosine rerank within candidates."""
+    n_bands = n_projections // band_bits
+
+    def with_bands(df: DataFrame, role: str) -> DataFrame:
+        qv = quantize(F.col(vec_col))
+        sig = lsh_signature(qv, n_projections=n_projections)
+        return df.select(
+            F.col(id_col).alias(f"{role}_id"), qv.alias(f"{role}v"), sig.alias("__sig")
+        ).select(
+            f"{role}_id",
+            f"{role}v",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftrightunsigned(F.col("__sig"), b * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                            .alias("key"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(f"{role}_id", f"{role}v", F.col("bb.band"), F.col("bb.key"))
+
+    qb = F.broadcast(with_bands(queries, "query"))
+    cb = with_bands(corpus, "neighbor")
+    cand = (
+        cb.join(qb, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "queryv", "neighborv")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("queryv"), F.col("neighborv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

@@ -1,0 +1,90 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+document fingerprinting.
+
+All pure Column expressions (split/transform/aggregate) — JVM-side, no
+UDFs; every output is integer or exact-ratio arithmetic so differential
+checks reproduce bit-for-bit on any engine. At 100 TB these are narrow
+map-only passes: no shuffle at all until the caller aggregates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# A small English-stopword marker set (public-domain list subset); the
+# synthetic corpus vocabulary is English-ish so this doubles as the
+# language-ID evidence set.
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (bigint)."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def est_bpe_tokens(text: Column) -> Column:
+    """BPE-ish token estimate: ceil(len(word)/4) summed over words — the
+    standard chars/4 heuristic applied per word (integer arithmetic)."""
+    per_word = F.transform(
+        tokens(text), lambda w: ((F.length(w) + 3) / 4).cast("bigint")
+    )
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda a, x: a + x)
+
+
+def stopword_count(text: Column) -> Column:
+    toks = tokens(text)
+    hits = F.filter(toks, lambda w: F.lower(w).isin(*STOPWORDS))
+    return F.size(hits).cast("bigint")
+
+
+def stopword_ratio(text: Column) -> Column:
+    """Exact ratio of stopword tokens (double from two exact ints)."""
+    return stopword_count(text).cast("double") / token_count(text).cast("double")
+
+
+def avg_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return total.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: rewards mid-length docs, a
+    natural stopword rate, and words of natural length. Deterministic
+    double arithmetic with fixed operand order."""
+    n_tok = token_count(text).cast("double")
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * F.lit(4.0), F.lit(1.0))
+    wl = avg_word_len(text)
+    wordlen_term = F.when((wl >= 3.0) & (wl <= 8.0), 1.0).otherwise(0.5)
+    return (length_term + stop_term + wordlen_term) / F.lit(3.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Heuristic language ID: stopword-evidence ratio ≥ 15% → 'en', else
+    'und' (undetermined). Real systems use char n-gram models; the operator
+    shape (map-only, pure expression) is what matters at scale."""
+    return F.when(stopword_ratio(text) >= 0.15, "en").otherwise("und")
+
+
+def fingerprint(text: Column, *, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash (Karp-Rabin) over the character codes:
+    h = fold(h*31 + code) mod p. Pure integer fold — identical on any
+    engine; used for order-sensitive exact dedup (vs xxhash64 which is
+    engine-specific)."""
+    chars = F.split(text, "")
+    codes = F.transform(chars, lambda c: F.ascii(c).cast("bigint"))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % mod,
+    )

@@ -1,0 +1,288 @@
+"""Differential corpus for the LLM-data-pipeline operators (SURVEY §7 M7).
+
+Dedup / similarity / text-analysis / multimodal queries over the
+`documents` and `embeddings` tables. Oracle-SQL entries replicate the exact
+arithmetic (integer quantization, rolling hashes, exact set ratios) so
+results are bit-identical; operators whose hashing is engine-specific
+(xxhash64-based MinHash/SimHash/LSH) ship without oracle → the driver
+records the weaker rows-only check, as the contract allows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from verax_spark.catalog import Catalog
+from verax_spark.operators import dedup, multimodal, similarity, text
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup: double the corpus (ids offset by 1M), dedup by content hash,
+# verify the survivor set per source matches the original corpus.
+@_register(
+    "pl_dedup_exact",
+    """
+    with doubled as (
+      select doc_id, text, source from documents
+      union all
+      select doc_id + 1000000, text, source from documents),
+    winners as (
+      select min(doc_id) as doc_id from doubled group by text)
+    select source, count(*) as n_docs
+    from doubled where doc_id in (select doc_id from winners)
+    group by source order by source
+    """,
+)
+def pl_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select("doc_id", "text", "source")
+    doubled = docs.unionAll(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text", "source")
+    )
+    return (
+        dedup.exact_dedup(doubled, "text", "doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source")
+    )
+
+
+@_register(
+    "pl_dedup_ngram_jaccard",
+    """
+    with sh as (
+      select doc_id, lang,
+        list_sort(list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(text, '\\s+')) - 1, 1)),
+          i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+               string_split_regex(text, '\\s+')[i+1] || ' ' ||
+               string_split_regex(text, '\\s+')[i+2]))) as s
+      from documents)
+    select a.doc_id as id_a, b.doc_id as id_b,
+      cast(len(list_intersect(a.s, b.s)) as double)
+        / cast(len(list_distinct(list_concat(a.s, b.s))) as double) as jaccard
+    from sh a join sh b on a.lang = b.lang and a.doc_id < b.doc_id
+    where cast(len(list_intersect(a.s, b.s)) as double)
+        / cast(len(list_distinct(list_concat(a.s, b.s))) as double) >= 0.3
+    order by id_a, id_b
+    """,
+)
+def pl_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs, blocked by lang (the
+    blocking key bounds the quadratic join at scale)."""
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(
+        cat.documents, "text", "doc_id", n=3, threshold=0.3, block_col="lang"
+    )
+    return pairs.orderBy("id_a", "id_b")
+
+
+@_register("pl_dedup_minhash")  # xxhash64-based → no SQL oracle (rows-only)
+def pl_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + LSH(32 bands × 2 rows) candidate pairs, verified
+    with exact Jaccard ≥ 0.3. Candidate discovery is engine-specific
+    (xxhash64) but the verified output is a deterministic pair set."""
+    cat = Catalog(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(
+        cat.documents, "text", "doc_id", n=3, num_perm=64, bands=32, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
+@_register("pl_dedup_simhash")  # xxhash64-based → no SQL oracle (rows-only)
+def pl_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair counts by Hamming distance (banded candidate
+    join, then exact bit_count verify)."""
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup.simhash_pairs(cat.documents, "text", "doc_id", max_hamming=12)
+    return (
+        pairs.groupBy("hamming")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+@_register(
+    "pl_text_stats",
+    """
+    with t as (select doc_id, string_split_regex(text, '\\s+') as toks, text from documents)
+    select doc_id,
+      cast(len(toks) as bigint) as n_tokens,
+      cast(list_sum(list_transform(toks, w -> cast((length(w) + 3) // 4 as bigint))) as bigint) as bpe_est,
+      cast(len(list_filter(toks, w -> lower(w) in ('the','a','an','and','or','of','to','in','is','it'))) as double)
+        / cast(len(toks) as double) as stop_ratio,
+      cast(list_sum(list_transform(toks, w -> cast(length(w) as bigint))) as double)
+        / cast(len(toks) as double) as avg_wlen
+    from t where doc_id < 100 order by doc_id
+    """,
+)
+def pl_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    t = F.col("text")
+    return (
+        cat.documents.filter(F.col("doc_id") < 100)
+        .select(
+            "doc_id",
+            text.token_count(t).alias("n_tokens"),
+            text.est_bpe_tokens(t).alias("bpe_est"),
+            text.stopword_ratio(t).alias("stop_ratio"),
+            text.avg_word_len(t).alias("avg_wlen"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "pl_text_langid",
+    """
+    with t as (select lang,
+      case when cast(len(list_filter(string_split_regex(text, '\\s+'),
+                     w -> lower(w) in ('the','a','an','and','or','of','to','in','is','it'))) as double)
+             / cast(len(string_split_regex(text, '\\s+')) as double) >= 0.15
+           then 'en' else 'und' end as predicted
+      from documents)
+    select lang, predicted, count(*) as n from t group by lang, predicted
+    order by lang, predicted
+    """,
+)
+def pl_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs labeled lang → confusion counts."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.select("lang", text.lang_id(F.col("text")).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@_register(
+    "pl_text_fingerprint",
+    """
+    select doc_id,
+      list_reduce(list_prepend(cast(0 as bigint),
+        list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))),
+        (acc, x) -> (acc * 31 + x) % 1000000007) as fp
+    from documents where doc_id < 100 order by doc_id
+    """,
+)
+def pl_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Karp-Rabin rolling-hash fingerprint — exact integer fold, identical
+    across engines (unlike xxhash64)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.filter(F.col("doc_id") < 100)
+        .select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "pl_text_quality",
+    """
+    with t as (select doc_id, string_split_regex(text, '\\s+') as toks from documents),
+    m as (select doc_id,
+      cast(len(toks) as double) as n_tok,
+      cast(len(list_filter(toks, w -> lower(w) in ('the','a','an','and','or','of','to','in','is','it'))) as double)
+        / cast(len(toks) as double) as stop_ratio,
+      cast(list_sum(list_transform(toks, w -> cast(length(w) as bigint))) as double)
+        / cast(len(toks) as double) as wl
+      from t)
+    select doc_id,
+      (least(n_tok / 64.0, 1.0) + least(stop_ratio * 4.0, 1.0)
+        + (case when wl >= 3.0 and wl <= 8.0 then 1.0 else 0.5 end)) / 3.0 as quality
+    from m where doc_id < 100 order by doc_id
+    """,
+)
+def pl_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.filter(F.col("doc_id") < 100)
+        .select("doc_id", text.quality_score(F.col("text")).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+@_register(
+    "pl_knn_brute",
+    """
+    with q as (select vec_id as qid,
+        list_transform(embedding, x -> cast(floor(x * 1048576.0) as bigint)) as qv
+      from embeddings where vec_id < 5),
+    c as (select vec_id as nid,
+        list_transform(embedding, x -> cast(floor(x * 1048576.0) as bigint)) as cv
+      from embeddings),
+    pairs as (select qid, nid,
+        cast(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) as double) as d,
+        cast(list_sum(list_transform(qv, x -> x * x)) as double) as nq,
+        cast(list_sum(list_transform(cv, x -> x * x)) as double) as nc
+      from q, c where qid != nid),
+    ranked as (select qid as query_id, nid as neighbor_id,
+        d / (sqrt(nq) * sqrt(nc)) as cosine,
+        row_number() over (partition by qid order by d / (sqrt(nq) * sqrt(nc)) desc, nid) as rnk
+      from pairs)
+    select query_id, neighbor_id, cosine, rnk from ranked
+    where rnk <= 3 order by query_id, rnk
+    """,
+)
+def pl_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for 5 probe vectors (quantized-integer
+    arithmetic → engine-reproducible)."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return similarity.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3
+    )
+
+
+@_register("pl_knn_lsh")  # xxhash64-derived projections → rows-only check
+def pl_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 neighbors via sign-projection LSH bucketing +
+    exact rerank of candidates."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_projections=16, band_bits=4
+    )
+
+
+# ---------------------------------------------------------------------------
+@_register(
+    "pl_multimodal_decode",
+    """
+    select doc_id as media_id,
+      cast(length(text) as bigint) as n_bytes,
+      cast(list_sum(list_transform(string_split(text, ''), c -> cast(ascii(c) as bigint))) % 2147483648 as bigint) as checksum
+    from documents where doc_id < 100 order by media_id
+    """,
+)
+def pl_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload plumbing through Arrow-batched mapInPandas (decode
+    kernel stubbed — see operators/multimodal.py). The byte-stat columns
+    are oracle-checkable; the feature vector is engine-internal."""
+    cat = Catalog(spark, sf_dir)
+    payloads = multimodal.attach_payload(
+        cat.documents.filter(F.col("doc_id") < 100), "text", "doc_id"
+    )
+    return (
+        multimodal.decode_media(payloads)
+        .select("media_id", "n_bytes", "checksum")
+        .orderBy("media_id")
+    )
