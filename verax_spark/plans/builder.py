@@ -1,0 +1,307 @@
+"""Fluent plan builder mirroring the reference's PlanBuilder.
+
+Reference: axiom/logical_plan/PlanBuilder.h:101-446 — the chain
+values/tableScan/from → filter → project/map/with → aggregate → unnest →
+join/crossJoin → unionAll/intersect/except → sort → limit/offset →
+tableWrite → build(). Each step here compiles immediately to a DataFrame
+transformation (Catalyst owns optimization) while also recording a logical
+node, so `explain_logical()` prints the operator tree the way the
+reference's PlanPrinter does — independent of Spark's physical plan.
+
+Like the reference's logical plan, column names must be unique across the
+tree (Expr.h:127-150 "names globally unique"); joins therefore need no
+qualifier machinery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from verax_spark.plans.expr import Agg, Col, Expr, Sql, _wrap
+
+
+@dataclass
+class LogicalNode:
+    """Lightweight mirror of axiom/logical_plan/LogicalPlanNode.h kinds."""
+
+    kind: str
+    detail: str = ""
+    children: list["LogicalNode"] = field(default_factory=list)
+
+    def pretty(self, indent: int = 0) -> str:
+        pad = "  " * indent
+        line = f"{pad}- {self.kind}" + (f" [{self.detail}]" if self.detail else "")
+        return "\n".join([line] + [c.pretty(indent + 1) for c in self.children])
+
+
+def _to_col(e: Expr | Column | str) -> Column:
+    if isinstance(e, Column):
+        return e
+    if isinstance(e, str):
+        return F.expr(e)
+    return e.to_spark()
+
+
+def _name_of(e: Expr | Column | str, fallback: str) -> str:
+    if isinstance(e, Expr) and e.name:
+        return e.name
+    if isinstance(e, str):
+        return e
+    return fallback
+
+
+class PlanBuilder:
+    """Compiles a fluent logical-plan chain to a DataFrame."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+        from verax_spark.catalog import DEFAULT_SF_DIR, Catalog
+
+        self.spark = spark
+        self.catalog = Catalog(spark, sf_dir or DEFAULT_SF_DIR)
+        self._df: DataFrame | None = None
+        self._node: LogicalNode | None = None
+
+    # -- leaf nodes ---------------------------------------------------------
+    def values(self, rows: list[tuple], schema: str) -> "PlanBuilder":
+        """ValuesNode (LogicalPlanNode.h:121-157)."""
+        self._df = self.spark.createDataFrame(rows, schema)
+        self._node = LogicalNode("Values", f"{len(rows)} rows: {schema}")
+        return self
+
+    def table_scan(self, name: str, columns: list[str] | None = None) -> "PlanBuilder":
+        """TableScanNode (LogicalPlanNode.h:159-208) with column pruning."""
+        df = self.catalog.table(name)
+        if columns:
+            df = df.select(*columns)
+        self._df = df
+        self._node = LogicalNode("TableScan", name + (f" cols={columns}" if columns else ""))
+        return self
+
+    from_ = table_scan
+
+    # -- unary ops ----------------------------------------------------------
+    def _req(self) -> DataFrame:
+        if self._df is None:
+            raise ValueError("plan has no source; call values()/table_scan() first")
+        return self._df
+
+    def filter(self, predicate: Expr | Column | str) -> "PlanBuilder":
+        """FilterNode (LogicalPlanNode.h:210-233)."""
+        self._df = self._req().filter(_to_col(predicate))
+        self._node = LogicalNode("Filter", _detail(predicate), [self._node])
+        return self
+
+    def project(self, *exprs: Expr | Column | str) -> "PlanBuilder":
+        """ProjectNode (LogicalPlanNode.h:235-280); replaces the output."""
+        self._df = self._req().select(*[_to_col(e) for e in exprs])
+        self._node = LogicalNode("Project", f"{len(exprs)} exprs", [self._node])
+        return self
+
+    def with_columns(self, **named: Expr | Column | str) -> "PlanBuilder":
+        """PlanBuilder::with / map — additive projection."""
+        df = self._req()
+        for name, e in named.items():
+            df = df.withColumn(name, _to_col(e))
+        self._df = df
+        self._node = LogicalNode("Project", f"+{list(named)}", [self._node])
+        return self
+
+    def aggregate(
+        self,
+        keys: list[Expr | str],
+        aggs: dict[str, Agg | Expr | str],
+        grouping_sets: list[list[str]] | None = None,
+    ) -> "PlanBuilder":
+        """AggregateNode (LogicalPlanNode.h:282-366) incl. grouping sets."""
+        df = self._req()
+        key_cols = [_to_col(k) for k in keys]
+        agg_cols = [_to_col(a).alias(n) for n, a in aggs.items()]
+        if grouping_sets is not None:
+            key_names = [_name_of(k, str(k)) for k in keys]
+            grouped = df.groupingSets(grouping_sets, *key_names)
+        elif keys:
+            grouped = df.groupBy(*key_cols)
+        else:
+            grouped = df.groupBy()
+        self._df = grouped.agg(*agg_cols)
+        self._node = LogicalNode(
+            "Aggregate",
+            f"keys={[_name_of(k, '?') for k in keys]} aggs={list(aggs)}"
+            + (f" grouping_sets={grouping_sets}" if grouping_sets else ""),
+            [self._node],
+        )
+        return self
+
+    def unnest(
+        self, col: Expr | str, *, ordinality: bool = False, alias: str = "unnested"
+    ) -> "PlanBuilder":
+        """UnnestNode (LogicalPlanNode.h:571-657): drops empty rows; optional
+        1-based ordinality column."""
+        df = self._req()
+        c = _to_col(col)
+        if ordinality:
+            ex = F.posexplode(c).alias("__pos", alias)
+            df = df.select("*", ex).withColumn(
+                f"{alias}_ordinality", F.col("__pos") + 1
+            ).drop("__pos")
+        else:
+            df = df.select("*", F.explode(c).alias(alias))
+        self._df = df
+        self._node = LogicalNode(
+            "Unnest", f"{alias}{' with ordinality' if ordinality else ''}", [self._node]
+        )
+        return self
+
+    # -- binary / n-ary -----------------------------------------------------
+    def join(
+        self,
+        right: "PlanBuilder",
+        on: Expr | Column | str | None = None,
+        how: str = "inner",
+    ) -> "PlanBuilder":
+        """JoinNode (LogicalPlanNode.h:368-445): inner/left/right/full plus
+        semi/anti (the optimizer-derived kinds); None condition = cross."""
+        if on is None:
+            return self.cross_join(right)
+        self._df = self._req().join(right._req(), _to_col(on), how)
+        self._node = LogicalNode(f"Join({how})", _detail(on), [self._node, right._node])
+        return self
+
+    def cross_join(self, right: "PlanBuilder") -> "PlanBuilder":
+        self._df = self._req().crossJoin(right._req())
+        self._node = LogicalNode("Join(cross)", "", [self._node, right._node])
+        return self
+
+    def union_all(self, *others: "PlanBuilder") -> "PlanBuilder":
+        """SetNode UNION ALL (n-ary, LogicalPlanNode.h:520-569)."""
+        df = self._req()
+        for o in others:
+            df = df.unionAll(o._req())
+        self._df = df
+        self._node = LogicalNode(
+            "Set(union_all)", "", [self._node] + [o._node for o in others]
+        )
+        return self
+
+    def union(self, *others: "PlanBuilder") -> "PlanBuilder":
+        df = self._req()
+        for o in others:
+            df = df.union(o._req())
+        self._df = df.distinct()
+        self._node = LogicalNode(
+            "Set(union)", "", [self._node] + [o._node for o in others]
+        )
+        return self
+
+    def intersect(self, other: "PlanBuilder") -> "PlanBuilder":
+        self._df = self._req().intersect(other._req())
+        self._node = LogicalNode("Set(intersect)", "", [self._node, other._node])
+        return self
+
+    def except_(self, other: "PlanBuilder") -> "PlanBuilder":
+        self._df = self._req().subtract(other._req())
+        self._node = LogicalNode("Set(except)", "", [self._node, other._node])
+        return self
+
+    # -- subquery lowerings (what the reference optimizer does) -------------
+    def with_scalar_subquery(self, name: str, sub: "PlanBuilder") -> "PlanBuilder":
+        """Scalar SubqueryExpr → broadcast single-row cross join
+        (Optimization.cpp:1280 placeSingleRowDt)."""
+        sub_df = sub._req()
+        if len(sub_df.columns) != 1:
+            raise ValueError("scalar subquery must produce exactly 1 column")
+        one = F.broadcast(sub_df.select(F.col(sub_df.columns[0]).alias(name)))
+        self._df = self._req().join(one)
+        self._node = LogicalNode(
+            "ScalarSubquery", f"as {name}", [self._node, sub._node]
+        )
+        return self
+
+    def filter_exists(
+        self, sub: "PlanBuilder", on: Expr | Column | str, negate: bool = False
+    ) -> "PlanBuilder":
+        """EXISTS / NOT EXISTS → left-semi / left-anti join
+        (ToGraph.cpp:1478 translateSetJoin; JoinEdge::makeExists)."""
+        how = "left_anti" if negate else "left_semi"
+        self._df = self._req().join(sub._req(), _to_col(on), how)
+        self._node = LogicalNode(
+            f"{'NotExists' if negate else 'Exists'}(semi-join)",
+            _detail(on),
+            [self._node, sub._node],
+        )
+        return self
+
+    # -- ordering / limits --------------------------------------------------
+    def sort(self, *keys) -> "PlanBuilder":
+        """SortNode (LogicalPlanNode.h:447-471). Keys: Expr/str or tuples
+        (expr, 'asc'|'desc'[, 'nulls_first'|'nulls_last'])."""
+        cols = []
+        for k in keys:
+            if isinstance(k, tuple):
+                e, *opts = k
+                c = _to_col(e)
+                desc = "desc" in opts
+                nf = "nulls_first" in opts
+                nl = "nulls_last" in opts
+                if desc:
+                    c = c.desc_nulls_first() if nf else (c.desc_nulls_last() if nl else c.desc())
+                else:
+                    c = c.asc_nulls_first() if nf else (c.asc_nulls_last() if nl else c.asc())
+                cols.append(c)
+            else:
+                cols.append(_to_col(k))
+        self._df = self._req().orderBy(*cols)
+        self._node = LogicalNode("Sort", f"{len(cols)} keys", [self._node])
+        return self
+
+    order_by = sort
+
+    def limit(self, n: int) -> "PlanBuilder":
+        """LimitNode count (LogicalPlanNode.h:473-518)."""
+        self._df = self._req().limit(n)
+        self._node = LogicalNode("Limit", str(n), [self._node])
+        return self
+
+    def offset(self, n: int) -> "PlanBuilder":
+        self._df = self._req().offset(n)
+        self._node = LogicalNode("Offset", str(n), [self._node])
+        return self
+
+    # -- sinks ---------------------------------------------------------------
+    def table_write(
+        self, path: str, *, format: str = "parquet", mode: str = "overwrite"
+    ) -> "PlanBuilder":
+        """TableWriteNode kInsert/kCreate (LogicalPlanNode.h:659-745). Plain
+        files support create/insert; row-level DELETE/UPDATE require a table
+        format (Delta/Iceberg) — documented unsupported here, as SURVEY §2.1."""
+        self._req().write.format(format).mode(mode).save(path)
+        self._node = LogicalNode("TableWrite", f"{format}:{path} mode={mode}", [self._node])
+        return self
+
+    # -- terminals -----------------------------------------------------------
+    def build(self) -> DataFrame:
+        return self._req()
+
+    def explain_logical(self) -> str:
+        """Our operator-tree rendering (PlanPrinter analog)."""
+        assert self._node is not None
+        return self._node.pretty()
+
+    def explain_physical(self) -> str:
+        return self._req()._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+
+def _detail(e: Any) -> str:
+    if isinstance(e, str):
+        return e
+    if isinstance(e, Expr):
+        return type(e).__name__
+    return ""
