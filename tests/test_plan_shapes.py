@@ -1,0 +1,116 @@
+"""Plan-shape assertions for the corpus (PlanTest/TpchPlanTest analog) +
+metamorphic config sweeps (AxiomSql check_test_flag_combinations analog).
+
+The shape tests pin the physical properties we design for at 100 TB:
+filters and projections reach the parquet scan, dimension joins broadcast,
+top-k splits into TakeOrderedAndProject, aggregates are partial+final.
+The metamorphic tests re-run queries under different optimizer/runtime
+configurations and demand identical results.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from verax_spark.catalog import Catalog
+from verax_spark.queries import tpch
+from verax_spark.testing import assert_frames_match
+from verax_spark.testing_plans import (
+    PlanMatcher,
+    count_exchanges,
+    has_whole_stage_codegen,
+    physical_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+
+
+def test_q6_filter_pushdown_and_pruning(spark, sf_dir):
+    df = tpch.q6(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "l_discount" in pushed, pushed
+    cols = read_schema_columns(df)
+    assert cols <= {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+    assert has_whole_stage_codegen(df)
+
+
+def test_q6_plan_shape(spark, sf_dir):
+    PlanMatcher().scan().aggregate().exchange().aggregate().assert_matches(
+        tpch.q6(spark, sf_dir)
+    )
+
+
+def test_q3_topk_plan(spark, sf_dir):
+    assert "TakeOrderedAndProject" in physical_plan(tpch.q3(spark, sf_dir))
+
+
+def test_q5_broadcasts_dimensions(spark, sf_dir):
+    plan = physical_plan(tpch.q5(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_partial_final_aggregation(spark, sf_dir):
+    """Spark must split grouped aggs into partial+final (map-side combine) —
+    the reference models this explicitly (RelationOp Aggregation step)."""
+    plan = physical_plan(tpch.q1(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_join_count_bounded_exchanges(spark, sf_dir):
+    """q5 joins 6 tables; with dims broadcast the shuffle count stays small
+    (fact-side exchanges only). Regression guard against plans that
+    re-shuffle per join."""
+    n = count_exchanges(tpch.q5(spark, sf_dir))
+    assert n <= 6, f"too many exchanges: {n}"
+
+
+# -- metamorphic config sweeps ----------------------------------------------
+_SWEEP = [
+    {"spark.sql.adaptive.enabled": "false"},
+    {"spark.sql.autoBroadcastJoinThreshold": "-1"},
+    {"spark.sql.shuffle.partitions": "3"},
+]
+
+
+@pytest.mark.parametrize("overrides", _SWEEP, ids=["no-aqe", "no-broadcast", "3-parts"])
+@pytest.mark.parametrize("qname", ["tpch_q5", "tpch_q13", "tpch_q17"])
+def test_metamorphic_config_sweep(spark, sf_dir, qname, overrides):
+    """Results must be invariant under optimizer/runtime config changes
+    (reference: AxiomSql.cpp:105-108 flag-combination checks)."""
+    baseline = tpch.QUERIES[qname](spark, sf_dir).toPandas()
+    saved = {k: spark.conf.get(k) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        swept = tpch.QUERIES[qname](spark, sf_dir).toPandas()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert_frames_match(swept, baseline, context=f"{qname}:{overrides}")
+
+
+def test_parallelism_sweep_union_partitions(spark, sf_dir):
+    """Same result whether the source is 1 partition or many (reference's
+    workers×drivers matrix, QueryTestBase.h:57-68)."""
+    cat = Catalog(spark, sf_dir)
+    base = (
+        cat.lineitem.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    one = (
+        cat.lineitem.coalesce(1)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    many = (
+        cat.lineitem.repartition(17)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("l_returnflag")
+        .toPandas()
+    )
+    assert_frames_match(one, base, context="coalesce1")
+    assert_frames_match(many, base, context="repartition17")
