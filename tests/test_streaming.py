@@ -1,0 +1,80 @@
+"""Structured Streaming tests: AvailableNow drain of the static events
+table, cross-checked against the equivalent batch aggregation."""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from verax_spark.catalog import Catalog
+from verax_spark.streaming import (
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    user_running_stats,
+    windowed_event_counts,
+)
+from verax_spark.testing import assert_frames_match
+
+
+@pytest.fixture(autouse=True)
+def clean_checkpoints():
+    shutil.rmtree("/tmp/verax_ckpt", ignore_errors=True)
+    yield
+
+
+def test_windowed_counts_match_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    got = (
+        run_available_now(windowed_event_counts(stream), "win_counts")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    events = Catalog(spark, sf_dir).events
+    want = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
+        .orderBy("window_start", "event_type")
+        .toPandas()
+    )
+    assert_frames_match(got, want, context="windowed_counts")
+
+
+def test_session_windows_produce_rows(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    got = run_available_now(session_windows(stream), "sessions")
+    assert got.count() > 0
+    # session invariant: end >= start, events >= 1
+    bad = got.filter(
+        (F.col("session_end") < F.col("session_start")) | (F.col("n_events") < 1)
+    ).count()
+    assert bad == 0
+
+
+def test_stateful_running_stats(spark, sf_dir):
+    """applyInPandasWithState totals must equal the batch per-user totals
+    after draining the whole source (state accumulates across batches; the
+    memory sink keeps the latest update per user last)."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=1)
+    result = run_available_now(user_running_stats(stream), "user_stats")
+    # latest emission per user = final running totals
+    latest = (
+        result.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+        .toPandas()
+    )
+    events = Catalog(spark, sf_dir).events
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+        .toPandas()
+    )
+    assert_frames_match(latest, want, context="stateful_stats")

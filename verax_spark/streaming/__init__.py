@@ -1,0 +1,15 @@
+from verax_spark.streaming.pipeline import (
+    read_events_stream,
+    run_available_now,
+    session_windows,
+    user_running_stats,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "session_windows",
+    "user_running_stats",
+    "run_available_now",
+]

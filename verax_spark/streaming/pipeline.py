@@ -1,0 +1,154 @@
+"""Structured Streaming ingestion for the events table.
+
+The reference is a batch-only planner — no watermarks, windows-over-time, or
+stateful operators anywhere in axiom/ (SURVEY §0, verified) — so this module
+is a beyond-reference extension: the streaming half a training-data pipeline
+needs, built on Structured Streaming so the same DataFrame expressions the
+batch operators use run incrementally.
+
+Scale design: file-source streams are the 100 TB-friendly pattern
+(landing-zone parquet → incremental triggers; maxFilesPerTrigger bounds
+per-batch work); watermarks bound state for late data; session windows and
+applyInPandasWithState cover the custom-stateful-operator escape hatch.
+Tests drive everything with Trigger.AvailableNow over the static testdata —
+deterministic, no timing dependence — and cross-check stream results against
+the equivalent batch aggregation.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    DoubleType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (nanosAsLong read mode)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events parquet, with the same nanosecond
+    normalization the batch catalog applies."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        # the streaming file source wants a directory: watch sf_dir and
+        # select just the events file (a landing zone would be a real dir)
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def windowed_event_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows with a watermark bounding late-data state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based), the streaming analog of
+    sessionization in training-data pipelines."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    event count + value sum, emitted per micro-batch (update mode). The
+    reference has no stateful-op surface; this is the Spark-native escape
+    hatch for operators windows/aggs can't express."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    output_schema = "user_id bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total double"
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the whole source with Trigger.AvailableNow into a memory sink
+    and return the materialized result — deterministic harness for tests
+    and the driver."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(_output_mode(stream_df))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"/tmp/verax_ckpt/{query_name}")
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def _output_mode(df: DataFrame) -> str:
+    plan = df._jdf.queryExecution().analyzed().toString()
+    if "session_window" in plan:
+        # session-window aggs only support append (finalized sessions emit
+        # once the watermark passes them)
+        return "append"
+    if "FlatMapGroupsInPandasWithState" in plan or "Aggregate" in plan:
+        return "update"
+    return "append"
