@@ -286,3 +286,46 @@ def pl_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("media_id", "n_bytes", "checksum")
         .orderBy("media_id")
     )
+
+
+# ---------------------------------------------------------------------------
+@_register(
+    "st_windowed_counts",
+    """
+    select date_trunc('hour', ts) as window_start, event_type,
+      count(*) as n,
+      cast(sum(cast(value as decimal(12,2))) as double) as total
+    from events
+    group by 1, 2
+    order by window_start, event_type
+    """,
+)
+def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming drain (AvailableNow) of the events stream into
+    tumbling 1-hour windows — the STREAM result must hash-match the batch
+    SQL oracle computing the same windows (incremental == batch semantics).
+    """
+    import shutil
+    import uuid
+
+    from verax_spark.streaming import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    shutil.rmtree("/tmp/verax_ckpt/st_windowed_counts", ignore_errors=True)
+    stream = read_events_stream(spark, sf_dir)
+    name = f"st_win_{uuid.uuid4().hex[:8]}"
+    out = run_available_now(
+        windowed_event_counts(stream).withColumnRenamed("window_start", "ws"), name
+    )
+    # update-mode sink may hold one row per micro-batch update; the final
+    # value per key is the max n (counts are monotone)
+    import pyspark.sql.functions as F2
+
+    return (
+        out.groupBy(F2.col("ws").alias("window_start"), "event_type")
+        .agg(F2.max("n").alias("n"), F2.max("total").alias("total"))
+        .orderBy("window_start", "event_type")
+    )

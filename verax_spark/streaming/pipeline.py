@@ -17,6 +17,8 @@ the equivalent batch aggregation.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -136,7 +138,7 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
         .queryName(query_name)
         .outputMode(_output_mode(stream_df))
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/verax_ckpt/{query_name}")
+        .option("checkpointLocation", f"/tmp/verax_ckpt/{query_name}_{os.getpid()}")
         .start()
     )
     q.awaitTermination()
