@@ -1,0 +1,87 @@
+"""Physical-layout tests: partition pruning and shuffle-free bucketed joins
+(the reference's TableLayout / co-partitioning parity, SURVEY §1, §4)."""
+
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from verax_spark.catalog import Catalog
+from verax_spark.sources import write_bucketed, write_partitioned
+from verax_spark.testing_plans import count_exchanges, physical_plan
+
+
+@pytest.fixture(scope="module")
+def layout_tables(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    path = "/tmp/verax_layout/orders_by_status"
+    shutil.rmtree(path, ignore_errors=True)
+    write_partitioned(cat.orders, path, ["o_orderstatus"])
+
+    # in-memory catalog: a previous session's managed-table dirs survive in
+    # the warehouse without metadata, so clear both layers
+    spark.sql("drop table if exists b_orders")
+    spark.sql("drop table if exists b_lineitem")
+    shutil.rmtree("/tmp/verax-spark-warehouse/b_orders", ignore_errors=True)
+    shutil.rmtree("/tmp/verax-spark-warehouse/b_lineitem", ignore_errors=True)
+    write_bucketed(cat.orders, "b_orders", ["o_orderkey"], n_buckets=4)
+    write_bucketed(
+        cat.lineitem.select("l_orderkey", "l_quantity"),
+        "b_lineitem",
+        ["l_orderkey"],
+        n_buckets=4,
+    )
+    return path
+
+
+def test_partition_pruning(spark, layout_tables):
+    df = spark.read.parquet(layout_tables).filter(F.col("o_orderstatus") == "O")
+    plan = physical_plan(df)
+    # pruned scan: partition filter present, and only one partition dir read
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
+    n_all = spark.read.parquet(layout_tables).count()
+    n_o = df.count()
+    assert 0 < n_o < n_all
+
+
+def test_bucketed_join_no_shuffle(spark, layout_tables):
+    """Same-bucketed equi-join must plan with zero Exchange — the Spark
+    analog of the reference's co-located index join."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("b_orders")
+        b = spark.table("b_lineitem")
+        joined = a.join(b, F.col("o_orderkey") == F.col("l_orderkey")).groupBy(
+            "o_orderstatus"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        n_ex = count_exchanges(
+            a.join(b, F.col("o_orderkey") == F.col("l_orderkey"))
+        )
+        assert n_ex == 0, physical_plan(
+            a.join(b, F.col("o_orderkey") == F.col("l_orderkey"))
+        )
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_bucketed_results_match_unbucketed(spark, sf_dir, layout_tables):
+    cat = Catalog(spark, sf_dir)
+    want = (
+        cat.orders.join(
+            cat.lineitem.select("l_orderkey", "l_quantity"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+        .n
+    )
+    got = (
+        spark.table("b_orders")
+        .join(spark.table("b_lineitem"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got == want

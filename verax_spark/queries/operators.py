@@ -911,3 +911,30 @@ def op_table_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@_register(
+    "op_join_mark",
+    """
+    select c_custkey,
+      exists (select 1 from orders where o_custkey = c_custkey and o_totalprice > 45000) as has_big
+    from customer where c_custkey < 200 order by c_custkey
+    """,
+)
+def op_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mark join (reference JoinSide kLeftSemiProject,
+    axiom/optimizer/QueryGraph.h:446-464): EXISTS materialized as a boolean
+    column rather than a filter — left join against the distinct key set,
+    flag = key matched."""
+    cat = Catalog(spark, sf_dir)
+    big = (
+        cat.orders.filter(F.col("o_totalprice") > 45000)
+        .select(F.col("o_custkey").alias("__k"))
+        .distinct()
+    )
+    return (
+        cat.customer.filter(F.col("c_custkey") < 200)
+        .join(big, F.col("c_custkey") == F.col("__k"), "left")
+        .select("c_custkey", F.col("__k").isNotNull().alias("has_big"))
+        .orderBy("c_custkey")
+    )
