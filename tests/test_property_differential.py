@@ -1,0 +1,97 @@
+"""Property-based differential fuzzing: hypothesis generates filter/agg
+shapes; Spark and DuckDB must agree on every one.
+
+Goes beyond the reference's test strategy (SURVEY §5 notes it has no
+property-based framework) — randomized coverage of the filter/aggregate
+surface where hand-written corpora leave gaps.
+"""
+
+import duckdb
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from verax_spark.catalog import Catalog
+from verax_spark.testing import assert_frames_match
+
+NUMERIC_COLS = ["l_quantity", "l_discount", "l_tax", "l_extendedprice"]
+KEY_COLS = ["l_returnflag", "l_linestatus"]
+OPS = ["<", "<=", ">", ">=", "=", "<>"]
+
+predicates = st.tuples(
+    st.sampled_from(NUMERIC_COLS),
+    st.sampled_from(OPS),
+    st.floats(min_value=0.0, max_value=60.0, allow_nan=False).map(
+        lambda x: round(x, 2)
+    ),
+)
+
+
+def _spark_pred(col, op, val):
+    c = F.col(col)
+    return {
+        "<": c < val,
+        "<=": c <= val,
+        ">": c > val,
+        ">=": c >= val,
+        "=": c == val,
+        "<>": c != val,
+    }[op]
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p1=predicates, p2=predicates, key=st.sampled_from(KEY_COLS))
+def test_random_filter_agg_matches_duckdb(spark, sf_dir, p1, p2, key):
+    cat = Catalog(spark, sf_dir)
+    got = (
+        cat.lineitem.filter(_spark_pred(*p1) & _spark_pred(*p2))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(4,1)")).cast("double").alias("q"),
+        )
+        .orderBy(key)
+        .toPandas()
+    )
+    (c1, o1, v1), (c2, o2, v2) = p1, p2
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"create view lineitem as select * from read_parquet('{sf_dir}/lineitem.parquet')"
+        )
+        want = con.execute(
+            f"""
+            select {key}, count(*) as n,
+              cast(sum(cast(l_quantity as decimal(4,1))) as double) as q
+            from lineitem
+            where {c1} {o1} {v1} and {c2} {o2} {v2}
+            group by {key} order by {key}
+            """
+        ).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context=f"fuzz {p1} {p2} {key}")
+
+
+def test_approx_count_distinct_sanity(spark, sf_dir):
+    """Approximate aggregates can't be oracle-hashed (engine-specific
+    sketches) — invariant check instead: within rsd bounds of exact."""
+    cat = Catalog(spark, sf_dir)
+    row = cat.lineitem.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def test_percentile_approx_sanity(spark, sf_dir):
+    cat = Catalog(spark, sf_dir)
+    row = cat.lineitem.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
+    ).collect()[0]
+    assert abs(row.p50 - row.exact_p50) / row.exact_p50 < 0.05
