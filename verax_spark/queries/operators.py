@@ -938,3 +938,197 @@ def op_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", F.col("__k").isNotNull().alias("has_big"))
         .orderBy("c_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.5: string/date/math/array/map/json —
+# the reference registers the whole Presto library; these queries pin the
+# cross-engine-deterministic core of each family).
+@_register(
+    "op_fn_string",
+    """
+    select doc_id,
+      upper(lang) as uc, lower(source) as lc, length(text) as len,
+      substr(text, 1, 10) as head, concat(lang, '-', source) as tag,
+      replace(lang, 'e', 'E') as repl, trim('  pad  ') as trimmed,
+      lpad(lang, 5, '_') as padded, reverse(lang) as rev,
+      strpos(text, 'data') as pos, split_part(text, ' ', 2) as second_word,
+      starts_with(text, 'the') as starts_the
+    from documents where doc_id < 40 order by doc_id
+    """,
+)
+def op_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.documents.filter(F.col("doc_id") < 40)
+        .select(
+            "doc_id",
+            F.upper("lang").alias("uc"),
+            F.lower("source").alias("lc"),
+            F.length("text").cast("long").alias("len"),
+            F.substring("text", 1, 10).alias("head"),
+            F.concat(F.col("lang"), F.lit("-"), F.col("source")).alias("tag"),
+            F.replace(F.col("lang"), F.lit("e"), F.lit("E")).alias("repl"),
+            F.trim(F.lit("  pad  ")).alias("trimmed"),
+            F.lpad(F.col("lang"), 5, "_").alias("padded"),
+            F.reverse(F.col("lang")).alias("rev"),
+            F.instr(F.col("text"), "data").cast("long").alias("pos"),
+            F.split_part(F.col("text"), F.lit(" "), F.lit(2)).alias("second_word"),
+            F.startswith(F.col("text"), F.lit("the")).alias("starts_the"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "op_fn_datetime",
+    """
+    select event_id,
+      cast(extract(year from ts) as bigint) as y,
+      cast(extract(month from ts) as bigint) as m,
+      cast(extract(day from ts) as bigint) as d,
+      cast(extract(hour from ts) as bigint) as h,
+      date_trunc('day', ts) as day_start,
+      cast(ts as date) as dt,
+      ts + interval 1 hour as plus_1h,
+      cast(date_diff('day', timestamp '2024-01-01 00:00:00', ts) as bigint) as days_in
+    from events where event_id < 40 order by event_id
+    """,
+)
+def op_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.filter(F.col("event_id") < 40)
+        .select(
+            "event_id",
+            F.year("ts").cast("bigint").alias("y"),
+            F.month("ts").cast("bigint").alias("m"),
+            F.dayofmonth("ts").cast("bigint").alias("d"),
+            F.hour("ts").cast("bigint").alias("h"),
+            F.date_trunc("day", F.col("ts")).alias("day_start"),
+            F.col("ts").cast("date").alias("dt"),
+            (F.col("ts") + F.expr("interval 1 hour")).alias("plus_1h"),
+            F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+            .cast("bigint")
+            .alias("days_in"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "op_fn_math",
+    """
+    select event_id,
+      abs(value - 100) as dist, round(value, 1) as r1,
+      cast(floor(value) as bigint) as fl, cast(ceil(value) as bigint) as ce,
+      cast(user_id % 7 as bigint) as m7,
+      sqrt(cast(user_id as double)) as root,
+      cast(greatest(user_id, 50) as bigint) as g, cast(least(user_id, 50) as bigint) as l,
+      cast(sign(value - 100) as double) as sgn
+    from events where event_id < 40 order by event_id
+    """,
+)
+def op_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.filter(F.col("event_id") < 40)
+        .select(
+            "event_id",
+            F.abs(F.col("value") - 100).alias("dist"),
+            F.round("value", 1).alias("r1"),
+            F.floor("value").cast("bigint").alias("fl"),
+            F.ceil("value").cast("bigint").alias("ce"),
+            (F.col("user_id") % 7).cast("bigint").alias("m7"),
+            F.sqrt(F.col("user_id").cast("double")).alias("root"),
+            F.greatest(F.col("user_id"), F.lit(50)).cast("bigint").alias("g"),
+            F.least(F.col("user_id"), F.lit(50)).cast("bigint").alias("l"),
+            F.signum(F.col("value") - 100).cast("double").alias("sgn"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "op_fn_array_map",
+    """
+    with t as (select doc_id, string_split(text, ' ') as ws from documents where doc_id < 30)
+    select doc_id,
+      cast(len(ws) as integer) as n,
+      ws[1] as first_w, ws[-1] as last_w,
+      array_to_string(list_sort(list_distinct(ws[1:4])), ',') as sorted_head,
+      cast(list_position(ws, 'the') as integer) as the_idx,
+      list_contains(ws, 'data') as has_data,
+      array_to_string(list_reverse(ws[1:3]), ',') as rev3
+    from t order by doc_id
+    """,
+)
+def op_fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ws = F.split("text", " ")
+    return (
+        cat.documents.filter(F.col("doc_id") < 30)
+        .select(
+            "doc_id",
+            F.size(ws).alias("n"),
+            F.element_at(ws, 1).alias("first_w"),
+            F.element_at(ws, -1).alias("last_w"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.slice(ws, 1, 4))), ","
+            ).alias("sorted_head"),
+            F.array_position(ws, "the").cast("int").alias("the_idx"),
+            F.array_contains(ws, "data").alias("has_data"),
+            F.array_join(F.reverse(F.slice(ws, 1, 3)), ",").alias("rev3"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "op_fn_json",
+    """
+    select event_id,
+      cast(json_extract(props, '$.k') as bigint) as k,
+      json_extract_string(props, '$.k') as k_str,
+      json_valid(props) as ok
+    from events where event_id < 40 order by event_id
+    """,
+)
+def op_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.filter(F.col("event_id") < 40)
+        .select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.get_json_object("props", "$.k").alias("k_str"),
+            F.get_json_object("props", "$").isNotNull().alias("ok"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "op_unnest_structs",
+    """
+    with t as (select doc_id,
+        list_transform(string_split(text, ' ')[1:5], w -> {'w': w, 'n': length(w)}) as xs
+      from documents where doc_id < 15)
+    select * from (select doc_id, unnest(xs, recursive := true) from t)
+    order by doc_id, w, n
+    """,
+)
+def op_unnest_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flattenArrayOfRows (UnnestNode, LogicalPlanNode.h:571-657): exploding
+    an array<struct> flattens the struct fields into output columns —
+    Spark's inline()."""
+    cat = Catalog(spark, sf_dir)
+    xs = F.transform(
+        F.slice(F.split("text", " "), 1, 5),
+        lambda w: F.struct(w.alias("w"), F.length(w).cast("long").alias("n")),
+    )
+    return (
+        cat.documents.filter(F.col("doc_id") < 15)
+        .select("doc_id", F.inline(xs))
+        .orderBy("doc_id", "w", "n")
+    )
