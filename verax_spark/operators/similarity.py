@@ -79,7 +79,7 @@ def brute_force_topk(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
@@ -166,7 +166,7 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )

@@ -435,9 +435,9 @@ def op_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.events.select(
             "event_type",
             "event_id",
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
-            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.row_number().over(w).cast("bigint").alias("rn"),
         )
         .filter(F.col("rnk") <= 3)
         .orderBy("event_type", "rnk", "event_id")
@@ -603,7 +603,7 @@ def op_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cat.documents.filter(F.col("doc_id") < 5)
         .select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word"))
-        .select("doc_id", (F.col("pos") + 1).alias("ord"), "word")
+        .select("doc_id", (F.col("pos") + 1).cast("bigint").alias("ord"), "word")
         .orderBy("doc_id", "ord")
     )
 
@@ -989,7 +989,7 @@ def op_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
       cast(extract(day from ts) as bigint) as d,
       cast(extract(hour from ts) as bigint) as h,
       date_trunc('day', ts) as day_start,
-      cast(ts as date) as dt,
+      strftime(ts, '%Y-%m-%d') as dt,
       ts + interval 1 hour as plus_1h,
       cast(date_diff('day', timestamp '2024-01-01 00:00:00', ts) as bigint) as days_in
     from events where event_id < 40 order by event_id
@@ -1006,7 +1006,7 @@ def op_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofmonth("ts").cast("bigint").alias("d"),
             F.hour("ts").cast("bigint").alias("h"),
             F.date_trunc("day", F.col("ts")).alias("day_start"),
-            F.col("ts").cast("date").alias("dt"),
+            F.date_format("ts", "yyyy-MM-dd").alias("dt"),
             (F.col("ts") + F.expr("interval 1 hour")).alias("plus_1h"),
             F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
             .cast("bigint")
