@@ -95,3 +95,50 @@ def test_percentile_approx_sanity(spark, sf_dir):
         F.expr("percentile(l_extendedprice, 0.5)").alias("exact_p50"),
     ).collect()[0]
     assert abs(row.p50 - row.exact_p50) / row.exact_p50 < 0.05
+
+
+JOIN_TYPES = ["inner", "left", "right", "full"]
+DUCK_JOIN = {"inner": "join", "left": "left join", "right": "right join", "full": "full join"}
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    how=st.sampled_from(JOIN_TYPES),
+    cutoff=st.floats(min_value=1000, max_value=60000).map(lambda x: round(x, 2)),
+)
+def test_random_join_type_matches_duckdb(spark, sf_dir, how, cutoff):
+    """Random outer-join shapes with a filtered build side must agree with
+    DuckDB on counts per nation (null-extension semantics included)."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(F.col("o_totalprice") > cutoff)
+    got = (
+        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), how)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_nationkey")
+        .toPandas()
+    )
+    con = duckdb.connect()
+    try:
+        for t in ("customer", "orders"):
+            con.execute(
+                f"create view {t} as select * from read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        want = con.execute(
+            f"""
+            select c_nationkey, count(*) as n, count(o_orderkey) as n_orders
+            from customer {DUCK_JOIN[how]}
+              (select * from orders where o_totalprice > {cutoff}) o
+              on c_custkey = o_custkey
+            group by c_nationkey order by c_nationkey
+            """
+        ).df()
+    finally:
+        con.close()
+    got["c_nationkey"] = got["c_nationkey"].astype("float64")
+    want["c_nationkey"] = want["c_nationkey"].astype("float64")
+    assert_frames_match(got, want, context=f"join fuzz {how} {cutoff}")
