@@ -76,3 +76,51 @@ def test_lsh_topk_recall_vs_brute(spark, sf_dir):
     }
     recall = len(brute & approx) / len(brute)
     assert recall >= 0.4, f"LSH recall too low: {recall}"
+
+
+def test_connected_components_transitive_closure(spark, sf_dir):
+    """Chain a-b-c must collapse into one component even though (a,c) never
+    matched directly; disjoint pair stays separate."""
+    from verax_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint",
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+
+
+def test_dedup_transitive_vs_leader(spark, sf_dir):
+    from verax_spark.operators import dedup
+
+    cat = Catalog(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(cat.documents, "text", "doc_id", threshold=0.3)
+    kept = dedup.dedup_transitive(cat.documents, "doc_id", pairs)
+    n_docs = cat.documents.count()
+    comp = dedup.connected_components(pairs)
+    n_losers = comp.filter(F.col("id") != F.col("component")).count()
+    assert kept.count() == n_docs - n_losers
+
+
+def test_ivf_topk_recall_vs_brute(spark, sf_dir):
+    """IVF with nprobe=4 of 16 clusters should recover most true top-3."""
+    from verax_spark.operators import similarity
+
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.brute_force_topk(emb, q, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ivf_topk(emb, q, k=3, n_clusters=16, nprobe=4).collect()
+    }
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"

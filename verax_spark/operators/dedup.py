@@ -317,3 +317,70 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+def connected_components(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs → (id, component) with component
+    = min id reachable. Label-propagation fixpoint (the small-star/large-star
+    family): each iteration joins labels across edges and keeps the min.
+
+    Scale notes: per iteration one shuffle join + one groupBy; lineage is cut
+    with localCheckpoint every iteration so the DAG doesn't grow with the
+    diameter (the classic iterative-Spark trap); iterations are bounded by
+    the cluster diameter, typically ≤ log n for dedup graphs.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    for _ in range(max_iter):
+        # neighbor labels propagated across edges
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id2"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == F.col("id2"), "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_transitive(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Cluster-aware dedup: keep the min id of each connected component
+    (vs dedup_by_pairs' single-pass leader rule, which can keep one doc of a
+    chain a-b-c when only (a,b),(b,c) matched)."""
+    comp = connected_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

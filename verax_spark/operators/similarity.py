@@ -170,3 +170,133 @@ def lsh_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer → per-cluster inverted
+# lists → nprobe-bounded search. The scale path when sign-projection LSH
+# recall isn't enough: the corpus pass is linear with broadcast centroids,
+# and search touches only nprobe clusters.
+def _fdot(a: Column, b: Column) -> Column:
+    """Double dot product (centroids are fractional after k-means updates)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _fcosine(a: Column, b: Column) -> Column:
+    return _fdot(a, b) / (F.sqrt(_fdot(a, a)) * F.sqrt(_fdot(b, b)))
+
+
+def ivf_fit_assign(
+    corpus: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = 16,
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Mini k-means on the quantized vectors → (assignments, centroids).
+
+    Deterministic seeding: the n_clusters rows with smallest xxhash64(id)
+    (a hash-sample — no RNG, reproducible across runs/partitionings).
+    Each Lloyd iteration is one broadcast crossJoin (linear scan) + one
+    elementwise-mean aggregation via posexplode/groupBy.
+    """
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"),
+        F.transform(quantize(F.col(vec_col)), lambda x: x.cast("double")).alias("__v"),
+    )
+    seeds = (
+        vecs.orderBy(F.xxhash64(F.col("__vid")))
+        .limit(n_clusters)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.xxhash64(F.col("__vid"))))
+            .alias("cluster"),
+            F.col("__v").alias("__c"),
+        )
+    )
+    centroids = seeds
+    assignments = None
+    for _ in range(iters):
+        scored = vecs.crossJoin(F.broadcast(centroids)).select(
+            "__vid",
+            "__v",
+            "cluster",
+            _fcosine(F.col("__v"), F.col("__c")).alias("__sim"),
+        )
+        w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), "cluster")
+        assignments = (
+            scored.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("__vid", "__v", "cluster")
+        )
+        centroids = (
+            assignments.select("cluster", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("cluster", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
+                    ),
+                    lambda s: s.getField("__m"),
+                ).alias("__c")
+            )
+        )
+    return assignments.select(F.col("__vid"), F.col("cluster")), centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 3,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF search: route each query to its nprobe nearest centroids, rerank
+    exactly (integer cosine) within those inverted lists only."""
+    assignments, centroids = ivf_fit_assign(
+        corpus, vec_col=vec_col, id_col=id_col, n_clusters=n_clusters
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        quantize(F.col(vec_col)).alias("qv"),
+        F.transform(quantize(F.col(vec_col)), lambda x: x.cast("double")).alias("qvd"),
+    )
+    routed = (
+        qv.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "cluster", _fcosine(F.col("qvd"), F.col("__c")).alias("__sim")
+        )
+        .withColumn(
+            "__r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), "cluster")
+            ),
+        )
+        .filter(F.col("__r") <= nprobe)
+        .select("query_id", "qv", "cluster")
+    )
+    cands = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
+    ).join(assignments, F.col("neighbor_id") == F.col("__vid"))
+    scored = (
+        routed.join(cands, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

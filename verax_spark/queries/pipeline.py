@@ -329,3 +329,15 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F2.max("n").alias("n"), F2.max("total").alias("total"))
         .orderBy("window_start", "event_type")
     )
+
+
+@_register("pl_knn_ivf")  # k-means routing is hash-seeded → rows-only check
+def pl_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3 neighbors: deterministic hash-seeded k-means
+    coarse quantizer, nprobe-bounded inverted-list search, exact integer
+    rerank (operators/similarity.py ivf_topk)."""
+    cat = Catalog(spark, sf_dir)
+    emb = cat.embeddings
+    return similarity.ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, n_clusters=16, nprobe=4
+    )
