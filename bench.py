@@ -25,7 +25,13 @@ def main() -> None:
 
     import __spark_entry__ as entrymod
 
-    spark = get_spark("verax-bench")
+    # scale-aware shuffle sizing: at bench scale (sf<=0.1, ~tens of MB) a
+    # handful of shuffle partitions avoids paying AQE stage overhead 64x;
+    # at real scale the session default (2x cores, AQE-coalesced) applies.
+    small = "sf0." in SF_DIR
+    spark = get_spark(
+        "verax-bench", shuffle_partitions=8 if small else None
+    )
     spark.sparkContext.setLogLevel("WARN")
     qs = entrymod.queries()
 
@@ -40,6 +46,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         del rows
 
+    # single-node columnar baseline: DuckDB running the oracle SQL of the
+    # TPC-H corpus on the same parquet (the closest available stand-in for
+    # the reference's Velox execution, which publishes no numbers)
+    duck_total = None
+    try:
+        import duckdb
+
+        from verax_spark.catalog import ALL_TABLES
+
+        con = duckdb.connect()
+        for t in ALL_TABLES:
+            con.execute(
+                f"create view {t} as select * from read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        oracles = entrymod.oracle_sql()
+        t0 = time.perf_counter()
+        for name, sql in oracles.items():
+            if name.startswith("tpch_"):
+                con.execute(sql).fetchall()
+        duck_total = round(time.perf_counter() - t0, 4)
+        con.close()
+    except Exception:
+        pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     tpch_total = sum(v for k, v in timings.items() if k.startswith("tpch_"))
     print(
@@ -50,6 +80,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "total_all_queries": round(sum(timings.values()), 4),
+                "duckdb_tpch_total": duck_total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
