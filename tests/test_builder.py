@@ -177,3 +177,22 @@ def test_builder_physical_plan_has_pushdown(spark, sf_dir):
         "l_quantity, 5", "l_quantity,5"
     ), plan
     assert "l_extendedprice" not in plan  # pruned
+
+
+def test_explain_logical_golden(spark, sf_dir):
+    """PlanPrinter golden-string parity (reference PlanPrinterTest)."""
+    pb = (
+        PlanBuilder(spark, sf_dir)
+        .table_scan("lineitem", ["l_orderkey", "l_quantity"])
+        .filter(Col("l_quantity") > 40)
+        .aggregate(["l_orderkey"], {"n": Sql("count(*)")})
+        .sort("l_orderkey")
+        .limit(5)
+    )
+    assert pb.explain_logical() == (
+        "- Limit [5]\n"
+        "  - Sort [1 keys]\n"
+        "    - Aggregate [keys=['l_orderkey'] aggs=['n']]\n"
+        "      - Filter [Call]\n"
+        "        - TableScan [lineitem cols=['l_orderkey', 'l_quantity']]"
+    )

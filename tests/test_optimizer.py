@@ -122,3 +122,51 @@ def test_maps_as_structs_maptype(spark):
     out = maps_as_structs(df, {"m": ["a", "b"]})
     rows = {r.id: (r.m_a, r.m_b) for r in out.collect()}
     assert rows == {1: ("x", "y"), 2: ("z", None)}
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting must not change join semantics (events.user_id is the skewed
+    zipf key per FIXTURES)."""
+    from verax_spark.optimizer.skew import salted_join
+
+    cat = Catalog(spark, sf_dir)
+    users = (
+        cat.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    plain = (
+        cat.events.join(users.withColumnRenamed("user_id", "u2"),
+                        F.col("user_id") == F.col("u2"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("s"))
+        .collect()[0]
+    )
+    salted = (
+        salted_join(
+            cat.events,
+            users.withColumnRenamed("user_id", "u2"),
+            "user_id",
+            "u2",
+            salt_col="event_id",
+            salt_factor=8,
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_events").alias("s"))
+        .collect()[0]
+    )
+    assert (plain.n, plain.s) == (salted.n, salted.s)
+
+
+def test_presto_datetime_adapters(spark):
+    from verax_spark.functions.presto import presto_call
+
+    df = spark.createDataFrame([("2024-03-05 10:00:00",)], "s string").select(
+        F.col("s").cast("timestamp").alias("ts")
+    )
+    row = df.select(
+        presto_call("date_add", "day", 3, F.col("ts")).alias("plus3d"),
+        presto_call("date_diff", "hour", F.col("ts"), F.col("ts")).alias("zero"),
+        presto_call("date_trunc", "month", F.col("ts")).alias("m"),
+        presto_call("element_at", F.split(F.lit("a b"), " "), 5).alias("oob"),
+    ).collect()[0]
+    assert str(row.plus3d) == "2024-03-08 10:00:00"
+    assert row.zero == 0
+    assert str(row.m) == "2024-03-01 00:00:00"
+    assert row.oob is None  # presto element_at: NULL out of range
