@@ -88,3 +88,14 @@ def fingerprint(text: Column, *, mod: int = 1_000_000_007) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: (acc * 31 + x) % mod,
     )
+
+
+def regex_tokens(text: Column, pattern: str = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]") -> Column:
+    """BPE-ish regex tokenization: alphanumeric runs and individual
+    punctuation marks as separate tokens (the standard pre-tokenizer shape
+    before a BPE merge table is applied)."""
+    return F.regexp_extract_all(text, F.lit(pattern), 0)
+
+
+def regex_token_count(text: Column) -> Column:
+    return F.size(regex_tokens(text)).cast("bigint")

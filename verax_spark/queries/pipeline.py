@@ -341,3 +341,27 @@ def pl_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 5), k=3, n_clusters=16, nprobe=4
     )
+
+
+@_register(
+    "pl_text_regex_tokens",
+    r"""
+    select doc_id,
+      cast(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')) as bigint) as n_regex_tokens,
+      array_to_string(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]')[1:5], '|') as head_tokens
+    from documents where doc_id < 60 order by doc_id
+    """,
+)
+def pl_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex pre-tokenizer (BPE-style word/punct split) token counts."""
+    cat = Catalog(spark, sf_dir)
+    toks = text.regex_tokens(F.col("text"))
+    return (
+        cat.documents.filter(F.col("doc_id") < 60)
+        .select(
+            "doc_id",
+            text.regex_token_count(F.col("text")).alias("n_regex_tokens"),
+            F.array_join(F.slice(toks, 1, 5), "|").alias("head_tokens"),
+        )
+        .orderBy("doc_id")
+    )
