@@ -124,3 +124,20 @@ def test_ivf_topk_recall_vs_brute(spark, sf_dir):
     }
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_curate_pipeline_invariants(spark, sf_dir):
+    from verax_spark.curate import curate, curation_report
+
+    cat = Catalog(spark, sf_dir)
+    curated = curate(cat.documents, jaccard_threshold=0.5, min_quality=0.3)
+    n_in, n_out = cat.documents.count(), curated.count()
+    assert 0 < n_out <= n_in
+    # annotations present and sane
+    row = curated.agg(
+        F.min("n_tokens").alias("mn"), F.min("quality").alias("mq")
+    ).collect()[0]
+    assert row.mn >= 1 and row.mq >= 0.3
+    rep = curation_report(cat.documents, curated).collect()[0]
+    assert rep.docs_in == n_in and rep.docs_out == n_out
+    assert rep.docs_removed == n_in - n_out

@@ -76,3 +76,59 @@ def test_string_literals_protected(presto):
     # function-looking text inside strings must not be rewritten
     row = presto.sql("select 'strpos(cardinality(' as s").collect()[0]
     assert row.s == "strpos(cardinality("
+
+
+def test_sql_window_functions(presto, sf_dir):
+    sql = """
+    select * from (
+      select o_custkey, o_orderkey,
+        row_number() over (partition by o_custkey order by o_totalprice desc, o_orderkey) as rn,
+        cast(sum(cast(o_totalprice as decimal(12,2)))
+          over (partition by o_custkey order by o_orderkey
+                rows between unbounded preceding and current row) as double) as running
+      from orders) t
+    where rn = 1 and o_custkey < 50 order by o_custkey
+    """
+    got = presto.sql(sql).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    got["rn"] = got["rn"].astype("int64")
+    assert_frames_match(got, want, context="sql_window")
+
+
+def test_sql_cte_and_grouping_sets(presto, sf_dir):
+    sql = """
+    with big as (select * from orders where o_totalprice > 30000)
+    select o_orderstatus, o_orderpriority,
+      grouping(o_orderstatus, o_orderpriority) as gid, count(*) as n
+    from big
+    group by grouping sets ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    order by gid, o_orderstatus, o_orderpriority
+    """
+    got = presto.sql(sql).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    got["gid"] = got["gid"].astype("int64")
+    assert_frames_match(got, want, context="sql_cte_gs")
+
+
+def test_sql_filter_clause(presto, sf_dir):
+    sql = """
+    select l_returnflag,
+      count(*) filter (where l_quantity > 25) as n_big,
+      count(*) as n
+    from lineitem group by l_returnflag order by l_returnflag
+    """
+    got = presto.sql(sql).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="sql_filter_clause")

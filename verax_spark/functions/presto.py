@@ -48,6 +48,9 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "bool_and": "every",
     "bool_or": "any",
     "count_if": "count_if",
+    # Presto GROUPING(a, b, ...) is the bitmask form = Spark grouping_id
+    # (identical for the 1-arg case too)
+    "grouping": "grouping_id",
     "is_nan": "isnan",
     "power": "pow",
     "ln": "log",

@@ -365,3 +365,16 @@ def pl_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@_register("pl_curate")  # transitive closure not SQL-expressible → rows-only
+def pl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline (verax_spark/curate.py): exact dedup →
+    MinHash near-dup transitive dedup → quality/lang gate → annotation;
+    returns the one-row curation report."""
+    from verax_spark.curate import curate, curation_report
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    curated = curate(docs, jaccard_threshold=0.5, min_quality=0.3)
+    return curation_report(docs, curated)
