@@ -1132,3 +1132,72 @@ def op_unnest_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.inline(xs))
         .orderBy("doc_id", "w", "n")
     )
+
+
+@_register(
+    "op_window_ntile",
+    """
+    select event_id,
+      cast(ntile(4) over (partition by event_type order by value, event_id) as bigint) as quartile,
+      percent_rank() over (partition by event_type order by value, event_id) as pr,
+      cume_dist() over (partition by event_type order by value, event_id) as cd
+    from events where event_id < 200 order by event_id
+    """,
+)
+def op_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        cat.events.filter(F.col("event_id") < 200)
+        .select(
+            "event_id",
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "op_sessionize",
+    """
+    with marked as (
+      select user_id, event_id, ts,
+        case when epoch_us(ts) - lag(epoch_us(ts)) over (partition by user_id order by ts, event_id)
+                  > 1800000000 then 1 else 0 end as new_session
+      from events where user_id < 20),
+    numbered as (
+      select user_id, event_id,
+        sum(new_session) over (partition by user_id order by ts, event_id
+                               rows between unbounded preceding and current row) as session_id
+      from marked)
+    select user_id, session_id, count(*) as n_events
+    from numbered group by user_id, session_id
+    order by user_id, session_id
+    """,
+)
+def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-detection via lag + running conditional sum
+    — the batch analog of the streaming session_window operator, built from
+    chained window functions."""
+    cat = Catalog(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    marked = cat.events.filter(F.col("user_id") < 20).select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap > 30 * 60 * 1_000_000, 1).otherwise(0).alias("new_session"),
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    numbered = marked.select(
+        "user_id",
+        "event_id",
+        F.sum("new_session").over(wrun).alias("session_id"),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id", "session_id")
+    )

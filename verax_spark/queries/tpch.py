@@ -708,3 +708,122 @@ ORACLE: dict[str, str] = {
     "tpch_q17": Q17_SQL,
     "tpch_q19": Q19_SQL,
 }
+
+
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority checking (TPC-H Q4 shape; not in the reference's
+    16-query corpus — added for breadth): EXISTS correlated semi-join +
+    grouped count. Adapted: lineitem has no commitdate/receiptdate, so the
+    exists-condition is a high-quantity line."""
+    cat = Catalog(spark, sf_dir)
+    orders = cat.orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-07-01")) & (F.col("o_orderdate") < _ts("1996-10-01"))
+    )
+    big_lines = cat.lineitem.filter(F.col("l_quantity") >= 45)
+    return (
+        orders.join(big_lines, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+select o_orderpriority, count(*) as order_count
+from orders
+where o_orderdate >= timestamp '1996-07-01' and o_orderdate < timestamp '1996-10-01'
+  and exists (select 1 from lineitem where l_orderkey = o_orderkey and l_quantity >= 45)
+group by o_orderpriority
+order by o_orderpriority
+"""
+
+
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customer (TPC-H Q18 shape): IN over a grouped-HAVING
+    subquery + 3-way join + top-k."""
+    cat = Catalog(spark, sf_dir)
+    big_orders = (
+        cat.lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity", QTY)).alias("__sum_qty"))
+        .filter(F.col("__sum_qty") > 150)
+        .select("l_orderkey", F.col("__sum_qty"))
+    )
+    return (
+        cat.orders.join(
+            big_orders.withColumnRenamed("l_orderkey", "__bok"),
+            F.col("o_orderkey") == F.col("__bok"),
+        )
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("total"),
+            F.col("__sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("total").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+select c_name, c_custkey, o_orderkey, o_orderdate,
+  cast(o_totalprice as double) as total,
+  cast((select sum({SQL_QTY}) from lineitem where l_orderkey = o_orderkey) as double) as sum_qty
+from orders, customer
+where c_custkey = o_custkey
+  and o_orderkey in (
+    select l_orderkey from lineitem group by l_orderkey
+    having sum({SQL_QTY}) > 150)
+order by total desc, o_orderkey
+limit 100
+"""
+
+
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): substring bucketing,
+    scalar subquery threshold, NOT EXISTS anti-join. Adapted: customers
+    bucketed by name suffix (no phone column)."""
+    cat = Catalog(spark, sf_dir)
+    bucket = F.substring("c_name", -1, 1)
+    avg_bal = cat.customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    big = cat.orders.filter(F.col("o_totalprice") > 480000)
+    no_orders = cat.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        no_orders.join(F.broadcast(avg_bal))
+        .filter(
+            (F.col("c_acctbal") > F.col("__avg_bal"))
+            & bucket.isin("1", "3", "5", "7", "9")
+        )
+        .groupBy(bucket.alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal", PRICE)).cast("double").alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
+Q22_SQL = """
+select substr(c_name, length(c_name), 1) as cntrycode,
+  count(*) as numcust,
+  cast(sum(cast(c_acctbal as decimal(12,2))) as double) as totacctbal
+from customer
+where substr(c_name, length(c_name), 1) in ('1','3','5','7','9')
+  and c_acctbal > (select avg(c_acctbal) from customer where c_acctbal > 0)
+  and not exists (select 1 from orders where o_custkey = c_custkey and o_totalprice > 480000)
+group by 1
+order by cntrycode
+"""
+
+QUERIES["tpch_q4"] = q4
+QUERIES["tpch_q18"] = q18
+QUERIES["tpch_q22"] = q22
+ORACLE["tpch_q4"] = Q4_SQL
+ORACLE["tpch_q18"] = Q18_SQL
+ORACLE["tpch_q22"] = Q22_SQL
