@@ -196,3 +196,37 @@ def test_explain_logical_golden(spark, sf_dir):
         "      - Filter [Call]\n"
         "        - TableScan [lineitem cols=['l_orderkey', 'l_quantity']]"
     )
+
+
+def test_lambda_expr_in_builder(spark, sf_dir):
+    """LambdaExpr through the typed DSL (higher-order transform/filter)."""
+    from verax_spark.plans.expr import Lambda
+
+    df = (
+        PlanBuilder(spark, sf_dir)
+        .table_scan("documents")
+        .filter(Col("doc_id") < 10)
+        .project(
+            Col("doc_id"),
+            Call(
+                "array_to_string",
+                Call(
+                    "transform",
+                    Call("split", Col("text"), Lit(" ")),
+                    Lambda(["w"], lambda w: Call("upper", w)),
+                ),
+                Lit("|"),
+            ).alias("uc"),
+        )
+        .sort("doc_id")
+        .build()
+    )
+    oracle = _oracle(
+        sf_dir,
+        """
+        select doc_id,
+          array_to_string(list_transform(string_split(text, ' '), w -> upper(w)), '|') as uc
+        from documents where doc_id < 10 order by doc_id
+        """,
+    )
+    assert_frames_match(df.toPandas(), oracle, context="lambda_expr")

@@ -14,6 +14,7 @@ operators (dedup / similarity / text analysis) beyond the reference surface.
 
 from verax_spark.session import get_spark
 from verax_spark.catalog import Catalog, load_tables
+from verax_spark.curate import curate, curation_report
 
-__all__ = ["get_spark", "Catalog", "load_tables"]
+__all__ = ["get_spark", "Catalog", "load_tables", "curate", "curation_report"]
 __version__ = "0.1.0"

@@ -72,6 +72,7 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "sha256": "sha2",
     "infinity": "double",  # handled in adapter
     "rand": "rand",
+    "array_to_string": "array_join",
 }
 
 # Tier 3: signature adapters (arg order / semantics differ).

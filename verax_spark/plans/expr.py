@@ -210,8 +210,23 @@ class Call(Expr):
         self.args = [_wrap(a) for a in args]
 
     def to_spark(self) -> Column:
-        sargs = [a.to_spark() for a in self.args]
         key = self.fn.lower()
+        if any(isinstance(a, Lambda) for a in self.args):
+            # higher-order functions take python-callable lambdas, not Columns
+            hofs = {
+                "transform": F.transform,
+                "filter": F.filter,
+                "reduce": F.aggregate,
+                "aggregate": F.aggregate,
+                "zip_with": F.zip_with,
+                "transform_values": F.transform_values,
+                "transform_keys": F.transform_keys,
+                "map_filter": F.map_filter,
+            }
+            if key not in hofs:
+                raise ValueError(f"{key!r} does not accept lambda arguments")
+            return hofs[key](*[a.to_spark() for a in self.args])
+        sargs = [a.to_spark() for a in self.args]
         if key in _SPECIAL:
             return _SPECIAL[key](*sargs)
         return presto_call(key, *sargs)
