@@ -78,3 +78,22 @@ def test_stateful_running_stats(spark, sf_dir):
         .toPandas()
     )
     assert_frames_match(latest, want, context="stateful_stats")
+
+
+def test_streaming_dedup_drops_injected_duplicates(spark, sf_dir):
+    """Union the stream with itself → every event duplicated; streaming
+    dedup must restore the original count."""
+    from pyspark.sql import functions as F2
+
+    from verax_spark.streaming import read_events_stream
+    from verax_spark.streaming.pipeline import run_available_now, streaming_dedup
+
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.unionAll(stream)
+    deduped = streaming_dedup(doubled, key_cols=["event_id"])
+    got = run_available_now(
+        deduped.select("event_id"), "stream_dedup"
+    )
+    want = Catalog(spark, sf_dir).events.count()
+    assert got.select(F2.countDistinct("event_id")).collect()[0][0] == want
+    assert got.count() == want

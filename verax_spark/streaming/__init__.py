@@ -1,4 +1,5 @@
 from verax_spark.streaming.pipeline import (
+    streaming_dedup,
     read_events_stream,
     run_available_now,
     session_windows,
@@ -12,4 +13,5 @@ __all__ = [
     "session_windows",
     "user_running_stats",
     "run_available_now",
+    "streaming_dedup",
 ]

@@ -154,3 +154,15 @@ def _output_mode(df: DataFrame) -> str:
     if "FlatMapGroupsInPandasWithState" in plan or "Aggregate" in plan:
         return "update"
     return "append"
+
+
+def streaming_dedup(
+    events: DataFrame, *, key_cols: list[str], watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys within the watermark window
+    (state is bounded by the watermark — the streaming analog of the batch
+    exact_dedup operator, and the standard first stage of a streaming
+    ingestion pipeline)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
