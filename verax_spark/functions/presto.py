@@ -134,10 +134,14 @@ def presto_call(name: str, *args) -> Column:
         return _ADAPTERS[key](*args)
     target = PRESTO_TO_SPARK.get(key, key)
     cols = [a if isinstance(a, Column) else F.lit(a) for a in args]
-    try:
-        return F.call_function(target, *cols)
-    except Exception as exc:  # unresolved function → loud, actionable error
+    # call_function resolves lazily (analysis time); check the registry now
+    # so a bad name fails at the call site with an actionable message
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is not None and not spark.catalog.functionExists(target):
         raise ValueError(
             f"Presto function {name!r} has no Spark mapping "
             f"(tried {target!r}); add it to verax_spark.functions.presto"
-        ) from exc
+        )
+    return F.call_function(target, *cols)
