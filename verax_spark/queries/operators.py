@@ -1169,8 +1169,8 @@ def op_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
       from events where user_id < 20),
     numbered as (
       select user_id, event_id,
-        sum(new_session) over (partition by user_id order by ts, event_id
-                               rows between unbounded preceding and current row) as session_id
+        cast(sum(new_session) over (partition by user_id order by ts, event_id
+                               rows between unbounded preceding and current row) as bigint) as session_id
       from marked)
     select user_id, session_id, count(*) as n_events
     from numbered group by user_id, session_id
