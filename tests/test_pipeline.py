@@ -141,3 +141,22 @@ def test_curate_pipeline_invariants(spark, sf_dir):
     rep = curation_report(cat.documents, curated).collect()[0]
     assert rep.docs_in == n_in and rep.docs_out == n_out
     assert rep.docs_removed == n_in - n_out
+
+
+def test_deterministic_sample_properties(spark, sf_dir):
+    from verax_spark.operators.text import deterministic_sample
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents
+    s1 = deterministic_sample(docs, "doc_id", 0.3, salt=1)
+    s1_again = deterministic_sample(docs, "doc_id", 0.3, salt=1)
+    ids1 = {r.doc_id for r in s1.select("doc_id").collect()}
+    assert ids1 == {r.doc_id for r in s1_again.select("doc_id").collect()}  # stable
+    n = docs.count()
+    assert 0.15 * n < len(ids1) < 0.45 * n  # roughly the requested fraction
+    # different salt → different (mostly disjoint-ish) sample
+    ids2 = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.3, salt=2).select("doc_id").collect()}
+    assert ids1 != ids2
+    # nested property: fraction 0.1 with same salt is a subset of 0.3
+    ids_small = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, salt=1).select("doc_id").collect()}
+    assert ids_small <= ids1

@@ -99,3 +99,16 @@ def regex_tokens(text: Column, pattern: str = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]") ->
 
 def regex_token_count(text: Column) -> Column:
     return F.size(regex_tokens(text)).cast("bigint")
+
+
+def deterministic_sample(df, id_col: str, fraction: float, *, salt: int = 0):
+    """Content-addressed sampling: keep rows where xxhash64(salt, id) falls
+    in the lowest `fraction` of the hash space. Unlike df.sample(), the
+    decision is a pure function of the row id — stable across retries,
+    partitionings, and engines that share the hash (used for train/eval
+    splits that must never leak across snapshots)."""
+    import pyspark.sql.functions as F2
+
+    bound = int(fraction * (1 << 63))
+    h = F2.abs(F2.xxhash64(F2.lit(salt), F2.col(id_col)))
+    return df.filter(h < bound)
