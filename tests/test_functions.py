@@ -1,10 +1,15 @@
 """Presto function shim sanity: renames resolve, adapters behave, unknown
-names fail loudly."""
+names fail loudly. Every PRESTO_TO_SPARK / _ADAPTERS entry is exercised with
+representative typed args (test_every_mapping_entry) so an arity- or
+semantics-incompatible mapping fails here, not at a user's call site."""
+
+import datetime
+import math
 
 import pyspark.sql.functions as F
 import pytest
 
-from verax_spark.functions.presto import presto_call
+from verax_spark.functions.presto import _ADAPTERS, PRESTO_TO_SPARK, presto_call
 
 
 @pytest.fixture(scope="module")
@@ -58,3 +63,177 @@ def test_array_union_dedups(one):
         presto_call("array_union", F.col("xs"), F.array(F.lit(3), F.lit(4))).alias("u")
     ).collect()[0]
     assert row.u == [1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# exhaustive per-entry coverage of the dialect maps
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def fx(spark):
+    return spark.sql(
+        "select cast(5 as bigint) i, cast(2.5 as double) d, 'hello world' s, "
+        "array(1, 2, 3) xs, array(3, 4) ys, true b, "
+        "timestamp'2020-01-02 03:04:05.5' ts, "  # a Thursday
+        "map('a', 1) m1, map('b', 2) m2, '{\"a\": 1}' j"
+    )
+
+
+def _c(name, *args):
+    return presto_call(name, *args)
+
+
+# name → list of (column, expected value | predicate); None → covered by a
+# dedicated test below (context-dependent: grouping needs CUBE, reduce needs
+# a SQL lambda). Built lazily: Columns need an active SparkContext.
+_NO_DIRECT_CASE = {"grouping", "reduce"}
+
+
+def _cases():
+    return {
+    "approx_distinct": [(_c("approx_distinct", F.col("i")), 1)],
+    "approx_percentile": [(_c("approx_percentile", F.col("d"), F.lit(0.5)), 2.5)],
+    "arbitrary": [(_c("arbitrary", F.col("s")), "hello world")],
+    "array_agg": [(_c("array_agg", F.col("i")), [5])],
+    "set_agg": [(_c("set_agg", F.col("i")), [5])],
+    "cardinality": [(_c("cardinality", F.col("xs")), 3)],
+    "codepoint": [(_c("codepoint", F.lit("A")), 65)],
+    "strpos": [(_c("strpos", F.col("s"), "world"), 7)],
+    "starts_with": [(_c("starts_with", F.col("s"), "he"), True)],
+    "ends_with": [(_c("ends_with", F.col("s"), "ld"), True)],
+    "regexp_like": [(_c("regexp_like", F.col("s"), "w.rld"), True)],
+    "json_extract_scalar": [(_c("json_extract_scalar", F.col("j"), "$.a"), "1")],
+    "format_datetime": [(_c("format_datetime", F.col("ts"), "yyyy-MM-dd"), "2020-01-02")],
+    "day_of_month": [(_c("day_of_month", F.col("ts")), 2)],
+    "day_of_year": [(_c("day_of_year", F.col("ts")), 2)],
+    "doy": [(_c("doy", F.col("ts")), 2)],
+    "week_of_year": [(_c("week_of_year", F.col("ts")), 1)],
+    "week": [(_c("week", F.col("ts")), 1)],
+    "from_iso8601_timestamp": [
+        (_c("from_iso8601_timestamp", F.lit("2020-01-02T03:04:05")),
+         datetime.datetime(2020, 1, 2, 3, 4, 5)),
+    ],
+    "from_iso8601_date": [
+        (_c("from_iso8601_date", F.lit("2020-01-02")), datetime.date(2020, 1, 2)),
+    ],
+    "bool_and": [(_c("bool_and", F.col("b")), True)],
+    "bool_or": [(_c("bool_or", F.col("b")), True)],
+    "count_if": [(_c("count_if", F.col("b")), 1)],
+    "grouping": None,
+    "is_nan": [(_c("is_nan", F.col("d")), False)],
+    "power": [(_c("power", F.col("d"), F.lit(2)), 6.25)],
+    "ln": [(_c("ln", F.lit(math.e)), lambda v: abs(v - 1.0) < 1e-12)],
+    "ceiling": [(_c("ceiling", F.col("d")), 3)],
+    "reduce": None,
+    "zip": [(_c("zip", F.col("xs"), F.col("ys")), lambda v: len(v) == 3 and v[0][0] == 1 and v[0][1] == 3)],
+    "flatten": [(_c("flatten", F.array(F.col("xs"), F.col("ys"))), [1, 2, 3, 3, 4])],
+    "array_sort": [(_c("array_sort", F.array(F.lit(3), F.lit(1), F.lit(2))), [1, 2, 3])],
+    "array_distinct": [(_c("array_distinct", F.array(F.lit(1), F.lit(1), F.lit(2))), [1, 2])],
+    "arrays_overlap": [(_c("arrays_overlap", F.col("xs"), F.col("ys")), True)],
+    "map_concat": [(_c("map_concat", F.col("m1"), F.col("m2")), {"a": 1, "b": 2})],
+    "map_from_entries": [
+        (_c("map_from_entries", F.array(F.struct(F.lit("k"), F.lit(1)))), {"k": 1}),
+    ],
+    "md5": [(_c("md5", F.lit("abc").cast("binary")), "900150983cd24fb0d6963f7d28e17f72")],
+    "rand": [(_c("rand"), lambda v: 0.0 <= v < 1.0)],
+    "array_to_string": [(_c("array_to_string", F.col("xs"), ","), "1,2,3")],
+    # adapters
+    "date_add": [
+        (_c("date_add", "day", F.lit(3), F.col("ts")),
+         datetime.datetime(2020, 1, 5, 3, 4, 5, 500000)),
+        (_c("date_add", "month", F.lit(1), F.lit("2020-01-31 10:00:00").cast("timestamp")),
+         datetime.datetime(2020, 2, 29, 10, 0)),  # clamps day-of-month
+    ],
+    "date_diff": [
+        (_c("date_diff", "hour",
+            F.lit("2020-01-01 00:00:00").cast("timestamp"),
+            F.lit("2020-01-02 01:00:00").cast("timestamp")), 25),
+        # truncation toward zero for negative spans
+        (_c("date_diff", "day",
+            F.lit("2020-01-02 00:00:00").cast("timestamp"),
+            F.lit("2020-01-01 12:00:00").cast("timestamp")), 0),
+        (_c("date_diff", "month",
+            F.lit("2020-01-15").cast("timestamp"),
+            F.lit("2020-03-14").cast("timestamp")), 1),
+    ],
+    "date_trunc": [
+        (_c("date_trunc", "month", F.col("ts")), datetime.datetime(2020, 1, 1)),
+    ],
+    "truncate": [
+        (_c("truncate", F.lit(-2.7)), -2.0),
+        (_c("truncate", F.lit(2.7)), 2.0),
+        (_c("truncate", F.lit(2.345), F.lit(2)), lambda v: abs(v - 2.34) < 1e-9),
+    ],
+    "sha256": [
+        (_c("sha256", F.lit("abc")),
+         lambda v: bytes(v).hex() == "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"),
+    ],
+    "json_parse": [(_c("json_parse", F.lit('{"a":  1, "b": [2]}')), '{"a":1,"b":[2]}')],
+    "day_of_week": [(_c("day_of_week", F.col("ts")), 4)],  # Thursday → ISO 4
+    "dow": [(_c("dow", F.col("ts")), 4)],
+    "to_unixtime": [(_c("to_unixtime", F.col("ts")), lambda v: v % 1.0 == 0.5)],
+    "bitwise_and": [(_c("bitwise_and", F.lit(12), F.lit(10)), 8)],
+    "bitwise_or": [(_c("bitwise_or", F.lit(12), F.lit(10)), 14)],
+    "bitwise_xor": [(_c("bitwise_xor", F.lit(12), F.lit(10)), 6)],
+    "substr": [
+        (_c("substr", F.col("s"), 1, 5), "hello"),
+        (_c("substr", F.col("s"), 7), "world"),
+    ],
+    "element_at": [
+        (_c("element_at", F.col("xs"), 2), 2),
+        (_c("element_at", F.col("xs"), 5), None),  # NULL out of range, no throw
+    ],
+    "concat_ws": [(_c("concat_ws", "-", F.lit("a"), F.lit("b")), "a-b")],
+    "infinity": [(_c("infinity"), float("inf"))],
+    "nan": [(_c("nan"), lambda v: math.isnan(v))],
+    "from_unixtime": [
+        (F.unix_micros(_c("from_unixtime", F.lit(1577934245))), 1577934245000000),
+    ],
+    "slice": [(_c("slice", F.col("xs"), 2, 2), [2, 3])],
+    "array_union": [(_c("array_union", F.col("xs"), F.col("ys")), [1, 2, 3, 4])],
+    "contains": [(_c("contains", F.col("xs"), F.lit(2)), True)],
+    "map": [
+        (_c("map", F.array(F.lit("a"), F.lit("b")), F.array(F.lit(1), F.lit(2))),
+         {"a": 1, "b": 2}),
+    ],
+    "split_part": [(_c("split_part", F.lit("a,b,c"), F.lit(","), F.lit(2)), "b")],
+    "min_by": [(_c("min_by", F.col("s"), F.col("i")), "hello world")],
+    "max_by": [(_c("max_by", F.col("s"), F.col("i")), "hello world")],
+    }
+
+
+_ALL_NAMES = sorted(set(PRESTO_TO_SPARK) | set(_ADAPTERS))
+
+
+def test_every_entry_has_a_case(spark):
+    missing = set(_ALL_NAMES) - set(_cases()) - _NO_DIRECT_CASE
+    assert not missing, f"mapping entries without a test case: {sorted(missing)}"
+
+
+@pytest.mark.parametrize("name", [n for n in _ALL_NAMES if n not in _NO_DIRECT_CASE])
+def test_every_mapping_entry(fx, name):
+    cases = _cases()[name]
+    exprs = [col.alias(f"v{i}") for i, (col, _) in enumerate(cases)]
+    row = fx.select(*exprs).collect()[0]
+    for i, (_, want) in enumerate(cases):
+        got = row[f"v{i}"]
+        if callable(want):
+            assert want(got), (name, i, got)
+        else:
+            assert got == want, (name, i, got, want)
+
+
+def test_grouping_maps_to_grouping_id(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    rows = df.cube("k").agg(
+        presto_call("grouping", F.col("k")).alias("g"), F.sum("v").alias("s")
+    ).collect()
+    assert {(r.k, r.g) for r in rows} == {("a", 0), ("b", 0), (None, 1)}
+
+
+def test_reduce_renames_to_aggregate_in_sql(spark):
+    from verax_spark.sql.presto import transpile
+
+    sql = transpile("select reduce(array[1, 2, 3], 0, (acc, x) -> acc + x) as v")
+    assert "aggregate(" in sql
+    assert spark.sql(sql).collect()[0].v == 6

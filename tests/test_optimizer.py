@@ -170,3 +170,52 @@ def test_presto_datetime_adapters(spark):
     assert row.zero == 0
     assert str(row.m) == "2024-03-01 00:00:00"
     assert row.oob is None  # presto element_at: NULL out of range
+
+
+def test_plan_uses_parquet_metadata_not_full_counts(spark, sf_dir, monkeypatch):
+    """Planning must never run a full count() over a parquet base table —
+    base cardinality comes from footer metadata (the reference's
+    TableLayout stats, ConnectorMetadata.h:262-269)."""
+    from pyspark.sql import DataFrame
+
+    from verax_spark.optimizer.query_graph import _parquet_row_count
+
+    cat = Catalog(spark, sf_dir)
+    assert _parquet_row_count(cat.nation) == cat.nation.count()
+
+    g = QueryGraph()
+    g.table("nation", cat.nation)
+    g.table("supplier", cat.supplier)
+    g.edge("supplier", "s_nationkey", "nation", "n_nationkey")
+
+    def boom(self):
+        raise AssertionError("full count() during plan()")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    df = g.plan()  # must not raise: no-predicate estimates are footer-only
+    monkeypatch.undo()
+    assert df.count() > 0
+
+
+def test_high_fanout_edge_demotes_small_table(spark):
+    """JoinSample analog (axiom/optimizer/JoinSample.cpp:28-60): a SMALL
+    table reached over a HIGH-fanout edge must be joined after a larger
+    low-fanout one — ranking by projected result growth, not base size."""
+    # A (4 rows, the smallest → start): hot key a=1, distinct b
+    a = spark.createDataFrame([(1, i) for i in range(4)], "a int, b int")
+    # B (12 rows): 3 rows per b value → fanout 3
+    b = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(3)], "b2 int, tag int"
+    )
+    # C (6 rows): all on the hot key → fanout (4*6)/4 = 6 despite |C|=6 < |B|
+    c = spark.createDataFrame([(1, j) for j in range(6)], "a2 int, pay int")
+
+    g = QueryGraph(fanout_mod=1)  # sample the whole key domain (tiny data)
+    g.table("A", a)
+    g.table("B", b)
+    g.table("C", c)
+    g.edge("A", "b", "B", "b2")
+    g.edge("A", "a", "C", "a2")
+    out = g.plan()
+    assert g.last_order == ["A", "B", "C"], g.last_order
+    assert out.count() == 4 * 3 * 6

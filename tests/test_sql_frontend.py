@@ -53,9 +53,52 @@ def test_unnest_rewrite(presto):
     assert sorted(r.w for r in rows) == ["x", "y", "z"]
 
 
-def test_unnest_with_ordinality_raises(presto):
+def test_unnest_with_ordinality(presto):
+    rows = presto.sql(
+        "select u.w, u.i from (select split('x y z', ' ') as ws) s "
+        "cross join unnest(s.ws) with ordinality as u(w, i) order by u.i"
+    ).collect()
+    assert [(r.w, r.i) for r in rows] == [("x", 1), ("y", 2), ("z", 3)]
+
+
+def test_unnest_map_two_columns(presto):
+    rows = presto.sql(
+        "select t.k, t.v from (select map(array['a', 'b'], array[1, 2]) as m) s "
+        "cross join unnest(s.m) as t(k, v) order by t.k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [("a", 1), ("b", 2)]
+
+
+def test_unnest_multi_array_zip(presto):
+    rows = presto.sql(
+        "select t.x, t.y from (select array[1, 2, 3] as a, array['p', 'q'] as b) s "
+        "cross join unnest(s.a, s.b) as t(x, y) order by t.x"
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [(1, "p"), (2, "q"), (3, None)]
+
+
+def test_unsupported_unnest_raises(presto):
     with pytest.raises(NotImplementedError):
-        presto.sql("select * from t cross join unnest(xs) with ordinality as u(x, i)")
+        transpile("select * from t, unnest(xs) as u(x)")  # lateral-comma form
+
+
+def test_typed_literal_inside_string_untouched():
+    # 'price double ''1.5''' is one string literal; the type keyword inside
+    # it must not trigger the typed-literal rewrite
+    out = transpile("select 'price double ''1.5''' as s, double '2.5' as d")
+    assert "'price double ''1.5'''" in out
+    assert "cast('2.5' as double)" in out
+
+
+def test_sql_compat_functions(presto):
+    row = presto.sql(
+        "select truncate(-2.7) as t, hex(sha256('abc')) as h, "
+        "json_parse('{\"a\":  1}') as j, infinity() as inf"
+    ).collect()[0]
+    assert row.t == -2.0
+    assert row.h.lower().startswith("ba7816bf")
+    assert row.j == '{"a":1}'
+    assert row.inf == float("inf")
 
 
 def test_explain_statement(presto):
@@ -132,3 +175,30 @@ def test_sql_filter_clause(presto, sf_dir):
     finally:
         con.close()
     assert_frames_match(got, want, context="sql_filter_clause")
+
+
+def test_quantified_comparisons(presto):
+    # = ANY → IN ; <> ALL → NOT IN ; > ALL → max ; < ANY → max
+    row = presto.sql(
+        "select c_custkey from customer "
+        "where c_custkey = any (select o_custkey from orders where o_totalprice > 100000) "
+        "order by c_custkey limit 1"
+    ).collect()
+    assert len(row) <= 1
+    big = presto.sql(
+        "select count(*) as n from customer "
+        "where c_acctbal > all (select c_acctbal from customer where c_custkey <> 1)"
+    ).collect()[0].n
+    assert big <= 1  # at most the single maximal account
+    some = transpile("select 1 where 2 = some (select 2)")
+    assert "in (" in some.lower()
+
+
+def test_quantified_rewrites_text():
+    assert "not in (select" in transpile("select 1 where 3 <> all (select x from t)")
+    out = transpile("select 1 where 3 > any (select x from t)")
+    assert "min(__q.__v)" in out
+    out = transpile("select 1 where 3 <= all (select x from t)")
+    assert "min(__q.__v)" in out  # x <= ALL(S) ⇔ x <= min(S)
+    out = transpile("select 1 where 3 < any (select x from t)")
+    assert "max(__q.__v)" in out  # x < ANY(S) ⇔ x < max(S)

@@ -38,11 +38,11 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "regexp_like": "rlike",
     "json_extract_scalar": "get_json_object",
     "format_datetime": "date_format",
-    "day_of_week": "dayofweek",
     "day_of_month": "dayofmonth",
     "day_of_year": "dayofyear",
+    "doy": "dayofyear",
     "week_of_year": "weekofyear",
-    "to_unixtime": "unix_timestamp",
+    "week": "weekofyear",
     "from_iso8601_timestamp": "to_timestamp",
     "from_iso8601_date": "to_date",
     "bool_and": "every",
@@ -55,10 +55,6 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "power": "pow",
     "ln": "log",
     "ceiling": "ceil",
-    "truncate": "trunc",
-    "bitwise_and": "bit_and",
-    "bitwise_or": "bit_or",
-    "bitwise_xor": "bit_xor",
     "reduce": "aggregate",
     "zip": "arrays_zip",
     "flatten": "flatten",
@@ -67,30 +63,118 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "arrays_overlap": "arrays_overlap",
     "map_concat": "map_concat",
     "map_from_entries": "map_from_entries",
-    "json_parse": "from_json",
     "md5": "md5",
-    "sha256": "sha2",
-    "infinity": "double",  # handled in adapter
     "rand": "rand",
     "array_to_string": "array_join",
 }
 
+# Seconds per fixed-width unit for date_add/date_diff arithmetic.
+_UNIT_SECONDS = {
+    "millisecond": 0.001,
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+    "week": 604800,
+}
+# Months per calendar unit.
+_UNIT_MONTHS = {"month": 1, "quarter": 3, "year": 12}
+
+
+def _col(x) -> Column:
+    return x if isinstance(x, Column) else (F.expr(x) if isinstance(x, str) else F.lit(x))
+
+
+def _presto_date_add(unit, n, ts) -> Column:
+    """Presto date_add(unit, value, ts) as pure Column arithmetic.
+
+    Calendar units go through make_interval (month-aware, clamps day-of-month
+    like Presto); fixed-width units are interval seconds. No SQL-text round
+    trip, so Column args are safe (ref Presto datetime semantics; reference
+    registers the Presto library wholesale, axiom/optimizer/FunctionRegistry.h).
+    """
+    u, n, ts = _unit(unit), _col(n), _col(ts)
+    zero = F.lit(0)
+    if u in _UNIT_MONTHS:
+        return ts + F.make_interval(zero, n * F.lit(_UNIT_MONTHS[u]), zero, zero, zero, zero, zero)
+    if u in _UNIT_SECONDS:
+        secs = n.cast("double") * F.lit(float(_UNIT_SECONDS[u]))
+        return ts + F.make_interval(zero, zero, zero, zero, zero, zero, secs)
+    raise ValueError(f"unsupported date_add unit {u!r}")
+
+
+def _presto_date_diff(unit, a, b) -> Column:
+    """Presto date_diff(unit, a, b) = complete units from a to b (bigint).
+
+    Spark's ``div`` is integral division truncating toward zero (Java
+    semantics), which matches Presto's truncation for negative spans.
+    """
+    u, a, b = _unit(unit), _col(a), _col(b)
+    if u in _UNIT_MONTHS:
+        months = F.months_between(b, a, False).cast("long")
+        if u == "month":
+            return months
+        return F.call_function("div", months, F.lit(_UNIT_MONTHS[u]))
+    if u in _UNIT_SECONDS:
+        micros = F.unix_micros(b.cast("timestamp")) - F.unix_micros(a.cast("timestamp"))
+        per = int(_UNIT_SECONDS[u] * 1_000_000)
+        return F.call_function("div", micros, F.lit(per))
+    raise ValueError(f"unsupported date_diff unit {u!r}")
+
+def _presto_truncate(x, n=None) -> Column:
+    """Presto numeric truncate: toward zero, optionally to n decimal places.
+
+    Spark's ``trunc`` is date-only; this is the numeric lowering
+    (sign(x) * floor(abs(x) * 10^n) / 10^n).
+    """
+    x = _col(x)
+    if n is None:
+        return F.signum(x) * F.floor(F.abs(x))
+    scale = F.pow(F.lit(10.0), _col(n).cast("int"))
+    return F.signum(x) * F.floor(F.abs(x) * scale) / scale
+
+
+def _presto_json_parse(x) -> Column:
+    """Presto json_parse(varchar) → canonical JSON text.
+
+    Spark 4 lowers this through the VARIANT type: parse_json validates and
+    throws on malformed input (matching Presto), to_json re-serialises in
+    canonical (minified) form. Downstream json_extract_scalar/get_json_object
+    consume JSON text directly, so canonical text is the Spark analog of
+    Presto's JSON type.
+    """
+    return F.to_json(F.parse_json(_col(x).cast("string")))
+
+
 # Tier 3: signature adapters (arg order / semantics differ).
 _ADAPTERS: dict[str, Callable[..., Column]] = {
-    # presto date_add(unit, n, ts) → spark timestampadd(unit, n, ts)
-    "date_add": lambda unit, n, ts: F.expr(
-        f"timestampadd({_unit(unit)}, {_sql(n)}, {_sql(ts)})"
-    ),
-    # presto date_diff(unit, ts1, ts2) → spark timestampdiff
-    "date_diff": lambda unit, a, b: F.expr(
-        f"timestampdiff({_unit(unit)}, {_sql(a)}, {_sql(b)})"
-    ),
-    "date_trunc": lambda unit, ts: F.date_trunc(_unit(unit), ts),
+    # presto date_add(unit, n, ts): calendar-aware Column arithmetic
+    "date_add": _presto_date_add,
+    # presto date_diff(unit, ts1, ts2): complete units, truncated toward zero
+    "date_diff": _presto_date_diff,
+    "date_trunc": lambda unit, ts: F.date_trunc(_unit(unit), _col(ts)),
+    # presto numeric truncate (spark trunc is date-only)
+    "truncate": _presto_truncate,
+    # presto sha256(varbinary) → varbinary; spark sha2 returns hex text
+    "sha256": lambda x: F.unhex(F.sha2(_col(x).cast("binary"), 256)),
+    "json_parse": _presto_json_parse,
+    # presto day_of_week is ISO (1=Monday..7=Sunday); spark dayofweek is
+    # 1=Sunday..7=Saturday
+    "day_of_week": lambda x: ((F.dayofweek(_col(x)) + F.lit(5)) % F.lit(7) + F.lit(1)).cast("int"),
+    "dow": lambda x: ((F.dayofweek(_col(x)) + F.lit(5)) % F.lit(7) + F.lit(1)).cast("int"),
+    # presto to_unixtime returns DOUBLE with fractional seconds (spark
+    # unix_timestamp truncates to whole seconds)
+    "to_unixtime": lambda x: F.unix_micros(_col(x).cast("timestamp")) / F.lit(1e6),
+    # presto bitwise_* are 2-arg scalars; spark bit_and/bit_or/bit_xor are
+    # aggregates — lower onto the Column bitwise operators
+    "bitwise_and": lambda a, b: _col(a).bitwiseAND(_col(b)),
+    "bitwise_or": lambda a, b: _col(a).bitwiseOR(_col(b)),
+    "bitwise_xor": lambda a, b: _col(a).bitwiseXOR(_col(b)),
     # presto substr is 1-based like spark substring
     "substr": lambda s, pos, length=None: (
-        F.substring(s, pos, length) if length is not None else F.expr(
-            f"substring({_sql(s)}, {_sql(pos)})"
-        )
+        F.substring(_col(s), pos, length)
+        if length is not None
+        else F.substring(_col(s), pos, 2147483647)
     ),
     # presto element_at returns NULL out of range (spark throws under ANSI;
     # try_element_at matches presto)
@@ -114,17 +198,42 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
 def _unit(u) -> str:
     if isinstance(u, Column):
         raise ValueError("date unit must be a literal string")
-    return str(u).strip("'\"")
+    return str(u).strip("'\"").lower()
 
 
-def _sql(x) -> str:
-    """Render an argument into SQL text for expr-based adapters."""
-    if isinstance(x, Column):
-        # Column's underlying expression in SQL form
-        return x._jc.toString() if hasattr(x, "_jc") else str(x)
-    if isinstance(x, str):
-        return x
-    return repr(x)
+# SQL-UDF lowerings for Presto functions whose Spark analog is not a rename.
+# Registered as temporary SQL functions (Catalyst inlines the bodies — no UDF
+# overhead), so transpiled Presto SQL text can keep the Presto spelling.
+_SQL_COMPAT = [
+    "CREATE OR REPLACE TEMPORARY FUNCTION truncate(x DOUBLE) "
+    "RETURNS DOUBLE RETURN sign(x) * floor(abs(x))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION sha256(x BINARY) "
+    "RETURNS BINARY RETURN unhex(sha2(x, 256))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_parse(x STRING) "
+    "RETURNS STRING RETURN to_json(parse_json(x))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION infinity() "
+    "RETURNS DOUBLE RETURN cast('Infinity' as double)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION nan() "
+    "RETURNS DOUBLE RETURN cast('NaN' as double)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION day_of_week(x TIMESTAMP) "
+    "RETURNS INT RETURN cast((dayofweek(x) + 5) % 7 + 1 as int)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION dow(x TIMESTAMP) "
+    "RETURNS INT RETURN cast((dayofweek(x) + 5) % 7 + 1 as int)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_unixtime(x TIMESTAMP) "
+    "RETURNS DOUBLE RETURN unix_micros(x) / 1e6",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_and(a BIGINT, b BIGINT) "
+    "RETURNS BIGINT RETURN a & b",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_or(a BIGINT, b BIGINT) "
+    "RETURNS BIGINT RETURN a | b",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_xor(a BIGINT, b BIGINT) "
+    "RETURNS BIGINT RETURN a ^ b",
+]
+
+
+def register_sql_compat(spark) -> None:
+    """Register Presto-compat SQL UDFs in the session (idempotent)."""
+    for ddl in _SQL_COMPAT:
+        spark.sql(ddl)
 
 
 def presto_call(name: str, *args) -> Column:

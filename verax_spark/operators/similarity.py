@@ -190,6 +190,36 @@ def _fcosine(a: Column, b: Column) -> Column:
     return _fdot(a, b) / (F.sqrt(_fdot(a, a)) * F.sqrt(_fdot(b, b)))
 
 
+def _centroid_array(centroids: DataFrame) -> DataFrame:
+    """Pack (cluster, __c) rows into ONE row holding an array of
+    (cluster, centroid, norm) structs — broadcast-crossJoined onto vectors so
+    cluster routing is a pure map stage (no shuffle, no window)."""
+    return centroids.agg(
+        F.collect_list(
+            F.struct(
+                F.col("cluster"),
+                F.col("__c"),
+                F.sqrt(_fdot(F.col("__c"), F.col("__c"))).alias("__cn"),
+            )
+        ).alias("__cs")
+    )
+
+
+def _best_cluster(v: Column) -> Column:
+    """argmax over the packed centroid array of dot(v, c)/||c|| — for a fixed
+    v this ranks clusters identically to cosine (||v|| is constant), without
+    computing the vector norm. Ties break to the smallest cluster id."""
+    return F.array_max(
+        F.transform(
+            F.col("__cs"),
+            lambda c: F.struct(
+                (_fdot(v, c.getField("__c")) / c.getField("__cn")).alias("__sim"),
+                (-c.getField("cluster")).alias("__negc"),
+            ),
+        )
+    )
+
+
 def ivf_fit_assign(
     corpus: DataFrame,
     *,
@@ -197,20 +227,32 @@ def ivf_fit_assign(
     id_col: str = "vec_id",
     n_clusters: int = 16,
     iters: int = 2,
+    fit_mod: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Mini k-means on the quantized vectors → (assignments, centroids).
 
     Deterministic seeding: the n_clusters rows with smallest xxhash64(id)
     (a hash-sample — no RNG, reproducible across runs/partitionings).
-    Each Lloyd iteration is one broadcast crossJoin (linear scan) + one
-    elementwise-mean aggregation via posexplode/groupBy.
+    Scale shape: Lloyd iterations optionally run on a deterministic hash
+    sample (``fit_mod``: keep rows with xxhash64(id) % fit_mod == 0 — at
+    100 TB you fit the quantizer on a sample, never the full corpus), cluster
+    routing is a shuffle-free map stage over a broadcast centroid array, and
+    only the per-cluster mean update shuffles (map-side partials:
+    n_clusters × dim rows per partition). Every Lloyd iteration ends in an
+    eager localCheckpoint so downstream consumers read the fit as data
+    instead of re-running it (the round-1 10× run-to-run variance bug).
     """
     vecs = corpus.select(
         F.col(id_col).alias("__vid"),
         F.transform(quantize(F.col(vec_col)), lambda x: x.cast("double")).alias("__v"),
     )
+    fit = (
+        vecs.filter(F.pmod(F.xxhash64("__vid"), F.lit(fit_mod)) == 0)
+        if fit_mod and fit_mod > 1
+        else vecs
+    )
     seeds = (
-        vecs.orderBy(F.xxhash64(F.col("__vid")))
+        fit.orderBy(F.xxhash64(F.col("__vid")))
         .limit(n_clusters)
         .select(
             F.row_number()
@@ -219,23 +261,17 @@ def ivf_fit_assign(
             F.col("__v").alias("__c"),
         )
     )
-    centroids = seeds
-    assignments = None
+    centroids = seeds.localCheckpoint()
     for _ in range(iters):
-        scored = vecs.crossJoin(F.broadcast(centroids)).select(
-            "__vid",
-            "__v",
-            "cluster",
-            _fcosine(F.col("__v"), F.col("__c")).alias("__sim"),
-        )
-        w = Window.partitionBy("__vid").orderBy(F.col("__sim").desc(), "cluster")
-        assignments = (
-            scored.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
-            .select("__vid", "__v", "cluster")
+        assigned = (
+            fit.crossJoin(F.broadcast(_centroid_array(centroids)))
+            .select(
+                "__v",
+                (-_best_cluster(F.col("__v")).getField("__negc")).alias("cluster"),
+            )
         )
         centroids = (
-            assignments.select("cluster", F.posexplode("__v").alias("__pos", "__x"))
+            assigned.select("cluster", F.posexplode("__v").alias("__pos", "__x"))
             .groupBy("cluster", "__pos")
             .agg(F.avg("__x").alias("__m"))
             .groupBy("cluster")
@@ -247,8 +283,17 @@ def ivf_fit_assign(
                     lambda s: s.getField("__m"),
                 ).alias("__c")
             )
+        ).localCheckpoint()
+    # final assignment over the FULL corpus (map-only), materialized once
+    assignments = (
+        vecs.crossJoin(F.broadcast(_centroid_array(centroids)))
+        .select(
+            "__vid",
+            (-_best_cluster(F.col("__v")).getField("__negc")).alias("cluster"),
         )
-    return assignments.select(F.col("__vid"), F.col("cluster")), centroids
+        .localCheckpoint()
+    )
+    return assignments, centroids
 
 
 def ivf_topk(
@@ -260,30 +305,39 @@ def ivf_topk(
     k: int = 3,
     n_clusters: int = 16,
     nprobe: int = 4,
+    fit_mod: int | None = None,
 ) -> DataFrame:
     """IVF search: route each query to its nprobe nearest centroids, rerank
-    exactly (integer cosine) within those inverted lists only."""
+    exactly (integer cosine) within those inverted lists only. Routing is a
+    map-only stage over the broadcast centroid array (top-nprobe via
+    array_sort + slice, no window shuffle)."""
     assignments, centroids = ivf_fit_assign(
-        corpus, vec_col=vec_col, id_col=id_col, n_clusters=n_clusters
+        corpus, vec_col=vec_col, id_col=id_col, n_clusters=n_clusters, fit_mod=fit_mod
     )
     qv = queries.select(
         F.col(id_col).alias("query_id"),
         quantize(F.col(vec_col)).alias("qv"),
         F.transform(quantize(F.col(vec_col)), lambda x: x.cast("double")).alias("qvd"),
     )
+    scored_arr = F.transform(
+        F.col("__cs"),
+        lambda c: F.struct(
+            (_fdot(F.col("qvd"), c.getField("__c")) / c.getField("__cn")).alias("__sim"),
+            (-c.getField("cluster")).alias("__negc"),
+        ),
+    )
     routed = (
-        qv.crossJoin(F.broadcast(centroids))
+        qv.crossJoin(F.broadcast(_centroid_array(centroids)))
         .select(
-            "query_id", "qv", "cluster", _fcosine(F.col("qvd"), F.col("__c")).alias("__sim")
+            "query_id",
+            "qv",
+            F.explode(
+                F.transform(
+                    F.slice(F.reverse(F.array_sort(scored_arr)), 1, nprobe),
+                    lambda s: -s.getField("__negc"),
+                )
+            ).alias("cluster"),
         )
-        .withColumn(
-            "__r",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), "cluster")
-            ),
-        )
-        .filter(F.col("__r") <= nprobe)
-        .select("query_id", "qv", "cluster")
     )
     cands = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")

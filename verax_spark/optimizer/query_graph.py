@@ -19,8 +19,17 @@ baked into the DataFrame DAG:
 2. BROADCAST hints for dimension sides under threshold, from sampled sizes
    (isBroadcastableType analog) — letting Catalyst skip the shuffle.
 
-Cardinality comes from `sample()` probes (the reference's sampleFilters) and
-is corrected by recorded history when available (VeloxHistory analog).
+Cardinality comes from parquet FOOTER metadata for base-table row counts
+(the reference's TableLayout stats, axiom/connectors/ConnectorMetadata.h:
+262-269 — planning must never scan all base rows) plus `sample()` probes for
+filter selectivity (sampleFilters analog), corrected by recorded history when
+available (VeloxHistory analog). Join fanout is estimated by hash-sampling
+the KEY DOMAIN on both sides of each edge (keep keys with
+xxhash64(key) % mod == 0 — complete per-key groups survive, so per-key match
+counts are unbiased; ref axiom/optimizer/JoinSample.cpp:28-60,
+JoinEdge::guessFanout QueryGraph.h:643-652) and feeds the greedy order:
+candidates are ranked by estimated RESULT growth, not by their base size
+alone, so a small table reached over a high-fanout edge is demoted.
 """
 
 from __future__ import annotations
@@ -31,6 +40,41 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 DEFAULT_BROADCAST_ROWS = 1_000_000  # ~rows that comfortably broadcast
+
+# analyzed-plan operators that change row counts: footer metadata is only
+# valid for bare scans (column pruning keeps counts; these do not)
+_NON_SCAN_OPS = ("Filter", "Join", "Aggregate", "Generate", "Window",
+                 "GlobalLimit", "LocalLimit", "Sample", "Distinct", "Union")
+
+
+def _parquet_row_count(df: DataFrame) -> int | None:
+    """Base-table row count from parquet footers — a driver-side metadata
+    read, no Spark job, no data scan. Returns None when df is not a bare
+    parquet scan (then the caller decides how to probe)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return None
+    if any(op in plan for op in _NON_SCAN_OPS):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        if ".parquet" not in f.rsplit("/", 1)[-1]:
+            return None
+        path = f.removeprefix("file://").removeprefix("file:")
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+    return total
 
 
 @dataclass
@@ -65,6 +109,8 @@ class QueryGraph:
     sample_fraction: float = 0.05
     broadcast_rows: int = DEFAULT_BROADCAST_ROWS
     history: "ExecutionHistory | None" = None
+    fanout_mod: int = 16  # key-domain hash-sample rate for fanout probes
+    last_order: list[str] = field(default_factory=list)  # chosen join order
 
     def table(self, name: str, df: DataFrame, predicate: Column | None = None) -> "QueryGraph":
         self.tables[name] = TableRef(name, df, predicate)
@@ -74,23 +120,86 @@ class QueryGraph:
         self.edges.append(JoinEdge(left, right, left_key, right_key))
         return self
 
-    # -- cardinality estimation (sampleFilters analog) ----------------------
+    # -- cardinality estimation (TableLayout stats + sampleFilters analog) ---
+    def _base_rows(self, ref: TableRef) -> float:
+        meta = _parquet_row_count(ref.df)
+        if meta is not None:
+            return float(meta)
+        # non-parquet relation (in-memory test data): count is the fallback
+        return float(ref.df.count())
+
     def _estimate_rows(self, ref: TableRef) -> float:
         if self.history is not None:
             remembered = self.history.lookup(self._signature(ref))
             if remembered is not None:
                 return remembered
-        base = ref.df.count()
+        base = self._base_rows(ref)
         if ref.predicate is None or base == 0:
-            return float(base)
+            return base
         if base <= 10_000:
             return float(ref.filtered().count())
+        # selectivity from a sampled probe — never a full-table filter count
         sample = ref.df.sample(fraction=self.sample_fraction, seed=42)
         n_sample = sample.count()
         if n_sample == 0:
-            return float(base)
+            return base
         hits = sample.filter(ref.predicate).count()
         return base * (hits / n_sample)
+
+    # -- join fanout sampling (JoinSample.cpp:28-60 analog) ------------------
+    def _edge_fanout(self, e: JoinEdge, mod: int | None = None) -> tuple[float, float]:
+        """(left→right, right→left) fanout: expected matches per probe row.
+
+        Hash-samples the shared key domain (xxhash64(key) % mod == 0): both
+        sides keep the SAME sampled keys with all their rows, so per-key
+        match counts are exact for sampled keys and the ratio estimator is
+        unbiased. One small aggregation job per edge; scans prune to the key
+        column only.
+        """
+        mod = self.fanout_mod if mod is None else mod
+        sig = f"edge:{e.left}.{e.left_key}={e.right}.{e.right_key}|mod={mod}"
+        if self.history is not None:
+            fwd = self.history.lookup(sig + "|l2r")
+            rev = self.history.lookup(sig + "|r2l")
+            if fwd is not None and rev is not None:
+                return fwd, rev
+
+        def keyed(name: str, key: str) -> DataFrame:
+            return (
+                self.tables[name]
+                .filtered()
+                .select(F.col(key).alias("__k"))
+                .filter(F.pmod(F.xxhash64("__k"), F.lit(mod)) == 0)
+                .groupBy("__k")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+
+        stats = (
+            keyed(e.left, e.left_key)
+            .withColumnRenamed("__c", "__cl")
+            .join(
+                keyed(e.right, e.right_key).withColumnRenamed("__c", "__cr"),
+                "__k",
+                "full_outer",  # unmatched keys count toward the denominators
+            )
+            .agg(
+                F.sum(
+                    F.coalesce(F.col("__cl"), F.lit(0))
+                    * F.coalesce(F.col("__cr"), F.lit(0))
+                ).alias("pairs"),
+                F.sum(F.coalesce(F.col("__cl"), F.lit(0))).alias("lrows"),
+                F.sum(F.coalesce(F.col("__cr"), F.lit(0))).alias("rrows"),
+            )
+            .collect()[0]
+        )
+        if not stats.pairs or not stats.lrows or not stats.rrows:
+            return 1.0, 1.0  # empty sample → neutral fanout
+        l2r = float(stats.pairs) / float(stats.lrows)
+        r2l = float(stats.pairs) / float(stats.rrows)
+        if self.history is not None:
+            self.history.record_estimate(sig + "|l2r", l2r)
+            self.history.record_estimate(sig + "|r2l", r2l)
+        return l2r, r2l
 
     def _signature(self, ref: TableRef) -> str:
         pred = "" if ref.predicate is None else str(ref.predicate)
@@ -99,8 +208,10 @@ class QueryGraph:
     # -- ordering (startingScore / makeJoins greedy analog) ------------------
     def plan(self) -> DataFrame:
         """Greedy order: start at the smallest effective table, repeatedly
-        join the smallest connected neighbor; broadcast sides under the
-        row threshold. Records estimates into history for feedback."""
+        join the frontier candidate with the smallest projected RESULT
+        (current estimate × sampled edge fanout — guessFanout analog), so a
+        small table behind a high-fanout edge is taken late; broadcast sides
+        under the row threshold. Records estimates into history."""
         if not self.tables:
             raise ValueError("empty query graph")
         est = {name: self._estimate_rows(ref) for name, ref in self.tables.items()}
@@ -108,14 +219,19 @@ class QueryGraph:
             for name, ref in self.tables.items():
                 self.history.record_estimate(self._signature(ref), est[name])
 
-        adjacency: dict[str, list[JoinEdge]] = {n: [] for n in self.tables}
-        for e in self.edges:
-            adjacency[e.left].append(e)
-            adjacency[e.right].append(e)
+        fanouts: dict[int, tuple[float, float]] = {}
+
+        def edge_fanout(e: JoinEdge) -> tuple[float, float]:
+            key = id(e)
+            if key not in fanouts:
+                fanouts[key] = self._edge_fanout(e)
+            return fanouts[key]
 
         start = min(est, key=lambda n: est[n])
         joined = {start}
         current = self.tables[start].filtered()
+        current_est = est[start]
+        self.last_order = [start]
 
         def frontier() -> list[tuple[str, JoinEdge]]:
             out = []
@@ -126,6 +242,11 @@ class QueryGraph:
                     out.append((e.left, e))
             return out
 
+        def growth(cand: tuple[str, JoinEdge]) -> float:
+            nxt, e = cand
+            l2r, r2l = edge_fanout(e)
+            return l2r if e.left in joined else r2l
+
         while len(joined) < len(self.tables):
             candidates = frontier()
             if not candidates:
@@ -133,16 +254,22 @@ class QueryGraph:
                 rest = [n for n in self.tables if n not in joined]
                 nxt = min(rest, key=lambda n: est[n])
                 current = current.crossJoin(self._side(nxt, est))
+                current_est *= max(est[nxt], 1.0)
                 joined.add(nxt)
+                self.last_order.append(nxt)
                 continue
-            nxt, e = min(candidates, key=lambda c: est[c[0]])
+            nxt, e = min(
+                candidates, key=lambda c: (current_est * growth(c), est[c[0]])
+            )
             left_in = e.left in joined
             my_key = e.left_key if left_in else e.right_key
             other_key = e.right_key if left_in else e.left_key
             current = current.join(
                 self._side(nxt, est), F.col(my_key) == F.col(other_key)
             )
+            current_est *= growth((nxt, e))
             joined.add(nxt)
+            self.last_order.append(nxt)
         return current
 
     def _side(self, name: str, est: dict[str, float]) -> DataFrame:

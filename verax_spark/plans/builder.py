@@ -275,11 +275,30 @@ class PlanBuilder:
     def table_write(
         self, path: str, *, format: str = "parquet", mode: str = "overwrite"
     ) -> "PlanBuilder":
-        """TableWriteNode kInsert/kCreate (LogicalPlanNode.h:659-745). Plain
-        files support create/insert; row-level DELETE/UPDATE require a table
-        format (Delta/Iceberg) — documented unsupported here, as SURVEY §2.1."""
+        """TableWriteNode kInsert/kCreate (LogicalPlanNode.h:659-745).
+        Row-level DELETE/UPDATE are the copy-on-write table_delete /
+        table_update below (WriteKind kDelete/kUpdate analog)."""
         self._req().write.format(format).mode(mode).save(path)
         self._node = LogicalNode("TableWrite", f"{format}:{path} mode={mode}", [self._node])
+        return self
+
+    def table_delete(self, path: str, predicate) -> "PlanBuilder":
+        """TableWriteNode WriteKind::kDelete (ConnectorMetadata.h:457-627):
+        file-granular copy-on-write delete on a plain parquet table."""
+        from verax_spark.sources.cow import delete_rows
+
+        n = delete_rows(self.spark, path, predicate)
+        self._node = LogicalNode("TableWrite", f"delete:{path} files={n}", [self._node] if self._node else [])
+        return self
+
+    def table_update(self, path: str, assignments: dict, predicate) -> "PlanBuilder":
+        """TableWriteNode WriteKind::kUpdate (ConnectorMetadata.h:457-627):
+        copy-on-write update; assignment types are pinned to the column's
+        original type."""
+        from verax_spark.sources.cow import update_rows
+
+        n = update_rows(self.spark, path, assignments, predicate)
+        self._node = LogicalNode("TableWrite", f"update:{path} files={n}", [self._node] if self._node else [])
         return self
 
     # -- terminals -----------------------------------------------------------

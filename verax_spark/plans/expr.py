@@ -378,5 +378,8 @@ class Agg(Expr):
             if fn == "avg":
                 return F.expr(f"avg(DISTINCT {args[0]._jc.toString()})")
         if fn == "count" and not args:
+            if self.filter_ is not None:
+                # count(*) FILTER (WHERE p) → count the rows where p holds
+                return F.count(F.when(self.filter_.to_spark(), F.lit(1)))
             return F.count(F.lit(1))
         return F.call_function(fn, *args)

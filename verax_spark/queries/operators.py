@@ -1201,3 +1201,196 @@ def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("user_id", "session_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion / dialect-adapter functions (the Tier-3 shim entries whose
+# lowering is NOT a 1:1 rename: numeric truncate, sha256, json_parse,
+# ISO day_of_week, fractional to_unixtime, scalar bitwise ops —
+# functions/presto.py _ADAPTERS; ref registers these via the Presto library,
+# axiom/optimizer/FunctionRegistry.h:111-295).
+@_register(
+    "op_fn_conv",
+    """
+    select event_id,
+      trunc(value - 100.0) as tr,
+      sha256(event_type) as sh,
+      cast(json(props) as varchar) as jp,
+      cast(isodow(ts) as bigint) as dw,
+      cast(cast(epoch(ts) as decimal(20,6)) as double) as ut,
+      cast(user_id & 255 as bigint) as ba,
+      cast(user_id | 4096 as bigint) as bo,
+      cast(xor(user_id, 255) as bigint) as bx
+    from events where event_id < 40 order by event_id
+    """,
+)
+def op_fn_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as P
+
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.events.filter(F.col("event_id") < 40)
+        .select(
+            "event_id",
+            P("truncate", F.col("value") - 100.0).alias("tr"),
+            F.lower(F.hex(P("sha256", F.col("event_type")))).alias("sh"),
+            P("json_parse", F.col("props")).alias("jp"),
+            P("day_of_week", F.col("ts")).cast("bigint").alias("dw"),
+            P("to_unixtime", F.col("ts")).cast("decimal(20,6)").cast("double").alias("ut"),
+            P("bitwise_and", F.col("user_id"), F.lit(255)).cast("bigint").alias("ba"),
+            P("bitwise_or", F.col("user_id"), F.lit(4096)).cast("bigint").alias("bo"),
+            P("bitwise_xor", F.col("user_id"), F.lit(255)).cast("bigint").alias("bx"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door: Presto-dialect UNNEST relations through PrestoSession
+# (map → two output columns; WITH ORDINALITY → 1-based index), matching ref
+# axiom/sql/presto/ast/AstRelations.h Unnest / PrestoParser.cpp:1159.
+@_register(
+    "sql_unnest_map_kv",
+    """
+    select k, v, count(*) as n from (
+      select 'lang' as k, lang as v from documents where doc_id < 200
+      union all
+      select 'source' as k, source as v from documents where doc_id < 200
+    ) t group by k, v order by k, v
+    """,
+)
+def sql_unnest_map_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto ``CROSS JOIN UNNEST(map) AS t(k, v)`` text through the
+    transpiling front door (two output columns from one map expression)."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select t.k, t.v, count(*) as n
+        from documents
+        cross join unnest(map(array['lang', 'source'], array[lang, source])) as t(k, v)
+        where doc_id < 200
+        group by t.k, t.v
+        order by t.k, t.v
+        """
+    )
+
+
+@_register(
+    "sql_unnest_ordinality",
+    """
+    with t as (
+      select string_split(text, ' ') as ws from documents where doc_id < 50
+    ), u as (
+      select unnest(ws) as w, generate_subscripts(ws, 1) as i from t
+    )
+    select cast(i as bigint) as i, w, count(*) as n
+    from u group by i, w order by i, w limit 60
+    """,
+)
+def sql_unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto ``UNNEST(arr) WITH ORDINALITY AS t(w, i)`` text through the
+    front door — 1-based ordinals, empty arrays dropped."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select cast(t.i as bigint) as i, t.w, count(*) as n
+        from documents
+        cross join unnest(split(text, ' ')) with ordinality as t(w, i)
+        where doc_id < 50
+        group by t.i, t.w
+        order by t.i, t.w
+        limit 60
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-level TableWrite: DELETE / UPDATE via file-granular copy-on-write
+# (WriteKind kDelete/kUpdate, ref axiom/connectors/ConnectorMetadata.h:457-627).
+@_register(
+    "op_table_delete",
+    """
+    select l_returnflag, count(*) as n,
+      cast(sum(cast(l_quantity as decimal(4,1))) as double) as qty
+    from lineitem
+    where l_quantity >= 45 and not (l_quantity < 48)
+    group by l_returnflag order by l_returnflag
+    """,
+)
+def op_table_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS → copy-on-write DELETE → scan-back: the surviving rows must
+    equal the oracle's NOT-predicate filter on the source."""
+    import uuid as _uuid
+
+    from verax_spark.sources.cow import delete_rows
+
+    cat = Catalog(spark, sf_dir)
+    target = os.path.join(
+        tempfile.gettempdir(), "verax_cow", f"del_{_uuid.uuid4().hex[:10]}"
+    )
+    (
+        cat.lineitem.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartition(4, "l_returnflag")  # concentrate flags → partial rewrite
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    delete_rows(spark, target, F.col("l_quantity") < 48)
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(4,1)")).cast("double").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@_register(
+    "op_table_update",
+    """
+    select l_returnflag, count(*) as n,
+      cast(sum(cast(
+        case when l_returnflag = 'R' then l_quantity * 2 else l_quantity end
+        as decimal(6,1))) as double) as qty
+    from lineitem
+    where l_quantity >= 45
+    group by l_returnflag order by l_returnflag
+    """,
+)
+def op_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS → copy-on-write UPDATE (doubled quantity for flag R) →
+    scan-back aggregate vs the oracle's CASE expression."""
+    import uuid as _uuid
+
+    from verax_spark.sources.cow import update_rows
+
+    cat = Catalog(spark, sf_dir)
+    target = os.path.join(
+        tempfile.gettempdir(), "verax_cow", f"upd_{_uuid.uuid4().hex[:10]}"
+    )
+    (
+        cat.lineitem.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartition(4, "l_returnflag")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    update_rows(
+        spark,
+        target,
+        {"l_quantity": F.col("l_quantity") * 2},
+        F.col("l_returnflag") == "R",
+    )
+    back = spark.read.parquet(target)
+    return (
+        back.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(6,1)")).cast("double").alias("qty"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -317,18 +317,11 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree("/tmp/verax_ckpt/st_windowed_counts", ignore_errors=True)
     stream = read_events_stream(spark, sf_dir)
     name = f"st_win_{uuid.uuid4().hex[:8]}"
-    out = run_available_now(
-        windowed_event_counts(stream).withColumnRenamed("window_start", "ws"), name
-    )
-    # update-mode sink may hold one row per micro-batch update; the final
-    # value per key is the max n (counts are monotone)
-    import pyspark.sql.functions as F2
-
-    return (
-        out.groupBy(F2.col("ws").alias("window_start"), "event_type")
-        .agg(F2.max("n").alias("n"), F2.max("total").alias("total"))
-        .orderBy("window_start", "event_type")
-    )
+    # complete mode: the memory sink holds the full final aggregation state
+    # after the last micro-batch — correct for any trigger split (update-mode
+    # max-reconciliation would break if per-key sums ever decreased)
+    out = run_available_now(windowed_event_counts(stream), name, mode="complete")
+    return out.orderBy("window_start", "event_type")
 
 
 @_register("pl_knn_ivf")  # k-means routing is hash-seeded → rows-only check

@@ -119,9 +119,12 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Minimum-cost supplier (ref tpch.queries/q2.sql), adapted: lineitem is
     the part-supplier fact (no partsupp in testdata); cost := l_extendedprice.
     Shape kept: 5-way join + correlated scalar MIN subquery + top-k.
-    The subquery is decorrelated to groupBy-min + equi-join, the plan the
-    reference optimizer produces for single-row DTs
-    (axiom/optimizer/DerivedTable.cpp:182, Optimization.cpp:1280)."""
+    The correlated MIN is decorrelated to a window min over a SINGLE offers
+    pass (min(l_extendedprice) over (partition by l_partkey)) — one
+    lineitem⋈supplier subtree instead of the aggregate+self-join shape, which
+    executed the 3-way join twice (the reference optimizer's single-row-DT
+    plan, axiom/optimizer/DerivedTable.cpp:182, Optimization.cpp:1280; the
+    window form reuses the same l_partkey exchange for min and filter)."""
     cat = Catalog(spark, sf_dir)
     region = F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE"))
     nation = F.broadcast(cat.nation).join(region, F.col("n_regionkey") == F.col("r_regionkey"))
@@ -130,12 +133,14 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     offers = cat.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice").join(
         supp_eur, F.col("l_suppkey") == F.col("s_suppkey")
     )
-    min_cost = offers.groupBy("l_partkey").agg(F.min("l_extendedprice").alias("min_cost"))
     part = cat.part.filter((F.col("p_size") <= 25) & F.col("p_type").isin("ECONOMY", "STANDARD"))
+    # inner-join part first (shrinks the window input to surviving partkeys;
+    # per-partkey offer rows are unaffected, so the window min is unchanged)
+    w = Window.partitionBy("l_partkey")
     return (
-        offers.join(min_cost, "l_partkey")
+        offers.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("min_cost", F.min("l_extendedprice").over(w))
         .filter(F.col("l_extendedprice") == F.col("min_cost"))
-        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -128,17 +128,27 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, *, mode: str | None = None
+) -> DataFrame:
     """Drain the whole source with Trigger.AvailableNow into a memory sink
     and return the materialized result — deterministic harness for tests
-    and the driver."""
+    and the driver.
+
+    Each call gets a fresh checkpoint (uuid component): the memory-sink drain
+    is always a full recomputation, and a reused checkpoint would replay
+    committed offsets and return an empty/stale table on the second call.
+    """
+    import uuid
+
     spark = stream_df.sparkSession
+    ckpt = f"/tmp/verax_ckpt/{query_name}_{os.getpid()}_{uuid.uuid4().hex[:12]}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode(_output_mode(stream_df))
+        .outputMode(mode or _output_mode(stream_df))
         .trigger(availableNow=True)
-        .option("checkpointLocation", f"/tmp/verax_ckpt/{query_name}_{os.getpid()}")
+        .option("checkpointLocation", ckpt)
         .start()
     )
     q.awaitTermination()
