@@ -237,3 +237,66 @@ def test_reduce_renames_to_aggregate_in_sql(spark):
     sql = transpile("select reduce(array[1, 2, 3], 0, (acc, x) -> acc + x) as v")
     assert "aggregate(" in sql
     assert spark.sql(sql).collect()[0].v == 6
+
+
+# ---------------------------------------------------------------------------
+# function metadata registry (FunctionRegistry.h:111-295 analog)
+# ---------------------------------------------------------------------------
+
+def test_registry_metadata_and_reversibles():
+    from verax_spark.functions.registry import (
+        FunctionMetadata,
+        function_metadata,
+        register_function,
+        reversible_functions,
+    )
+
+    assert function_metadata("lt").reverse == "gt"
+    assert function_metadata("plus").commutative
+    assert not function_metadata("rand").deterministic
+    assert function_metadata("regexp_like").cost > function_metadata("plus").cost
+    assert function_metadata("transform").subfield_arg == 0
+    assert function_metadata("nope_unregistered") is None
+    rev = reversible_functions()
+    assert rev["lte"] == "gte" and rev["eq"] == "eq"
+    # double-registration contract matches FunctionRegistry::registerFunction
+    assert register_function("my_fn_x", FunctionMetadata(cost=2))
+    assert not register_function("my_fn_x", FunctionMetadata())
+
+
+def test_canonicalize_flips_literal_first_comparisons():
+    from verax_spark.functions.registry import canonicalize, expr_cost, is_deterministic
+    from verax_spark.plans.expr import Call, Col, Lit
+
+    e = Call("gt", Lit(5), Col("x"))  # 5 > x
+    c = canonicalize(e)
+    assert c.fn == "lt" and isinstance(c.args[1], Lit)  # x < 5
+    # nested: (5 >= x) AND (y = 1) — only the literal-first side flips
+    e2 = Call("and", Call("gte", Lit(5), Col("x")), Call("eq", Col("y"), Lit(1)))
+    canonicalize(e2)
+    assert e2.args[0].fn == "lte"
+    assert e2.args[1].fn == "eq" and isinstance(e2.args[1].args[1], Lit)
+    assert is_deterministic(e2)
+    assert not is_deterministic(Call("plus", Call("rand"), Lit(1)))
+    assert expr_cost(Call("regexp_like", Col("s"), Lit("x"))) >= 20
+
+
+def test_canonical_predicates_share_history_signature(spark, sf_dir):
+    """End-to-end consumer: flipped spellings of one predicate must build the
+    same Spark plan, hence one history/plan-signature cache entry."""
+    from verax_spark.catalog import Catalog
+    from verax_spark.optimizer.history import plan_signature
+    from verax_spark.plans import PlanBuilder
+    from verax_spark.plans.expr import Call, Col, Lit
+
+    cat = Catalog(spark, sf_dir)
+    a = (
+        PlanBuilder(spark, sf_dir).table_scan("orders")
+        .filter(Call("lt", Col("o_totalprice"), Lit(1000.0))).build()
+    )
+    b = (
+        PlanBuilder(spark, sf_dir).table_scan("orders")
+        .filter(Call("gt", Lit(1000.0), Col("o_totalprice"))).build()
+    )
+    assert plan_signature(a) == plan_signature(b)
+    assert a.count() == b.count()

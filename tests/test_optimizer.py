@@ -219,3 +219,33 @@ def test_high_fanout_edge_demotes_small_table(spark):
     out = g.plan()
     assert g.last_order == ["A", "B", "C"], g.last_order
     assert out.count() == 4 * 3 * 6
+
+
+def test_dp_enumeration_finds_bushy_plan(spark):
+    """Memoized enumeration (Optimization.cpp:1555 makeJoins analog) must
+    consider BUSHY shapes: with two reducing arms, joining (A⋈B) with (C⋈D)
+    beats every left-deep order under the C_out cost."""
+    g = QueryGraph()
+    for name, cols in [("A", "a int, ab int"), ("B", "ab2 int, b int"),
+                       ("C", "a2 int, cd int"), ("D", "cd2 int, d int")]:
+        g.table(name, spark.createDataFrame([(1, 1)], cols))
+    g.edge("A", "ab", "B", "ab2")
+    g.edge("A", "a", "C", "a2")
+    g.edge("B", "b", "D", "d")
+    g.edge("C", "cd", "D", "cd2")
+    # stub stats: DP must rely on these, not data (instance attrs shadow
+    # the methods; called without self)
+    est = {"A": 100.0, "B": 200.0, "C": 300.0, "D": 1000.0}
+    fans = {("A", "B"): (2.0, 1.0), ("A", "C"): (3.0, 1.0),
+            ("B", "D"): (10.0, 2.0), ("C", "D"): (1.0, 0.3)}
+    g._estimate_rows = lambda ref: est[ref.name]
+    g._edge_fanout = lambda e, mod=None: fans[(e.left, e.right)]
+    df = g.plan("dp")
+    assert df is not None
+
+    def kinds(tree):
+        return (tree[0],) + tuple(t[0] for t in tree[1:3]) if tree[0] != "leaf" else ("leaf",)
+
+    # best plan is the bushy (A⋈B) ⋈ (C⋈D): both children are joins
+    assert g.last_tree[0] == "join"
+    assert g.last_tree[1][0] == "join" and g.last_tree[2][0] == "join", g.last_tree

@@ -326,6 +326,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    check_every: int = 2,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs → (id, component) with component
     = min id reachable. Label-propagation fixpoint (the small-star/large-star
@@ -334,7 +335,11 @@ def connected_components(
     Scale notes: per iteration one shuffle join + one groupBy; lineage is cut
     with localCheckpoint every iteration so the DAG doesn't grow with the
     diameter (the classic iterative-Spark trap); iterations are bounded by
-    the cluster diameter, typically ≤ log n for dedup graphs.
+    the cluster diameter, typically ≤ log n for dedup graphs. Convergence is
+    probed only every ``check_every`` iterations, against the CHECKPOINTED
+    labels (a per-iteration changed-flag column, so the probe scans
+    materialized data instead of re-running a labels⋈labels join — the probe
+    job is near-free and at most check_every-1 extra iterations run).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -346,33 +351,28 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         # neighbor labels propagated across edges
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id2"))
             .agg(F.min("component").alias("nbr_component"))
         )
+        nbr = F.coalesce("nbr_component", F.col("component"))
         new_labels = (
             labels.join(neighbor_min, labels.id == F.col("id2"), "left")
             .select(
                 "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
-                ).alias("component"),
+                F.least(F.col("component"), nbr).alias("component"),
+                (nbr < F.col("component")).alias("__ch"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
-            break
-    return labels
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            if labels.filter(F.col("__ch")).limit(1).count() == 0:
+                break
+    return labels.select("id", "component")
 
 
 def dedup_transitive(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:

@@ -205,15 +205,31 @@ class QueryGraph:
         pred = "" if ref.predicate is None else str(ref.predicate)
         return f"scan:{ref.name}|{pred}"
 
-    # -- ordering (startingScore / makeJoins greedy analog) ------------------
-    def plan(self) -> DataFrame:
-        """Greedy order: start at the smallest effective table, repeatedly
-        join the frontier candidate with the smallest projected RESULT
-        (current estimate × sampled edge fanout — guessFanout analog), so a
-        small table behind a high-fanout edge is taken late; broadcast sides
-        under the row threshold. Records estimates into history."""
+    # -- ordering (makeJoins analog) -----------------------------------------
+    def plan(self, algorithm: str = "auto") -> DataFrame:
+        """Join ordering:
+
+        - ``dp`` (default for ≤10 tables): memoized enumeration over ALL
+          left-deep AND bushy orders with the C_out cost (sum of intermediate
+          cardinalities from footer row counts × sampled edge fanouts) — the
+          reference's memoized branch-and-bound (Optimization.cpp:1555
+          makeJoins, MemoKey Plan.h:134-151) collapsed to exact subset DP,
+          affordable at this arity in Python;
+        - ``greedy``: smallest-projected-result frontier expansion, for
+          graphs too wide to enumerate.
+
+        Both broadcast sides under the row threshold and record estimates
+        into history.
+        """
         if not self.tables:
             raise ValueError("empty query graph")
+        if algorithm == "auto":
+            algorithm = "dp" if len(self.tables) <= 10 else "greedy"
+        if algorithm == "dp":
+            return self._plan_dp()
+        return self._plan_greedy()
+
+    def _plan_greedy(self) -> DataFrame:
         est = {name: self._estimate_rows(ref) for name, ref in self.tables.items()}
         if self.history is not None:
             for name, ref in self.tables.items():
@@ -277,3 +293,90 @@ class QueryGraph:
         if est[name] <= self.broadcast_rows:
             df = F.broadcast(df)
         return df
+
+    # -- exact enumeration (memoized makeJoins analog) -----------------------
+    def _plan_dp(self) -> DataFrame:
+        """Subset DP over left-deep + bushy join trees, C_out objective.
+
+        best[S] holds (cost, rows, tree) for every connected subset S; trees
+        combine either leaf-extension (left-deep step) or two memoized
+        subtrees (bushy join). Growth across a join picks the MIN fanout
+        among all crossing edges (the remaining crossing edges are applied
+        as additional filters, which only shrink the result)."""
+        est = {name: self._estimate_rows(ref) for name, ref in self.tables.items()}
+        if self.history is not None:
+            for name, ref in self.tables.items():
+                self.history.record_estimate(self._signature(ref), est[name])
+        fanout = {id(e): self._edge_fanout(e) for e in self.edges}
+
+        names = list(self.tables)
+        full = frozenset(names)
+
+        def crossing(s1: frozenset, s2: frozenset) -> list[tuple[JoinEdge, float]]:
+            out = []
+            for e in self.edges:
+                l2r, r2l = fanout[id(e)]
+                if e.left in s1 and e.right in s2:
+                    out.append((e, l2r))
+                elif e.right in s1 and e.left in s2:
+                    out.append((e, r2l))
+            return out
+
+        # best[S] = (cost, rows, tree); tree = ("leaf", name) |
+        # ("join", treeL, treeR, [edges]) | ("cross", treeL, treeR)
+        best: dict[frozenset, tuple[float, float, tuple]] = {
+            frozenset([n]): (0.0, est[n], ("leaf", n)) for n in names
+        }
+        subsets_by_size: dict[int, list[frozenset]] = {1: list(best)}
+        for size in range(2, len(names) + 1):
+            level: list[frozenset] = []
+            seen: set[frozenset] = set()
+            for lsize in range(1, size // 2 + 1):
+                for s1 in subsets_by_size.get(size - lsize, []):
+                    for s2 in subsets_by_size.get(lsize, []):
+                        if s1 & s2:
+                            continue
+                        edges = crossing(s1, s2)
+                        if not edges and size < len(names):
+                            continue  # defer cross joins until forced
+                        s = s1 | s2
+                        c1, r1, t1 = best[s1]
+                        c2, r2, t2 = best[s2]
+                        if edges:
+                            growth = min(g for _, g in edges)
+                            rows = r1 * growth
+                            tree = ("join", t1, t2, [e for e, _ in edges])
+                        else:
+                            rows = r1 * max(r2, 1.0)
+                            tree = ("cross", t1, t2)
+                        cost = c1 + c2 + rows
+                        cur = best.get(s)
+                        if cur is None or cost < cur[0]:
+                            best[s] = (cost, rows, tree)
+                            if s not in seen:
+                                seen.add(s)
+                                level.append(s)
+            subsets_by_size[size] = level
+        if full not in best:
+            # fully disconnected pieces: fall back to greedy cross-joining
+            return self._plan_greedy()
+
+        _, _, tree = best[full]
+        self.last_tree = tree  # inspectable chosen shape (left-deep vs bushy)
+        self.last_order = []
+        return self._build_tree(tree, est)
+
+    def _build_tree(self, tree: tuple, est: dict[str, float]) -> DataFrame:
+        kind = tree[0]
+        if kind == "leaf":
+            self.last_order.append(tree[1])
+            return self._side(tree[1], est)
+        left = self._build_tree(tree[1], est)
+        right = self._build_tree(tree[2], est)
+        if kind == "cross":
+            return left.crossJoin(right)
+        cond = None
+        for e in tree[3]:
+            c = F.col(e.left_key) == F.col(e.right_key)
+            cond = c if cond is None else (cond & c)
+        return left.join(right, cond)

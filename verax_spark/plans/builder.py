@@ -90,7 +90,14 @@ class PlanBuilder:
         return self._df
 
     def filter(self, predicate: Expr | Column | str) -> "PlanBuilder":
-        """FilterNode (LogicalPlanNode.h:210-233)."""
+        """FilterNode (LogicalPlanNode.h:210-233). Expr predicates are
+        canonicalized through the reversible-function registry first
+        (FunctionRegistry.h reversibleFunctions analog) so equivalent
+        spellings produce identical plans/history signatures."""
+        if isinstance(predicate, Expr):
+            from verax_spark.functions.registry import canonicalize
+
+            predicate = canonicalize(predicate)
         self._df = self._req().filter(_to_col(predicate))
         self._node = LogicalNode("Filter", _detail(predicate), [self._node])
         return self
