@@ -832,3 +832,176 @@ QUERIES["tpch_q22"] = q22
 ORACLE["tpch_q4"] = Q4_SQL
 ORACLE["tpch_q18"] = Q18_SQL
 ORACLE["tpch_q22"] = Q22_SQL
+
+
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape; not in the reference's 16-query corpus
+    — added for breadth): CTE-style revenue aggregate consumed twice (once
+    for the global max, once for the final join).
+
+    Single-pass plan: the per-supplier aggregate feeds a global-max window
+    instead of a scalar subquery, so the lineitem scan+agg executes once (the
+    same fix the q2 decorrelation uses). The window partitions by a constant,
+    which is safe here because its input is the *post-aggregate* relation
+    (one row per supplier — bounded), never raw lineitem.
+    """
+    cat = Catalog(spark, sf_dir)
+    rev = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1996-01-01"))
+            & (F.col("l_shipdate") < _ts("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_revenue_expr()).alias("__rev"))  # exact decimal sum
+    )
+    top = rev.withColumn(
+        "__mx", F.max("__rev").over(Window.partitionBy(F.lit(1)))
+    ).filter(F.col("__rev") == F.col("__mx"))  # decimal equality: exact
+    return (
+        cat.supplier.join(top, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = f"""
+with revenue as (
+  select l_suppkey as supplier_no, sum({SQL_REV}) as total_revenue
+  from lineitem
+  where l_shipdate >= timestamp '1996-01-01' and l_shipdate < timestamp '1996-04-01'
+  group by l_suppkey)
+select s_suppkey, s_name, cast(total_revenue as double) as total_revenue
+from supplier, revenue
+where s_suppkey = supplier_no
+  and total_revenue = (select max(total_revenue) from revenue)
+order by s_suppkey
+"""
+
+
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): nested IN subqueries with
+    a grouped-HAVING quantity threshold, then a dimension filter. Adapted:
+    no partsupp/ps_availqty, so the threshold is total shipped quantity of
+    the name-matched parts (lineitem is the part-supplier fact, and the
+    part-name IN becomes a broadcast semi-join)."""
+    cat = Catalog(spark, sf_dir)
+    red_parts = cat.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    heavy = (
+        cat.lineitem.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1998-01-01"))
+        )
+        .join(
+            F.broadcast(red_parts),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity", QTY)).alias("__qty"))
+        .filter(F.col("__qty") > 150)
+    )
+    return (
+        cat.supplier.join(
+            heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(
+            F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .filter(F.col("n_regionkey") == 1)
+        .select("s_name", F.col("s_acctbal").cast("double").alias("acctbal"))
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+select s_name, cast(s_acctbal as double) as acctbal
+from supplier, nation
+where s_suppkey in (
+    select l_suppkey from lineitem
+    where l_partkey in (select p_partkey from part where p_name like 'red%')
+      and l_shipdate >= timestamp '1997-01-01' and l_shipdate < timestamp '1998-01-01'
+    group by l_suppkey
+    having sum({SQL_QTY}) > 150)
+  and s_nationkey = n_nationkey and n_regionkey = 1
+order by s_name
+"""
+
+
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): the iconic
+    EXISTS + NOT-EXISTS pair over self-joined lineitem, 4-way join, top-k.
+    Adapted: no commitdate/receiptdate, so "late" = shipped more than 90
+    days after the order date.
+
+    Decorrelation (the shape the reference's optimizer emits for correlated
+    existence predicates, ref axiom/optimizer/ToGraph.cpp:1478): one
+    lineitem⋈orders pass computes per-order supplier counts —
+    EXISTS(other supplier on the order) ⇔ n_supp > 1, and NOT EXISTS(other
+    LATE supplier) ⇔ n_late_supp = 1 given the probe line is itself late —
+    then the late lines join those counts. Two aggregations over the same
+    co-partitioned join, no per-row subquery."""
+    cat = Catalog(spark, sf_dir)
+    lo = (
+        cat.lineitem.join(
+            cat.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn(
+            "__late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"),
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late"
+        ),
+    )
+    waiting = (
+        lo.filter(F.col("__late"))
+        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+    )
+    return (
+        waiting.join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(cat.nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .filter(F.col("n_regionkey") == 2)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+select s_name, count(*) as numwait
+from supplier, lineitem l1, orders, nation
+where s_suppkey = l1.l_suppkey
+  and o_orderkey = l1.l_orderkey
+  and o_orderstatus = 'F'
+  and l1.l_shipdate > o_orderdate + interval 90 day
+  and exists (
+    select 1 from lineitem l2
+    where l2.l_orderkey = l1.l_orderkey and l2.l_suppkey <> l1.l_suppkey)
+  and not exists (
+    select 1 from lineitem l3
+    where l3.l_orderkey = l1.l_orderkey and l3.l_suppkey <> l1.l_suppkey
+      and l3.l_shipdate > o_orderdate + interval 90 day)
+  and s_nationkey = n_nationkey and n_regionkey = 2
+group by s_name
+order by numwait desc, s_name
+limit 100
+"""
+
+QUERIES["tpch_q15"] = q15
+QUERIES["tpch_q20"] = q20
+QUERIES["tpch_q21"] = q21
+ORACLE["tpch_q15"] = Q15_SQL
+ORACLE["tpch_q20"] = Q20_SQL
+ORACLE["tpch_q21"] = Q21_SQL
