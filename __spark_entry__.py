@@ -38,7 +38,7 @@ _PRIORITY = [
     "op_join_mark", "op_unnest_structs", "op_window_ntile", "op_sessionize",
     "sql_unnest_map_kv", "sql_unnest_ordinality",
     "pl_dedup_exact", "pl_dedup_ngram_jaccard", "pl_dedup_minhash",
-    "pl_dedup_simhash", "pl_text_stats", "pl_text_langid",
+    "pl_dedup_simhash", "pl_dedup_embedding", "pl_text_stats", "pl_text_langid",
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
     "pl_knn_brute", "pl_knn_lsh", "pl_knn_ivf", "pl_multimodal_decode",
     "st_windowed_counts", "pl_curate",

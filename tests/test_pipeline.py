@@ -160,3 +160,39 @@ def test_deterministic_sample_properties(spark, sf_dir):
     # nested property: fraction 0.1 with same salt is a subset of 0.3
     ids_small = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.1, salt=1).select("doc_id").collect()}
     assert ids_small <= ids1
+
+
+def test_embedding_cosine_lsh_path_finds_planted_pairs(spark, sf_dir):
+    """The banded-LSH candidate path (the 100 TB path) must recover every
+    planted near-dup that the exact path finds; spurious pairs are impossible
+    (both paths verify with the exact integer cosine)."""
+    from verax_spark.operators import dedup
+
+    cat = Catalog(spark, sf_dir)
+    to_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = cat.embeddings.filter(F.col("vec_id") < 200).select(
+        "vec_id", to_double.alias("embedding")
+    )
+    planted = cat.embeddings.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    allv = base.unionByName(planted)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(
+            allv, threshold=0.98, exact=True
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_cosine_pairs(
+            allv, threshold=0.98, n_projections=16, band_bits=4
+        ).collect()
+    }
+    assert len(exact) == 50
+    assert approx <= exact  # verification is exact → no false positives
+    missed = exact - approx
+    assert len(missed) <= 2, f"LSH missed too many planted pairs: {missed}"

@@ -384,3 +384,82 @@ def dedup_transitive(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection.
+def embedding_cosine_pairs(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_projections: int = 16,
+    band_bits: int = 4,
+    exact: bool = False,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity →
+    (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold.
+
+    Arithmetic is exact-integer (floor(x·2²⁰) quantization, bigint dot
+    products) so the cosine — and therefore the threshold comparison — is
+    bit-identical on any engine/partitioning (the module's determinism rule).
+
+    Scale paths:
+
+    - ``exact=False`` (default, the 100 TB path): sign-projection LSH bands
+      generate candidates via a banded equi-join — each row appears once per
+      band, only same-bucket pairs are compared, never all-pairs — then the
+      exact cosine verifies each candidate. Same banded shape as
+      minhash_lsh_pairs; recall governed by n_projections/band_bits
+      (candidates must agree on ALL bits of at least one band).
+    - ``exact=True``: all-pairs verification, O(n²) — the correctness oracle
+      baseline for tests and small relations only.
+    """
+    from verax_spark.operators.similarity import cosine, lsh_signature, quantize
+
+    v = df.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv"))
+    if exact:
+        a = v.select(F.col("__id").alias("id_a"), F.col("__qv").alias("__va"))
+        b = v.select(F.col("__id").alias("id_b"), F.col("__qv").alias("__vb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        n_bands = n_projections // band_bits
+        sig = v.withColumn(
+            "__sig", lsh_signature(F.col("__qv"), n_projections=n_projections)
+        ).select(
+            "__id",
+            "__qv",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(band).alias("band"),
+                            F.shiftrightunsigned(F.col("__sig"), band * band_bits)
+                            .bitwiseAND(F.lit((1 << band_bits) - 1))
+                            .alias("key"),
+                        )
+                        for band in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("__id", "__qv", F.col("bb.band"), F.col("bb.key"))
+        left = sig.select(
+            F.col("__id").alias("id_a"), F.col("__qv").alias("__va"), "band", "key"
+        )
+        right = sig.select(
+            F.col("__id").alias("id_b"), F.col("__qv").alias("__vb"), "band", "key"
+        )
+        cand = (
+            left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "__va", "__vb")
+            .distinct()
+        )
+    return (
+        cand.select(
+            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine")
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )

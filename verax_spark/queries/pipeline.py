@@ -371,3 +371,53 @@ def pl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = cat.documents
     curated = curate(docs, jaccard_threshold=0.5, min_quality=0.3)
     return curation_report(docs, curated)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: plant 50 perturbed copies (+0.02 per component,
+# ids offset by 100k) among 200 originals; the operator must recover exactly
+# the planted pairs at threshold 0.98 (planted cosines are 0.987-0.989;
+# max natural pair cosine is ~0.51). Integer cosine → exact thresholding.
+@_register(
+    "pl_dedup_embedding",
+    """
+    with base as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as embedding
+      from embeddings where vec_id < 200),
+    planted as (
+      select vec_id + 100000 as vec_id,
+        list_transform(embedding, x -> cast(x as double) + 0.02) as embedding
+      from embeddings where vec_id < 50),
+    allv as (select * from base union all select * from planted),
+    v as (select vec_id,
+        list_transform(embedding, x -> cast(floor(x * 1048576.0) as bigint)) as qv
+      from allv),
+    pairs as (select a.vec_id as id_a, b.vec_id as id_b,
+        cast(list_sum(list_transform(list_zip(a.qv, b.qv), p -> p[1] * p[2])) as double) as d,
+        cast(list_sum(list_transform(a.qv, x -> x * x)) as double) as na,
+        cast(list_sum(list_transform(b.qv, x -> x * x)) as double) as nb
+      from v a, v b where a.vec_id < b.vec_id)
+    select id_a, id_b, d / (sqrt(na) * sqrt(nb)) as cosine
+    from pairs where d / (sqrt(na) * sqrt(nb)) >= 0.98
+    order by id_a, id_b
+    """,
+)
+def pl_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-path embedding near-dup (operators/dedup.embedding_cosine_pairs);
+    the LSH banded path is recall-tested in tests/test_pipeline.py. Input is
+    id-bounded so the all-pairs verification stays constant-size at any sf —
+    at scale, exact=False is the path."""
+    cat = Catalog(spark, sf_dir)
+    to_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = cat.embeddings.filter(F.col("vec_id") < 200).select(
+        "vec_id", to_double.alias("embedding")
+    )
+    planted = cat.embeddings.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + F.lit(0.02)).alias(
+            "embedding"
+        ),
+    )
+    return dedup.embedding_cosine_pairs(
+        base.unionByName(planted), threshold=0.98, exact=True
+    )
