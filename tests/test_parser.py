@@ -1,0 +1,150 @@
+"""Grammar coverage for the recursive-descent Presto parser
+(verax_spark/sql/parser.py) — pure transpile assertions, no Spark session.
+
+Mirrors the reference's parser test strategy (differential parse-and-run in
+test_sql_frontend.py; these are the fast shape checks)."""
+
+import pytest
+
+from verax_spark.sql.ast import ParseError
+from verax_spark.sql.parser import parse
+from verax_spark.sql.presto import transpile
+
+
+def test_subscripts_are_one_based():
+    out = transpile("select a[1], m['k'].f from t")
+    assert "element_at(a, 1)" in out
+    assert "element_at(m, 'k')" in out and ".f" in out
+
+
+def test_array_row_map_constructors():
+    out = transpile("select array[1, a[2], array[3]], row(1, 'x'), "
+                    "map(array['a'], array[1]) from t")
+    assert "array(1, element_at(a, 2), array(3))" in out
+    assert "struct(1, 'x')" in out
+    assert "map_from_arrays(array('a'), array(1))" in out
+
+
+def test_typed_and_interval_literals():
+    out = transpile("select decimal '1.25', timestamp '2000-01-01 00:00:00', "
+                    "interval '3' month, interval 90 day from t")
+    assert "cast('1.25' as decimal(3,2))" in out
+    assert "timestamp '2000-01-01 00:00:00'" in out
+    assert "interval '3' month" in out and "interval 90 day" in out
+
+
+def test_predicates():
+    out = transpile(
+        "select * from t where a between 1 and 2 and b not in (1, 2) "
+        "and c is not null and d is distinct from e and f not like 'x%' "
+        "and g is not distinct from h"
+    )
+    assert "between 1 and 2" in out
+    assert "not in (1, 2)" in out
+    assert "is not null" in out
+    assert "is distinct from" in out and "is not distinct from" in out
+    assert "not like 'x%'" in out
+
+
+def test_operator_precedence():
+    assert transpile("select 1 + 2 * 3").endswith("(1 + (2 * 3))")
+    assert "((a or (b and c)) or d)" in transpile("select * from t where a or b and c or d")
+    out = transpile("select 'a' || 'b' || cast(1 + 2 as varchar)")
+    assert "(('a' || 'b') || cast((1 + 2) as string))" in out
+
+
+def test_lambdas():
+    out = transpile("select transform(xs, x -> x + 1), "
+                    "reduce(xs, 0, (acc, x) -> acc + x, s -> s) from t")
+    assert "x -> (x + 1)" in out
+    assert "aggregate(" in out  # reduce → aggregate rename
+    assert "(acc, x) -> (acc + x)" in out
+
+
+def test_case_forms():
+    out = transpile("select case when a > 1 then 'x' else 'y' end, "
+                    "case a when 1 then 'p' when 2 then 'q' end from t")
+    assert "case when (a > 1) then 'x' else 'y' end" in out
+    assert "case a when 1 then 'p' when 2 then 'q' end" in out
+
+
+def test_set_operations_and_precedence():
+    # INTERSECT binds tighter than UNION
+    out = transpile("select 1 union all select 2 intersect select 3")
+    assert "select 2 intersect distinct select 3" in out
+    assert out.startswith("select 1 union all")
+
+
+def test_group_by_forms():
+    assert "rollup (a, b)" in transpile("select a, b from t group by rollup(a, b)")
+    assert "cube (a, b)" in transpile("select a, b from t group by cube(a, b)")
+    out = transpile("select a, b from t group by grouping sets ((a, b), (a), ())")
+    assert "grouping sets ((a, b), (a), ())" in out
+
+
+def test_window_frames():
+    out = transpile(
+        "select sum(x) over (partition by g order by o "
+        "rows between 2 preceding and current row), "
+        "lead(x, 1) ignore nulls over (order by o) from t"
+    )
+    assert "rows between 2 preceding and current row" in out
+    assert "ignore nulls over" in out
+    with pytest.raises(NotImplementedError):
+        transpile("select sum(x) over (order by o groups between 1 preceding "
+                  "and current row) from t")
+
+
+def test_fetch_first_and_offset():
+    out = transpile("select * from t order by a offset 5 fetch first 10 rows only")
+    assert out.endswith("order by a limit 10 offset 5")
+
+
+def test_tablesample():
+    out = transpile("select * from t tablesample system (10)")
+    assert "tablesample (10 percent)" in out
+    with pytest.raises(NotImplementedError):
+        transpile("select * from t tablesample foo (10)")
+
+
+def test_values_relation():
+    out = transpile("select * from (values (1, 'a'), (2, 'b')) as t(x, y)")
+    assert "(values (1, 'a'), (2, 'b')) as t(x, y)" in out
+
+
+def test_lateral_subquery():
+    out = transpile("select * from t, lateral (select t.x + 1 as y) s")
+    assert "lateral (select (t.x + 1) as y) as s" in out
+
+
+def test_cte_with_column_aliases():
+    out = transpile("with c(a, b) as (select 1, 2) select a from c")
+    assert out.startswith("with c(a, b) as (select 1, 2)")
+
+
+def test_quoted_identifiers():
+    out = transpile('select "select" from "from"')
+    # quoted names survive as identifiers (rendered bare when word-like)
+    assert "select select from from" == out
+
+
+def test_parse_errors_have_positions():
+    with pytest.raises(ParseError) as e:
+        parse("select * from")
+    assert "at" in str(e.value)
+    with pytest.raises(ParseError):
+        parse("select (1 from t")
+    with pytest.raises(ParseError):
+        parse("insert into t values (1)")  # only SELECT/EXPLAIN
+
+
+def test_explain_statement_shape():
+    from verax_spark.sql import ast
+
+    stmt = parse("explain select 1")
+    assert isinstance(stmt, ast.ExplainStmt)
+
+
+def test_comments_are_skipped():
+    out = transpile("select 1 -- trailing\n, 2 /* block\ncomment */ from t")
+    assert out == "select 1, 2 from t"

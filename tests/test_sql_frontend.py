@@ -77,9 +77,22 @@ def test_unnest_multi_array_zip(presto):
     assert [(r.x, r.y) for r in rows] == [(1, "p"), (2, "q"), (3, None)]
 
 
+def test_comma_lateral_unnest(presto):
+    # implicit-lateral comma form (ref AstRelations.h: Unnest is correlated
+    # with relations to its left) — lowered to LATERAL VIEW like CROSS JOIN
+    rows = presto.sql(
+        "select s.n, t.w from (select 1 as n, split('x y', ' ') as ws) s, "
+        "unnest(s.ws) as t(w) order by t.w"
+    ).collect()
+    assert [(r.n, r.w) for r in rows] == [(1, "x"), (1, "y")]
+
+
 def test_unsupported_unnest_raises(presto):
     with pytest.raises(NotImplementedError):
-        transpile("select * from t, unnest(xs) as u(x)")  # lateral-comma form
+        transpile("select * from t left join unnest(xs) as u(x) on true")
+    with pytest.raises(NotImplementedError):
+        transpile("select * from t where x > 1 group by grouping sets ((x)) "
+                  "union all select * from s join lateral (select 1) q on true")
 
 
 def test_typed_literal_inside_string_untouched():

@@ -1394,3 +1394,78 @@ def op_table_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door: constructs only a real parser can lower (quantified
+# comparisons, lateral subqueries, 1-based subscripts) — ref
+# axiom/sql/presto/ast/AstExpressions.h QuantifiedComparison,
+# AstRelations.h Lateral/Subscript.
+@_register(
+    "sql_quantified",
+    """
+    select c_custkey, cast(c_acctbal as double) as bal from customer
+    where c_acctbal >= all (select c_acctbal from customer where c_custkey % 50 = 3)
+    order by c_custkey
+    """,
+)
+def sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto ``>= ALL (subquery)`` through the parser (lowers to a max()
+    scalar subquery)."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select c_custkey, cast(c_acctbal as double) as bal from customer
+        where c_acctbal >= all (select c_acctbal from customer where c_custkey % 50 = 3)
+        order by c_custkey
+        """
+    )
+
+
+@_register(
+    "sql_lateral",
+    """
+    select c_custkey, cast(t.mx as double) as mx
+    from customer, lateral (
+      select max(o_totalprice) as mx from orders where o_custkey = c_custkey) t
+    where c_custkey < 20 and t.mx is not null
+    order by c_custkey
+    """,
+)
+def sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery relation through the parser (Spark 3.2+
+    lateral subquery join; ref AstRelations.h Lateral)."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select c_custkey, cast(t.mx as double) as mx
+        from customer, lateral (
+          select max(o_totalprice) as mx from orders where o_custkey = c_custkey) t
+        where c_custkey < 20 and t.mx is not null
+        order by c_custkey
+        """
+    )
+
+
+@_register(
+    "sql_subscript",
+    """
+    select doc_id, string_split(text, ' ')[1] as w1,
+      doc_id as mk  -- ground truth of the Presto-side map literal lookup
+    from documents where doc_id < 30 order by doc_id
+    """,
+)
+def sql_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto 1-based array subscript + map key lookup → element_at (Spark's
+    native ``[]`` is 0-based for arrays; a lexical rewriter cannot fix this)."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select doc_id, split(text, ' ')[1] as w1,
+          map(array['k'], array[doc_id])['k'] as mk
+        from documents where doc_id < 30 order by doc_id
+        """
+    )

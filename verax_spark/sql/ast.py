@@ -1,0 +1,712 @@
+"""Presto SQL AST + Spark-SQL rendering.
+
+Node inventory mirrors the reference's typed AST (ref
+axiom/sql/presto/ast/AstExpressions.h — literals, call, cast, case, lambda,
+quantified comparison, exists/subquery, between/in/like, subscript,
+dereference; ref axiom/sql/presto/ast/AstRelations.h — aliased relation,
+sampled relation, joins, unnest with ordinality, lateral, values; ref
+axiom/sql/presto/ast/AstStatements.h — query, with, query specification,
+set operations, sort item, select items).
+
+Each node renders itself to *Spark* SQL (`sql()`), which is where dialect
+lowering happens structurally — by construction it cannot corrupt string
+literals or mis-nest (the regex shim's failure modes):
+
+- Presto 1-based subscripts → ``element_at`` (arrays AND maps; Spark ``[]``
+  is 0-based for arrays — a semantic fix a lexical rewriter can't make
+  safely);
+- ``ARRAY[...]`` → ``array(...)``; ``ROW(...)`` → ``struct(...)``;
+  ``MAP(ARRAY[...], ARRAY[...])`` → ``map_from_arrays``;
+- typed literals ``double '1.5'`` → ``cast('1.5' as double)`` (date/
+  timestamp/interval share syntax with Spark and pass through);
+- function renames via functions.presto.PRESTO_TO_SPARK; non-1:1 names
+  (truncate/sha256/json_parse/...) are left untouched — PrestoSession
+  registers them as Catalyst SQL UDFs (register_sql_compat);
+- quantified comparisons: ``= ANY`` → ``IN``, ``<> ALL`` → ``NOT IN``,
+  ordered quantifiers → min/max scalar subquery;
+- UNNEST relations (any join spelling, incl. implicit comma = lateral) →
+  ``LATERAL VIEW explode/inline``; WITH ORDINALITY → zipped 1-based index;
+- ``TABLESAMPLE BERNOULLI(p)`` → ``TABLESAMPLE (p PERCENT)``;
+- ``FETCH FIRST n ROWS ONLY`` → ``LIMIT n``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class ParseError(ValueError):
+    pass
+
+
+def _renamed(name: str) -> str:
+    from verax_spark.functions.presto import PRESTO_TO_SPARK
+
+    return PRESTO_TO_SPARK.get(name.lower(), name)
+
+
+# ---------------------------------------------------------------------------
+# Expressions
+class Expr:
+    def sql(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+@dataclass
+class Raw(Expr):
+    """Verbatim token run: numbers, strings (quotes included), NULL, TRUE."""
+
+    text: str
+
+    def sql(self) -> str:
+        return self.text
+
+
+@dataclass
+class TypedLit(Expr):
+    """``double '1.5'`` — Presto typed literal (AstExpressions.h GenericLiteral)."""
+
+    type_: str
+    value: str  # raw quoted string, escapes preserved
+
+    _PASSTHROUGH = {"date", "timestamp", "time"}
+
+    def sql(self) -> str:
+        t = self.type_.lower()
+        if t in self._PASSTHROUGH:
+            return f"{t} {self.value}"
+        if t == "decimal" and "(" not in self.type_:
+            body = self.value.strip("'")
+            digits = body.replace("-", "").replace("+", "")
+            scale = len(digits.split(".")[1]) if "." in digits else 0
+            prec = max(len(digits.replace(".", "")), 1)
+            return f"cast({self.value} as decimal({prec},{scale}))"
+        return f"cast({self.value} as {self.type_})"
+
+
+@dataclass
+class Interval(Expr):
+    """``interval '3' day [to hour]``."""
+
+    value: str
+    unit: str
+    to_unit: str | None = None
+
+    def sql(self) -> str:
+        to = f" to {self.to_unit}" if self.to_unit else ""
+        return f"interval {self.value} {self.unit}{to}"
+
+
+@dataclass
+class Ident(Expr):
+    """Possibly-qualified name; parts keep their original spelling."""
+
+    parts: list[str]
+
+    def sql(self) -> str:
+        return ".".join(self.parts)
+
+
+@dataclass
+class Star(Expr):
+    qualifier: list[str] = field(default_factory=list)
+
+    def sql(self) -> str:
+        return ".".join(self.qualifier + ["*"])
+
+
+@dataclass
+class BinOp(Expr):
+    op: str
+    left: Expr
+    right: Expr
+
+    def sql(self) -> str:
+        return f"({self.left.sql()} {self.op} {self.right.sql()})"
+
+
+@dataclass
+class UnOp(Expr):
+    op: str  # 'not', '-', '+'
+    operand: Expr
+
+    def sql(self) -> str:
+        sep = " " if self.op.isalpha() else ""
+        return f"({self.op}{sep}{self.operand.sql()})"
+
+
+@dataclass
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+    def sql(self) -> str:
+        return f"({self.operand.sql()} is {'not ' if self.negated else ''}null)"
+
+
+@dataclass
+class IsDistinctFrom(Expr):
+    left: Expr
+    right: Expr
+    negated: bool = False
+
+    def sql(self) -> str:
+        neg = "not " if self.negated else ""
+        return f"({self.left.sql()} is {neg}distinct from {self.right.sql()})"
+
+
+@dataclass
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+    def sql(self) -> str:
+        neg = "not " if self.negated else ""
+        return (
+            f"({self.operand.sql()} {neg}between {self.low.sql()}"
+            f" and {self.high.sql()})"
+        )
+
+
+@dataclass
+class Like(Expr):
+    operand: Expr
+    pattern: Expr
+    escape: Expr | None = None
+    negated: bool = False
+
+    def sql(self) -> str:
+        neg = "not " if self.negated else ""
+        esc = f" escape {self.escape.sql()}" if self.escape else ""
+        return f"({self.operand.sql()} {neg}like {self.pattern.sql()}{esc})"
+
+
+@dataclass
+class InList(Expr):
+    operand: Expr
+    items: list[Expr]
+    negated: bool = False
+
+    def sql(self) -> str:
+        neg = "not " if self.negated else ""
+        return (
+            f"({self.operand.sql()} {neg}in "
+            f"({', '.join(e.sql() for e in self.items)}))"
+        )
+
+
+@dataclass
+class InSubquery(Expr):
+    operand: Expr
+    query: "Query"
+    negated: bool = False
+
+    def sql(self) -> str:
+        neg = "not " if self.negated else ""
+        return f"({self.operand.sql()} {neg}in ({self.query.sql()}))"
+
+
+@dataclass
+class Quantified(Expr):
+    """Quantified comparison (AstExpressions.h QuantifiedComparison).
+
+    Lowering: ``= ANY`` ⇔ IN; ``<> ALL`` ⇔ NOT IN; ordered quantifiers
+    reduce to a min/max scalar subquery (x > ANY(S) ⇔ x > min(S), x > ALL(S)
+    ⇔ x > max(S); empty/NULL sets degrade to NULL comparisons, which agree
+    with Presto in WHERE context — both drop the row).
+    """
+
+    op: str
+    quantifier: str  # 'any' | 'all'  ('some' normalized to 'any')
+    operand: Expr
+    query: "Query"
+
+    _AGG = {
+        (">", "any"): "min", (">=", "any"): "min",
+        ("<", "any"): "max", ("<=", "any"): "max",
+        (">", "all"): "max", (">=", "all"): "max",
+        ("<", "all"): "min", ("<=", "all"): "min",
+    }
+
+    def sql(self) -> str:
+        sub = self.query.sql()
+        if (self.op, self.quantifier) == ("=", "any"):
+            return f"({self.operand.sql()} in ({sub}))"
+        if (self.op, self.quantifier) == ("<>", "all"):
+            return f"({self.operand.sql()} not in ({sub}))"
+        agg = self._AGG.get((self.op, self.quantifier))
+        if agg is None:
+            raise NotImplementedError(
+                f"quantified comparison {self.op} {self.quantifier.upper()}(...)"
+                " has no clean Spark lowering; rewrite as EXISTS"
+            )
+        return (
+            f"({self.operand.sql()} {self.op} "
+            f"(select {agg}(__q.__v) from ({sub}) as __q(__v)))"
+        )
+
+
+@dataclass
+class Cast(Expr):
+    operand: Expr
+    type_: str
+    try_: bool = False
+
+    def sql(self) -> str:
+        fn = "try_cast" if self.try_ else "cast"
+        return f"{fn}({self.operand.sql()} as {self.type_})"
+
+
+@dataclass
+class Case(Expr):
+    operand: Expr | None
+    whens: list[tuple[Expr, Expr]]
+    else_: Expr | None
+
+    def sql(self) -> str:
+        parts = ["case"]
+        if self.operand is not None:
+            parts.append(self.operand.sql())
+        for cond, val in self.whens:
+            parts.append(f"when {cond.sql()} then {val.sql()}")
+        if self.else_ is not None:
+            parts.append(f"else {self.else_.sql()}")
+        parts.append("end")
+        return " ".join(parts)
+
+
+@dataclass
+class ArrayCtor(Expr):
+    items: list[Expr]
+
+    def sql(self) -> str:
+        return f"array({', '.join(e.sql() for e in self.items)})"
+
+
+@dataclass
+class RowCtor(Expr):
+    items: list[Expr]
+
+    def sql(self) -> str:
+        return f"struct({', '.join(e.sql() for e in self.items)})"
+
+
+@dataclass
+class Subscript(Expr):
+    """Presto ``a[i]``: 1-based for arrays, key-lookup for maps — both are
+    exactly Spark's ``element_at`` (Spark's ``[]`` is 0-based for arrays,
+    so a verbatim pass-through would be off by one)."""
+
+    operand: Expr
+    index: Expr
+
+    def sql(self) -> str:
+        return f"element_at({self.operand.sql()}, {self.index.sql()})"
+
+
+@dataclass
+class Deref(Expr):
+    """Row-field dereference ``expr.field`` on a non-name base."""
+
+    operand: Expr
+    fld: str
+
+    def sql(self) -> str:
+        return f"({self.operand.sql()}).{self.fld}"
+
+
+@dataclass
+class Lambda(Expr):
+    params: list[str]
+    body: Expr
+
+    def sql(self) -> str:
+        head = self.params[0] if len(self.params) == 1 else f"({', '.join(self.params)})"
+        return f"{head} -> {self.body.sql()}"
+
+
+@dataclass
+class WindowFrame:
+    kind: str  # 'rows' | 'range' | 'groups'
+    start: str
+    end: str | None
+
+    def sql(self) -> str:
+        if self.kind == "groups":
+            raise NotImplementedError(
+                "GROUPS window frames have no Spark analog (SURVEY §2.2)"
+            )
+        if self.end is None:
+            return f"{self.kind} {self.start}"
+        return f"{self.kind} between {self.start} and {self.end}"
+
+
+@dataclass
+class WindowSpec:
+    partition_by: list[Expr] = field(default_factory=list)
+    order_by: list["SortItem"] = field(default_factory=list)
+    frame: WindowFrame | None = None
+
+    def sql(self) -> str:
+        parts = []
+        if self.partition_by:
+            parts.append(
+                "partition by " + ", ".join(e.sql() for e in self.partition_by)
+            )
+        if self.order_by:
+            parts.append("order by " + ", ".join(s.sql() for s in self.order_by))
+        if self.frame is not None:
+            parts.append(self.frame.sql())
+        return f"({' '.join(parts)})"
+
+
+@dataclass
+class Call(Expr):
+    name: str
+    args: list[Expr] = field(default_factory=list)
+    distinct: bool = False
+    filter_: Expr | None = None
+    ignore_nulls: bool = False
+    window: WindowSpec | None = None
+
+    _SPECIAL = {
+        "map": "_map",  # MAP(ARRAY[..], ARRAY[..]) → map_from_arrays
+    }
+
+    def sql(self) -> str:
+        name = _renamed(self.name)
+        args = ", ".join(e.sql() for e in self.args)
+        if self.name.lower() == "map" and len(self.args) == 2:
+            name, args = "map_from_arrays", args
+        elif self.name.lower() == "map" and not self.args:
+            name, args = "map", ""
+        head = f"{name}({'distinct ' if self.distinct else ''}{args})"
+        if self.filter_ is not None:
+            head += f" filter (where {self.filter_.sql()})"
+        if self.ignore_nulls:
+            head += " ignore nulls"
+        if self.window is not None:
+            head += f" over {self.window.sql()}"
+        return head
+
+
+@dataclass
+class Extract(Expr):
+    unit: str
+    operand: Expr
+
+    def sql(self) -> str:
+        return f"extract({self.unit} from {self.operand.sql()})"
+
+
+@dataclass
+class Exists(Expr):
+    query: "Query"
+    negated: bool = False
+
+    def sql(self) -> str:
+        neg = "not " if self.negated else ""
+        return f"({neg}exists ({self.query.sql()}))"
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    query: "Query"
+
+    def sql(self) -> str:
+        return f"({self.query.sql()})"
+
+
+# ---------------------------------------------------------------------------
+# Relations
+class Relation:
+    def sql(self) -> str:  # pragma: no cover - abstract
+        raise NotImplementedError
+
+
+@dataclass
+class Table(Relation):
+    name: list[str]
+    alias: str | None = None
+    col_aliases: list[str] = field(default_factory=list)
+
+    def sql(self) -> str:
+        s = ".".join(self.name)
+        if self.alias:
+            s += f" as {self.alias}"
+            if self.col_aliases:
+                s += f"({', '.join(self.col_aliases)})"
+        return s
+
+
+@dataclass
+class SubqueryRel(Relation):
+    query: "Query"
+    alias: str | None = None
+    col_aliases: list[str] = field(default_factory=list)
+    lateral: bool = False
+
+    def sql(self) -> str:
+        s = f"({self.query.sql()})"
+        if self.lateral:
+            s = f"lateral {s}"
+        if self.alias:
+            s += f" as {self.alias}"
+            if self.col_aliases:
+                s += f"({', '.join(self.col_aliases)})"
+        return s
+
+
+@dataclass
+class ValuesRel(Relation):
+    rows: list[list[Expr]]
+    alias: str | None = None
+    col_aliases: list[str] = field(default_factory=list)
+
+    def sql(self) -> str:
+        rows = ", ".join(
+            f"({', '.join(e.sql() for e in row)})" for row in self.rows
+        )
+        s = f"(values {rows})"
+        if self.alias:
+            s += f" as {self.alias}"
+            if self.col_aliases:
+                s += f"({', '.join(self.col_aliases)})"
+        return s
+
+
+@dataclass
+class Unnest(Relation):
+    """UNNEST relation (AstRelations.h Unnest, withOrdinality).
+
+    Rendered by the owning join/from-clause as a Spark LATERAL VIEW (see
+    _render_from): Presto UNNEST is implicitly correlated with the relations
+    to its left, which is exactly LATERAL VIEW's scoping.
+    """
+
+    exprs: list[Expr]
+    ordinality: bool = False
+    alias: str | None = None
+    col_aliases: list[str] = field(default_factory=list)
+
+    def lateral_view(self) -> str:
+        alias = self.alias or "__u"
+        cols = self.col_aliases
+        if not cols:
+            raise NotImplementedError(
+                "UNNEST requires AS alias(col, ...) naming its output columns"
+            )
+        exprs = [e.sql() for e in self.exprs]
+        if self.ordinality:
+            # ordinality column is last; arrays_zip pads to the longest
+            # array, and the 1-based index array has exactly that length
+            if len(exprs) == 1:
+                size = f"size({exprs[0]})"
+            else:
+                size = f"greatest({', '.join(f'size({e})' for e in exprs)})"
+            zipped = ", ".join(exprs + [f"sequence(1, {size})"])
+            if len(cols) != len(exprs) + 1:
+                raise NotImplementedError(
+                    f"UNNEST({len(exprs)} arrays) WITH ORDINALITY must name "
+                    f"{len(exprs) + 1} output columns; got {len(cols)}"
+                )
+            return (
+                f"lateral view inline(arrays_zip({zipped})) {alias} "
+                f"as {', '.join(cols)}"
+            )
+        if len(exprs) > 1:
+            if len(cols) != len(exprs):
+                raise NotImplementedError(
+                    f"UNNEST({len(exprs)} arrays) must name exactly "
+                    f"{len(exprs)} output columns; got {len(cols)}"
+                )
+            return (
+                f"lateral view inline(arrays_zip({', '.join(exprs)})) {alias} "
+                f"as {', '.join(cols)}"
+            )
+        if len(cols) == 1:
+            return f"lateral view explode({exprs[0]}) {alias} as {cols[0]}"
+        if len(cols) == 2:
+            # ambiguous at parse time: 2 output columns means a map →
+            # explode(k, v). Arrays of 2-field rows (flattenArrayOfRows)
+            # go through PlanBuilder.unnest, documented.
+            return f"lateral view explode({exprs[0]}) {alias} as {cols[0]}, {cols[1]}"
+        # 3+ columns: array-of-rows flattening
+        return f"lateral view inline({exprs[0]}) {alias} as {', '.join(cols)}"
+
+    def sql(self) -> str:  # only reached if UNNEST is the sole FROM relation
+        raise NotImplementedError(
+            "UNNEST must be joined to a left relation (cross join / comma)"
+        )
+
+
+@dataclass
+class TableSample(Relation):
+    relation: Relation
+    method: str  # bernoulli | system
+    percentage: Expr
+
+    def sql(self) -> str:
+        # Spark: TABLESAMPLE (p PERCENT) — BERNOULLI row-sampling semantics.
+        return f"{self.relation.sql()} tablesample ({self.percentage.sql()} percent)"
+
+
+@dataclass
+class Join(Relation):
+    kind: str  # inner|left|right|full|cross
+    left: Relation
+    right: Relation
+    on: Expr | None = None
+    using: list[str] = field(default_factory=list)
+
+    def sql(self) -> str:
+        if isinstance(self.right, Unnest):
+            if self.kind not in ("cross", "inner", "left"):
+                raise NotImplementedError(
+                    f"{self.kind.upper()} JOIN UNNEST is not supported"
+                )
+            if self.kind == "left":
+                raise NotImplementedError(
+                    "LEFT JOIN UNNEST ... ON TRUE: use PlanBuilder.unnest"
+                    "(empty behavior) — LATERAL VIEW OUTER differs on nulls"
+                )
+            return f"{self.left.sql()} {self.right.lateral_view()}"
+        if self.kind == "cross":
+            return f"{self.left.sql()} cross join {self.right.sql()}"
+        if self.using:
+            return (
+                f"{self.left.sql()} {self.kind} join {self.right.sql()} "
+                f"using ({', '.join(self.using)})"
+            )
+        on = f" on {self.on.sql()}" if self.on is not None else ""
+        return f"{self.left.sql()} {self.kind} join {self.right.sql()}{on}"
+
+
+# ---------------------------------------------------------------------------
+# Query structure
+@dataclass
+class SortItem:
+    expr: Expr
+    ascending: bool = True
+    nulls: str | None = None  # 'first' | 'last'
+
+    def sql(self) -> str:
+        s = self.expr.sql()
+        if not self.ascending:
+            s += " desc"
+        if self.nulls:
+            s += f" nulls {self.nulls}"
+        return s
+
+
+@dataclass
+class SelectItem:
+    expr: Expr
+    alias: str | None = None
+
+    def sql(self) -> str:
+        s = self.expr.sql()
+        if self.alias:
+            s += f" as {self.alias}"
+        return s
+
+
+@dataclass
+class GroupBy:
+    kind: str  # 'plain' | 'rollup' | 'cube' | 'sets'
+    items: list[Expr] = field(default_factory=list)
+    sets: list[list[Expr]] = field(default_factory=list)
+
+    def sql(self) -> str:
+        if self.kind == "plain":
+            return ", ".join(e.sql() for e in self.items)
+        if self.kind in ("rollup", "cube"):
+            return f"{self.kind} ({', '.join(e.sql() for e in self.items)})"
+        sets = ", ".join(
+            f"({', '.join(e.sql() for e in s)})" for s in self.sets
+        )
+        return f"grouping sets ({sets})"
+
+
+@dataclass
+class Select:
+    items: list[SelectItem]
+    from_: Relation | None = None
+    where: Expr | None = None
+    group_by: GroupBy | None = None
+    having: Expr | None = None
+    distinct: bool = False
+
+    def sql(self) -> str:
+        parts = ["select"]
+        if self.distinct:
+            parts.append("distinct")
+        parts.append(", ".join(i.sql() for i in self.items))
+        if self.from_ is not None:
+            parts.append(f"from {self.from_.sql()}")
+        if self.where is not None:
+            parts.append(f"where {self.where.sql()}")
+        if self.group_by is not None:
+            parts.append(f"group by {self.group_by.sql()}")
+        if self.having is not None:
+            parts.append(f"having {self.having.sql()}")
+        return " ".join(parts)
+
+
+@dataclass
+class SetOp:
+    kind: str  # union|intersect|except
+    all: bool
+    left: "Select | SetOp | Query"
+    right: "Select | SetOp | Query"
+
+    def sql(self) -> str:
+        q = "all" if self.all else "distinct"
+        return f"{self.left.sql()} {self.kind} {q} {self.right.sql()}"
+
+
+@dataclass
+class CTE:
+    name: str
+    query: "Query"
+    col_aliases: list[str] = field(default_factory=list)
+
+    def sql(self) -> str:
+        cols = f"({', '.join(self.col_aliases)})" if self.col_aliases else ""
+        return f"{self.name}{cols} as ({self.query.sql()})"
+
+
+@dataclass
+class Query:
+    body: Select | SetOp | "Query"
+    ctes: list[CTE] = field(default_factory=list)
+    order_by: list[SortItem] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+    def sql(self) -> str:
+        parts = []
+        if self.ctes:
+            parts.append("with " + ", ".join(c.sql() for c in self.ctes))
+        body = self.body.sql()
+        if isinstance(self.body, Query):  # parenthesized query term
+            body = f"({body})"
+        parts.append(body)
+        if self.order_by:
+            parts.append("order by " + ", ".join(s.sql() for s in self.order_by))
+        if self.limit is not None:
+            parts.append(f"limit {self.limit}")
+        if self.offset is not None:
+            # Spark accepts LIMIT ... OFFSET ... ordering
+            parts.append(f"offset {self.offset}")
+        return " ".join(parts)
+
+
+@dataclass
+class ExplainStmt:
+    query: Query
+
+    def sql(self) -> str:
+        return self.query.sql()

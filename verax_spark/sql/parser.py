@@ -1,0 +1,901 @@
+"""Recursive-descent Presto SQL parser → verax_spark.sql.ast.
+
+Hand-written equivalent of the reference's generated ANTLR parser + AST
+builder (ref axiom/sql/presto/grammar/PrestoSqlParser.cpp ~24k generated
+lines; AST construction axiom/sql/presto/ast/AstBuilder.cpp; statement
+surface SELECT/EXPLAIN only, ref axiom/optimizer/tests/SqlStatement.h:23-79).
+The grammar subset is the reference PrestoParser's executable surface:
+
+  statement   := [EXPLAIN] query
+  query       := [WITH cte ("," cte)*] queryTerm
+                 [ORDER BY sortItem ("," sortItem)*]
+                 [OFFSET n [ROWS]] [LIMIT n | FETCH FIRST n ROWS ONLY]
+  queryTerm   := queryPrimary ((UNION|EXCEPT) [ALL|DISTINCT] queryPrimary
+                             | INTERSECT [ALL|DISTINCT] queryPrimary)*
+  queryPrimary:= SELECT ... | "(" query ")" | VALUES row ("," row)*
+  relation    := sampled ((CROSS JOIN | [join-type] JOIN) sampled
+                 [ON expr | USING "(" idents ")"] | "," sampled)*
+  sampled     := primaryRel [TABLESAMPLE (BERNOULLI|SYSTEM) "(" expr ")"]
+  primaryRel  := table | "(" query ")" | "(" relation ")" | UNNEST "(" exprs
+                 ")" [WITH ORDINALITY] | LATERAL "(" query ")" | VALUES ...
+  expressions := full Presto precedence: OR < AND < NOT < predicate
+                 (cmp, quantified cmp, BETWEEN, IN, LIKE, IS NULL,
+                 IS DISTINCT FROM) < "||" < additive < multiplicative <
+                 unary < postfix ("[" subscript "]", "." deref) < primary
+                 (literals, typed literals, intervals, CASE, CAST/TRY_CAST,
+                 EXISTS, scalar subquery, lambda, ARRAY/ROW constructors,
+                 function calls with DISTINCT/FILTER/IGNORE NULLS/OVER,
+                 EXTRACT(unit FROM e))
+
+Everything parses into typed AST nodes; dialect lowering lives entirely in
+the nodes' ``sql()`` renderers (ast.py), never here.
+"""
+
+from __future__ import annotations
+
+import re
+
+from verax_spark.sql import ast
+from verax_spark.sql.ast import ParseError
+
+_TOKEN = re.compile(
+    r"""
+    (?P<ws>\s+|--[^\n]*|/\*.*?\*/)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<num>(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?)
+  | (?P<qid>"(?:[^"]|"")*")
+  | (?P<id>[A-Za-z_][A-Za-z0-9_$]*)
+  | (?P<op><>|!=|>=|<=|=>|->|\|\||[(),.\[\]<>=+\-*/%?])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+# words that terminate an alias-less identifier position
+_RESERVED_AFTER_RELATION = {
+    "where", "group", "having", "order", "limit", "offset", "fetch", "union",
+    "intersect", "except", "join", "inner", "left", "right", "full", "cross",
+    "on", "using", "natural", "lateral", "tablesample", "with", "window",
+}
+
+_JOIN_TYPES = {"inner", "left", "right", "full"}
+
+_FRAME_BOUND_START = {"unbounded", "current"}
+
+
+class _Tok:
+    __slots__ = ("kind", "text", "pos")
+
+    def __init__(self, kind: str, text: str, pos: int):
+        self.kind = kind
+        self.text = text
+        self.pos = pos
+
+    @property
+    def lower(self) -> str:
+        return self.text.lower()
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"{self.kind}:{self.text}"
+
+
+def _tokenize(sql: str) -> list[_Tok]:
+    toks: list[_Tok] = []
+    i = 0
+    while i < len(sql):
+        m = _TOKEN.match(sql, i)
+        if m is None:
+            raise ParseError(f"unexpected character {sql[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        toks.append(_Tok(kind, m.group(), m.start()))
+    toks.append(_Tok("eof", "", len(sql)))
+    return toks
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = _tokenize(sql)
+        self.i = 0
+
+    # -- token helpers -------------------------------------------------------
+    def peek(self, ahead: int = 0) -> _Tok:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> _Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def at_kw(self, *words: str, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t.kind == "id" and t.lower in words
+
+    def at_op(self, *ops: str, ahead: int = 0) -> bool:
+        t = self.peek(ahead)
+        return t.kind == "op" and t.text in ops
+
+    def accept_kw(self, *words: str) -> str | None:
+        if self.at_kw(*words):
+            return self.next().lower
+        return None
+
+    def accept_op(self, *ops: str) -> str | None:
+        if self.at_op(*ops):
+            return self.next().text
+        return None
+
+    def expect_kw(self, word: str) -> None:
+        if not self.accept_kw(word):
+            t = self.peek()
+            raise ParseError(f"expected {word.upper()} at {t.pos}, got {t.text!r}")
+
+    def expect_op(self, op: str) -> None:
+        if not self.accept_op(op):
+            t = self.peek()
+            raise ParseError(f"expected {op!r} at {t.pos}, got {t.text!r}")
+
+    def ident(self) -> str:
+        t = self.peek()
+        if t.kind == "id":
+            return self.next().text
+        if t.kind == "qid":
+            return self.next().text[1:-1].replace('""', '"')
+        raise ParseError(f"expected identifier at {t.pos}, got {t.text!r}")
+
+    # -- statements ----------------------------------------------------------
+    def parse_statement(self) -> ast.Query | ast.ExplainStmt:
+        if self.accept_kw("explain"):
+            q = self.parse_query()
+            stmt: ast.Query | ast.ExplainStmt = ast.ExplainStmt(q)
+        else:
+            q = self.parse_query()
+            stmt = q
+        if not self.at_op(";") and self.peek().kind != "eof":
+            t = self.peek()
+            raise ParseError(f"trailing input at {t.pos}: {t.text!r}")
+        return stmt
+
+    # -- query ---------------------------------------------------------------
+    def parse_query(self) -> ast.Query:
+        ctes: list[ast.CTE] = []
+        if self.accept_kw("with"):
+            if self.at_kw("recursive"):
+                raise NotImplementedError("WITH RECURSIVE is not supported")
+            while True:
+                name = self.ident()
+                cols: list[str] = []
+                if self.accept_op("("):
+                    while True:
+                        cols.append(self.ident())
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                self.expect_kw("as")
+                self.expect_op("(")
+                sub = self.parse_query()
+                self.expect_op(")")
+                ctes.append(ast.CTE(name, sub, cols))
+                if not self.accept_op(","):
+                    break
+        body = self._query_term()
+        order_by = self._order_by_opt()
+        limit = offset = None
+        # Presto allows OFFSET before LIMIT/FETCH
+        if self.accept_kw("offset"):
+            offset = int(self.next().text)
+            self.accept_kw("rows") or self.accept_kw("row")
+        if self.accept_kw("limit"):
+            t = self.next()
+            limit = None if t.lower == "all" else int(t.text)
+        elif self.accept_kw("fetch"):
+            self.accept_kw("first") or self.accept_kw("next")
+            limit = int(self.next().text)
+            self.accept_kw("rows") or self.accept_kw("row")
+            self.expect_kw("only")
+        return ast.Query(body, ctes, order_by, limit, offset)
+
+    def _order_by_opt(self) -> list[ast.SortItem]:
+        if not (self.at_kw("order") and self.at_kw("by", ahead=1)):
+            return []
+        self.next(), self.next()
+        items = [self._sort_item()]
+        while self.accept_op(","):
+            items.append(self._sort_item())
+        return items
+
+    def _sort_item(self) -> ast.SortItem:
+        e = self.parse_expr()
+        asc = True
+        if self.accept_kw("desc"):
+            asc = False
+        else:
+            self.accept_kw("asc")
+        nulls = None
+        if self.accept_kw("nulls"):
+            nulls = self.next().lower
+            if nulls not in ("first", "last"):
+                raise ParseError(f"expected FIRST/LAST after NULLS, got {nulls!r}")
+        return ast.SortItem(e, asc, nulls)
+
+    def _query_term(self) -> ast.Select | ast.SetOp | ast.Query:
+        # INTERSECT binds tighter than UNION/EXCEPT
+        left = self._query_intersect()
+        while self.at_kw("union", "except"):
+            kind = self.next().lower
+            all_ = bool(self.accept_kw("all"))
+            if not all_:
+                self.accept_kw("distinct")
+            right = self._query_intersect()
+            left = ast.SetOp(kind, all_, left, right)
+        return left
+
+    def _query_intersect(self) -> ast.Select | ast.SetOp | ast.Query:
+        left = self._query_primary()
+        while self.at_kw("intersect"):
+            self.next()
+            all_ = bool(self.accept_kw("all"))
+            if not all_:
+                self.accept_kw("distinct")
+            right = self._query_primary()
+            left = ast.SetOp("intersect", all_, left, right)
+        return left
+
+    def _query_primary(self) -> ast.Select | ast.SetOp | ast.Query:
+        if self.at_kw("select"):
+            return self._query_spec()
+        if self.at_kw("values"):
+            rows = self._values_rows()
+            return ast.Query(
+                ast.Select(
+                    [ast.SelectItem(ast.Star())],
+                    ast.ValuesRel(rows, alias="__v"),
+                )
+            )
+        if self.accept_op("("):
+            q = self.parse_query()
+            self.expect_op(")")
+            return q
+        t = self.peek()
+        raise ParseError(f"expected SELECT/VALUES/( at {t.pos}, got {t.text!r}")
+
+    def _values_rows(self) -> list[list[ast.Expr]]:
+        self.expect_kw("values")
+        rows = []
+        while True:
+            if self.accept_op("("):
+                row = [self.parse_expr()]
+                while self.accept_op(","):
+                    row.append(self.parse_expr())
+                self.expect_op(")")
+            else:
+                row = [self.parse_expr()]
+            rows.append(row)
+            if not self.accept_op(","):
+                break
+        return rows
+
+    def _query_spec(self) -> ast.Select:
+        self.expect_kw("select")
+        distinct = bool(self.accept_kw("distinct"))
+        if not distinct:
+            self.accept_kw("all")
+        items = [self._select_item()]
+        while self.accept_op(","):
+            items.append(self._select_item())
+        from_ = None
+        if self.accept_kw("from"):
+            from_ = self._relation_list()
+        where = self.parse_expr() if self.accept_kw("where") else None
+        group_by = None
+        if self.at_kw("group") and self.at_kw("by", ahead=1):
+            self.next(), self.next()
+            group_by = self._group_by()
+        having = self.parse_expr() if self.accept_kw("having") else None
+        return ast.Select(items, from_, where, group_by, having, distinct)
+
+    def _select_item(self) -> ast.SelectItem:
+        if self.at_op("*"):
+            self.next()
+            return ast.SelectItem(ast.Star())
+        # qualified star: a.b.*
+        save = self.i
+        if self.peek().kind in ("id", "qid"):
+            parts = []
+            try:
+                parts.append(self.ident())
+                while self.at_op(".") and self.at_op("*", ahead=1):
+                    self.next(), self.next()
+                    return ast.SelectItem(ast.Star(parts))
+                while (
+                    self.at_op(".")
+                    and self.peek(1).kind in ("id", "qid")
+                    and not self.at_op("*", ahead=1)
+                ):
+                    self.next()
+                    parts.append(self.ident())
+                    if self.at_op(".") and self.at_op("*", ahead=1):
+                        self.next(), self.next()
+                        return ast.SelectItem(ast.Star(parts))
+            except ParseError:
+                pass
+            self.i = save
+        e = self.parse_expr()
+        alias = None
+        if self.accept_kw("as"):
+            alias = self.ident()
+        elif self.peek().kind in ("id", "qid") and not self.at_kw(
+            *_RESERVED_AFTER_RELATION, "from", "when", "then", "else", "end",
+            "and", "or", "not", "filter", "over", "ignore",
+        ):
+            alias = self.ident()
+        return ast.SelectItem(e, alias)
+
+    def _group_by(self) -> ast.GroupBy:
+        if self.at_kw("grouping") and self.at_kw("sets", ahead=1):
+            self.next(), self.next()
+            self.expect_op("(")
+            sets = []
+            while True:
+                if self.accept_op("("):
+                    s: list[ast.Expr] = []
+                    if not self.at_op(")"):
+                        s.append(self.parse_expr())
+                        while self.accept_op(","):
+                            s.append(self.parse_expr())
+                    self.expect_op(")")
+                else:
+                    s = [self.parse_expr()]
+                sets.append(s)
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            return ast.GroupBy("sets", sets=sets)
+        for kind in ("rollup", "cube"):
+            if self.at_kw(kind):
+                self.next()
+                self.expect_op("(")
+                items = [self.parse_expr()]
+                while self.accept_op(","):
+                    items.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.GroupBy(kind, items=items)
+        items = [self.parse_expr()]
+        while self.accept_op(","):
+            items.append(self.parse_expr())
+        return ast.GroupBy("plain", items=items)
+
+    # -- relations -----------------------------------------------------------
+    def _relation_list(self) -> ast.Relation:
+        rel = self._joined_relation()
+        while self.accept_op(","):
+            right = self._joined_relation()
+            # comma = cross join; UNNEST on the right is implicitly lateral,
+            # which the renderer expresses as LATERAL VIEW
+            rel = ast.Join("cross", rel, right)
+        return rel
+
+    def _joined_relation(self) -> ast.Relation:
+        rel = self._sampled_relation()
+        while True:
+            if self.at_kw("cross") and self.at_kw("join", ahead=1):
+                self.next(), self.next()
+                right = self._sampled_relation()
+                rel = ast.Join("cross", rel, right)
+                continue
+            kind = None
+            save = self.i
+            if self.at_kw(*_JOIN_TYPES):
+                kind = self.next().lower
+                self.accept_kw("outer")
+                if not self.accept_kw("join"):
+                    self.i = save
+                    break
+            elif self.accept_kw("join"):
+                kind = "inner"
+            else:
+                break
+            if self.accept_kw("lateral"):
+                raise NotImplementedError(
+                    "JOIN LATERAL: use the comma/cross-join lateral subquery form"
+                )
+            right = self._sampled_relation()
+            if isinstance(right, ast.Unnest):
+                # Presto spells outer unnest as LEFT JOIN UNNEST(...) ON TRUE
+                if self.accept_kw("on"):
+                    cond = self.parse_expr()
+                    if not (isinstance(cond, ast.Raw) and cond.text == "true"):
+                        raise NotImplementedError(
+                            "JOIN UNNEST supports only ON TRUE"
+                        )
+                rel = ast.Join(kind, rel, right)
+                continue
+            if self.accept_kw("on"):
+                on = self.parse_expr()
+                rel = ast.Join(kind, rel, right, on=on)
+            elif self.accept_kw("using"):
+                self.expect_op("(")
+                cols = [self.ident()]
+                while self.accept_op(","):
+                    cols.append(self.ident())
+                self.expect_op(")")
+                rel = ast.Join(kind, rel, right, using=cols)
+            else:
+                raise ParseError(
+                    f"{kind.upper()} JOIN requires ON or USING at {self.peek().pos}"
+                )
+        return rel
+
+    def _sampled_relation(self) -> ast.Relation:
+        rel = self._aliased_relation()
+        if self.accept_kw("tablesample"):
+            method = self.next().lower
+            if method not in ("bernoulli", "system"):
+                raise NotImplementedError(f"TABLESAMPLE {method.upper()}")
+            self.expect_op("(")
+            pct = self.parse_expr()
+            self.expect_op(")")
+            rel = ast.TableSample(rel, method, pct)
+        return rel
+
+    def _aliased_relation(self) -> ast.Relation:
+        rel = self._primary_relation()
+        alias = None
+        cols: list[str] = []
+        if self.accept_kw("as"):
+            alias = self.ident()
+        elif self.peek().kind in ("id", "qid") and not self.at_kw(
+            *_RESERVED_AFTER_RELATION
+        ):
+            alias = self.ident()
+        if alias and self.accept_op("("):
+            cols = [self.ident()]
+            while self.accept_op(","):
+                cols.append(self.ident())
+            self.expect_op(")")
+        if alias:
+            if isinstance(rel, (ast.Table, ast.SubqueryRel, ast.ValuesRel, ast.Unnest)):
+                rel.alias = alias
+                rel.col_aliases = cols
+            else:
+                raise ParseError(f"cannot alias {type(rel).__name__}")
+        return rel
+
+    def _primary_relation(self) -> ast.Relation:
+        if self.at_kw("unnest"):
+            self.next()
+            self.expect_op("(")
+            exprs = [self.parse_expr()]
+            while self.accept_op(","):
+                exprs.append(self.parse_expr())
+            self.expect_op(")")
+            ordinality = False
+            if self.at_kw("with") and self.at_kw("ordinality", ahead=1):
+                self.next(), self.next()
+                ordinality = True
+            return ast.Unnest(exprs, ordinality)
+        if self.at_kw("lateral"):
+            self.next()
+            self.expect_op("(")
+            q = self.parse_query()
+            self.expect_op(")")
+            return ast.SubqueryRel(q, lateral=True)
+        if self.at_kw("values"):
+            return ast.ValuesRel(self._values_rows())
+        if self.accept_op("("):
+            # values / subquery / parenthesized join
+            if self.at_kw("values"):
+                rows = self._values_rows()
+                self.expect_op(")")
+                return ast.ValuesRel(rows)
+            if self.at_kw("select", "with") or self.at_op("("):
+                save = self.i
+                try:
+                    q = self.parse_query()
+                    self.expect_op(")")
+                    return ast.SubqueryRel(q)
+                except ParseError:
+                    self.i = save
+            rel = self._relation_list()
+            self.expect_op(")")
+            return rel
+        parts = [self.ident()]
+        while self.at_op(".") and self.peek(1).kind in ("id", "qid"):
+            self.next()
+            parts.append(self.ident())
+        return ast.Table(parts)
+
+    # -- expressions ---------------------------------------------------------
+    def parse_expr(self) -> ast.Expr:
+        return self._or_expr()
+
+    def _or_expr(self) -> ast.Expr:
+        left = self._and_expr()
+        while self.accept_kw("or"):
+            left = ast.BinOp("or", left, self._and_expr())
+        return left
+
+    def _and_expr(self) -> ast.Expr:
+        left = self._not_expr()
+        while self.accept_kw("and"):
+            left = ast.BinOp("and", left, self._not_expr())
+        return left
+
+    def _not_expr(self) -> ast.Expr:
+        if self.accept_kw("not"):
+            return ast.UnOp("not", self._not_expr())
+        return self._predicate()
+
+    def _predicate(self) -> ast.Expr:
+        left = self._value_expr()
+        while True:
+            if self.at_kw("is"):
+                self.next()
+                neg = bool(self.accept_kw("not"))
+                if self.accept_kw("null"):
+                    left = ast.IsNull(left, neg)
+                    continue
+                if self.accept_kw("distinct"):
+                    self.expect_kw("from")
+                    left = ast.IsDistinctFrom(left, self._value_expr(), neg)
+                    continue
+                if self.accept_kw("true"):
+                    cmp_ = ast.BinOp("=", left, ast.Raw("true"))
+                    left = ast.UnOp("not", cmp_) if neg else cmp_
+                    continue
+                if self.accept_kw("false"):
+                    cmp_ = ast.BinOp("=", left, ast.Raw("false"))
+                    left = ast.UnOp("not", cmp_) if neg else cmp_
+                    continue
+                raise ParseError(f"unsupported IS predicate at {self.peek().pos}")
+            neg = False
+            save = self.i
+            if self.accept_kw("not"):
+                if self.at_kw("between", "in", "like"):
+                    neg = True
+                else:
+                    self.i = save
+                    break
+            if self.accept_kw("between"):
+                low = self._value_expr()
+                self.expect_kw("and")
+                high = self._value_expr()
+                left = ast.Between(left, low, high, neg)
+                continue
+            if self.accept_kw("in"):
+                self.expect_op("(")
+                if self.at_kw("select", "with") or (
+                    self.at_op("(") and self.at_kw("select", "with", ahead=1)
+                ):
+                    q = self.parse_query()
+                    self.expect_op(")")
+                    left = ast.InSubquery(left, q, neg)
+                else:
+                    items = [self.parse_expr()]
+                    while self.accept_op(","):
+                        items.append(self.parse_expr())
+                    self.expect_op(")")
+                    left = ast.InList(left, items, neg)
+                continue
+            if self.accept_kw("like"):
+                pat = self._value_expr()
+                esc = self._value_expr() if self.accept_kw("escape") else None
+                left = ast.Like(left, pat, esc, neg)
+                continue
+            if self.peek().kind == "op" and self.peek().text in (
+                "=", "<>", "!=", "<", ">", "<=", ">=",
+            ):
+                op = self.next().text
+                if op == "!=":
+                    op = "<>"
+                if self.at_kw("any", "all", "some"):
+                    quant = self.next().lower
+                    if quant == "some":
+                        quant = "any"
+                    self.expect_op("(")
+                    q = self.parse_query()
+                    self.expect_op(")")
+                    left = ast.Quantified(op, quant, left, q)
+                else:
+                    left = ast.BinOp(op, left, self._value_expr())
+                continue
+            break
+        return left
+
+    def _value_expr(self) -> ast.Expr:
+        left = self._additive()
+        while self.at_op("||"):
+            self.next()
+            left = ast.BinOp("||", left, self._additive())
+        return left
+
+    def _additive(self) -> ast.Expr:
+        left = self._multiplicative()
+        while self.at_op("+", "-"):
+            op = self.next().text
+            left = ast.BinOp(op, left, self._multiplicative())
+        return left
+
+    def _multiplicative(self) -> ast.Expr:
+        left = self._unary()
+        while self.at_op("*", "/", "%"):
+            op = self.next().text
+            left = ast.BinOp(op, left, self._unary())
+        return left
+
+    def _unary(self) -> ast.Expr:
+        if self.at_op("-", "+"):
+            op = self.next().text
+            return ast.UnOp(op, self._unary())
+        return self._postfix()
+
+    def _postfix(self) -> ast.Expr:
+        e = self._primary()
+        while True:
+            if self.accept_op("["):
+                idx = self.parse_expr()
+                self.expect_op("]")
+                e = ast.Subscript(e, idx)
+                continue
+            if (
+                self.at_op(".")
+                and self.peek(1).kind in ("id", "qid")
+                and not isinstance(e, ast.Ident)
+            ):
+                self.next()
+                e = ast.Deref(e, self.ident())
+                continue
+            break
+        return e
+
+    _TYPED_LIT_TYPES = {
+        "double", "real", "bigint", "integer", "smallint", "tinyint",
+        "varchar", "decimal", "date", "timestamp", "char", "boolean",
+    }
+
+    _INTERVAL_UNITS = {
+        "year", "years", "month", "months", "day", "days", "hour", "hours",
+        "minute", "minutes", "second", "seconds", "week", "weeks",
+    }
+
+    def _primary(self) -> ast.Expr:
+        t = self.peek()
+        if t.kind == "num":
+            return ast.Raw(self.next().text)
+        if t.kind == "str":
+            return ast.Raw(self.next().text)
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            if self.at_kw("select", "with"):
+                q = self.parse_query()
+                self.expect_op(")")
+                return ast.ScalarSubquery(q)
+            # lambda with multiple params: (x, y) -> body
+            save = self.i
+            if self.peek().kind == "id":
+                params = [self.next().text]
+                multi = True
+                while self.accept_op(","):
+                    if self.peek().kind != "id":
+                        multi = False
+                        break
+                    params.append(self.next().text)
+                if multi and self.at_op(")") and self.at_op("->", ahead=1):
+                    self.next(), self.next()
+                    return ast.Lambda(params, self.parse_expr())
+                self.i = save
+            e = self.parse_expr()
+            if self.accept_op(","):
+                # row constructor shorthand (a, b) in IN contexts: treat as row
+                items = [e, self.parse_expr()]
+                while self.accept_op(","):
+                    items.append(self.parse_expr())
+                self.expect_op(")")
+                return ast.RowCtor(items)
+            self.expect_op(")")
+            return e
+        if t.kind == "qid":
+            return self._name_or_call()
+        if t.kind != "id":
+            raise ParseError(f"unexpected token {t.text!r} at {t.pos}")
+        low = t.lower
+        if low in ("null", "true", "false"):
+            self.next()
+            return ast.Raw(low)
+        if low == "case":
+            return self._case()
+        if low in ("cast", "try_cast"):
+            self.next()
+            self.expect_op("(")
+            e = self.parse_expr()
+            self.expect_kw("as")
+            type_ = self._type_name()
+            self.expect_op(")")
+            return ast.Cast(e, type_, try_=low == "try_cast")
+        if low == "exists":
+            self.next()
+            self.expect_op("(")
+            q = self.parse_query()
+            self.expect_op(")")
+            return ast.Exists(q)
+        if low == "extract":
+            self.next()
+            self.expect_op("(")
+            unit = self.ident()
+            self.expect_kw("from")
+            e = self.parse_expr()
+            self.expect_op(")")
+            return ast.Extract(unit, e)
+        if low == "interval":
+            self.next()
+            value = self.next().text  # quoted string or number
+            unit = self.ident().lower()
+            to_unit = None
+            if self.accept_kw("to"):
+                to_unit = self.ident().lower()
+            return ast.Interval(value, unit, to_unit)
+        if low == "array" and self.at_op("[", ahead=1):
+            self.next(), self.next()
+            items: list[ast.Expr] = []
+            if not self.at_op("]"):
+                items.append(self.parse_expr())
+                while self.accept_op(","):
+                    items.append(self.parse_expr())
+            self.expect_op("]")
+            return ast.ArrayCtor(items)
+        if low == "row" and self.at_op("(", ahead=1):
+            self.next(), self.next()
+            items = [self.parse_expr()]
+            while self.accept_op(","):
+                items.append(self.parse_expr())
+            self.expect_op(")")
+            return ast.RowCtor(items)
+        if low in self._TYPED_LIT_TYPES and self.peek(1).kind == "str":
+            type_ = self.next().text
+            value = self.next().text
+            return ast.TypedLit(type_, value)
+        if low in (
+            "current_date", "current_timestamp", "current_time", "localtime",
+            "localtimestamp",
+        ) and not self.at_op("(", ahead=1):
+            self.next()
+            return ast.Raw(low)
+        return self._name_or_call()
+
+    def _name_or_call(self) -> ast.Expr:
+        parts = [self.ident()]
+        while self.at_op(".") and self.peek(1).kind in ("id", "qid"):
+            self.next()
+            parts.append(self.ident())
+        if not self.at_op("("):
+            # single-param lambda: x -> body
+            if len(parts) == 1 and self.at_op("->"):
+                self.next()
+                return ast.Lambda(parts, self.parse_expr())
+            return ast.Ident(parts)
+        self.next()  # consume '('
+        name = ".".join(parts)
+        distinct = False
+        args: list[ast.Expr] = []
+        if self.accept_op("*"):
+            args = [ast.Star()]
+            self.expect_op(")")
+        else:
+            if self.accept_kw("distinct"):
+                distinct = True
+            if not self.at_op(")"):
+                args.append(self.parse_expr())
+                while self.accept_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+        call = ast.Call(name, args, distinct)
+        # ORDER BY inside aggregate args (e.g. array_agg(x order by y)) is
+        # parsed by parse_expr? No — Presto puts it before ')'; detect leftover
+        if self.at_kw("filter"):
+            self.next()
+            self.expect_op("(")
+            self.expect_kw("where")
+            call.filter_ = self.parse_expr()
+            self.expect_op(")")
+        if self.at_kw("ignore") and self.at_kw("nulls", ahead=1):
+            self.next(), self.next()
+            call.ignore_nulls = True
+        elif self.at_kw("respect") and self.at_kw("nulls", ahead=1):
+            self.next(), self.next()
+        if self.accept_kw("over"):
+            call.window = self._window_spec()
+        return call
+
+    def _window_spec(self) -> ast.WindowSpec:
+        self.expect_op("(")
+        spec = ast.WindowSpec()
+        if self.at_kw("partition") and self.at_kw("by", ahead=1):
+            self.next(), self.next()
+            spec.partition_by.append(self.parse_expr())
+            while self.accept_op(","):
+                spec.partition_by.append(self.parse_expr())
+        if self.at_kw("order") and self.at_kw("by", ahead=1):
+            self.next(), self.next()
+            spec.order_by.append(self._sort_item())
+            while self.accept_op(","):
+                spec.order_by.append(self._sort_item())
+        if self.at_kw("rows", "range", "groups"):
+            kind = self.next().lower
+            if self.accept_kw("between"):
+                start = self._frame_bound()
+                self.expect_kw("and")
+                end = self._frame_bound()
+            else:
+                start, end = self._frame_bound(), None
+            spec.frame = ast.WindowFrame(kind, start, end)
+        self.expect_op(")")
+        return spec
+
+    def _frame_bound(self) -> str:
+        if self.accept_kw("unbounded"):
+            which = self.next().lower
+            return f"unbounded {which}"
+        if self.accept_kw("current"):
+            self.expect_kw("row")
+            return "current row"
+        e = self._value_expr()
+        which = self.next().lower
+        if which not in ("preceding", "following"):
+            raise ParseError(f"expected PRECEDING/FOLLOWING, got {which!r}")
+        return f"{e.sql()} {which}"
+
+    def _case(self) -> ast.Expr:
+        self.expect_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            operand = self.parse_expr()
+        whens = []
+        while self.accept_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            whens.append((cond, self.parse_expr()))
+        else_ = self.parse_expr() if self.accept_kw("else") else None
+        self.expect_kw("end")
+        return ast.Case(operand, whens, else_)
+
+    def _type_name(self) -> str:
+        base = self.ident().lower()
+        if base in ("array", "map", "row") and self.at_op("(", "<"):
+            # nested type: consume balanced (...) or <...>
+            opener = self.next().text
+            closer = ")" if opener == "(" else ">"
+            depth, parts = 1, [base, "<" if base != "row" else "<"]
+            # normalize to Spark's angle syntax
+            inner: list[str] = []
+            while depth > 0:
+                t = self.next()
+                if t.text in ("(", "<"):
+                    depth += 1
+                elif t.text in (")", ">"):
+                    depth -= 1
+                    if depth == 0:
+                        break
+                inner.append(t.text)
+            mapped = {"array": "array", "map": "map", "row": "struct"}[base]
+            return f"{mapped}<{' '.join(inner)}>"
+        if base == "decimal" and self.accept_op("("):
+            p = self.next().text
+            self.expect_op(",")
+            s = self.next().text
+            self.expect_op(")")
+            return f"decimal({p},{s})"
+        if base in ("varchar", "char") and self.accept_op("("):
+            self.next()  # length — Spark string has no length param
+            self.expect_op(")")
+            return "string" if base == "varchar" else base
+        return {
+            "varchar": "string",
+            "integer": "int",
+            "real": "float",
+        }.get(base, base)
+
+
+def parse(sql: str) -> ast.Query | ast.ExplainStmt:
+    """Parse one Presto SELECT/EXPLAIN statement."""
+    return Parser(sql).parse_statement()
