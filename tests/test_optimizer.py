@@ -249,3 +249,68 @@ def test_dp_enumeration_finds_bushy_plan(spark):
     # best plan is the bushy (A⋈B) ⋈ (C⋈D): both children are joins
     assert g.last_tree[0] == "join"
     assert g.last_tree[1][0] == "join" and g.last_tree[2][0] == "join", g.last_tree
+
+
+# ---------------------------------------------------------------------------
+# Footer statistics layer (ConnectorMetadata.h:51-93, :262-269 analog)
+def test_footer_stats_match_data(spark, sf_dir):
+    from verax_spark.catalog import Catalog
+
+    cat = Catalog(spark, sf_dir)
+    st = cat.stats("orders")
+    assert st is not None
+    truth = cat.orders.agg(
+        F.count(F.lit(1)), F.min("o_totalprice"), F.max("o_totalprice")
+    ).collect()[0]
+    assert st.num_rows == truth[0]
+    cs = st.columns["o_totalprice"]
+    assert cs.min == truth[1] and cs.max == truth[2]
+    assert cs.null_count == 0
+    assert st.total_bytes > 0
+
+
+def test_selectivity_from_stats(spark, sf_dir):
+    from verax_spark.catalog import Catalog
+    from verax_spark.plans.expr import Call, Col, Lit
+    from verax_spark.sources.stats import selectivity
+
+    cat = Catalog(spark, sf_dir)
+    st = cat.stats("orders")
+    total = st.num_rows
+    mid = (st.columns["o_totalprice"].min + st.columns["o_totalprice"].max) / 2
+    pred = Call("lt", Col("o_totalprice"), Lit(mid))
+    sel = selectivity(st, pred)
+    actual = cat.orders.filter(F.col("o_totalprice") < mid).count() / total
+    assert sel is not None and abs(sel - actual) < 0.25
+    # boolean combinators
+    both = Call("and", pred, Call("gt", Col("o_totalprice"), Lit(mid / 2)))
+    assert 0.0 <= selectivity(st, both) <= sel + 1e-9
+    neg = Call("not", pred)
+    assert abs(selectivity(st, neg) - (1 - sel)) < 1e-9
+    # shapes stats cannot answer → None (caller samples)
+    assert selectivity(st, Call("like", Col("o_orderpriority"), Lit("5%"))) is None
+
+
+def test_plan_estimates_run_no_spark_jobs_with_stats(spark, sf_dir, monkeypatch):
+    """The reference rule (ConnectorMetadata.h:262-269): planning consults
+    metadata/samples, never full actions. With parquet tables and DSL Expr
+    predicates, _estimate_rows must not trigger ANY DataFrame action."""
+    from pyspark.sql import DataFrame
+
+    from verax_spark.catalog import Catalog
+    from verax_spark.plans.expr import Call, Col, Lit
+
+    cat = Catalog(spark, sf_dir)
+    g = QueryGraph()
+    g.table("orders", cat.orders, Call("lt", Col("o_totalprice"), Lit(100000.0)))
+    g.table("customer", cat.customer, Call("gt", Col("c_acctbal"), Lit(0.0)))
+
+    def boom(self, *a, **k):
+        raise AssertionError("planning ran a Spark action")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    est_o = g._estimate_rows(g.tables["orders"])
+    est_c = g._estimate_rows(g.tables["customer"])
+    assert 0 < est_o < cat.stats("orders").num_rows
+    assert 0 < est_c <= cat.stats("customer").num_rows

@@ -44,6 +44,18 @@ class Catalog:
     spark: SparkSession
     sf_dir: str = DEFAULT_SF_DIR
     _cache: dict[str, DataFrame] = field(default_factory=dict)
+    _stats: dict[str, object] = field(default_factory=dict)
+
+    def stats(self, name: str):
+        """Footer-derived TableStats (row count, bytes, per-column min/max/
+        nulls) — the TableLayout statistics surface (ref
+        axiom/connectors/ConnectorMetadata.h:51-93, :262-269). Driver-side
+        metadata read, cached; never a Spark job."""
+        if name not in self._stats:
+            from verax_spark.sources.stats import table_stats
+
+            self._stats[name] = table_stats(self.table(name))
+        return self._stats[name]
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:

@@ -79,14 +79,27 @@ def _parquet_row_count(df: DataFrame) -> int | None:
 
 @dataclass
 class TableRef:
-    """BaseTable analog: a relation plus its single-table filter."""
+    """BaseTable analog: a relation plus its single-table filter.
+
+    The predicate may be a Spark Column or a typed DSL Expr
+    (verax_spark.plans.expr) — Expr predicates additionally unlock
+    metadata-only selectivity estimation (sources/stats.selectivity) because
+    their structure is inspectable; Columns always estimate by sampling."""
 
     name: str
     df: DataFrame
-    predicate: Column | None = None
+    predicate: object | None = None  # Column | Expr | None
+
+    def spark_predicate(self) -> Column | None:
+        if self.predicate is None:
+            return None
+        if isinstance(self.predicate, Column):
+            return self.predicate
+        return self.predicate.to_spark()
 
     def filtered(self) -> DataFrame:
-        return self.df.filter(self.predicate) if self.predicate is not None else self.df
+        pred = self.spark_predicate()
+        return self.df.filter(pred) if pred is not None else self.df
 
 
 @dataclass
@@ -136,6 +149,18 @@ class QueryGraph:
         base = self._base_rows(ref)
         if ref.predicate is None or base == 0:
             return base
+        # metadata-only fast path: Expr predicates over footer column stats
+        # (ConnectorMetadata.h:51-93 ColumnStatistics) — zero Spark jobs
+        from verax_spark.plans.expr import Expr as _DslExpr
+
+        if isinstance(ref.predicate, _DslExpr):
+            from verax_spark.sources.stats import selectivity, table_stats
+
+            stats = table_stats(ref.df)
+            if stats is not None:
+                sel = selectivity(stats, ref.predicate)
+                if sel is not None:
+                    return base * sel
         if base <= 10_000:
             return float(ref.filtered().count())
         # selectivity from a sampled probe — never a full-table filter count
@@ -143,7 +168,7 @@ class QueryGraph:
         n_sample = sample.count()
         if n_sample == 0:
             return base
-        hits = sample.filter(ref.predicate).count()
+        hits = sample.filter(ref.spark_predicate()).count()
         return base * (hits / n_sample)
 
     # -- join fanout sampling (JoinSample.cpp:28-60 analog) ------------------

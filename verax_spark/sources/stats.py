@@ -1,0 +1,224 @@
+"""Table/column statistics from parquet footers — the reference's
+TableLayout stats surface on Spark.
+
+Reference: axiom/connectors/ConnectorMetadata.h:51-93 (per-column
+ColumnStatistics: null fraction, min/max, value counts) and :262-269
+(`TableLayout::sample` — planning-time estimates must come from metadata or
+bounded samples, NEVER a full scan).
+
+Everything here is a driver-side metadata read (pyarrow over the parquet
+footers): no Spark job, no data pages touched — the planner can consult it
+per table per query for free. Selectivity estimation walks the typed Expr
+DSL structurally (uniformity assumption over [min, max]); anything it cannot
+prove falls back to the caller's sampling path (sampleFilters analog), so
+estimates are never silently wrong — just sampled instead.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class ColumnStats:
+    """Footer-aggregated statistics for one column (ColumnStatistics analog:
+    ConnectorMetadata.h:51-93)."""
+
+    min: object | None
+    max: object | None
+    null_count: int
+    num_values: int
+
+    @property
+    def null_fraction(self) -> float:
+        total = self.num_values + self.null_count
+        return self.null_count / total if total else 0.0
+
+
+@dataclass(frozen=True)
+class TableStats:
+    """TableLayout-level statistics (ConnectorMetadata.h:262-269 analog)."""
+
+    num_rows: int
+    total_bytes: int
+    columns: dict[str, ColumnStats] = field(default_factory=dict)
+
+
+def _merge_min(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return min(a, b)
+
+
+def _merge_max(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return max(a, b)
+
+
+def parquet_stats(paths: list[str]) -> TableStats | None:
+    """Aggregate footer metadata across the files of one table. Returns None
+    if any file lacks a readable footer (caller falls back to sampling)."""
+    import pyarrow.parquet as pq
+
+    num_rows = 0
+    total_bytes = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    counts: dict[str, int] = {}
+    try:
+        for p in paths:
+            path = p.removeprefix("file://").removeprefix("file:")
+            meta = pq.ParquetFile(path).metadata
+            num_rows += meta.num_rows
+            for rg in range(meta.num_row_groups):
+                group = meta.row_group(rg)
+                total_bytes += group.total_byte_size
+                for ci in range(group.num_columns):
+                    col = group.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:  # nested subfield — track leaf only
+                        continue
+                    st = col.statistics
+                    if st is None:
+                        mins[name] = maxs[name] = None
+                        continue
+                    if st.has_min_max:
+                        mins[name] = _merge_min(mins.get(name), st.min)
+                        maxs[name] = _merge_max(maxs.get(name), st.max)
+                    nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+                    counts[name] = counts.get(name, 0) + (st.num_values or 0)
+    except Exception:
+        return None
+    columns = {
+        name: ColumnStats(
+            mins.get(name), maxs.get(name), nulls.get(name, 0), counts.get(name, 0)
+        )
+        for name in set(mins) | set(nulls)
+    }
+    return TableStats(num_rows, total_bytes, columns)
+
+
+def table_stats(df) -> TableStats | None:
+    """Footer stats for a DataFrame that is a bare parquet scan (column
+    pruning allowed; anything row-changing → None)."""
+    from verax_spark.optimizer.query_graph import _NON_SCAN_OPS
+
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+        if any(op in plan for op in _NON_SCAN_OPS):
+            return None
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files or any(".parquet" not in f.rsplit("/", 1)[-1] for f in files):
+        return None
+    return parquet_stats(list(files))
+
+
+# ---------------------------------------------------------------------------
+# Structural selectivity estimation over the Expr DSL.
+_NUMERIC = (int, float)
+
+
+def _as_number(v) -> float | None:
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, _NUMERIC):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).timestamp()
+    return None
+
+
+def _range_fraction(cs: ColumnStats, lo: float | None, hi: float | None) -> float | None:
+    """P(lo ≤ col ≤ hi) under uniformity over footer [min, max]."""
+    mn, mx = _as_number(cs.min), _as_number(cs.max)
+    if mn is None or mx is None:
+        return None
+    span = mx - mn
+    lo = mn if lo is None else max(lo, mn)
+    hi = mx if hi is None else min(hi, mx)
+    if hi < lo:
+        return 0.0
+    if span <= 0:
+        return 1.0
+    return (1.0 - cs.null_fraction) * (hi - lo) / span
+
+
+_CMP = {"lt", "lte", "gt", "gte", "eq", "between"}
+
+
+def selectivity(stats: TableStats, expr) -> float | None:
+    """Estimated fraction of rows satisfying ``expr``, or None when the
+    expression shape/type is outside what footer stats can answer (the
+    caller then samples — sampleFilters, JoinSample.cpp family)."""
+    from verax_spark.functions.registry import canonicalize
+    from verax_spark.plans.expr import Call, Col, Lit
+
+    expr = canonicalize(expr)
+
+    def est(e) -> float | None:
+        if not isinstance(e, Call):
+            return None
+        fn = e.fn.lower()
+        if fn == "and":
+            parts = [est(a) for a in e.args]
+            if any(p is None for p in parts):
+                return None
+            out = 1.0
+            for p in parts:
+                out *= p
+            return out
+        if fn == "or":
+            parts = [est(a) for a in e.args]
+            if any(p is None for p in parts):
+                return None
+            out = 0.0
+            for p in parts:
+                out = out + p - out * p
+            return out
+        if fn == "not":
+            inner = est(e.args[0])
+            return None if inner is None else 1.0 - inner
+        if fn not in _CMP:
+            return None
+        if not (isinstance(e.args[0], Col) and all(
+            isinstance(a, Lit) for a in e.args[1:]
+        )):
+            return None
+        cs = stats.columns.get(e.args[0].name)
+        if cs is None:
+            return None
+        vals = [_as_number(a.value) for a in e.args[1:]]
+        if any(v is None for v in vals):
+            return None
+        if fn == "between":
+            return _range_fraction(cs, vals[0], vals[1])
+        v = vals[0]
+        if fn in ("lt", "lte"):
+            return _range_fraction(cs, None, v)
+        if fn in ("gt", "gte"):
+            return _range_fraction(cs, v, None)
+        # eq: uniform 1/range for integers, else unknown → sample
+        mn, mx = _as_number(cs.min), _as_number(cs.max)
+        if (
+            mn is not None
+            and mx is not None
+            and isinstance(cs.min, int)
+            and mx > mn
+        ):
+            if v < mn or v > mx:
+                return 0.0
+            return (1.0 - cs.null_fraction) / (mx - mn + 1)
+        return None
+
+    return est(expr)
