@@ -37,7 +37,7 @@ _PRIORITY = [
     "op_table_write", "op_table_delete", "op_table_update",
     "op_join_mark", "op_unnest_structs", "op_window_ntile", "op_sessionize",
     "sql_unnest_map_kv", "sql_unnest_ordinality",
-    "sql_quantified", "sql_lateral", "sql_subscript",
+    "sql_quantified", "sql_lateral", "sql_subscript", "sql_ordered_agg",
     "pl_dedup_exact", "pl_dedup_ngram_jaccard", "pl_dedup_minhash",
     "pl_dedup_simhash", "pl_dedup_embedding", "pl_text_stats", "pl_text_langid",
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",

@@ -148,3 +148,16 @@ def test_explain_statement_shape():
 def test_comments_are_skipped():
     out = transpile("select 1 -- trailing\n, 2 /* block\ncomment */ from t")
     assert out == "select 1, 2 from t"
+
+
+def test_ordered_aggregate_rendering():
+    out = transpile("select array_agg(x order by k desc, id) from t group by g")
+    assert "array_sort(collect_list(struct(x as __v, k as __k0, id as __k1))" in out
+    assert "s -> s.__v" in out
+    assert transpile("select sum(x order by y) from t") == "select sum(x) from t"
+    assert "sort_array(collect_set(x), true)" in transpile(
+        "select array_agg(distinct x order by x) from t")
+    with pytest.raises(NotImplementedError):
+        transpile("select string_agg(x order by y) from t")
+    with pytest.raises(NotImplementedError):
+        transpile("select array_agg(distinct x order by y) from t")

@@ -1469,3 +1469,26 @@ def sql_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
         from documents where doc_id < 30 order by doc_id
         """
     )
+
+
+@_register(
+    "sql_ordered_agg",
+    """
+    select user_id,
+      array_to_string(list(event_type order by event_id desc), ',') as seq
+    from events where user_id < 20 group by user_id order by user_id
+    """,
+)
+def sql_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto ordered aggregate ``array_agg(v ORDER BY k desc)`` through the
+    parser — lowered to a comparator-sorted collect_list (deterministic under
+    any partitioning; ref optimizer/QueryGraph.h:829-877 ordered agg)."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select user_id,
+          array_join(array_agg(event_type order by event_id desc), ',') as seq
+        from events where user_id < 20 group by user_id order by user_id
+        """
+    )

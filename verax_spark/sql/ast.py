@@ -370,12 +370,63 @@ class Call(Expr):
     filter_: Expr | None = None
     ignore_nulls: bool = False
     window: WindowSpec | None = None
+    agg_order: list["SortItem"] = field(default_factory=list)
 
-    _SPECIAL = {
-        "map": "_map",  # MAP(ARRAY[..], ARRAY[..]) → map_from_arrays
+    # aggregates whose result is independent of input order: ORDER BY inside
+    # the call is a no-op and is dropped (ref QueryGraph.h:829-877 carries the
+    # ordering only for order-sensitive aggregates)
+    _ORDER_INSENSITIVE = {
+        "sum", "count", "avg", "min", "max", "approx_distinct", "arbitrary",
+        "any_value", "bool_and", "bool_or", "every", "any", "count_if",
+        "stddev", "stddev_pop", "stddev_samp", "variance", "var_pop",
+        "var_samp", "set_agg", "collect_set", "min_by", "max_by",
     }
 
+    def _ordered_agg_sql(self) -> str:
+        """Presto ``array_agg(v ORDER BY k1 [desc], ...)`` → Spark
+        ``transform(array_sort(collect_list(struct(v, k...)), cmp), s -> v)``
+        — a comparator-sorted collect, deterministic under any partitioning.
+        """
+        name = self.name.lower()
+        if name not in ("array_agg", "collect_list"):
+            raise NotImplementedError(
+                f"ORDER BY inside {name}() is not supported (only array_agg;"
+                " order-insensitive aggregates drop it)"
+            )
+        if len(self.args) != 1:
+            raise NotImplementedError("array_agg(...ORDER BY...) takes one arg")
+        v = self.args[0].sql()
+        if self.distinct:
+            # only the natural ordering of the value itself is expressible
+            keys = self.agg_order
+            if len(keys) == 1 and keys[0].expr.sql() == v:
+                fn = "asc" if keys[0].ascending else "desc"
+                flag = "true" if keys[0].ascending else "false"
+                return f"sort_array(collect_set({v}), {flag})"
+            raise NotImplementedError(
+                "array_agg(DISTINCT v ORDER BY k): k must be v itself"
+            )
+        fields = [f"{v} as __v"] + [
+            f"{s.expr.sql()} as __k{i}" for i, s in enumerate(self.agg_order)
+        ]
+        agg = f"collect_list(struct({', '.join(fields)}))"
+        if self.filter_ is not None:
+            agg += f" filter (where {self.filter_.sql()})"
+        whens = []
+        for i, s in enumerate(self.agg_order):
+            lt, gt = ("-1", "1") if s.ascending else ("1", "-1")
+            whens.append(f"when a.__k{i} < b.__k{i} then {lt} "
+                         f"when a.__k{i} > b.__k{i} then {gt}")
+        cmp_ = f"(a, b) -> case {' '.join(whens)} else 0 end"
+        return f"transform(array_sort({agg}, {cmp_}), s -> s.__v)"
+
     def sql(self) -> str:
+        if self.agg_order and self.name.lower() not in self._ORDER_INSENSITIVE:
+            if self.window is not None:
+                raise NotImplementedError(
+                    "ORDER BY inside a windowed aggregate call"
+                )
+            return self._ordered_agg_sql()
         name = _renamed(self.name)
         args = ", ".join(e.sql() for e in self.args)
         if self.name.lower() == "map" and len(self.args) == 2:

@@ -778,6 +778,7 @@ class Parser:
         name = ".".join(parts)
         distinct = False
         args: list[ast.Expr] = []
+        agg_order: list[ast.SortItem] = []
         if self.accept_op("*"):
             args = [ast.Star()]
             self.expect_op(")")
@@ -788,10 +789,15 @@ class Parser:
                 args.append(self.parse_expr())
                 while self.accept_op(","):
                     args.append(self.parse_expr())
+            # ordered aggregate: array_agg(x ORDER BY y) — sort items before ')'
+            if self.at_kw("order") and self.at_kw("by", ahead=1):
+                self.next(), self.next()
+                agg_order.append(self._sort_item())
+                while self.accept_op(","):
+                    agg_order.append(self._sort_item())
             self.expect_op(")")
         call = ast.Call(name, args, distinct)
-        # ORDER BY inside aggregate args (e.g. array_agg(x order by y)) is
-        # parsed by parse_expr? No — Presto puts it before ')'; detect leftover
+        call.agg_order = agg_order
         if self.at_kw("filter"):
             self.next()
             self.expect_op("(")
