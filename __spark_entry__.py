@@ -42,7 +42,8 @@ _PRIORITY = [
     "pl_dedup_simhash", "pl_dedup_embedding", "pl_text_stats", "pl_text_langid",
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
     "pl_knn_brute", "pl_knn_lsh", "pl_knn_ivf", "pl_multimodal_decode",
-    "st_windowed_counts", "pl_curate",
+    "pl_multimodal_frames", "st_windowed_counts", "st_enrich_join",
+    "pl_curate",
     # -- one representative per family that was green in round 1 --
     "op_values", "op_join_left", "op_join_full", "op_join_semi",
     "op_join_anti", "op_join_theta", "op_setop_union", "op_setop_except",

@@ -88,3 +88,56 @@ def decode_media(df: DataFrame, *, batch_rows: int = 1024) -> DataFrame:
                 )
 
     return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
+
+
+# Schema contract for sampled frames (video/audio segmentation analog).
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", LongType()),
+        StructField("last_byte", LongType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame, *, frame_bytes: int = 64, every_k: int = 4, batch_rows: int = 1024
+) -> DataFrame:
+    """Fixed-size frame segmentation + every-k-th sampling over binary
+    payloads — the video/audio frame-sample plumbing shape.
+
+    Unlike decode_media (1 row → 1 row), this is the 1 → N expansion path: a
+    single payload yields one output row per sampled frame, built inside the
+    Arrow batch (pandas-side explode, never a Python UDF per row). A real
+    codec replaces the byte-slice "frame decode" with keyframe extraction;
+    the distributed contract — bounded batches, typed schema, map-only (no
+    shuffle) — is the part that must be right at 100 TB.
+    """
+    import pandas as pd
+
+    def frame_batches(batches) -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = {
+                    "media_id": [],
+                    "frame_index": [],
+                    "n_bytes": [],
+                    "first_byte": [],
+                    "last_byte": [],
+                }
+                for mid, payload in zip(chunk["media_id"], chunk["payload"]):
+                    n = len(payload)
+                    n_frames = -(-n // frame_bytes)  # ceil
+                    for fi in range(0, n_frames, every_k):
+                        frame = payload[fi * frame_bytes : (fi + 1) * frame_bytes]
+                        out["media_id"].append(mid)
+                        out["frame_index"].append(fi)
+                        out["n_bytes"].append(len(frame))
+                        out["first_byte"].append(frame[0])
+                        out["last_byte"].append(frame[-1])
+                yield pd.DataFrame(out).astype("int64")
+
+    return df.mapInPandas(frame_batches, FRAME_SCHEMA)

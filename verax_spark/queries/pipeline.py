@@ -421,3 +421,66 @@ def pl_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_cosine_pairs(
         base.unionByName(planted), threshold=0.98, exact=True
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal frame sampling: 1 payload → N sampled frames inside the Arrow
+# batch (the video keyframe-extraction plumbing shape). Text bytes stand in
+# for media payloads; documents are pure ASCII so the byte-slice oracle is
+# expressible in SQL.
+@_register(
+    "pl_multimodal_frames",
+    """
+    with d as (
+      select doc_id, text, length(text) as n from documents where doc_id < 40),
+    f as (
+      select doc_id, text, n,
+        unnest(range(0, cast(ceil(n / 64.0) as bigint), 4)) as fi
+      from d)
+    select doc_id as media_id, fi as frame_index,
+      cast(length(substr(text, fi * 64 + 1, 64)) as bigint) as n_bytes,
+      cast(ascii(substr(text, fi * 64 + 1, 1)) as bigint) as first_byte,
+      cast(ascii(substr(text, fi * 64 + length(substr(text, fi * 64 + 1, 64)), 1)) as bigint) as last_byte
+    from f order by media_id, frame_index
+    """,
+)
+def pl_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    payloads = multimodal.attach_payload(
+        cat.documents.filter(F.col("doc_id") < 40), "text", "doc_id"
+    )
+    return multimodal.sample_frames(
+        payloads, frame_bytes=64, every_k=4
+    ).orderBy("media_id", "frame_index")
+
+
+# ---------------------------------------------------------------------------
+# Stream-static enrichment join: events stream ⋈ broadcast customer dim →
+# windowed totals per market segment; the streamed result must hash-match
+# the batch SQL computing the same join+windows.
+@_register(
+    "st_enrich_join",
+    """
+    select date_trunc('hour', ts) as window_start, c_mktsegment,
+      count(*) as n,
+      cast(sum(cast(value as decimal(12,2))) as double) as total
+    from events join customer on user_id = c_custkey
+    group by 1, 2
+    order by window_start, c_mktsegment
+    """,
+)
+def st_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from verax_spark.streaming import read_events_stream, run_available_now
+    from verax_spark.streaming.pipeline import enriched_windowed_totals
+
+    cat = Catalog(spark, sf_dir)
+    stream = read_events_stream(spark, sf_dir)
+    dim = cat.customer.select("c_custkey", "c_mktsegment")
+    out = run_available_now(
+        enriched_windowed_totals(stream, dim),
+        f"st_enrich_{uuid.uuid4().hex[:8]}",
+        mode="complete",
+    )
+    return out.orderBy("window_start", "c_mktsegment")

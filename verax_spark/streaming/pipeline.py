@@ -176,3 +176,30 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def enriched_windowed_totals(
+    events: DataFrame,
+    dim: DataFrame,
+    *,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join + windowed aggregation: each micro-batch
+    joins the (broadcast) static dimension — no stream-side state beyond the
+    windowed agg, the standard shape for joining a 100 TB event stream to a
+    bounded dimension table."""
+    joined = events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"], "inner"
+    )
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "c_mktsegment", "n", "total"
+        )
+    )
