@@ -36,6 +36,9 @@ BROADCAST_TABLES = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# (application id, sf_dir, table) → DataFrame; see Catalog.table.
+_SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
 
 @dataclass
 class Catalog:
@@ -59,6 +62,17 @@ class Catalog:
 
     def table(self, name: str) -> DataFrame:
         if name not in self._cache:
+            # session-scoped scan cache: DataFrames are immutable logical
+            # plans, so reusing one across Catalog instances is safe and
+            # skips repeated footer/schema reads (~0.1-0.5 s per
+            # spark.read.parquet — material when a harness builds a fresh
+            # Catalog per query). Keyed by application id so a restarted
+            # session never sees stale plans.
+            key = (self.spark.sparkContext.applicationId, self.sf_dir, name)
+            shared = _SCAN_CACHE.get(key)
+            if shared is not None:
+                self._cache[name] = shared
+                return shared
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             if name == "events":
                 # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
@@ -74,6 +88,7 @@ class Catalog:
                 self._cache[name] = df
             else:
                 self._cache[name] = self.spark.read.parquet(path)
+            _SCAN_CACHE[key] = self._cache[name]
         return self._cache[name]
 
     def __getattr__(self, name: str) -> DataFrame:
