@@ -33,6 +33,12 @@ def curate(
 ) -> DataFrame:
     """Curated corpus: deduped (exact + transitive near-dup), quality- and
     language-gated, annotated with token stats and a content fingerprint."""
+    # step1 feeds three consumers (LSH pair generation, the transitive
+    # anti-join, and the final projection). Deliberately NOT persisted:
+    # each consumer prunes to different columns, and letting Catalyst
+    # re-derive the pruned subtrees measures faster than materializing the
+    # full-width dedup output (verified at sf0.1; revisit only if a profile
+    # shows the exact-dedup shuffle dominating).
     step1 = dedup.exact_dedup(documents, text_col, id_col)
     pairs = dedup.minhash_lsh_pairs(
         step1, text_col, id_col, num_perm=64, bands=32, threshold=jaccard_threshold
@@ -54,7 +60,11 @@ def curate(
 def curation_report(documents: DataFrame, curated: DataFrame) -> DataFrame:
     """One-row summary: docs in/out, token totals — the numbers a pipeline
     operator tracks per snapshot."""
-    n_in = documents.count()
+    from verax_spark.optimizer.query_graph import _parquet_row_count
+
+    n_in = _parquet_row_count(documents)  # footer metadata when possible
+    if n_in is None:
+        n_in = documents.count()
     stats = curated.agg(
         F.count(F.lit(1)).alias("docs_out"),
         F.sum("n_tokens").alias("total_tokens"),

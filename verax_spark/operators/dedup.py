@@ -341,10 +341,15 @@ def connected_components(
     materialized data instead of re-running a labels⋈labels join — the probe
     job is near-free and at most check_every-1 extra iterations run).
     """
+    # Materialize the edge list ONCE before iterating: `pairs` usually
+    # carries a whole candidate-generation DAG (MinHash banding etc.), and
+    # without this cut every iteration's join would re-execute that entire
+    # upstream pipeline — the dominant cost, not the propagation itself.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
