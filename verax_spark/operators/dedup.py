@@ -97,7 +97,11 @@ def ngram_jaccard_pairs(
         *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), n).alias("__sh"),
     )
-    sizes = shingled.select(F.col(id_col), F.size("__sh").alias("__n"))
+    # consumed twice (na/nb); materialize the narrow (id, count) relation so
+    # the doc scan + shingle construction behind it runs once, not twice
+    sizes = shingled.select(
+        F.col(id_col), F.size("__sh").alias("__n")
+    ).localCheckpoint(eager=True)
     exploded = shingled.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
@@ -182,7 +186,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, num_perm=num_perm)
     # band key = hash of the band's slice of the signature
-    band_entries = sig.select(
+    band_entries_plan = sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -204,6 +208,12 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("bb.band"), F.col("bb.bucket"))
+    # The bucket self-join consumes this twice, and Catalyst does not emit a
+    # ReusedExchange for it (verified on the physical plan) — without a cut
+    # the whole signature aggregation (explode + num_perm min-aggs over all
+    # text) would execute twice. The materialized relation is narrow:
+    # (id, band, bucket) = ~24 bytes x bands per document.
+    band_entries = band_entries_plan.localCheckpoint(eager=True)
 
     cand = (
         band_entries.alias("x")
@@ -218,11 +228,19 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    shingle_tbl = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh")
+    # Exact-Jaccard verification needs shingles only for CANDIDATE ids: one
+    # doc scan + semi-join prune, materialized small, consumed twice — never
+    # a full-corpus shingle materialization, never a second corpus scan.
+    cand_ids = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias(id_col)
+    ).distinct()
+    sh_cand = (
+        df.select(F.col(id_col), word_shingles(F.col(text_col), n).alias("__sh"))
+        .join(cand_ids, id_col, "left_semi")
+        .localCheckpoint(eager=True)
     )
-    sh_a = shingle_tbl.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
-    sh_b = shingle_tbl.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
+    sh_a = sh_cand.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("sh_a"))
+    sh_b = sh_cand.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("sh_b"))
     return (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -300,6 +318,10 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("__sim"), F.col("bb.band"), F.col("bb.key"))
+    # the self-join would otherwise run the signature aggregation twice
+    # (no ReusedExchange, same as minhash) — materialize the narrow
+    # (id, sim, band, key) relation once
+    bands = bands.localCheckpoint(eager=True)
     ham = F.bit_count(F.col("x.__sim").bitwiseXOR(F.col("y.__sim")))
     return (
         bands.alias("x")
@@ -449,6 +471,9 @@ def embedding_cosine_pairs(
                 )
             ).alias("bb"),
         ).select("__id", "__qv", F.col("bb.band"), F.col("bb.key"))
+        # materialize once: the self-join would recompute the n_projections
+        # signature dot products for both sides (no ReusedExchange)
+        sig = sig.localCheckpoint(eager=True)
         left = sig.select(
             F.col("__id").alias("id_a"), F.col("__qv").alias("__va"), "band", "key"
         )
