@@ -44,6 +44,8 @@ _PRIORITY = [
     "pl_knn_brute", "pl_knn_lsh", "pl_knn_ivf", "pl_multimodal_decode",
     "pl_multimodal_frames", "st_windowed_counts", "st_enrich_join",
     "pl_curate",
+    # -- new TPC-H shapes (round 2) --
+    "tpch_q15", "tpch_q20", "tpch_q21",
     # -- one representative per family that was green in round 1 --
     "op_values", "op_join_left", "op_join_full", "op_join_semi",
     "op_join_anti", "op_join_theta", "op_setop_union", "op_setop_except",
