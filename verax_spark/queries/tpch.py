@@ -455,12 +455,16 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_partkey", (_price("l_extendedprice") * _dec("l_quantity", QTY)).alias("v"))
     )
-    grouped = stock.groupBy("l_partkey").agg(F.sum("v").cast("double").alias("value"))
-    threshold = stock.agg((F.sum("v").cast("double") * 0.0001).alias("threshold"))
+    # single pass: the global threshold comes from a window over the
+    # POST-AGGREGATE relation (one row per part — bounded), so the
+    # lineitem⋈supplier⋈nation subtree executes once instead of twice
+    # (scalar-subquery decorrelation scanned it for the threshold too)
+    grouped = stock.groupBy("l_partkey").agg(F.sum("v").alias("__value_dec"))
+    total = F.sum("__value_dec").over(Window.partitionBy(F.lit(1)))
     return (
-        grouped.join(F.broadcast(threshold))
-        .filter(F.col("value") > F.col("threshold"))
-        .select("l_partkey", "value")
+        grouped.withColumn("__threshold", total.cast("double") * 0.0001)
+        .filter(F.col("__value_dec").cast("double") > F.col("__threshold"))
+        .select("l_partkey", F.col("__value_dec").cast("double").alias("value"))
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
@@ -612,15 +616,20 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated AVG scalar subquery, decorrelated to group-agg + join."""
     cat = Catalog(spark, sf_dir)
     part = cat.part.filter((F.col("p_brand") == "Brand#23") & (F.col("p_size") < 10))
-    per_part = cat.lineitem.groupBy("l_partkey").agg(
-        (F.lit(0.2) * (F.sum(_dec("l_quantity", QTY)).cast("double") / F.count(F.lit(1))))
-        .alias("qty_threshold")
+    # single pass: broadcast-join the selective part filter FIRST, then the
+    # per-part average is a window over the join key — only the filtered
+    # rows shuffle (the decorrelated agg+join shape aggregated the ENTIRE
+    # unfiltered lineitem and scanned it twice; per-part averages are
+    # unchanged by a partkey-level filter, so the results are identical)
+    w = Window.partitionBy("l_partkey")
+    thresh = F.lit(0.2) * (
+        F.sum(_dec("l_quantity", QTY)).over(w).cast("double")
+        / F.count(F.lit(1)).over(w)
     )
     return (
-        cat.lineitem.join(part, F.col("l_partkey") == F.col("p_partkey"))
-        .join(per_part.withColumnRenamed("l_partkey", "t_partkey"),
-              F.col("l_partkey") == F.col("t_partkey"))
-        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        cat.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__qty_threshold", thresh)
+        .filter(F.col("l_quantity") < F.col("__qty_threshold"))
         .agg((F.sum(_price("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
     )
 
