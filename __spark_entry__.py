@@ -35,7 +35,8 @@ _PRIORITY = [
     "op_hof_transform_filter", "op_hof_aggregate", "op_hof_zip_with",
     "op_special_forms", "op_dereference", "op_distinct",
     "op_table_write", "op_table_delete", "op_table_update",
-    "op_join_mark", "op_unnest_structs", "op_window_ntile", "op_sessionize",
+    "op_join_mark", "op_unnest_structs", "op_window_ntile",
+    "op_window_groups_frame", "op_sessionize",
     "sql_unnest_map_kv", "sql_unnest_ordinality",
     "sql_quantified", "sql_lateral", "sql_subscript", "sql_ordered_agg",
     "pl_dedup_exact", "pl_dedup_ngram_jaccard", "pl_dedup_minhash",

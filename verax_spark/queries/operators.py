@@ -1492,3 +1492,54 @@ def sql_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         from events where user_id < 20 group by user_id order by user_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPS window frame (ref ExprApi.h WindowFrame kGroups): emulated exactly
+# as a RANGE frame over dense_rank of the ordering key — same partitioning,
+# no extra exchange. DuckDB has no GROUPS frames either, so the oracle spells
+# the standard's GROUPS semantics through the same rank identity (a peer
+# group enters the frame wholly or not at all) — still a full cross-engine
+# differential on the computation.
+@_register(
+    "op_window_groups_frame",
+    """
+    with b as (
+      select o_custkey, o_orderkey,
+        cast(date_trunc('month', o_orderdate) as date) as mon,
+        cast(o_totalprice as decimal(12,2)) as p
+      from orders where o_custkey < 30),
+    r as (
+      select *, dense_rank() over (partition by o_custkey order by mon) as dr
+      from b)
+    select o_custkey, o_orderkey, mon,
+      cast(sum(p) over (partition by o_custkey order by dr
+            range between 1 preceding and current row) as double) as two_month_total
+    from r order by o_custkey, o_orderkey
+    """,
+)
+def op_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW: per-customer running
+    two-month order total where each month is one peer group."""
+    from verax_spark.operators.windows import with_groups_frame
+
+    cat = Catalog(spark, sf_dir)
+    base = cat.orders.filter(F.col("o_custkey") < 30).withColumn(
+        "mon", F.date_trunc("month", "o_orderdate").cast("date")
+    )
+    out = with_groups_frame(
+        base,
+        "two_month_total",
+        F.col("o_totalprice").cast(VAL),
+        agg="sum",
+        partition_by=["o_custkey"],
+        order_by="mon",
+        preceding=1,
+        following=0,
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderkey",
+        "mon",
+        F.col("two_month_total").cast("double").alias("two_month_total"),
+    ).orderBy("o_custkey", "o_orderkey")

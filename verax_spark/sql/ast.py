@@ -336,7 +336,9 @@ class WindowFrame:
     def sql(self) -> str:
         if self.kind == "groups":
             raise NotImplementedError(
-                "GROUPS window frames have no Spark analog (SURVEY §2.2)"
+                "GROUPS window frames: use operators.windows.with_groups_frame"
+                " (exact range-over-dense_rank emulation); SQL text lowering"
+                " would need query restructuring"
             )
         if self.end is None:
             return f"{self.kind} {self.start}"
