@@ -114,3 +114,27 @@ def test_parallelism_sweep_union_partitions(spark, sf_dir):
     )
     assert_frames_match(one, base, context="coalesce1")
     assert_frames_match(many, base, context="repartition17")
+
+
+def test_tpch_plans_have_no_duplicate_fact_scans(spark, sf_dir):
+    """Regression guard for the single-pass rewrites (q2/q11/q15/q17/q21):
+    no table may appear twice in any TPC-H physical plan, except known-benign
+    double scans — nation twice in q7/q8 (two join roles of a broadcast
+    dimension) and customer twice in q22 (single-column scalar-subquery
+    rescan)."""
+    import re
+    from collections import Counter
+
+    from verax_spark.queries import tpch
+
+    allowed = {
+        ("tpch_q7", "nation"), ("tpch_q8", "nation"), ("tpch_q22", "customer"),
+    }
+    for name, fn in sorted(tpch.QUERIES.items()):
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        files = re.findall(r"Location: InMemoryFileIndex[^\n]*?(\w+)\.parquet", plan)
+        for table, cnt in Counter(files).items():
+            if cnt > 1 and (name, table) not in allowed:
+                raise AssertionError(
+                    f"{name} scans {table} {cnt}x — single-pass regression"
+                )
