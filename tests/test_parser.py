@@ -161,3 +161,12 @@ def test_ordered_aggregate_rendering():
         transpile("select string_agg(x order by y) from t")
     with pytest.raises(NotImplementedError):
         transpile("select array_agg(distinct x order by y) from t")
+
+
+def test_try_lowering():
+    out = transpile("select try(a / b), try(cast(s as integer)), try(xs[9]) from t")
+    assert "try_divide(a, b)" in out
+    assert "try_cast(s as int)" in out
+    assert "try_element_at(xs, 9)" in out
+    with pytest.raises(NotImplementedError):
+        transpile("select try(some_udf(x)) from t")

@@ -1543,3 +1543,27 @@ def op_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon",
         F.col("two_month_total").cast("double").alias("two_month_total"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@_register(
+    "sql_try",
+    """
+    select doc_id,
+      try_cast(substr(text, 1, 3) as integer) as maybe_int,
+      cast(doc_id as double) / 4 as q
+    from documents where doc_id < 30 order by doc_id
+    """,
+)
+def sql_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto TRY special form through the parser (ref Expr.h SpecialForm
+    kTry): TRY(CAST) → try_cast, TRY(x / y) → try_divide."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select doc_id,
+          try(cast(substr(text, 1, 3) as integer)) as maybe_int,
+          try(cast(doc_id as double) / 4) as q
+        from documents where doc_id < 30 order by doc_id
+        """
+    )

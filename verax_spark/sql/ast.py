@@ -422,7 +422,34 @@ class Call(Expr):
         cmp_ = f"(a, b) -> case {' '.join(whens)} else 0 end"
         return f"transform(array_sort({agg}, {cmp_}), s -> s.__v)"
 
+    _TRY_OPS = {"+": "try_add", "-": "try_subtract", "*": "try_multiply",
+                "/": "try_divide"}
+
+    def _try_sql(self) -> str:
+        """Presto TRY(expr) → NULL on evaluation error. Spark has no generic
+        TRY, but its try_* family covers the error-throwing forms; TRY over
+        a non-throwing expression is the identity."""
+        inner = self.args[0]
+        if isinstance(inner, BinOp) and inner.op in self._TRY_OPS:
+            return (
+                f"{self._TRY_OPS[inner.op]}({inner.left.sql()}, "
+                f"{inner.right.sql()})"
+            )
+        if isinstance(inner, Cast):
+            return Cast(inner.operand, inner.type_, try_=True).sql()
+        if isinstance(inner, Subscript):
+            return (
+                f"try_element_at({inner.operand.sql()}, {inner.index.sql()})"
+            )
+        raise NotImplementedError(
+            "TRY(...) lowers only over arithmetic, CAST, and subscripts "
+            "(Spark try_add/try_cast/try_element_at family); other "
+            "expressions cannot throw in Spark's non-ANSI evaluation"
+        )
+
     def sql(self) -> str:
+        if self.name.lower() == "try" and len(self.args) == 1:
+            return self._try_sql()
         if self.agg_order and self.name.lower() not in self._ORDER_INSENSITIVE:
             if self.window is not None:
                 raise NotImplementedError(
