@@ -1506,7 +1506,7 @@ def sql_ordered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     with b as (
       select o_custkey, o_orderkey,
-        cast(date_trunc('month', o_orderdate) as date) as mon,
+        date_trunc('month', o_orderdate) as mon,
         cast(o_totalprice as decimal(12,2)) as p
       from orders where o_custkey < 30),
     r as (
@@ -1525,7 +1525,7 @@ def op_window_groups_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     base = cat.orders.filter(F.col("o_custkey") < 30).withColumn(
-        "mon", F.date_trunc("month", "o_orderdate").cast("date")
+        "mon", F.date_trunc("month", "o_orderdate")
     )
     out = with_groups_frame(
         base,
