@@ -48,6 +48,10 @@ def transpile(sql: str) -> str:
     return stmt.sql()
 
 
+# appId → sf_dir whose views are currently registered in that session
+_REGISTERED: dict[str, str] = {}
+
+
 class PrestoSession:
     """SELECT/EXPLAIN entry point over the driver catalog, Presto dialect."""
 
@@ -57,8 +61,14 @@ class PrestoSession:
 
         self.spark = spark
         self.catalog = Catalog(spark, sf_dir or DEFAULT_SF_DIR)
-        self.catalog.register_views()
-        register_sql_compat(spark)
+        # view + compat-UDF registration is idempotent; skip the ~12 DDL
+        # round-trips when this session already has THIS sf_dir's views
+        # (re-register whenever the sf_dir changes — views are global names)
+        app = spark.sparkContext.applicationId
+        if _REGISTERED.get(app) != self.catalog.sf_dir:
+            self.catalog.register_views()
+            register_sql_compat(spark)
+            _REGISTERED[app] = self.catalog.sf_dir
 
     def sql(self, text: str) -> DataFrame:
         stmt = parse(text.strip())
