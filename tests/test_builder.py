@@ -230,3 +230,32 @@ def test_lambda_expr_in_builder(spark, sf_dir):
         """,
     )
     assert_frames_match(df.toPandas(), oracle, context="lambda_expr")
+
+
+def test_values_is_local_relation(spark):
+    """ValuesNode must compile to a LocalRelation (in-plan literal table),
+    not a parallelized RDD scan — a 3-row VALUES must run zero tasks."""
+    import datetime
+
+    from verax_spark.plans.builder import local_values
+
+    rows = [
+        (1, "it's\na\\b", 2.5, None, datetime.datetime(2020, 1, 2, 3, 4, 5, 123456), True),
+        (None, None, 3.0, 7.0, None, False),
+    ]
+    schema = "a int, b string, c double, d double, e timestamp, f boolean"
+    df = local_values(spark, rows, schema)
+    ref = spark.createDataFrame(rows, schema)
+    assert [f.dataType for f in df.schema.fields] == [f.dataType for f in ref.schema.fields]
+    got = sorted((str(r) for r in df.collect()))
+    want = sorted((str(r) for r in ref.collect()))
+    assert got == want
+    assert "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString()
+
+    # non-literal types fall back to createDataFrame transparently
+    fb = local_values(spark, [([1, 2],)], "g array<int>")
+    assert fb.collect()[0][0] == [1, 2]
+
+    # the fluent builder path
+    chained = PlanBuilder(spark).values([(2, "y"), (1, "x")], "a int, b string").sort("a").build()
+    assert [tuple(r) for r in chained.collect()] == [(1, "x"), (2, "y")]

@@ -54,6 +54,66 @@ def _name_of(e: Expr | Column | str, fallback: str) -> str:
     return fallback
 
 
+def _sql_literal(v: Any, sql_type: str) -> str:
+    """Render one python value as a Spark SQL literal of `sql_type`.
+
+    Raises ValueError for values that have no safe literal spelling (the
+    caller falls back to createDataFrame for those rows).
+    """
+    import datetime
+    import math
+
+    if v is None:
+        return f"CAST(NULL AS {sql_type})"
+    if isinstance(v, bool):
+        return f"CAST({'true' if v else 'false'} AS {sql_type})"
+    if isinstance(v, int):
+        return f"CAST({v} AS {sql_type})"
+    if isinstance(v, float):
+        if not math.isfinite(v):
+            raise ValueError("non-finite float literal")
+        return f"CAST({v!r} AS {sql_type})"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"CAST('{esc}' AS {sql_type})"
+    if isinstance(v, datetime.datetime):
+        return f"CAST(TIMESTAMP '{v.isoformat(sep=' ')}' AS {sql_type})"
+    if isinstance(v, datetime.date):
+        return f"CAST(DATE '{v.isoformat()}' AS {sql_type})"
+    raise ValueError(f"no SQL literal form for {type(v).__name__}")
+
+
+def local_values(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """ValuesNode as a LocalRelation (LogicalPlanNode.h:121-157).
+
+    `spark.createDataFrame` over local rows builds a LogicalRDD scanned by
+    defaultParallelism tasks — a whole 32-task stage for a 3-row VALUES on
+    local[32]. Rendering the rows as a SQL inline table instead gives a
+    LocalRelation: driver-local, zero tasks, constant-folded into the plan
+    (the exact analog of the reference's in-plan literal table). Falls back
+    to createDataFrame for values with no safe literal spelling.
+    """
+    from pyspark.sql.types import StructType
+
+    parsed = (
+        schema
+        if isinstance(schema, StructType)
+        else StructType.fromDDL(schema)
+    )
+    types = [f.dataType.simpleString() for f in parsed.fields]
+    names = [f.name for f in parsed.fields]
+    try:
+        rendered = ",".join(
+            "(" + ",".join(_sql_literal(v, t) for v, t in zip(row, types, strict=True)) + ")"
+            for row in rows
+        )
+    except ValueError:
+        return spark.createDataFrame(rows, schema)
+    if not rows:
+        return spark.createDataFrame(rows, schema)
+    return spark.sql(f"SELECT * FROM (VALUES {rendered}) AS t({','.join(names)})")
+
+
 class PlanBuilder:
     """Compiles a fluent logical-plan chain to a DataFrame."""
 
@@ -68,7 +128,7 @@ class PlanBuilder:
     # -- leaf nodes ---------------------------------------------------------
     def values(self, rows: list[tuple], schema: str) -> "PlanBuilder":
         """ValuesNode (LogicalPlanNode.h:121-157)."""
-        self._df = self.spark.createDataFrame(rows, schema)
+        self._df = local_values(self.spark, rows, schema)
         self._node = LogicalNode("Values", f"{len(rows)} rows: {schema}")
         return self
 

@@ -53,7 +53,9 @@ VAL = "decimal(12,2)"  # events.value fits (12,2)
     """,
 )
 def op_values(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = spark.createDataFrame([(1, "x"), (2, "y"), (3, "z")], "a int, b string")
+    from verax_spark.plans.builder import local_values
+
+    df = local_values(spark, [(1, "x"), (2, "y"), (3, "z")], "a int, b string")
     return df.select(
         "a", F.upper("b").alias("ub"), (F.col("a") * 10).alias("a10")
     ).orderBy("a")

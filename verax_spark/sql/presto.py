@@ -79,5 +79,7 @@ class PrestoSession:
                     "formatted"
                 )
             )
-            return self.spark.createDataFrame([(plan,)], "plan string")
+            from verax_spark.plans.builder import local_values
+
+            return local_values(self.spark, [(plan,)], "plan string")
         return self.spark.sql(stmt.sql())
