@@ -45,7 +45,7 @@ _PRIORITY = [
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
     "pl_knn_brute", "pl_knn_lsh", "pl_knn_ivf", "pl_multimodal_decode",
     "pl_multimodal_frames", "st_windowed_counts", "st_enrich_join",
-    "pl_curate",
+    "pl_curate", "pl_asof_join", "pl_range_join",
     # -- new TPC-H shapes (round 2) --
     "tpch_q15", "tpch_q20", "tpch_q21",
     # -- one representative per family that was green in round 1 --

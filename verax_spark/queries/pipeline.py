@@ -484,3 +484,119 @@ def st_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="complete",
     )
     return out.orderBy("window_start", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (beyond-reference temporal operator, operators/temporal.py):
+# each purchase aligned to the user's most recent preceding click. One
+# window shuffle over |purchases|+|clicks|, zero join fanout.
+@_register(
+    "pl_asof_join",
+    """
+    select p.event_id, p.user_id, c.event_id as click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) as gap_us
+    from events p
+    left join lateral (
+      select event_id, ts from events c
+      where c.event_type = 'click' and c.user_id = p.user_id and c.ts <= p.ts
+      order by c.ts desc, c.event_id desc limit 1
+    ) c on true
+    where p.event_type = 'purchase'
+    order by p.event_id
+    """,
+)
+def pl_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.operators import temporal
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = temporal.asof_join(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="c_ts",
+        left_by="user_id",
+        right_by="c_user",
+        value_cols=["c_ts", "c_id"],
+        tie_break="c_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_c_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_c_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Banded range join (beyond-reference, operators/temporal.py): clicks within
+# the 24h before each purchase, per user. Equi-join on (user, day-bucket) —
+# a plain shuffle join, never a nested-loop theta join.
+@_register(
+    "pl_range_join",
+    """
+    select p.event_id,
+           count(c.event_id) as n_clicks,
+           cast(coalesce(sum(cast(c.value as decimal(12,2))), 0) as double)
+             as click_value
+    from events p
+    left join events c
+      on c.user_id = p.user_id and c.event_type = 'click'
+      and c.ts between p.ts - interval 1 day and p.ts
+    where p.event_type = 'purchase'
+    group by p.event_id
+    order by p.event_id
+    """,
+)
+def pl_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.operators import temporal
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withColumn("p_start", F.col("p_ts") - F.expr("INTERVAL 1 DAY"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+        F.col("value").alias("c_value"),
+    )
+    pairs = temporal.range_join(
+        purchases,
+        clicks,
+        left_key="p_user",
+        right_key="c_user",
+        left_start="p_start",
+        left_end="p_ts",
+        right_ts="c_ts",
+        bucket_seconds=86400,
+    )
+    per_purchase = pairs.groupBy("p_id").agg(
+        F.count("c_id").alias("n_clicks"),
+        F.sum(F.col("c_value").cast("decimal(12,2)")).alias("v"),
+    )
+    return (
+        purchases.select("p_id")
+        .join(per_purchase, "p_id", "left")
+        .select(
+            F.col("p_id").alias("event_id"),
+            F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
+            F.coalesce(F.col("v"), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("click_value"),
+        )
+        .orderBy("event_id")
+    )
