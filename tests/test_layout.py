@@ -85,3 +85,46 @@ def test_bucketed_results_match_unbucketed(spark, sf_dir, layout_tables):
         .n
     )
     assert got == want
+
+
+def test_lookup_join_pushes_in_filter(spark, sf_dir):
+    """lookup_join must reach the parquet scan as PushedFilters: In(...) —
+    the storage-level scan reduction that makes it an index-join analog."""
+    from verax_spark.sources.layout import lookup_join
+
+    cat = Catalog(spark, sf_dir)
+    probe = cat.supplier.filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    out = lookup_join(probe, cat.lineitem, "s_suppkey", "l_suppkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    # a single probe key folds In(...) to EqualTo(...) — both are the pushed
+    # storage-level lookup
+    assert any("In(l_suppkey" in p or "EqualTo(l_suppkey" in p for p in pushed), plan
+
+    # results match a plain join
+    want = sorted(
+        (r[0], r[1])
+        for r in probe.join(
+            cat.lineitem, F.col("s_suppkey") == F.col("l_suppkey")
+        ).groupBy("l_suppkey").agg(F.count(F.lit(1))).collect()
+    )
+    got = sorted(
+        (r[0], r[1])
+        for r in out.groupBy("l_suppkey").agg(F.count(F.lit(1))).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_lookup_join_falls_back_past_max_keys(spark, sf_dir):
+    from verax_spark.sources.layout import lookup_join
+
+    cat = Catalog(spark, sf_dir)
+    probe = cat.customer.select("c_custkey")  # 1500 distinct keys at sf0.01
+    out = lookup_join(probe, cat.orders, "c_custkey", "o_custkey", max_keys=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "In(o_custkey" not in plan  # plain join, no key materialization
+    assert out.count() == cat.customer.join(
+        cat.orders, F.col("c_custkey") == F.col("o_custkey")
+    ).count()

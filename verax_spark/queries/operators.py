@@ -942,6 +942,38 @@ def op_join_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "op_join_lookup",
+    """
+    select l_suppkey, count(*) as n_items,
+      cast(sum(cast(l_extendedprice as decimal(12,2))) as double) as total
+    from lineitem
+    where l_suppkey in (select s_suppkey from supplier where s_nationkey = 3)
+    group by l_suppkey order by l_suppkey
+    """,
+)
+def op_join_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-lookup join (ref axiom/optimizer/Optimization.cpp:817
+    joinByIndex): the bounded probe key set is pushed into the build-side
+    parquet scan as an IN filter (row-group skipping), the Spark analog of
+    a storage index lookup. sources/layout.py lookup_join."""
+    from verax_spark.sources.layout import lookup_join
+
+    cat = Catalog(spark, sf_dir)
+    probe = cat.supplier.filter(F.col("s_nationkey") == 3).select("s_suppkey")
+    hits = lookup_join(probe, cat.lineitem, "s_suppkey", "l_suppkey")
+    return (
+        hits.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function families (SURVEY §2.5: string/date/math/array/map/json —
 # the reference registers the whole Presto library; these queries pin the
@@ -1107,6 +1139,33 @@ def op_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$").isNotNull().alias("ok"),
         )
         .orderBy("event_id")
+    )
+
+
+@_register(
+    "op_fn_percentile",
+    """
+    select o_orderpriority,
+      quantile_cont(o_totalprice, 0.5) as med_price,
+      quantile_cont(o_totalprice, 0.9) as p90_price,
+      count(*) as n
+    from orders group by o_orderpriority order by o_orderpriority
+    """,
+)
+def op_fn_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: exact linear-interpolated percentiles
+    (deterministic across engines, unlike approx_percentile's sketch —
+    the Presto library's approx_distinct/approx_percentile have
+    engine-specific outputs, pinned separately by sanity tests)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("med_price"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderpriority")
     )
 
 

@@ -600,3 +600,40 @@ def pl_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style time rollup: one pass materializes the same aggregates at
+# multiple time resolutions via grouping sets (day, day+hour) — partial
+# aggregation makes this a single shuffle regardless of how many
+# granularities are stacked.
+@_register(
+    "pl_time_rollup",
+    """
+    with b as (
+      select date_trunc('day', ts) as day, date_trunc('hour', ts) as hour, value
+      from events)
+    select day, hour, grouping(day, hour) as gid, count(*) as n_events,
+      cast(sum(cast(value as decimal(12,2))) as double) as total_value
+    from b group by grouping sets ((day), (day, hour))
+    order by gid, day, hour
+    """,
+)
+def pl_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = Catalog(spark, sf_dir).events
+    bucketed = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        bucketed.groupingSets([["day"], ["day", "hour"]], "day", "hour")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("gid", "day", "hour")
+    )

@@ -60,3 +60,41 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def lookup_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_key: str,
+    build_key: str,
+    *,
+    max_keys: int = 100_000,
+    how: str = "inner",
+) -> DataFrame:
+    """Index-lookup join (ref axiom/optimizer/Optimization.cpp:817
+    joinByIndex; LookupKeys ConnectorMetadata.h:392-418).
+
+    The reference's index join ships the probe-side keys to the storage
+    layer and reads only matching rows. Spark has no row-level storage
+    index, but the same scan reduction comes from materializing the
+    (bounded) probe key domain and pushing it into the build-side scan as
+    an IN predicate: parquet row-group min/max stats and dictionary pages
+    then skip all non-matching row groups (PushedFilters: In(...) —
+    asserted in tests/test_layout.py). The driver-side collect is the
+    point, not an accident: an index lookup is only profitable when the
+    probe key domain is small, the same contract as the reference's
+    lookupCost model (Schema.h:241-264). Past `max_keys` the operator
+    degrades to a plain distributed join — never an error, never an
+    unbounded collect.
+    """
+    import pyspark.sql.functions as F
+
+    keys = [
+        r[0]
+        for r in probe.select(probe_key).distinct().limit(max_keys + 1).collect()
+    ]
+    if len(keys) > max_keys:
+        return probe.join(build, probe[probe_key] == build[build_key], how)
+    non_null = [k for k in keys if k is not None]
+    filtered = build.filter(F.col(build_key).isin(non_null))
+    return probe.join(filtered, probe[probe_key] == filtered[build_key], how)
