@@ -199,6 +199,29 @@ def _cases():
     "split_part": [(_c("split_part", F.lit("a,b,c"), F.lit(","), F.lit(2)), "b")],
     "min_by": [(_c("min_by", F.col("s"), F.col("i")), "hello world")],
     "max_by": [(_c("max_by", F.col("s"), F.col("i")), "hello world")],
+    "random": [(_c("random"), lambda v: 0.0 <= v < 1.0)],
+    "levenshtein_distance": [
+        (_c("levenshtein_distance", F.lit("kitten"), F.lit("sitting")), 3)
+    ],
+    "to_hex": [(_c("to_hex", F.lit("4V").cast("binary")), "3456")],
+    "from_hex": [(_c("from_hex", F.lit("3456")), bytearray(b"4V"))],
+    "to_base64": [(_c("to_base64", F.lit("ab").cast("binary")), "YWI=")],
+    "from_base64": [(_c("from_base64", F.lit("YWI=")), bytearray(b"ab"))],
+    # Presto repeat builds an array (NOT string repetition)
+    "repeat": [(_c("repeat", F.lit(7), F.lit(3)), [7, 7, 7])],
+    # Presto split treats '.' as a literal delimiter, not a regex
+    "split": [(_c("split", F.lit("a.b.c"), "."), ["a", "b", "c"])],
+    # Presto date_format is MySQL-%-style
+    "date_format": [
+        (
+            _c(
+                "date_format",
+                F.lit("2020-01-02 03:04:05").cast("timestamp"),
+                "%Y-%m-%d %H:%i",
+            ),
+            "2020-01-02 03:04",
+        )
+    ],
     }
 
 
@@ -300,3 +323,27 @@ def test_canonical_predicates_share_history_signature(spark, sf_dir):
     )
     assert plan_signature(a) == plan_signature(b)
     assert a.count() == b.count()
+
+
+def test_sql_front_door_divergent_semantics(spark):
+    """repeat/split/date_format keep Presto semantics through the SQL
+    renderer (all three collide with same-named Spark builtins that mean
+    something different)."""
+    from verax_spark.sql.presto import transpile
+
+    assert spark.sql(transpile("select repeat(7, 3) as v")).collect()[0].v == [7, 7, 7]
+    assert spark.sql(
+        transpile("select split('a.b.c', '.') as v")
+    ).collect()[0].v == ["a", "b", "c"]
+    got = spark.sql(
+        transpile(
+            "select date_format(cast('2020-01-02 03:04:05' as timestamp),"
+            " '%Y-%m-%dT%H:%i') as v"
+        )
+    ).collect()[0].v
+    assert got == "2020-01-02T03:04"
+    # non-literal delimiters cannot be made literal-safe → loud error
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        transpile("select split(s, d) from t")

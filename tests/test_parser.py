@@ -170,3 +170,22 @@ def test_try_lowering():
     assert "try_element_at(xs, 9)" in out
     with pytest.raises(NotImplementedError):
         transpile("select try(some_udf(x)) from t")
+
+
+def test_named_window_clause():
+    s = parse(
+        "select rank() over w as r from t "
+        "window w as (partition by a order by b desc)"
+    )
+    sql = s.sql()
+    assert "over w" in sql and "window w as (partition by a order by b desc)" in sql
+
+
+def test_over_named_and_inline_mixed():
+    s = parse(
+        "select rank() over w, sum(x) over (order by y) from t "
+        "window w as (order by z rows between 1 preceding and current row)"
+    )
+    sql = s.sql()
+    assert "over w" in sql and "over (order by y)" in sql
+    assert "rows between 1 preceding and current row" in sql

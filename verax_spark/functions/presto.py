@@ -65,7 +65,13 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "map_from_entries": "map_from_entries",
     "md5": "md5",
     "rand": "rand",
+    "random": "rand",
     "array_to_string": "array_join",
+    "levenshtein_distance": "levenshtein",
+    "to_hex": "hex",
+    "from_hex": "unhex",
+    "to_base64": "base64",
+    "from_base64": "unbase64",
 }
 
 # Seconds per fixed-width unit for date_add/date_diff arithmetic.
@@ -146,6 +152,68 @@ def _presto_json_parse(x) -> Column:
     return F.to_json(F.parse_json(_col(x).cast("string")))
 
 
+# Presto date_format uses MySQL-style % directives; Spark uses Java
+# datetime patterns. Literal runs are single-quoted so pattern letters in
+# them stay literal.
+_MYSQL_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%M": "MMMM", "%b": "MMM", "%m": "MM",
+    "%c": "M", "%d": "dd", "%e": "d", "%j": "DDD", "%W": "EEEE",
+    "%a": "EEE", "%H": "HH", "%k": "H", "%h": "hh", "%l": "h", "%i": "mm",
+    "%s": "ss", "%S": "ss", "%f": "SSSSSS", "%p": "a", "%T": "HH:mm:ss",
+}
+
+
+def mysql_datetime_pattern(fmt: str) -> str:
+    """Translate a (literal) MySQL-style format to a Java datetime pattern."""
+    if isinstance(fmt, Column):
+        raise ValueError("date_format pattern must be a literal string")
+    fmt = str(fmt)
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            run = "".join(lit).replace("'", "''")
+            out.append(f"'{run}'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = fmt[i : i + 2]
+            if tok == "%%":
+                lit.append("%")
+            elif tok in _MYSQL_TO_JAVA:
+                flush()
+                out.append(_MYSQL_TO_JAVA[tok])
+            else:
+                raise ValueError(f"unsupported date_format directive {tok!r}")
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+_REGEX_META = set("\\.[]{}()*+?^$|")
+
+
+def regex_quote(s: str) -> str:
+    """Escape a literal string for use as a Java regex (split delimiter)."""
+    return "".join("\\" + c if c in _REGEX_META else c for c in s)
+
+
+def _presto_split(s, delim, limit=None) -> Column:
+    """Presto split(x, delim[, limit]): delim is a LITERAL string, not a
+    regex (Spark's split takes a regex — unescaped metachars silently change
+    semantics). Limit semantics match (last element holds the rest)."""
+    if isinstance(delim, Column):
+        raise ValueError("Presto split delimiter must be a literal string")
+    pattern = regex_quote(str(delim))
+    return F.split(_col(s), pattern, -1 if limit is None else limit)
+
+
 # Tier 3: signature adapters (arg order / semantics differ).
 _ADAPTERS: dict[str, Callable[..., Column]] = {
     # presto date_add(unit, n, ts): calendar-aware Column arithmetic
@@ -192,6 +260,15 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "split_part": F.split_part,
     "min_by": F.min_by,
     "max_by": F.max_by,
+    # presto repeat(element, count) builds an ARRAY; spark repeat is
+    # string repetition — silent wrong answers if passed through
+    "repeat": lambda e, n: F.array_repeat(_col(e), n),
+    # presto split takes a literal delimiter; spark split takes a regex
+    "split": _presto_split,
+    # presto date_format is MySQL-%-style; spark date_format is Java-style
+    "date_format": lambda ts, fmt: F.date_format(
+        _col(ts), mysql_datetime_pattern(fmt)
+    ),
 }
 
 

@@ -384,6 +384,13 @@ class PlanBuilder:
             )
         )
 
+    def explain_fragments(self) -> str:
+        """Distributed fragment spec (MultiFragmentPlan analog,
+        ref axiom/runner/MultiFragmentPlan.h:40-111)."""
+        from verax_spark.plans.fragments import explain_fragments
+
+        return explain_fragments(self._req())
+
 
 def _detail(e: Any) -> str:
     if isinstance(e, str):

@@ -197,6 +197,14 @@ _SPECIAL: dict[str, Callable[..., Column]] = {
     "try": lambda a: a,  # TRY over non-throwing exprs; throwing fns use try_ variants
 }
 
+# (fn → arg positions) whose adapter requires the raw literal value rather
+# than a Column — the Column form loses the literal and the adapter would
+# have to reject it.
+_LITERAL_ARGS: dict[str, tuple[int, ...]] = {
+    "split": (1,),
+    "date_format": (1,),
+}
+
 
 @dataclass(eq=False)
 class Call(Expr):
@@ -229,6 +237,11 @@ class Call(Expr):
         sargs = [a.to_spark() for a in self.args]
         if key in _SPECIAL:
             return _SPECIAL[key](*sargs)
+        # adapters that need a *literal* python value (split's delimiter is a
+        # literal-not-regex; date_format's pattern needs %-to-Java rewriting)
+        for idx in _LITERAL_ARGS.get(key, ()):
+            if idx < len(self.args) and isinstance(self.args[idx], Lit):
+                sargs[idx] = self.args[idx].value
         return presto_call(key, *sargs)
 
 

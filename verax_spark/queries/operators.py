@@ -1485,6 +1485,39 @@ def sql_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sql_window_clause",
+    """
+    select event_id, user_id,
+      rank() over w as r,
+      cast(sum(cast(value as decimal(12,2))) over w2 as double) as cum
+    from events
+    window w as (partition by user_id order by value desc, event_id),
+           w2 as (partition by user_id order by event_id
+                  rows between unbounded preceding and current row)
+    order by event_id
+    """,
+)
+def sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto named WINDOW clause (ref axiom/sql/presto grammar windowClause;
+    Spark and DuckDB both support the clause natively — the parser binds
+    OVER w references)."""
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select event_id, user_id,
+          rank() over w as r,
+          cast(sum(cast(value as decimal(12,2))) over w2 as double) as cum
+        from events
+        window w as (partition by user_id order by value desc, event_id),
+               w2 as (partition by user_id order by event_id
+                      rows between unbounded preceding and current row)
+        order by event_id
+        """
+    )
+
+
+@_register(
     "sql_lateral",
     """
     select c_custkey, cast(t.mx as double) as mx

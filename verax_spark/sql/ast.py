@@ -45,6 +45,21 @@ def _renamed(name: str) -> str:
     return PRESTO_TO_SPARK.get(name.lower(), name)
 
 
+def _literal_text(e) -> str | None:
+    """Inner text of a string-literal arg ('' unescaped), else None."""
+    if isinstance(e, Raw):
+        t = e.text
+        if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+            return t[1:-1].replace("''", "'")
+    return None
+
+
+def _quote_str(s: str) -> str:
+    """Render a python string as a Spark SQL string literal (backslash
+    escapes are active in Spark's default parser)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 # ---------------------------------------------------------------------------
 # Expressions
 class Expr:
@@ -372,6 +387,7 @@ class Call(Expr):
     filter_: Expr | None = None
     ignore_nulls: bool = False
     window: WindowSpec | None = None
+    window_name: str | None = None  # OVER w — named WINDOW-clause reference
     agg_order: list["SortItem"] = field(default_factory=list)
 
     # aggregates whose result is independent of input order: ORDER BY inside
@@ -462,6 +478,36 @@ class Call(Expr):
             name, args = "map_from_arrays", args
         elif self.name.lower() == "map" and not self.args:
             name, args = "map", ""
+        elif self.name.lower() == "repeat" and len(self.args) == 2:
+            # Presto repeat(element, count) returns ARRAY; Spark repeat is
+            # string repetition
+            name = "array_repeat"
+        elif self.name.lower() == "split" and len(self.args) in (2, 3):
+            # Presto split's delimiter is a literal, Spark's is a regex
+            inner = _literal_text(self.args[1])
+            if inner is None:
+                raise NotImplementedError(
+                    "Presto split(x, delim) requires a literal delimiter "
+                    "(Spark split is regex-based)"
+                )
+            from verax_spark.functions.presto import regex_quote
+
+            rest = [e.sql() for e in self.args[2:]]
+            args = ", ".join(
+                [self.args[0].sql(), _quote_str(regex_quote(inner)), *rest]
+            )
+        elif self.name.lower() == "date_format" and len(self.args) == 2:
+            # Presto date_format is MySQL-%-style; Spark's is Java-style
+            inner = _literal_text(self.args[1])
+            if inner is None:
+                raise NotImplementedError(
+                    "Presto date_format requires a literal format string"
+                )
+            from verax_spark.functions.presto import mysql_datetime_pattern
+
+            args = ", ".join(
+                [self.args[0].sql(), _quote_str(mysql_datetime_pattern(inner))]
+            )
         head = f"{name}({'distinct ' if self.distinct else ''}{args})"
         if self.filter_ is not None:
             head += f" filter (where {self.filter_.sql()})"
@@ -469,6 +515,8 @@ class Call(Expr):
             head += " ignore nulls"
         if self.window is not None:
             head += f" over {self.window.sql()}"
+        elif self.window_name is not None:
+            head += f" over {self.window_name}"
         return head
 
 
@@ -718,6 +766,7 @@ class Select:
     group_by: GroupBy | None = None
     having: Expr | None = None
     distinct: bool = False
+    windows: list[tuple[str, WindowSpec]] = field(default_factory=list)
 
     def sql(self) -> str:
         parts = ["select"]
@@ -732,6 +781,12 @@ class Select:
             parts.append(f"group by {self.group_by.sql()}")
         if self.having is not None:
             parts.append(f"having {self.having.sql()}")
+        if self.windows:
+            # Presto WINDOW clause — Spark supports the same clause natively
+            parts.append(
+                "window "
+                + ", ".join(f"{n} as {w.sql()}" for n, w in self.windows)
+            )
         return " ".join(parts)
 
 

@@ -293,7 +293,17 @@ class Parser:
             self.next(), self.next()
             group_by = self._group_by()
         having = self.parse_expr() if self.accept_kw("having") else None
-        return ast.Select(items, from_, where, group_by, having, distinct)
+        windows: list[tuple[str, ast.WindowSpec]] = []
+        if self.accept_kw("window"):
+            while True:
+                name = self.next().text
+                self.expect_kw("as")
+                windows.append((name, self._window_spec()))
+                if not self.accept_op(","):
+                    break
+        return ast.Select(
+            items, from_, where, group_by, having, distinct, windows
+        )
 
     def _select_item(self) -> ast.SelectItem:
         if self.at_op("*"):
@@ -810,7 +820,10 @@ class Parser:
         elif self.at_kw("respect") and self.at_kw("nulls", ahead=1):
             self.next(), self.next()
         if self.accept_kw("over"):
-            call.window = self._window_spec()
+            if self.at_op("("):
+                call.window = self._window_spec()
+            else:
+                call.window_name = self.next().text  # named WINDOW reference
         return call
 
     def _window_spec(self) -> ast.WindowSpec:
