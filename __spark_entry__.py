@@ -31,7 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # -- unchecked in CORRECTNESS_r01 (driver stopped at 50 entries) --
     "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_array_map",
-    "op_fn_json", "op_fn_conv", "op_fn_percentile",
+    "op_fn_json", "op_fn_conv", "op_fn_percentile", "op_fn_null_semantics",
+    "op_fn_map_agg",
     "op_hof_transform_filter", "op_hof_aggregate", "op_hof_zip_with",
     "op_special_forms", "op_dereference", "op_distinct",
     "op_table_write", "op_table_delete", "op_table_update",
@@ -45,7 +46,9 @@ _PRIORITY = [
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
     "pl_knn_brute", "pl_knn_lsh", "pl_knn_ivf", "pl_multimodal_decode",
     "pl_multimodal_frames", "st_windowed_counts", "st_enrich_join",
-    "pl_curate", "pl_asof_join", "pl_range_join", "pl_time_rollup",
+    # exact-oracle queries before pl_curate (rows-only + slowest): if the
+    # driver stops at 50 entries, hard evidence lands first
+    "pl_asof_join", "pl_range_join", "pl_time_rollup", "pl_curate",
     # -- new TPC-H shapes (round 2) --
     "tpch_q15", "tpch_q20", "tpch_q21",
     # -- one representative per family that was green in round 1 --

@@ -222,6 +222,42 @@ def _cases():
             "2020-01-02 03:04",
         )
     ],
+    # Presto least/greatest: NULL if ANY argument is NULL (Spark skips NULLs)
+    "least": [
+        (_c("least", F.lit(3), F.lit(1), F.lit(2)), 1),
+        (_c("least", F.lit(1), F.lit(None).cast("int")), None),
+    ],
+    "greatest": [
+        (_c("greatest", F.lit(3), F.lit(1)), 3),
+        (_c("greatest", F.lit(3), F.lit(None).cast("int")), None),
+    ],
+    # Presto array_min/max: NULL if the array contains NULL
+    "array_min": [
+        (_c("array_min", F.col("xs")), 1),
+        (_c("array_min", F.array(F.lit(1), F.lit(None).cast("int"))), None),
+    ],
+    "array_max": [
+        (_c("array_max", F.col("xs")), 3),
+        (_c("array_max", F.array(F.lit(2), F.lit(None).cast("int"))), None),
+    ],
+    # Presto regexp_extract defaults to group 0 (Spark SQL defaults to 1)
+    "regexp_extract": [
+        (_c("regexp_extract", F.lit("abc123def"), "[0-9]+"), "123"),
+        (_c("regexp_extract", F.lit("abc123def"), "([a-z]+)([0-9]+)", 2), "123"),
+    ],
+    # Presto 2-arg regexp_replace removes matches
+    "regexp_replace": [
+        (_c("regexp_replace", F.lit("abc123"), "[0-9]"), "abc"),
+        (_c("regexp_replace", F.lit("abc123"), "[0-9]", "#"), "abc###"),
+    ],
+    "json_extract": [
+        (_c("json_extract", F.lit('{"a": {"b": 1}}'), "$.a"), '{"b":1}'),
+        # scalar strings stay JSON-quoted (get_json_object would unquote)
+        (_c("json_extract", F.lit('{"s": "x"}'), "$.s"), '"x"'),
+    ],
+    "map_agg": [
+        (_c("map_agg", F.col("i"), F.col("s")), {5: "hello world"}),
+    ],
     }
 
 

@@ -221,6 +221,42 @@ def test_high_fanout_edge_demotes_small_table(spark):
     assert out.count() == 4 * 3 * 6
 
 
+def test_implied_edges_close_equality_classes(spark):
+    """addImpliedJoins analog (DerivedTable.cpp:90, Column::Equivalence
+    QueryGraph.h:154-157): A.k=B.bk and B.bk=C.ck imply A.k=C.ck, so the
+    enumeration can join the two cheap endpoints FIRST instead of being
+    forced through the fat middle table of the chain."""
+    # A: 10 keys, one row each
+    a = spark.createDataFrame([(k, k * 10) for k in range(10)], "k int, av int")
+    # B: fat middle — 5 rows per key
+    b = spark.createDataFrame(
+        [(k, j) for k in range(10) for j in range(5)], "bk int, bv int"
+    )
+    # C: tiny selective endpoint — 2 keys
+    c = spark.createDataFrame([(0, 7), (1, 8)], "ck int, cv int")
+
+    g = QueryGraph(fanout_mod=1)
+    g.table("A", a).table("B", b).table("C", c)
+    g.edge("A", "k", "B", "bk")
+    g.edge("B", "bk", "C", "ck")
+    added = g.add_implied_edges()
+    assert [(e.left, e.left_key, e.right, e.right_key) for e in added] == [
+        ("A", "k", "C", "ck")
+    ]
+    assert g.add_implied_edges() == []  # idempotent
+
+    out = g.plan()
+    # endpoints join before the fat middle table
+    assert set(g.last_order[:2]) == {"A", "C"}, g.last_order
+    # the implied edge is exact for inner joins: same result as the chain
+    expect = (
+        a.join(b, F.col("k") == F.col("bk"))
+        .join(c, F.col("bk") == F.col("ck"))
+        .count()
+    )
+    assert out.count() == expect == 10
+
+
 def test_dp_enumeration_finds_bushy_plan(spark):
     """Memoized enumeration (Optimization.cpp:1555 makeJoins analog) must
     consider BUSHY shapes: with two reducing arms, joining (A⋈B) with (C⋈D)

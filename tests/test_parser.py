@@ -181,6 +181,22 @@ def test_named_window_clause():
     assert "over w" in sql and "window w as (partition by a order by b desc)" in sql
 
 
+def test_null_semantic_fn_rewrites():
+    out = transpile("select least(a, b) as l, greatest(a, b, c) as g from t")
+    assert "case when a is null or b is null then null else least(a, b) end" in out
+    assert "a is null or b is null or c is null" in out
+    out2 = transpile("select regexp_extract(s, 'x') as e, regexp_replace(s, 'y') as r from t")
+    assert "regexp_extract(s, 'x', 0)" in out2
+    assert "regexp_replace(s, 'y', '')" in out2
+    out3 = transpile("select array_min(xs) as m from t")
+    assert "exists(xs, _e -> _e is null)" in out3
+
+
+def test_map_agg_rewrite():
+    out = transpile("select k, map_agg(a, b) as m from t group by k")
+    assert "map_from_entries(collect_list(struct(a, b)))" in out
+
+
 def test_over_named_and_inline_mixed():
     s = parse(
         "select rank() over w, sum(x) over (order by y) from t "

@@ -204,6 +204,32 @@ def regex_quote(s: str) -> str:
     return "".join("\\" + c if c in _REGEX_META else c for c in s)
 
 
+def _null_if_any_null(fn: Callable[..., Column]) -> Callable[..., Column]:
+    """Presto least/greatest return NULL if ANY argument is NULL; Spark's
+    skip NULLs — a silent wrong answer if passed through."""
+
+    def wrap(*args) -> Column:
+        cols = [_col(a) for a in args]
+        any_null = cols[0].isNull()
+        for c in cols[1:]:
+            any_null = any_null | c.isNull()
+        return F.when(any_null, F.lit(None)).otherwise(fn(*cols))
+
+    return wrap
+
+
+def _null_if_has_null_element(fn: Callable[[Column], Column]) -> Callable[..., Column]:
+    """Presto array_min/array_max return NULL if the array contains NULL;
+    Spark's skip NULL elements."""
+
+    def wrap(arr) -> Column:
+        a = _col(arr)
+        has_null = F.exists(a, lambda e: e.isNull())
+        return F.when(has_null, F.lit(None)).otherwise(fn(a))
+
+    return wrap
+
+
 def _presto_split(s, delim, limit=None) -> Column:
     """Presto split(x, delim[, limit]): delim is a LITERAL string, not a
     regex (Spark's split takes a regex — unescaped metachars silently change
@@ -268,6 +294,31 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     # presto date_format is MySQL-%-style; spark date_format is Java-style
     "date_format": lambda ts, fmt: F.date_format(
         _col(ts), mysql_datetime_pattern(fmt)
+    ),
+    # presto least/greatest are NULL if any arg is NULL (spark skips NULLs)
+    "least": _null_if_any_null(F.least),
+    "greatest": _null_if_any_null(F.greatest),
+    # presto array_min/max are NULL if the array contains NULL
+    "array_min": _null_if_has_null_element(F.array_min),
+    "array_max": _null_if_has_null_element(F.array_max),
+    # presto regexp_extract defaults to group 0 (whole match); spark SQL
+    # defaults to group 1
+    "regexp_extract": lambda s, p, g=0: F.regexp_extract(
+        _col(s), str(p), int(g)
+    ),
+    # presto 2-arg regexp_replace removes matches; spark requires 3 args
+    "regexp_replace": lambda s, p, r="": F.regexp_replace(
+        _col(s), p if isinstance(p, Column) else F.lit(str(p)),
+        r if isinstance(r, Column) else F.lit(str(r)),
+    ),
+    # presto map_agg(k, v) aggregate — no direct Spark analog
+    "map_agg": lambda k, v: F.map_from_entries(
+        F.collect_list(F.struct(_col(k), _col(v)))
+    ),
+    # presto json_extract returns JSON *text* (strings stay quoted) —
+    # get_json_object unquotes scalars, so route through VARIANT instead
+    "json_extract": lambda x, p: F.to_json(
+        F.variant_get(F.parse_json(_col(x).cast("string")), str(p), "variant")
     ),
 }
 

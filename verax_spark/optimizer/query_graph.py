@@ -133,6 +133,50 @@ class QueryGraph:
         self.edges.append(JoinEdge(left, right, left_key, right_key))
         return self
 
+    # -- implied edges from equality classes (addImpliedJoins analog) --------
+    def add_implied_edges(self) -> list[JoinEdge]:
+        """Close the join graph under equality transitivity: a.k=b.k and
+        b.k=c.k imply a.k=c.k (ref Column::Equivalence QueryGraph.h:154-157,
+        416-419; DerivedTable::addImpliedJoins DerivedTable.cpp:90). The
+        implied edges widen the enumeration space — without them a chain
+        graph forces the middle table early even when joining the two
+        endpoints first is far cheaper. Inner-join equivalence classes make
+        this rewrite exact. Idempotent; returns the edges added."""
+        parent: dict[tuple[str, str], tuple[str, str]] = {}
+
+        def find(x: tuple[str, str]) -> tuple[str, str]:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a: tuple[str, str], b: tuple[str, str]) -> None:
+            parent[find(a)] = find(b)
+
+        for e in self.edges:
+            union((e.left, e.left_key), (e.right, e.right_key))
+        classes: dict[tuple[str, str], list[tuple[str, str]]] = {}
+        for node in list(parent):
+            classes.setdefault(find(node), []).append(node)
+        existing = {
+            frozenset([(e.left, e.left_key), (e.right, e.right_key)])
+            for e in self.edges
+        }
+        added: list[JoinEdge] = []
+        for members in classes.values():
+            for i, (t1, k1) in enumerate(members):
+                for t2, k2 in members[i + 1 :]:
+                    if t1 == t2:
+                        continue
+                    pair = frozenset([(t1, k1), (t2, k2)])
+                    if pair in existing:
+                        continue
+                    existing.add(pair)
+                    added.append(JoinEdge(t1, t2, k1, k2))
+        self.edges.extend(added)
+        return added
+
     # -- cardinality estimation (TableLayout stats + sampleFilters analog) ---
     def _base_rows(self, ref: TableRef) -> float:
         meta = _parquet_row_count(ref.df)
@@ -248,6 +292,7 @@ class QueryGraph:
         """
         if not self.tables:
             raise ValueError("empty query graph")
+        self.add_implied_edges()
         if algorithm == "auto":
             algorithm = "dp" if len(self.tables) <= 10 else "greedy"
         if algorithm == "dp":

@@ -395,4 +395,9 @@ class Agg(Expr):
                 # count(*) FILTER (WHERE p) → count the rows where p holds
                 return F.count(F.when(self.filter_.to_spark(), F.lit(1)))
             return F.count(F.lit(1))
+        from verax_spark.functions.presto import _ADAPTERS
+
+        if self.fn.lower() in _ADAPTERS and not self.distinct:
+            # signature adapters (e.g. map_agg) — FILTER already applied above
+            return _ADAPTERS[self.fn.lower()](*args)
         return F.call_function(fn, *args)

@@ -1307,6 +1307,84 @@ def op_fn_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Presto NULL-handling semantics that silently differ from Spark's builtins:
+# least/greatest propagate NULL (Spark skips), array_min/max are NULL when
+# the array contains NULL, regexp_extract defaults to group 0 (Spark: 1),
+# 2-arg regexp_replace removes matches, json_extract returns JSON text with
+# strings still quoted (functions/presto.py _ADAPTERS; ref registers the
+# Presto library wholesale, axiom/optimizer/FunctionRegistry.h:111-295).
+@_register(
+    "op_fn_null_semantics",
+    """
+    select event_id,
+      case when user_id % 3 = 0 then null else least(value, 20.0) end as lv,
+      case when user_id % 4 = 0 then null else greatest(value, 10.0) end as gv,
+      case when user_id % 5 = 0 then null else least(value, 200.0) end as am,
+      regexp_extract(event_type, '[a-z]+') as re0,
+      regexp_replace(event_type, '[aeiou]', '', 'g') as rr,
+      cast(json_extract(props, '$.k') as varchar) as jx
+    from events where event_id < 400 order by event_id
+    """,
+)
+def op_fn_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as P
+
+    cat = Catalog(spark, sf_dir)
+    null_if = lambda mod: F.when(  # noqa: E731
+        F.col("user_id") % mod == 0, F.lit(None).cast("double")
+    )
+    return (
+        cat.events.filter(F.col("event_id") < 400)
+        .select(
+            "event_id",
+            P("least", F.col("value"), null_if(3).otherwise(20.0)).alias("lv"),
+            P("greatest", F.col("value"), null_if(4).otherwise(10.0)).alias("gv"),
+            P(
+                "array_min",
+                F.array(F.col("value"), null_if(5).otherwise(200.0)),
+            ).alias("am"),
+            P("regexp_extract", F.col("event_type"), "[a-z]+").alias("re0"),
+            P("regexp_replace", F.col("event_type"), "[aeiou]").alias("rr"),
+            P("json_extract", F.col("props"), "$.k").alias("jx"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_register(
+    "op_fn_map_agg",
+    """
+    select user_id, event_type,
+      cast(sum(cast(value as decimal(12,2))) as double) as total
+    from events where user_id < 30
+    group by user_id, event_type order by user_id, event_type
+    """,
+)
+def op_fn_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto map_agg round trip: per-user maps event_type → total built by
+    the map_agg adapter, then exploded back to rows (proves the aggregate
+    produces complete, correctly-keyed maps)."""
+    from verax_spark.plans.expr import Agg, Col
+
+    cat = Catalog(spark, sf_dir)
+    per = (
+        cat.events.filter(F.col("user_id") < 30)
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total")
+        )
+    )
+    maps = per.groupBy("user_id").agg(
+        Agg("map_agg", Col("event_type"), Col("total")).to_spark().alias("m")
+    )
+    return maps.select(
+        "user_id", F.explode("m").alias("event_type", "total")
+    ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # SQL front door: Presto-dialect UNNEST relations through PrestoSession
 # (map → two output columns; WITH ORDINALITY → 1-based index), matching ref
 # axiom/sql/presto/ast/AstRelations.h Unnest / PrestoParser.cpp:1159.

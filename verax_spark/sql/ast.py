@@ -508,6 +508,43 @@ class Call(Expr):
             args = ", ".join(
                 [self.args[0].sql(), _quote_str(mysql_datetime_pattern(inner))]
             )
+        elif self.name.lower() == "regexp_extract" and len(self.args) == 2:
+            # Presto defaults to group 0 (whole match); Spark SQL to group 1
+            args += ", 0"
+        elif self.name.lower() == "regexp_replace" and len(self.args) == 2:
+            # Presto 2-arg form removes matches; Spark requires 3 args
+            args += ", ''"
+        elif self.name.lower() in ("least", "greatest") and len(self.args) >= 2:
+            # Presto least/greatest are NULL if ANY arg is NULL; Spark skips
+            # NULLs
+            arg_sql = [e.sql() for e in self.args]
+            null_test = " or ".join(f"{a} is null" for a in arg_sql)
+            return (
+                f"(case when {null_test} then null "
+                f"else {name}({', '.join(arg_sql)}) end)"
+            )
+        elif self.name.lower() in ("array_min", "array_max") and len(self.args) == 1:
+            # Presto array_min/max are NULL if the array contains NULL
+            a = self.args[0].sql()
+            return (
+                f"(case when exists({a}, _e -> _e is null) then null "
+                f"else {name}({a}) end)"
+            )
+        elif self.name.lower() == "json_extract" and len(self.args) == 2:
+            # Presto json_extract returns JSON text (strings stay quoted);
+            # get_json_object unquotes scalars — route through VARIANT
+            return (
+                f"to_json(variant_get(parse_json({self.args[0].sql()}), "
+                f"{self.args[1].sql()}, 'variant'))"
+            )
+        elif self.name.lower() == "map_agg" and len(self.args) == 2:
+            # Presto map_agg(k, v) → map_from_entries(collect_list(struct(..)))
+            if self.window is not None or self.window_name is not None:
+                raise NotImplementedError("windowed map_agg")
+            inner = f"collect_list(struct({args}))"
+            if self.filter_ is not None:
+                inner += f" filter (where {self.filter_.sql()})"
+            return f"map_from_entries({inner})"
         head = f"{name}({'distinct ' if self.distinct else ''}{args})"
         if self.filter_ is not None:
             head += f" filter (where {self.filter_.sql()})"
