@@ -257,6 +257,51 @@ def test_implied_edges_close_equality_classes(spark):
     assert out.count() == expect == 10
 
 
+def _semired_graph(spark, **kw) -> QueryGraph:
+    fact = spark.createDataFrame(
+        [(i % 100, i) for i in range(5000)], "fk int, v int"
+    )
+    dim = spark.createDataFrame(
+        [(k, k % 7) for k in range(100)], "dk int, attr int"
+    )
+    g = QueryGraph(fanout_mod=1, broadcast_rows=1000, **kw)
+    g.table("fact", fact)
+    g.table("dim", dim, predicate=F.col("attr") == 0)
+    g.edge("dim", "dk", "fact", "fk")
+    return g
+
+
+def test_semijoin_reduction_fires_and_is_exact(spark):
+    """Existences analog (ref optimizer/Plan.h:134-151, DerivedTable::import
+    DerivedTable.cpp:293): a big shuffle side is semi-joined down to the
+    filtered partner's keys before the main join — a broadcast LeftSemi in
+    the plan — without changing the result."""
+    for algo in ("dp", "greedy"):
+        g = _semired_graph(spark)
+        out = g.plan(algo)
+        assert g.reductions == [("fact", "dim")], (algo, g.reductions)
+        assert "LeftSemi" in out._jdf.queryExecution().executedPlan().toString()
+        base = _semired_graph(spark, semijoin_reduction=False)
+        expect = base.plan(algo)
+        assert base.reductions == []
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, expect.collect())
+        )
+
+
+def test_semijoin_reduction_requires_filtered_partner(spark):
+    """An unfiltered dimension broadcasts its whole key domain and reduces
+    nothing — the reduction must not fire."""
+    fact = spark.createDataFrame([(i % 10, i) for i in range(2000)], "fk int, v int")
+    dim = spark.createDataFrame([(k,) for k in range(10)], "dk int")
+    g = QueryGraph(fanout_mod=1, broadcast_rows=1000)
+    g.table("fact", fact)
+    g.table("dim", dim)
+    g.edge("dim", "dk", "fact", "fk")
+    g.plan()
+    assert g.reductions == []
+
+
 def test_dp_enumeration_finds_bushy_plan(spark):
     """Memoized enumeration (Optimization.cpp:1555 makeJoins analog) must
     consider BUSHY shapes: with two reducing arms, joining (A⋈B) with (C⋈D)

@@ -124,6 +124,11 @@ class QueryGraph:
     history: "ExecutionHistory | None" = None
     fanout_mod: int = 16  # key-domain hash-sample rate for fanout probes
     last_order: list[str] = field(default_factory=list)  # chosen join order
+    # build-side reduction via imported semijoins ("existences",
+    # ref optimizer/Plan.h:134-151, DerivedTable::import DerivedTable.cpp:293)
+    semijoin_reduction: bool = True
+    semijoin_factor: float = 10.0  # min big/partner row ratio to fire
+    reductions: list[tuple[str, str]] = field(default_factory=list)
 
     def table(self, name: str, df: DataFrame, predicate: Column | None = None) -> "QueryGraph":
         self.tables[name] = TableRef(name, df, predicate)
@@ -350,9 +355,11 @@ class QueryGraph:
             left_in = e.left in joined
             my_key = e.left_key if left_in else e.right_key
             other_key = e.right_key if left_in else e.left_key
-            current = current.join(
-                self._side(nxt, est), F.col(my_key) == F.col(other_key)
+            partner = e.left if left_in else e.right
+            side = self._maybe_reduce(
+                nxt, self._side(nxt, est), partner, my_key, other_key, est
             )
+            current = current.join(side, F.col(my_key) == F.col(other_key))
             current_est *= growth((nxt, e))
             joined.add(nxt)
             self.last_order.append(nxt)
@@ -363,6 +370,43 @@ class QueryGraph:
         if est[name] <= self.broadcast_rows:
             df = F.broadcast(df)
         return df
+
+    # -- build-side reduction ("existences" analog) --------------------------
+    def _maybe_reduce(
+        self,
+        leaf: str,
+        df: DataFrame,
+        partner: str,
+        partner_key: str,
+        leaf_key: str,
+        est: dict[str, float],
+    ) -> DataFrame:
+        """Semi-join a big shuffle side down to the keys that survive a
+        filtered partner BEFORE the main join (JoinCandidate::existences,
+        ref optimizer/Plan.h:134-151; DerivedTable::import
+        DerivedTable.cpp:293). The broadcast LeftSemi costs one extra
+        broadcast but removes every non-matching row from the big side's
+        shuffle — the dominant cost at scale. Exact for any join type the
+        planner emits (inner equi-joins). Fires only when the partner is
+        actually restricted (a filter exists) and the size ratio clears
+        ``semijoin_factor``; a tiny-but-unfiltered dimension would broadcast
+        its whole key domain and reduce nothing."""
+        if not self.semijoin_reduction:
+            return df
+        if self.tables[partner].predicate is None:
+            return df
+        if est[partner] > self.broadcast_rows:
+            return df
+        if est[leaf] <= self.semijoin_factor * max(est[partner], 1.0):
+            return df
+        keys = (
+            self.tables[partner]
+            .filtered()
+            .select(F.col(partner_key).alias(leaf_key))
+            .distinct()
+        )
+        self.reductions.append((leaf, partner))
+        return df.join(F.broadcast(keys), leaf_key, "left_semi")
 
     # -- exact enumeration (memoized makeJoins analog) -----------------------
     def _plan_dp(self) -> DataFrame:
@@ -445,6 +489,33 @@ class QueryGraph:
         right = self._build_tree(tree[2], est)
         if kind == "cross":
             return left.crossJoin(right)
+        # existences: when a subtree is a single big leaf, semi-reduce it by
+        # the filtered partner on the other side of its first join edge
+        for side_ix, other_ix in ((2, 1), (1, 2)):
+            sub = tree[side_ix]
+            if sub[0] != "leaf":
+                continue
+            leaf = sub[1]
+            for e in tree[3]:
+                if e.left == leaf:
+                    partner, pkey, lkey = e.right, e.right_key, e.left_key
+                elif e.right == leaf:
+                    partner, pkey, lkey = e.left, e.left_key, e.right_key
+                else:
+                    continue
+                reduced = self._maybe_reduce(
+                    leaf,
+                    right if side_ix == 2 else left,
+                    partner,
+                    pkey,
+                    lkey,
+                    est,
+                )
+                if side_ix == 2:
+                    right = reduced
+                else:
+                    left = reduced
+                break
         cond = None
         for e in tree[3]:
             c = F.col(e.left_key) == F.col(e.right_key)
