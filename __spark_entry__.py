@@ -40,7 +40,7 @@ _PRIORITY = [
     "op_window_groups_frame", "op_sessionize",
     "sql_unnest_map_kv", "sql_unnest_ordinality",
     "sql_quantified", "sql_lateral", "sql_subscript", "sql_ordered_agg",
-    "sql_try", "sql_window_clause",
+    "sql_try", "sql_window_clause", "sql_ansi_forms",
     "pl_dedup_exact", "pl_dedup_ngram_jaccard", "pl_dedup_minhash",
     "pl_dedup_simhash", "pl_dedup_embedding", "pl_text_stats", "pl_text_langid",
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",

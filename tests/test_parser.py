@@ -172,6 +172,38 @@ def test_try_lowering():
         transpile("select try(some_udf(x)) from t")
 
 
+def test_at_time_zone():
+    out = transpile("select ts at time zone 'America/New_York' as v from t")
+    assert "from_utc_timestamp(ts, 'America/New_York')" in out
+
+
+def test_position_in():
+    out = transpile("select position('b' in s) as p from t")
+    assert "instr(s, 'b')" in out
+
+
+def test_ansi_trim_forms():
+    out = transpile(
+        "select trim(both 'x' from s), trim(leading from s), "
+        "trim('y' from s), trim(s) from t"
+    )
+    assert "trim(both 'x' from s)" in out
+    assert "trim(leading from s)" in out
+    assert "trim(both 'y' from s)" in out  # default spec is BOTH
+    assert "trim(s)" in out  # plain call untouched
+
+
+def test_standalone_unnest_relation():
+    out = transpile("select u.* from unnest(array[1,2]) as u(x)")
+    assert "lateral view explode(array(1, 2)) u as x" in out
+    assert out.startswith("select u.* from (select x from (select 1)")
+    # ordinality variant synthesizes the 1-based index column
+    out2 = transpile(
+        "select x, n from unnest(array[5,6]) with ordinality as u(x, n)"
+    )
+    assert "sequence(1, size(array(5, 6)))" in out2
+
+
 def test_named_window_clause():
     s = parse(
         "select rank() over w as r from t "

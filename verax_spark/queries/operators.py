@@ -1385,6 +1385,34 @@ def op_fn_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL front door: ANSI special forms from the Presto expression grammar
+# (ref axiom/sql/presto/ast/AstExpressions.h): AT TIME ZONE (instant
+# re-display), position(sub IN str), trim([spec] [chars] FROM src).
+@_register(
+    "sql_ansi_forms",
+    """
+    select event_id,
+      cast(floor(epoch(timezone('America/New_York', ts::TIMESTAMPTZ))) as bigint) as nyt,
+      cast(position('i' in event_type) as bigint) as pos,
+      trim(event_type, 'ce') as tr
+    from events where event_id < 300 order by event_id
+    """,
+)
+def sql_ansi_forms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql(
+        """
+        select event_id,
+          cast(to_unixtime(ts at time zone 'America/New_York') as bigint) as nyt,
+          cast(position('i' in event_type) as bigint) as pos,
+          trim(both 'ce' from event_type) as tr
+        from events where event_id < 300 order by event_id
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # SQL front door: Presto-dialect UNNEST relations through PrestoSession
 # (map → two output columns; WITH ORDINALITY → 1-based index), matching ref
 # axiom/sql/presto/ast/AstRelations.h Unnest / PrestoParser.cpp:1159.

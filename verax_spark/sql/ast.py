@@ -171,6 +171,37 @@ class IsDistinctFrom(Expr):
 
 
 @dataclass
+class AtTimeZone(Expr):
+    """Presto ``ts AT TIME ZONE tz``: the same instant re-displayed in tz.
+
+    Spark timestamps are zoneless instants rendered in the session zone, so
+    the instant-preserving analog is from_utc_timestamp — exact when the
+    stored values are UTC instants (this engine's convention; the session
+    zone is pinned to UTC in session.py)."""
+
+    operand: Expr
+    tz: Expr
+
+    def sql(self) -> str:
+        return f"from_utc_timestamp({self.operand.sql()}, {self.tz.sql()})"
+
+
+@dataclass
+class TrimForm(Expr):
+    """ANSI ``trim([BOTH|LEADING|TRAILING] [chars] FROM src)`` — Spark
+    supports the identical syntax with identical semantics; re-rendered
+    verbatim."""
+
+    spec: str  # both | leading | trailing
+    chars: Expr | None
+    src: Expr
+
+    def sql(self) -> str:
+        c = f" {self.chars.sql()}" if self.chars is not None else ""
+        return f"trim({self.spec}{c} from {self.src.sql()})"
+
+
+@dataclass
 class Between(Expr):
     operand: Expr
     low: Expr
@@ -701,10 +732,19 @@ class Unnest(Relation):
         # 3+ columns: array-of-rows flattening
         return f"lateral view inline({exprs[0]}) {alias} as {', '.join(cols)}"
 
-    def sql(self) -> str:  # only reached if UNNEST is the sole FROM relation
-        raise NotImplementedError(
-            "UNNEST must be joined to a left relation (cross join / comma)"
+    def sql(self) -> str:
+        """UNNEST as the sole FROM relation (Presto allows ``FROM
+        UNNEST(...)`` with no left side): a derived table over a one-row
+        dummy, projecting only the unnest output columns (star-safe)."""
+        cols = self.col_aliases
+        if not cols:
+            raise NotImplementedError(
+                "UNNEST requires AS alias(col, ...) naming its output columns"
+            )
+        inner = (
+            f"select {', '.join(cols)} from (select 1) {self.lateral_view()}"
         )
+        return f"({inner}) {self.alias or '__u'}"
 
 
 @dataclass

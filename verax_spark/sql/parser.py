@@ -649,6 +649,14 @@ class Parser:
                 e = ast.Subscript(e, idx)
                 continue
             if (
+                self.at_kw("at")
+                and self.at_kw("time", ahead=1)
+                and self.at_kw("zone", ahead=2)
+            ):
+                self.next(), self.next(), self.next()
+                e = ast.AtTimeZone(e, self._primary())
+                continue
+            if (
                 self.at_op(".")
                 and self.peek(1).kind in ("id", "qid")
                 and not isinstance(e, ast.Ident)
@@ -737,6 +745,30 @@ class Parser:
             e = self.parse_expr()
             self.expect_op(")")
             return ast.Extract(unit, e)
+        if low == "position" and self.at_op("(", ahead=1):
+            # position(sub IN str) → strpos(str, sub) → instr
+            self.next(), self.next()
+            sub = self._value_expr()
+            self.expect_kw("in")
+            s = self.parse_expr()
+            self.expect_op(")")
+            return ast.Call("strpos", [s, sub])
+        if low == "trim" and self.at_op("(", ahead=1):
+            # ANSI trim([BOTH|LEADING|TRAILING] [chars] FROM src); plain
+            # trim(expr[, chars]) falls through to the generic call path
+            save = self.i
+            self.next(), self.next()
+            spec = None
+            if self.at_kw("both", "leading", "trailing"):
+                spec = self.next().lower
+            chars = None
+            if not self.at_kw("from"):
+                chars = self.parse_expr()
+            if self.accept_kw("from"):
+                src = self.parse_expr()
+                self.expect_op(")")
+                return ast.TrimForm(spec or "both", chars, src)
+            self.i = save
         if low == "interval":
             self.next()
             value = self.next().text  # quoted string or number
