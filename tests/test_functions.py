@@ -11,6 +11,8 @@ import pytest
 
 from verax_spark.functions.presto import _ADAPTERS, PRESTO_TO_SPARK, presto_call
 
+_URL = "https://example.com:8080/p/x?a=1&b=2#frag"
+
 
 @pytest.fixture(scope="module")
 def one(spark):
@@ -221,6 +223,37 @@ def _cases():
             ),
             "2020-01-02 03:04",
         )
+    ],
+    "regexp_split": [
+        (_c("regexp_split", F.lit("a1b2c"), F.lit("[0-9]")), ["a", "b", "c"])
+    ],
+    "last_day_of_month": [
+        (_c("last_day_of_month", F.lit("2020-02-15").cast("date")),
+         datetime.date(2020, 2, 29)),
+    ],
+    # Presto date_parse is MySQL-%-style (Spark to_timestamp is Java-style)
+    "date_parse": [
+        (_c("date_parse", F.lit("02/01/2020 03:04"), "%d/%m/%Y %H:%i"),
+         datetime.datetime(2020, 1, 2, 3, 4)),
+    ],
+    "url_extract_protocol": [
+        (_c("url_extract_protocol", F.lit(_URL)), "https"),
+    ],
+    "url_extract_host": [(_c("url_extract_host", F.lit(_URL)), "example.com")],
+    "url_extract_path": [(_c("url_extract_path", F.lit(_URL)), "/p/x")],
+    "url_extract_query": [(_c("url_extract_query", F.lit(_URL)), "a=1&b=2")],
+    "url_extract_fragment": [(_c("url_extract_fragment", F.lit(_URL)), "frag")],
+    "url_extract_parameter": [
+        (_c("url_extract_parameter", F.lit(_URL), "b"), "2"),
+    ],
+    # Presto to_base is lowercase; from_base parses back to bigint
+    "to_base": [(_c("to_base", F.lit(255), 16), "ff")],
+    "from_base": [(_c("from_base", F.lit("ff"), 16), 255)],
+    # Presto bit_count(x, bits): popcount in the bits-wide window
+    "bit_count": [
+        (_c("bit_count", F.lit(7), F.lit(64)), 3),
+        (_c("bit_count", F.lit(9), F.lit(8)), 2),
+        (_c("bit_count", F.lit(-1), F.lit(8)), 8),
     ],
     # Presto least/greatest: NULL if ANY argument is NULL (Spark skips NULLs)
     "least": [

@@ -97,3 +97,56 @@ def test_streaming_dedup_drops_injected_duplicates(spark, sf_dir):
     want = Catalog(spark, sf_dir).events.count()
     assert got.select(F2.countDistinct("event_id")).collect()[0][0] == want
     assert got.count() == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream inner interval join (watermarked both sides) must emit
+    exactly the pairs the equivalent batch self-join produces."""
+    from verax_spark.streaming.pipeline import stream_stream_interval_join
+
+    def side(name_prefix):
+        return read_events_stream(spark, sf_dir).select(
+            F.col("user_id").alias(f"{name_prefix}_user"),
+            F.col("ts").alias(f"{name_prefix}_ts"),
+            F.col("event_id").alias(f"{name_prefix}_id"),
+            "event_type",
+        )
+
+    views = side("v").filter(F.col("event_type") == "view").drop("event_type")
+    purchases = (
+        side("p").filter(F.col("event_type") == "purchase").drop("event_type")
+    )
+    got = (
+        run_available_now(
+            stream_stream_interval_join(
+                views, purchases, "v_user", "p_user", "v_ts", "p_ts",
+                within="2 hours", watermark="3650 days",
+            ).select("v_id", "p_id"),
+            "ssj_test",
+            mode="append",
+        )
+        .orderBy("v_id", "p_id")
+        .toPandas()
+    )
+    ev = Catalog(spark, sf_dir).events
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("v_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    want = (
+        v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 2 hours")),
+        )
+        .select("v_id", "p_id")
+        .orderBy("v_id", "p_id")
+        .toPandas()
+    )
+    assert len(got) == len(want) > 0
+    assert_frames_match(got, want, context="stream-stream join")

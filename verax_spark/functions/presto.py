@@ -67,6 +67,9 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "rand": "rand",
     "random": "rand",
     "array_to_string": "array_join",
+    # presto regexp_split's pattern IS a regex, like spark split
+    "regexp_split": "split",
+    "last_day_of_month": "last_day",
     "levenshtein_distance": "levenshtein",
     "to_hex": "hex",
     "from_hex": "unhex",
@@ -320,7 +323,37 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "json_extract": lambda x, p: F.to_json(
         F.variant_get(F.parse_json(_col(x).cast("string")), str(p), "variant")
     ),
+    # presto date_parse is MySQL-%-style; spark to_timestamp is Java-style
+    "date_parse": lambda s, fmt: F.to_timestamp(
+        _col(s), mysql_datetime_pattern(fmt)
+    ),
+    # presto URL accessors → spark parse_url parts
+    "url_extract_protocol": lambda u: F.parse_url(_col(u), F.lit("PROTOCOL")),
+    "url_extract_host": lambda u: F.parse_url(_col(u), F.lit("HOST")),
+    "url_extract_path": lambda u: F.parse_url(_col(u), F.lit("PATH")),
+    "url_extract_query": lambda u: F.parse_url(_col(u), F.lit("QUERY")),
+    "url_extract_fragment": lambda u: F.parse_url(_col(u), F.lit("REF")),
+    "url_extract_parameter": lambda u, k: F.parse_url(
+        _col(u), F.lit("QUERY"), _col(k) if isinstance(k, Column) else F.lit(k)
+    ),
+    # presto to_base/from_base; spark conv uses uppercase digits and takes
+    # literal int radixes
+    "to_base": lambda x, radix: F.lower(F.conv(_col(x), 10, int(radix))),
+    "from_base": lambda s, radix: F.conv(_col(s), int(radix), 10).cast("bigint"),
+    "bit_count": lambda x, bits=64: _presto_bit_count(x, bits),
 }
+
+
+def _presto_bit_count(x, bits) -> Column:
+    """Presto bit_count(x, bits): popcount of the `bits`-wide two's
+    complement window. Spark's bit_count is 64-bit only; for negative x the
+    64-bit form counts the (64 - bits) sign-extension ones above the window,
+    so subtract them."""
+    c = _col(x)
+    b = bits if isinstance(bits, Column) else F.lit(int(bits))
+    return F.when(
+        c < 0, F.bit_count(c) - (F.lit(64) - b.cast("int"))
+    ).otherwise(F.bit_count(c))
 
 
 def _unit(u) -> str:

@@ -203,6 +203,9 @@ _SPECIAL: dict[str, Callable[..., Column]] = {
 _LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "split": (1,),
     "date_format": (1,),
+    "date_parse": (1,),
+    "to_base": (1,),
+    "from_base": (1,),
 }
 
 

@@ -487,6 +487,67 @@ def st_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream interval join: views stream ⋈ purchases stream within a
+# 2-hour event-time window per user, watermark-bounded state on both sides.
+# The streamed pair set must hash-match the batch self-join oracle.
+@_register(
+    "st_stream_join",
+    """
+    select v.event_id as v_id, p.event_id as p_id
+    from events v join events p
+      on v.user_id = p.user_id
+     and epoch_us(p.ts) >= epoch_us(v.ts)
+     and epoch_us(p.ts) <= epoch_us(v.ts) + 7200000000
+    where v.event_type = 'view' and p.event_type = 'purchase'
+    order by v_id, p_id
+    """,
+)
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from verax_spark.streaming import read_events_stream, run_available_now
+    from verax_spark.streaming.pipeline import stream_stream_interval_join
+
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_id"),
+        )
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_id"),
+        )
+    )
+    pairs = stream_stream_interval_join(
+        views,
+        purchases,
+        "v_user",
+        "p_user",
+        "v_ts",
+        "p_ts",
+        within="2 hours",
+        # the file source drains historical data whose event times are far
+        # in the past relative to each other across micro-batches — a huge
+        # watermark keeps every pair; production streams would use hours
+        watermark="3650 days",
+    )
+    out = run_available_now(
+        pairs.select("v_id", "p_id"),
+        f"st_ssj_{uuid.uuid4().hex[:8]}",
+        mode="append",
+    )
+    return out.orderBy("v_id", "p_id")
+
+
+# ---------------------------------------------------------------------------
 # As-of join (beyond-reference temporal operator, operators/temporal.py):
 # each purchase aligned to the user's most recent preceding click. One
 # window shuffle over |purchases|+|clicks|, zero join fanout.

@@ -178,6 +178,34 @@ def streaming_dedup(
     )
 
 
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_left: str,
+    key_right: str,
+    ts_left: str,
+    ts_right: str,
+    *,
+    within: str = "1 hour",
+    watermark: str = "24 hours",
+) -> DataFrame:
+    """Stream-stream inner interval join: right rows whose event time falls
+    in [left_ts, left_ts + within], per key. Both sides carry watermarks and
+    the join condition carries the time bound, so each side's join state is
+    evicted once the other side's watermark passes ts + within — bounded
+    state at any stream length (the production shape for joining two 100 TB
+    event streams). Column names must already be disjoint (rename before
+    calling)."""
+    l = left.withWatermark(ts_left, watermark)
+    r = right.withWatermark(ts_right, watermark)
+    cond = (
+        (F.col(key_left) == F.col(key_right))
+        & (F.col(ts_right) >= F.col(ts_left))
+        & (F.col(ts_right) <= F.col(ts_left) + F.expr(f"interval {within}"))
+    )
+    return l.join(r, cond)
+
+
 def enriched_windowed_totals(
     events: DataFrame,
     dim: DataFrame,
