@@ -45,7 +45,8 @@ _PRIORITY = [
     "pl_dedup_simhash", "pl_dedup_embedding", "pl_text_stats", "pl_text_langid",
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
     "pl_knn_brute", "pl_knn_lsh", "pl_knn_ivf", "pl_multimodal_decode",
-    "pl_multimodal_frames", "st_windowed_counts", "st_enrich_join",
+    "pl_multimodal_frames", "pl_multimodal_resize",
+    "st_windowed_counts", "st_enrich_join",
     "st_stream_join",
     # exact-oracle queries before pl_curate (rows-only + slowest): if the
     # driver stops at 50 entries, hard evidence lands first

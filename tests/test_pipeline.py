@@ -196,3 +196,20 @@ def test_embedding_cosine_lsh_path_finds_planted_pairs(spark, sf_dir):
     assert approx <= exact  # verification is exact → no false positives
     missed = exact - approx
     assert len(missed) <= 2, f"LSH missed too many planted pairs: {missed}"
+
+
+def test_resize_media_payload_roundtrip(spark, sf_dir):
+    """resize_media must carry real binary BOTH ways through Arrow: the
+    output payload is exactly the truncated input bytes."""
+    from verax_spark.operators import multimodal
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 5)
+    payloads = multimodal.attach_payload(docs, "text", "doc_id")
+    out = {
+        r.media_id: bytes(r.payload)
+        for r in multimodal.resize_media(payloads, target_bytes=16).collect()
+    }
+    want = {
+        r.doc_id: r.text.encode("utf-8")[:16] for r in docs.collect()
+    }
+    assert out == want and len(out) == 5

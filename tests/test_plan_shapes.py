@@ -138,3 +138,15 @@ def test_tpch_plans_have_no_duplicate_fact_scans(spark, sf_dir):
                 raise AssertionError(
                     f"{name} scans {table} {cnt}x — single-pass regression"
                 )
+
+
+def test_exact_dedup_winners_reused_at_runtime(spark, sf_dir):
+    """The winners semi-join relation is pushed below the union into both
+    branches in the static plan (two identical broadcast subtrees); AQE's
+    runtime stage reuse must collapse them into one computation."""
+    from verax_spark.queries import pipeline
+
+    df = pipeline.QUERIES["pl_dedup_exact"](spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan

@@ -97,6 +97,77 @@ def test_percentile_approx_sanity(spark, sf_dir):
     assert abs(row.p50 - row.exact_p50) / row.exact_p50 < 0.05
 
 
+WIN_RANKS = ["rank", "dense_rank", "row_number"]
+WIN_AGGS = ["sum", "count", "min", "max"]
+FRAMES = {
+    "unb": "rows between unbounded preceding and current row",
+    "two": "rows between 2 preceding and current row",
+    "ahead": "rows between current row and 1 following",
+}
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(WIN_RANKS + WIN_AGGS),
+    part=st.sampled_from(["o_orderpriority", "o_orderstatus"]),
+    frame=st.sampled_from(sorted(FRAMES)),
+    desc=st.booleans(),
+)
+def test_random_window_matches_duckdb(spark, sf_dir, fn, part, frame, desc):
+    """Random window shapes (ranking + framed aggregates over random
+    partition keys and orderings) must agree with DuckDB. Ordering always
+    ends in the unique o_orderkey so ties are deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    cat = Catalog(spark, sf_dir)
+    order_cols = [F.col("o_totalprice"), F.col("o_orderkey")]
+    if desc:
+        order_cols = [c.desc() for c in order_cols]
+    w = Window.partitionBy(part).orderBy(*order_cols)
+    if fn in WIN_RANKS:
+        val = getattr(F, fn)().over(w).cast("long")
+    else:
+        wf = w.rowsBetween(
+            {"unb": Window.unboundedPreceding, "two": -2, "ahead": 0}[frame],
+            {"unb": 0, "two": 0, "ahead": 1}[frame],
+        )
+        arg = F.col("o_totalprice").cast("decimal(12,2)")
+        val = getattr(F, fn)(arg).over(wf)
+        val = val.cast("long") if fn == "count" else val.cast("double")
+    got = (
+        cat.orders.filter(F.col("o_orderkey") < 3000)
+        .select("o_orderkey", val.alias("v"))
+        .orderBy("o_orderkey")
+        .toPandas()
+    )
+    dirn = "desc" if desc else "asc"
+    over = f"partition by {part} order by o_totalprice {dirn}, o_orderkey {dirn}"
+    if fn in WIN_RANKS:
+        expr = f"cast({fn}() over ({over}) as bigint)"
+    else:
+        inner = f"{fn}(cast(o_totalprice as decimal(12,2))) over ({over} {FRAMES[frame]})"
+        expr = (
+            f"cast({inner} as bigint)" if fn == "count"
+            else f"cast({inner} as double)"
+        )
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"create view orders as select * from read_parquet('{sf_dir}/orders.parquet')"
+        )
+        want = con.execute(
+            f"select o_orderkey, {expr} as v from orders "
+            f"where o_orderkey < 3000 order by o_orderkey"
+        ).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context=f"window fuzz {fn} {part} {frame} {dirn}")
+
+
 JOIN_TYPES = ["inner", "left", "right", "full"]
 DUCK_JOIN = {"inner": "join", "left": "left join", "right": "right join", "full": "full join"}
 

@@ -90,6 +90,55 @@ def decode_media(df: DataFrame, *, batch_rows: int = 1024) -> DataFrame:
     return df.mapInPandas(decode_batches, MEDIA_FEATURES_SCHEMA)
 
 
+# Schema contract for resized payloads (binary → binary transformation).
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("new_bytes", LongType()),
+        StructField("first_byte", LongType()),
+        StructField("last_byte", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, *, target_bytes: int = 1024, batch_rows: int = 1024
+) -> DataFrame:
+    """Binary → binary transformation plumbing (the image-resize /
+    audio-downsample shape): payload in, smaller payload out, metadata
+    alongside. The STUB kernel truncates to ``target_bytes`` (a real
+    implementation decodes, resizes, re-encodes); the contract that matters
+    at scale is binary columns through Arrow in BOTH directions, bounded
+    batches, map-only."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                resized = chunk["payload"].map(
+                    lambda b: bytes(b[:target_bytes])
+                )
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].astype("int64"),
+                        "orig_bytes": chunk["payload"].map(len).astype("int64"),
+                        "new_bytes": resized.map(len).astype("int64"),
+                        "first_byte": resized.map(
+                            lambda b: b[0] if b else -1
+                        ).astype("int64"),
+                        "last_byte": resized.map(
+                            lambda b: b[-1] if b else -1
+                        ).astype("int64"),
+                        "payload": resized,
+                    }
+                )
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
 # Schema contract for sampled frames (video/audio segmentation analog).
 FRAME_SCHEMA = StructType(
     [

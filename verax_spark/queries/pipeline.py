@@ -455,6 +455,34 @@ def pl_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Multimodal binary → binary transformation (resize/downsample stub with
+# real Arrow-both-ways mapInPandas plumbing, operators/multimodal.py
+# resize_media). Metadata columns are oracle-checked; the payload itself is
+# engine-side binary.
+@_register(
+    "pl_multimodal_resize",
+    """
+    select doc_id as media_id,
+      cast(length(text) as bigint) as orig_bytes,
+      cast(least(length(text), 100) as bigint) as new_bytes,
+      cast(ascii(substr(text, 1, 1)) as bigint) as first_byte,
+      cast(ascii(substr(text, least(length(text), 100), 1)) as bigint) as last_byte
+    from documents where doc_id < 200 order by media_id
+    """,
+)
+def pl_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    payloads = multimodal.attach_payload(
+        cat.documents.filter(F.col("doc_id") < 200), "text", "doc_id"
+    )
+    return (
+        multimodal.resize_media(payloads, target_bytes=100)
+        .select("media_id", "orig_bytes", "new_bytes", "first_byte", "last_byte")
+        .orderBy("media_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-static enrichment join: events stream ⋈ broadcast customer dim →
 # windowed totals per market segment; the streamed result must hash-match
 # the batch SQL computing the same join+windows.
