@@ -28,8 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # after 50 entries.  Order matters: every SURVEY §2 operator family must land an
 # evidence query inside the first 50.  Queries that went UNCHECKED in round 1
 # come first, then one representative per already-green family, then the bulk.
+# The first 50 entries are exactly the 50 highest-value EXACT-ORACLE
+# queries: every §2 operator family that went unchecked in round 1, plus
+# everything new since. Rows-only queries (weaker driver signal; their hard
+# evidence is pytest recall/invariant tests) and round-2 TPC-H variants
+# (whole family green in round 1; still pytest-differential-covered) follow.
 _PRIORITY = [
-    # -- unchecked in CORRECTNESS_r01 (driver stopped at 50 entries) --
     "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_array_map",
     "op_fn_json", "op_fn_conv", "op_fn_percentile", "op_fn_null_semantics",
     "op_fn_map_agg",
@@ -39,19 +43,19 @@ _PRIORITY = [
     "op_join_mark", "op_join_lookup", "op_unnest_structs", "op_window_ntile",
     "op_window_groups_frame", "op_sessionize",
     "sql_unnest_map_kv", "sql_unnest_ordinality",
-    "sql_quantified", "sql_lateral", "sql_subscript", "sql_ordered_agg",
+    "sql_quantified", "sql_lateral", "sql_ordered_agg",
     "sql_try", "sql_window_clause", "sql_ansi_forms",
-    "pl_dedup_exact", "pl_dedup_ngram_jaccard", "pl_dedup_minhash",
-    "pl_dedup_simhash", "pl_dedup_embedding", "pl_text_stats", "pl_text_langid",
+    "pl_dedup_exact", "pl_dedup_ngram_jaccard", "pl_dedup_embedding",
+    "pl_text_stats", "pl_text_langid",
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
-    "pl_knn_brute", "pl_knn_lsh", "pl_knn_ivf", "pl_multimodal_decode",
+    "pl_knn_brute", "pl_multimodal_decode",
     "pl_multimodal_frames", "pl_multimodal_resize",
-    "st_windowed_counts", "st_enrich_join",
-    "st_stream_join",
-    # exact-oracle queries before pl_curate (rows-only + slowest): if the
-    # driver stops at 50 entries, hard evidence lands first
-    "pl_asof_join", "pl_range_join", "pl_time_rollup", "pl_curate",
-    # -- new TPC-H shapes (round 2) --
+    "st_windowed_counts", "st_enrich_join", "st_stream_join",
+    "pl_asof_join", "pl_range_join", "pl_time_rollup",
+    # -- position 51+: rows-only + round-2 TPC-H variants + grammar extra --
+    "sql_subscript",
+    "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
+    "pl_curate",
     "tpch_q15", "tpch_q20", "tpch_q21",
     # -- one representative per family that was green in round 1 --
     "op_values", "op_join_left", "op_join_full", "op_join_semi",

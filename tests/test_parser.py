@@ -193,6 +193,39 @@ def test_ansi_trim_forms():
     assert "trim(s)" in out  # plain call untouched
 
 
+def test_type_grammar_nested_and_postfix():
+    """Presto type grammar → Spark DDL types: postfix `T array`, nested
+    row/map/array with inner scalar mapping, anonymous row fields named
+    field0..fieldN-1 (Trino convention)."""
+    out = transpile("select cast(null as int array) as a")
+    assert "cast(null as array<int>)" in out
+    out = transpile("select cast(null as varchar array) as a")
+    assert "array<string>" in out
+    out = transpile("select cast(null as row(int, double)) as a")
+    assert "struct<field0: int, field1: double>" in out
+    out = transpile("select cast(null as row(a varchar, b row(c int array))) as a")
+    assert "struct<a: string, b: struct<c: array<int>>>" in out
+    out = transpile("select cast(null as array(row(k varchar, v json))) as a")
+    assert "array<struct<k: string, v: string>>" in out
+    out = transpile("select cast(null as map(integer, real)) as a")
+    assert "map<int,float>" in out
+
+
+def test_unaliased_unnest_defaults():
+    """Presto allows UNNEST with no AS alias (anonymous output columns) —
+    single expressions omit AS so Spark assigns col/key/value; multi-array
+    and ordinality forms synthesize col1..colN (+ ordinality)."""
+    out = transpile("select * from nation, unnest(array[1, 2])")
+    assert out.endswith("lateral view explode(array(1, 2)) __u")
+    out2 = transpile("select * from unnest(map(array[1], array[10]))")
+    assert "explode(map_from_arrays(array(1), array(10))) __u" in out2
+    assert "__u.*" in out2  # star-safe: dummy column never leaks
+    out3 = transpile(
+        "select * from nation, unnest(array[1], array[2]) with ordinality"
+    )
+    assert "as col1, col2, ordinality" in out3
+
+
 def test_standalone_unnest_relation():
     out = transpile("select u.* from unnest(array[1,2]) as u(x)")
     assert "lateral view explode(array(1, 2)) u as x" in out

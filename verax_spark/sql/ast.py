@@ -691,9 +691,17 @@ class Unnest(Relation):
         alias = self.alias or "__u"
         cols = self.col_aliases
         if not cols:
-            raise NotImplementedError(
-                "UNNEST requires AS alias(col, ...) naming its output columns"
-            )
+            # Unaliased UNNEST (Presto allows it; default column names).
+            # Single expression: omit AS — Spark's analyzer assigns the
+            # type-aware defaults (col for arrays, key/value for maps),
+            # matching Presto's anonymous-column behavior for SELECT *.
+            # Multi-array / ordinality forms need concrete names for the
+            # synthesized arrays_zip struct: col1..colN (+ ordinality).
+            if len(self.exprs) == 1 and not self.ordinality:
+                return f"lateral view explode({self.exprs[0].sql()}) {alias}"
+            cols = [f"col{i + 1}" for i in range(len(self.exprs))]
+            if self.ordinality:
+                cols.append("ordinality")
         exprs = [e.sql() for e in self.exprs]
         if self.ordinality:
             # ordinality column is last; arrays_zip pads to the longest
@@ -735,16 +743,13 @@ class Unnest(Relation):
     def sql(self) -> str:
         """UNNEST as the sole FROM relation (Presto allows ``FROM
         UNNEST(...)`` with no left side): a derived table over a one-row
-        dummy, projecting only the unnest output columns (star-safe)."""
-        cols = self.col_aliases
-        if not cols:
-            raise NotImplementedError(
-                "UNNEST requires AS alias(col, ...) naming its output columns"
-            )
-        inner = (
-            f"select {', '.join(cols)} from (select 1) {self.lateral_view()}"
-        )
-        return f"({inner}) {self.alias or '__u'}"
+        dummy, projecting only the unnest output columns (star-safe).
+        Unaliased forms project ``{alias}.*`` — only the LATERAL VIEW's
+        generated columns, never the dummy."""
+        alias = self.alias or "__u"
+        proj = ", ".join(self.col_aliases) if self.col_aliases else f"{alias}.*"
+        inner = f"select {proj} from (select 1) {self.lateral_view()}"
+        return f"({inner}) {alias}"
 
 
 @dataclass

@@ -911,25 +911,47 @@ class Parser:
         return ast.Case(operand, whens, else_)
 
     def _type_name(self) -> str:
+        """Presto type → Spark DDL type, recursively (nested array/map/row,
+        optional row field names, ANSI postfix ``T array`` syntax)."""
+        t = self._one_type()
+        while self.at_kw("array"):  # ANSI postfix: `int array [array ...]`
+            self.next()
+            t = f"array<{t}>"
+        return t
+
+    def _type_opener(self) -> str | None:
+        """Consume '(' or '<' if present; return the matching closer."""
+        if self.at_op("("):
+            self.next()
+            return ")"
+        if self.at_op("<"):
+            self.next()
+            return ">"
+        return None
+
+    def _one_type(self) -> str:
         base = self.ident().lower()
-        if base in ("array", "map", "row") and self.at_op("(", "<"):
-            # nested type: consume balanced (...) or <...>
-            opener = self.next().text
-            closer = ")" if opener == "(" else ">"
-            depth, parts = 1, [base, "<" if base != "row" else "<"]
-            # normalize to Spark's angle syntax
-            inner: list[str] = []
-            while depth > 0:
-                t = self.next()
-                if t.text in ("(", "<"):
-                    depth += 1
-                elif t.text in (")", ">"):
-                    depth -= 1
-                    if depth == 0:
-                        break
-                inner.append(t.text)
-            mapped = {"array": "array", "map": "map", "row": "struct"}[base]
-            return f"{mapped}<{' '.join(inner)}>"
+        if base in ("array", "map", "row"):
+            closer = self._type_opener()
+            if closer is None:
+                return {"row": "struct"}.get(base, base)
+            if base == "array":
+                inner = self._type_name()
+                self.expect_op(closer)
+                return f"array<{inner}>"
+            if base == "map":
+                k = self._type_name()
+                self.expect_op(",")
+                v = self._type_name()
+                self.expect_op(closer)
+                return f"map<{k},{v}>"
+            fields: list[str] = []
+            while True:
+                fields.append(self._row_field(len(fields), closer))
+                if not self.accept_op(","):
+                    break
+            self.expect_op(closer)
+            return f"struct<{', '.join(fields)}>"
         if base == "decimal" and self.accept_op("("):
             p = self.next().text
             self.expect_op(",")
@@ -944,7 +966,26 @@ class Parser:
             "varchar": "string",
             "integer": "int",
             "real": "float",
+            # Presto's JSON type is represented as canonical JSON text
+            "json": "string",
         }.get(base, base)
+
+    def _row_field(self, idx: int, closer: str) -> str:
+        """One row(...) field: `name type` or a bare `type` (anonymous
+        fields get deterministic names field0..fieldN-1, the Trino
+        convention)."""
+        save = self.i
+        first = self.ident()
+        bare = (
+            self.at_op(",")
+            or self.at_op(closer)
+            or self.at_op("(", "<")  # parameterized type, e.g. decimal(3,2)
+            or self.at_kw("array")  # postfix array on an anonymous field
+        )
+        if bare:
+            self.i = save
+            return f"field{idx}: {self._type_name()}"
+        return f"{first}: {self._type_name()}"
 
 
 def parse(sql: str) -> ast.Query | ast.ExplainStmt:
