@@ -44,7 +44,7 @@ _PRIORITY = [
     "op_window_groups_frame", "op_sessionize",
     "sql_unnest_map_kv", "sql_unnest_ordinality",
     "sql_quantified", "sql_lateral", "sql_ordered_agg",
-    "sql_try", "sql_window_clause", "sql_ansi_forms",
+    "sql_window_clause", "sql_ansi_forms", "sql_describe",
     "pl_dedup_exact", "pl_dedup_ngram_jaccard", "pl_dedup_embedding",
     "pl_text_stats", "pl_text_langid",
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
@@ -52,8 +52,10 @@ _PRIORITY = [
     "pl_multimodal_frames", "pl_multimodal_resize",
     "st_windowed_counts", "st_enrich_join", "st_stream_join",
     "pl_asof_join", "pl_range_join", "pl_time_rollup",
-    # -- position 51+: rows-only + round-2 TPC-H variants + grammar extra --
-    "sql_subscript",
+    # -- position 51+: rows-only + round-2 TPC-H variants + grammar extras
+    # (subscript/TRY are also exercised by op_unnest_*/op_special_forms and
+    # the transpiler's pytest grammar suite) --
+    "sql_subscript", "sql_try",
     "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
     "pl_curate",
     "tpch_q15", "tpch_q20", "tpch_q21",

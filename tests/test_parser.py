@@ -270,3 +270,14 @@ def test_over_named_and_inline_mixed():
     sql = s.sql()
     assert "over w" in sql and "over (order by y)" in sql
     assert "rows between 1 preceding and current row" in sql
+
+
+def test_describe_statements():
+    from verax_spark.sql.ast import DescribeStmt
+    from verax_spark.sql.parser import parse
+
+    for text in ("DESCRIBE nation", "DESC orders", "SHOW COLUMNS FROM lineitem"):
+        stmt = parse(text)
+        assert isinstance(stmt, DescribeStmt), text
+    assert parse("describe nation").table == "nation"
+    assert parse("show columns from lineitem").table == "lineitem"

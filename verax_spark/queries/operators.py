@@ -1385,6 +1385,25 @@ def op_fn_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL front door: DESCRIBE statement (ref PrestoParserTest.cpp `describe`:
+# DESCRIBE/DESC/SHOW COLUMNS lower to a Values relation of column metadata).
+@_register(
+    "sql_describe",
+    """
+    select * from (values
+      ('n_nationkey', 'integer', '', ''),
+      ('n_name', 'varchar', '', ''),
+      ('n_regionkey', 'integer', '', '')
+    ) as t("column", "type", "extra", "comment")
+    """,
+)
+def sql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.sql import PrestoSession
+
+    return PrestoSession(spark, sf_dir).sql("DESCRIBE nation")
+
+
+# ---------------------------------------------------------------------------
 # SQL front door: ANSI special forms from the Presto expression grammar
 # (ref axiom/sql/presto/ast/AstExpressions.h): AT TIME ZONE (instant
 # re-display), position(sub IN str), trim([spec] [chars] FROM src).

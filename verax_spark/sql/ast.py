@@ -927,3 +927,15 @@ class ExplainStmt:
 
     def sql(self) -> str:
         return self.query.sql()
+
+
+@dataclass
+class DescribeStmt:
+    """DESCRIBE t / DESC t / SHOW COLUMNS FROM t — the reference lowers
+    these to a Values relation of column metadata (PrestoParserTest.cpp
+    `describe`); PrestoSession produces the Presto-shaped output."""
+
+    table: str
+
+    def sql(self) -> str:
+        return f"describe {self.table}"

@@ -145,13 +145,18 @@ class Parser:
         raise ParseError(f"expected identifier at {t.pos}, got {t.text!r}")
 
     # -- statements ----------------------------------------------------------
-    def parse_statement(self) -> ast.Query | ast.ExplainStmt:
-        if self.accept_kw("explain"):
-            q = self.parse_query()
-            stmt: ast.Query | ast.ExplainStmt = ast.ExplainStmt(q)
+    def parse_statement(self) -> "ast.Query | ast.ExplainStmt | ast.DescribeStmt":
+        stmt: ast.Query | ast.ExplainStmt | ast.DescribeStmt
+        if self.accept_kw("describe") or self.accept_kw("desc"):
+            stmt = ast.DescribeStmt(self.ident())
+        elif self.at_kw("show") and self.at_kw("columns", ahead=1):
+            self.next(), self.next()
+            self.expect_kw("from")
+            stmt = ast.DescribeStmt(self.ident())
+        elif self.accept_kw("explain"):
+            stmt = ast.ExplainStmt(self.parse_query())
         else:
-            q = self.parse_query()
-            stmt = q
+            stmt = self.parse_query()
         if not self.at_op(";") and self.peek().kind != "eof":
             t = self.peek()
             raise ParseError(f"trailing input at {t.pos}: {t.text!r}")

@@ -48,6 +48,26 @@ def transpile(sql: str) -> str:
     return stmt.sql()
 
 
+_SPARK_TO_PRESTO_TYPE = {
+    "string": "varchar",
+    "int": "integer",
+    "float": "real",
+    "binary": "varbinary",
+}
+
+
+def _presto_type(spark_type: str) -> str:
+    """Spark DDL type name → Presto spelling (word-level; nested types keep
+    their structure with element words mapped)."""
+    import re as _re
+
+    return _re.sub(
+        r"\b(string|int|float|binary)\b",
+        lambda m: _SPARK_TO_PRESTO_TYPE[m.group(1)],
+        spark_type,
+    )
+
+
 # appId → sf_dir whose views are currently registered in that session
 _REGISTERED: dict[str, str] = {}
 
@@ -72,6 +92,20 @@ class PrestoSession:
 
     def sql(self, text: str) -> DataFrame:
         stmt = parse(text.strip())
+        if isinstance(stmt, ast.DescribeStmt):
+            # Presto DESCRIBE shape: (column, type, extra, comment) rows,
+            # produced as a local Values relation like the reference
+            # (PrestoParserTest.cpp `describe` expects a Values node)
+            from verax_spark.plans.builder import local_values
+
+            schema = self.spark.table(stmt.table).schema
+            rows = [
+                (f.name, _presto_type(f.dataType.simpleString()), "", "")
+                for f in schema.fields
+            ]
+            return local_values(
+                self.spark, rows, "column string, type string, extra string, comment string"
+            )
         if isinstance(stmt, ast.ExplainStmt):
             df = self.spark.sql(stmt.query.sql())
             plan = df._jdf.queryExecution().explainString(
