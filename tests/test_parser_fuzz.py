@@ -1,0 +1,118 @@
+"""Parser round-trip fuzzing: hypothesis generates random Presto SQL TEXT
+(expressions over the nation table), which must (a) parse + transpile, and
+(b) produce identical results when the transpiled SQL runs on Spark and the
+ORIGINAL Presto text runs on DuckDB.
+
+This goes one level deeper than test_property_differential (which fuzzes
+DataFrame shapes): here the fuzz target is the SQL front door itself —
+tokenizer, precedence, rendering — against an independent parser's reading
+of the same text. Only constructs with identical Presto/DuckDB/Spark
+semantics are generated (no int division, no engine-specific functions).
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from verax_spark.sql.presto import transpile
+from verax_spark.testing import assert_frames_match
+
+INT_COLS = ["n_nationkey", "n_regionkey"]
+STR_COLS = ["n_name"]
+
+
+# -- expression text generators ---------------------------------------------
+def _int_base() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.sampled_from(INT_COLS),
+        st.integers(min_value=-20, max_value=20).map(
+            lambda n: str(n) if n >= 0 else f"({n})"
+        ),
+        st.sampled_from(STR_COLS).map(lambda c: f"length({c})"),
+    )
+
+
+def _base_cmp() -> st.SearchStrategy[str]:
+    return st.tuples(
+        _int_base(), st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]), _int_base()
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
+
+
+def int_expr(depth: int = 2) -> st.SearchStrategy[str]:
+    base = _int_base()
+    if depth == 0:
+        return base
+    sub = int_expr(depth - 1)
+    return st.one_of(
+        base,
+        st.tuples(sub, st.sampled_from(["+", "-", "*"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(sub, sub).map(lambda t: f"coalesce({t[0]}, {t[1]})"),
+        st.tuples(sub, sub).map(lambda t: f"abs({t[0]} - {t[1]})"),
+        st.tuples(_base_cmp(), sub, sub).map(
+            lambda t: f"(case when {t[0]} then {t[1]} else {t[2]} end)"
+        ),
+    )
+
+
+def str_expr() -> st.SearchStrategy[str]:
+    return st.one_of(
+        st.sampled_from(STR_COLS),
+        st.tuples(
+            st.sampled_from(STR_COLS),
+            st.integers(min_value=1, max_value=5),
+            st.integers(min_value=1, max_value=8),
+        ).map(lambda t: f"substr({t[0]}, {t[1]}, {t[2]})"),
+        st.tuples(st.sampled_from(STR_COLS), st.sampled_from(STR_COLS)).map(
+            lambda t: f"({t[0]} || {t[1]})"
+        ),
+    )
+
+
+def bool_expr(depth: int = 1) -> st.SearchStrategy[str]:
+    cmp_ = st.tuples(
+        int_expr(1), st.sampled_from(["<", "<=", ">", ">=", "=", "<>"]), int_expr(1)
+    ).map(lambda t: f"{t[0]} {t[1]} {t[2]}")
+    if depth == 0:
+        return cmp_
+    sub = bool_expr(depth - 1)
+    return st.one_of(
+        cmp_,
+        st.tuples(sub, st.sampled_from(["and", "or"]), sub).map(
+            lambda t: f"({t[0]} {t[1]} {t[2]})"
+        ),
+        st.tuples(int_expr(0), st.lists(
+            st.integers(min_value=0, max_value=24), min_size=1, max_size=4
+        )).map(lambda t: f"{t[0]} in ({', '.join(map(str, t[1]))})"),
+        st.sampled_from(STR_COLS).map(lambda c: f"{c} like 'NATION%'"),
+    )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(e1=int_expr(), e2=str_expr(), pred=bool_expr())
+def test_random_sql_text_matches_duckdb(spark, sf_dir, e1, e2, pred):
+    sql = (
+        f"select n_nationkey, {e1} as v1, {e2} as v2 "
+        f"from nation where {pred} order by n_nationkey"
+    )
+    spark_sql = transpile(sql)
+    from verax_spark.sql import PrestoSession
+
+    PrestoSession(spark, sf_dir)  # ensure views registered
+    got = spark.sql(spark_sql).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"create view nation as select * from read_parquet('{sf_dir}/nation.parquet')"
+        )
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    got["v1"] = got["v1"].astype("int64")
+    want["v1"] = want["v1"].astype("int64")
+    assert_frames_match(got, want, context=f"sql fuzz: {sql}")
