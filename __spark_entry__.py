@@ -38,7 +38,7 @@ _PRIORITY = [
     "op_fn_json", "op_fn_conv", "op_fn_percentile", "op_fn_null_semantics",
     "op_fn_map_agg",
     "op_hof_transform_filter", "op_hof_aggregate", "op_hof_zip_with",
-    "op_special_forms", "op_dereference", "op_distinct",
+    "op_special_forms", "op_dereference",
     "op_table_write", "op_table_delete", "op_table_update",
     "op_join_mark", "op_join_lookup", "op_unnest_structs", "op_window_ntile",
     "op_window_groups_frame", "op_sessionize",
@@ -51,11 +51,11 @@ _PRIORITY = [
     "pl_knn_brute", "pl_multimodal_decode",
     "pl_multimodal_frames", "pl_multimodal_resize",
     "st_windowed_counts", "st_enrich_join", "st_stream_join",
-    "pl_asof_join", "pl_range_join", "pl_time_rollup",
+    "pl_asof_join", "pl_range_join", "pl_time_rollup", "pl_pack_sequences",
     # -- position 51+: rows-only + round-2 TPC-H variants + grammar extras
     # (subscript/TRY are also exercised by op_unnest_*/op_special_forms and
     # the transpiler's pytest grammar suite) --
-    "sql_subscript", "sql_try",
+    "sql_subscript", "sql_try", "op_distinct",
     "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
     "pl_curate",
     "tpch_q15", "tpch_q20", "tpch_q21",

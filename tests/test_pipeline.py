@@ -2,6 +2,7 @@
 
 import pyspark.sql.functions as F
 import pytest
+from pyspark.sql import Window
 
 from verax_spark.catalog import Catalog
 from verax_spark.queries import pipeline
@@ -213,3 +214,40 @@ def test_resize_media_payload_roundtrip(spark, sf_dir):
         r.doc_id: r.text.encode("utf-8")[:16] for r in docs.collect()
     }
     assert out == want and len(out) == 5
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing conserves tokens and fills every non-final pack exactly to
+    capacity (the concat-and-chunk contract)."""
+    from verax_spark.operators import packing, text
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    cap = 128
+    packed = packing.pack_sequences(
+        docs, text.token_count(F.col("text")), "doc_id", capacity=cap, n_shards=3
+    )
+    total_tokens = docs.select(
+        F.sum(text.token_count(F.col("text"))).alias("s")
+    ).collect()[0].s
+    assert (
+        packed.agg(F.sum("tokens_in_pack")).collect()[0][0] == total_tokens
+    )
+    fills = (
+        packed.groupBy("shard", "pack_id")
+        .agg(F.sum("tokens_in_pack").alias("fill"))
+        .withColumn(
+            "is_last",
+            F.col("pack_id") == F.max("pack_id").over(Window.partitionBy("shard")),
+        )
+        .collect()
+    )
+    for r in fills:
+        assert r.fill == cap or r.is_last, (r.shard, r.pack_id, r.fill)
+    # spans never exceed capacity and offsets stay inside the pack
+    bad = packed.filter(
+        (F.col("tokens_in_pack") <= 0)
+        | (F.col("tokens_in_pack") > cap)
+        | (F.col("pack_offset") < 0)
+        | (F.col("pack_offset") >= cap)
+    ).count()
+    assert bad == 0

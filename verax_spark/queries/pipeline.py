@@ -455,6 +455,46 @@ def pl_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk, operators/packing.py): per-shard
+# running token offsets cut into fixed 256-token context windows; documents
+# may straddle pack boundaries. Pure window arithmetic — exact SQL oracle.
+@_register(
+    "pl_pack_sequences",
+    """
+    with t as (
+      select doc_id, doc_id % 4 as shard,
+        cast(len(string_split_regex(text, '\\s+')) as bigint) as n
+      from documents where doc_id < 300),
+    s as (
+      select doc_id, shard, n,
+        cast(coalesce(sum(n) over (partition by shard order by doc_id
+          rows between unbounded preceding and 1 preceding), 0) as bigint) as st
+      from t where n > 0),
+    e as (
+      select doc_id, shard, n, st, st + n as en,
+        unnest(range(st // 256, (st + n - 1) // 256 + 1)) as pack_id
+      from s)
+    select doc_id, shard, pack_id,
+      greatest(st - pack_id * 256, 0) as pack_offset,
+      least(en, pack_id * 256 + 256) - greatest(st, pack_id * 256) as tokens_in_pack
+    from e order by shard, pack_id, doc_id
+    """,
+)
+def pl_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.operators import packing, text
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.filter(F.col("doc_id") < 300)
+    return packing.pack_sequences(
+        docs,
+        text.token_count(F.col("text")),
+        "doc_id",
+        capacity=256,
+        n_shards=4,
+    ).orderBy("shard", "pack_id", "doc_id")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal binary → binary transformation (resize/downsample stub with
 # real Arrow-both-ways mapInPandas plumbing, operators/multimodal.py
 # resize_media). Metadata columns are oracle-checked; the payload itself is
