@@ -259,3 +259,32 @@ def test_values_is_local_relation(spark):
     # the fluent builder path
     chained = PlanBuilder(spark).values([(2, "y"), (1, "x")], "a int, b string").sort("a").build()
     assert [tuple(r) for r in chained.collect()] == [(1, "x"), (2, "y")]
+
+
+def test_scalar_subquery_enforce_single_row(spark):
+    """EnforceSingleRow semantics (ref RelationOp.h RelType): a scalar
+    subquery with >1 row errors at runtime; an EMPTY subquery yields NULL
+    for every outer row (a bare cross join would drop them)."""
+    import pytest as _pytest
+
+    from verax_spark.plans.builder import PlanBuilder
+
+    def b(rows, schema):
+        return PlanBuilder(spark).values(rows, schema)
+
+    with _pytest.raises(Exception, match="more than one row"):
+        (
+            b([(1,), (2,)], "x int")
+            .with_scalar_subquery("s", b([(10,), (20,)], "v int"))
+            .build()
+            .collect()
+        )
+
+    rows = (
+        b([(1,), (2,)], "x int")
+        .with_scalar_subquery("s", b([], "v int"))
+        .build()
+        .orderBy("x")
+        .collect()
+    )
+    assert [(r.x, r.s) for r in rows] == [(1, None), (2, None)]

@@ -255,6 +255,25 @@ def _cases():
         (_c("bit_count", F.lit(9), F.lit(8)), 2),
         (_c("bit_count", F.lit(-1), F.lit(8)), 8),
     ],
+    "split_to_map": [
+        (_c("split_to_map", F.lit("a=1,b=2"), F.lit(","), F.lit("=")),
+         {"a": "1", "b": "2"}),
+    ],
+    "ngrams": [
+        (_c("ngrams", F.col("xs"), 2), [[1, 2], [2, 3]]),
+        (_c("ngrams", F.array(F.lit(9)), 3), [[9]]),  # shorter than n
+    ],
+    "array_sum": [
+        (_c("array_sum", F.array(F.lit(1), F.lit(None).cast("int"), F.lit(2))), 3.0),
+    ],
+    "array_average": [
+        (_c("array_average", F.array(F.lit(1.0), F.lit(3.0))), 2.0),
+        (_c("array_average", F.array(F.lit(None).cast("double"))), None),
+    ],
+    "json_array_get": [
+        (_c("json_array_get", F.lit('[10, "x", {"a": 1}]'), 2), '{"a":1}'),
+        (_c("json_array_get", F.lit('[10, "x"]'), 1), '"x"'),
+    ],
     # Presto least/greatest: NULL if ANY argument is NULL (Spark skips NULLs)
     "least": [
         (_c("least", F.lit(3), F.lit(1), F.lit(2)), 1),

@@ -69,6 +69,8 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "array_to_string": "array_join",
     # presto regexp_split's pattern IS a regex, like spark split
     "regexp_split": "split",
+    # presto split_to_map(s, entryDelim, kvDelim) = spark str_to_map
+    "split_to_map": "str_to_map",
     "last_day_of_month": "last_day",
     "levenshtein_distance": "levenshtein",
     "to_hex": "hex",
@@ -341,7 +343,40 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "to_base": lambda x, radix: F.lower(F.conv(_col(x), 10, int(radix))),
     "from_base": lambda s, radix: F.conv(_col(s), int(radix), 10).cast("bigint"),
     "bit_count": lambda x, bits=64: _presto_bit_count(x, bits),
+    # presto ngrams(arr, n) → array of n-element subarrays
+    "ngrams": lambda arr, n: F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(_col(arr)) - int(n) + 1, F.lit(1))
+        ),
+        lambda i: F.slice(_col(arr), i, int(n)),
+    ),
+    # presto array_sum / array_average skip NULL elements
+    "array_sum": lambda arr: F.aggregate(
+        F.filter(_col(arr), lambda e: e.isNotNull()),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    ),
+    "array_average": lambda arr: F.aggregate(
+        F.filter(_col(arr), lambda e: e.isNotNull()),
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double"),
+    )
+    / F.nullif(F.size(F.filter(_col(arr), lambda e: e.isNotNull())), F.lit(0)),
+    # presto json_array_get(json, i): 0-based index; returns JSON text
+    # (VARIANT path keeps strings quoted). Negative (from-the-end) indexes
+    # are not supported by Spark's variant path extraction — raise.
+    "json_array_get": lambda x, i: _presto_json_array_get(x, i),
 }
+
+
+def _presto_json_array_get(x, i) -> Column:
+    if int(i) < 0:
+        raise ValueError("json_array_get: negative indexes are unsupported")
+    return F.to_json(
+        F.variant_get(
+            F.parse_json(_col(x).cast("string")), f"$[{int(i)}]", "variant"
+        )
+    )
 
 
 def _presto_bit_count(x, bits) -> Column:

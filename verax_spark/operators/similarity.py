@@ -262,6 +262,10 @@ def ivf_fit_assign(
         )
     )
     centroids = seeds.localCheckpoint()
+    # one tiny action to learn the dimensionality, then each Lloyd update is
+    # a SINGLE partial+final aggregation (dim indexed avgs per cluster) —
+    # no posexplode row blowup, no second shuffle
+    dim = len(fit.select("__v").head()[0])
     for _ in range(iters):
         assigned = (
             fit.crossJoin(F.broadcast(_centroid_array(centroids)))
@@ -271,16 +275,9 @@ def ivf_fit_assign(
             )
         )
         centroids = (
-            assigned.select("cluster", F.posexplode("__v").alias("__pos", "__x"))
-            .groupBy("cluster", "__pos")
-            .agg(F.avg("__x").alias("__m"))
-            .groupBy("cluster")
-            .agg(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("__pos"), F.col("__m")))
-                    ),
-                    lambda s: s.getField("__m"),
+            assigned.groupBy("cluster").agg(
+                F.array(
+                    *[F.avg(F.col("__v")[i]) for i in range(dim)]
                 ).alias("__c")
             )
         ).localCheckpoint()

@@ -277,12 +277,26 @@ class PlanBuilder:
     # -- subquery lowerings (what the reference optimizer does) -------------
     def with_scalar_subquery(self, name: str, sub: "PlanBuilder") -> "PlanBuilder":
         """Scalar SubqueryExpr → broadcast single-row cross join
-        (Optimization.cpp:1280 placeSingleRowDt)."""
+        (Optimization.cpp:1280 placeSingleRowDt), with the reference's
+        EnforceSingleRow semantics (RelationOp.h RelType): >1 row is a
+        runtime error, 0 rows yields NULL (a bare cross join would silently
+        duplicate rows / drop rows respectively). The enforcement is a
+        global aggregate whose output VALUE carries the check, so column
+        pruning can never remove it."""
         sub_df = sub._req()
         if len(sub_df.columns) != 1:
             raise ValueError("scalar subquery must produce exactly 1 column")
-        one = F.broadcast(sub_df.select(F.col(sub_df.columns[0]).alias(name)))
-        self._df = self._req().join(one)
+        val = F.col(sub_df.columns[0])
+        enforced = sub_df.agg(
+            F.when(F.count(F.lit(1)) <= 1, F.first(val))
+            .otherwise(
+                F.raise_error(
+                    F.lit("scalar subquery returned more than one row")
+                )
+            )
+            .alias(name)
+        )
+        self._df = self._req().join(F.broadcast(enforced))
         self._node = LogicalNode(
             "ScalarSubquery", f"as {name}", [self._node, sub._node]
         )

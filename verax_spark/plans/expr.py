@@ -206,6 +206,8 @@ _LITERAL_ARGS: dict[str, tuple[int, ...]] = {
     "date_parse": (1,),
     "to_base": (1,),
     "from_base": (1,),
+    "ngrams": (1,),
+    "json_array_get": (1,),
 }
 
 
