@@ -55,7 +55,7 @@ _PRIORITY = [
     # -- position 51+: rows-only + round-2 TPC-H variants + grammar extras
     # (subscript/TRY are also exercised by op_unnest_*/op_special_forms and
     # the transpiler's pytest grammar suite) --
-    "sql_subscript", "sql_try", "op_distinct",
+    "pl_token_vocab", "sql_subscript", "sql_try", "op_distinct",
     "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
     "pl_curate",
     "tpch_q15", "tpch_q20", "tpch_q21",

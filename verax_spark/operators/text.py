@@ -112,3 +112,32 @@ def deterministic_sample(df, id_col: str, fraction: float, *, salt: int = 0):
     bound = int(fraction * (1 << 63))
     h = F2.abs(F2.xxhash64(F2.lit(salt), F2.col(id_col)))
     return df.filter(h < bound)
+
+
+def token_vocabulary(df, text_col: str, *, k: int = 100, group_col: str | None = None):
+    """Top-k most frequent (lowercased) tokens, optionally per group — the
+    vocabulary-building step of a training-data pipeline.
+
+    Shape at scale: explode → partial+final count aggregation (map-side
+    combine collapses each partition to its distinct tokens), then a single
+    per-group top-k window. Ties broken lexicographically so the result is
+    deterministic. Returns (group?, token, n, rank).
+    """
+    from pyspark.sql import DataFrame, Window
+
+    assert isinstance(df, DataFrame)
+    tok = F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    cols = ([group_col] if group_col else []) + [tok]
+    counts = (
+        df.select(*cols)
+        .filter(F.col("token") != "")
+        .groupBy(*([group_col] if group_col else []), "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy(*([group_col] if group_col else [])).orderBy(
+        F.col("n").desc(), F.col("token")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )

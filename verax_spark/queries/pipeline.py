@@ -455,6 +455,34 @@ def pl_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Token vocabulary (operators/text.py token_vocabulary): per-language top-k
+# frequent tokens — explode → partial+final count agg → one top-k window;
+# lexicographic tie-break keeps it deterministic.
+@_register(
+    "pl_token_vocab",
+    """
+    with toks as (
+      select lang, unnest(string_split_regex(lower(text), '\\s+')) as token
+      from documents),
+    counts as (
+      select lang, token, count(*) as n from toks where token <> ''
+      group by lang, token)
+    select lang, token, cast(n as bigint) as n,
+      cast(row_number() over (partition by lang order by n desc, token) as bigint) as rank
+    from counts qualify rank <= 10
+    order by lang, rank
+    """,
+)
+def pl_token_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.operators import text
+
+    cat = Catalog(spark, sf_dir)
+    return text.token_vocabulary(
+        cat.documents, "text", k=10, group_col="lang"
+    ).orderBy("lang", "rank")
+
+
+# ---------------------------------------------------------------------------
 # Sequence packing (concat-and-chunk, operators/packing.py): per-shard
 # running token offsets cut into fixed 256-token context windows; documents
 # may straddle pack boundaries. Pure window arithmetic — exact SQL oracle.
