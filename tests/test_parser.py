@@ -281,3 +281,15 @@ def test_describe_statements():
         assert isinstance(stmt, DescribeStmt), text
     assert parse("describe nation").table == "nation"
     assert parse("show columns from lineitem").table == "lineitem"
+
+
+def test_adapter_fn_sql_rewrites():
+    """Adapter-only functions stay reachable from SQL text via structural
+    rewrites (no Spark builtin exists under these names)."""
+    out = transpile("select ngrams(xs, 2) from t")
+    assert "transform(sequence(1, greatest(size(xs) - 2 + 1, 1))" in out
+    out = transpile("select array_sum(xs), array_average(xs) from t")
+    assert out.count("aggregate(filter(xs, __e -> __e is not null)") == 2
+    assert "nullif(size(" in out
+    out = transpile("select json_array_get(j, 1) from t")
+    assert "variant_get(parse_json(j)" in out

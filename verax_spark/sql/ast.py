@@ -561,6 +561,29 @@ class Call(Expr):
                 f"(case when exists({a}, _e -> _e is null) then null "
                 f"else {name}({a}) end)"
             )
+        elif self.name.lower() == "ngrams" and len(self.args) == 2:
+            # Presto ngrams(arr, n) → windowed subarrays; shorter-than-n
+            # arrays yield one ngram of the whole array
+            a, n = self.args[0].sql(), self.args[1].sql()
+            return (
+                f"transform(sequence(1, greatest(size({a}) - {n} + 1, 1)), "
+                f"__i -> slice({a}, __i, {n}))"
+            )
+        elif self.name.lower() in ("array_sum", "array_average") and len(self.args) == 1:
+            a = self.args[0].sql()
+            nn = f"filter({a}, __e -> __e is not null)"
+            total = (
+                f"aggregate({nn}, cast(0.0 as double), "
+                f"(__acc, __x) -> __acc + cast(__x as double))"
+            )
+            if self.name.lower() == "array_sum":
+                return total
+            return f"({total} / nullif(size({nn}), 0))"
+        elif self.name.lower() == "json_array_get" and len(self.args) == 2:
+            return (
+                f"to_json(variant_get(parse_json({self.args[0].sql()}), "
+                f"'$[' || cast({self.args[1].sql()} as string) || ']', 'variant'))"
+            )
         elif self.name.lower() == "json_extract" and len(self.args) == 2:
             # Presto json_extract returns JSON text (strings stay quoted);
             # get_json_object unquotes scalars — route through VARIANT
