@@ -251,3 +251,50 @@ def test_pack_sequences_invariants(spark, sf_dir):
         | (F.col("pack_offset") >= cap)
     ).count()
     assert bad == 0
+
+
+def test_pack_sequences_default_shards_multi_partition(spark, sf_dir):
+    """With the derived default, the running-offset window must spread over
+    more than one shuffle partition for a multi-partition input (the
+    n_shards=1 default was a single-partition scale-killer)."""
+    from verax_spark.operators import packing, text
+
+    docs = Catalog(spark, sf_dir).documents.repartition(8)
+    packed = packing.pack_sequences(
+        docs, text.token_count(F.col("text")), "doc_id", capacity=128
+    )
+    n_shards = packed.select("shard").distinct().count()
+    assert n_shards == 8
+    # token conservation still holds under derived sharding
+    total = docs.select(F.sum(text.token_count(F.col("text")))).collect()[0][0]
+    assert packed.agg(F.sum("tokens_in_pack")).collect()[0][0] == total
+
+
+def test_token_vocab_global_two_level_topk(spark, sf_dir):
+    """Global (ungrouped) vocabulary: result must equal the naive global
+    rank, and the plan must not run a whole-vocabulary single-partition
+    window — the final empty-partitionBy window sees only per-partition
+    survivors (filter on __pr precedes it)."""
+    from verax_spark.operators import text
+
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 500)
+    got = text.token_vocabulary(docs, "text", k=25)
+    # naive oracle computed inline: full count table, global rank
+    counts = (
+        docs.select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy().orderBy(F.col("n").desc(), F.col("token"))
+    want = (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 25)
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the partial top-k must be in the plan: a window partitioned by the
+    # count-partition id, with its rank filter BEFORE the final global
+    # window — so the empty-partitionBy window never sees the full table
+    plan = got._jdf.queryExecution().optimizedPlan().toString()
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.count("Window") >= 2

@@ -75,16 +75,21 @@ class Catalog:
                 return shared
             path = os.path.join(self.sf_dir, f"{name}.parquet")
             if name == "events":
-                # events.ts is parquet TIMESTAMP(NANOS), which Spark's reader
-                # rejects; read nanos as long, then truncate to microseconds.
-                # (Runtime-settable, so this works in any caller's session.)
+                # events.ts arrives either as parquet TIMESTAMP (micros) —
+                # read as TIMESTAMP_NTZ — or as the legacy TIMESTAMP(NANOS)
+                # layout Spark can only read as int64 nanos. Normalize both
+                # to TimestampType (session TZ is UTC, so the cast is exact).
                 self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
                 from pyspark.sql import functions as F
+                from pyspark.sql.types import LongType
 
                 df = self.spark.read.parquet(path)
-                df = df.withColumn(
-                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
-                )
+                if isinstance(df.schema["ts"].dataType, LongType):
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                    )
+                else:
+                    df = df.withColumn("ts", F.col("ts").cast("timestamp"))
                 self._cache[name] = df
             else:
                 self._cache[name] = self.spark.read.parquet(path)

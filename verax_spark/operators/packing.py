@@ -24,7 +24,7 @@ def pack_sequences(
     id_col: str,
     *,
     capacity: int,
-    n_shards: int = 1,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Assign each document its pack spans.
 
@@ -36,7 +36,15 @@ def pack_sequences(
 
     where ``pack_offset`` is the document's start position inside the pack.
     Zero-token documents produce no rows (they occupy no stream space).
+
+    ``n_shards`` defaults to the input's partition count: the running-offset
+    window shuffles by shard, so a single shard would funnel the whole corpus
+    through one partition — each shard packs independently, which is how a
+    100 TB corpus parallelizes. Pass ``n_shards=1`` explicitly only when one
+    globally contiguous stream is required.
     """
+    if n_shards is None:
+        n_shards = max(df.rdd.getNumPartitions(), 1)
     n = token_count_col.cast("long")
     shard = F.pmod(F.col(id_col), F.lit(n_shards)).cast("long")
     w = (

@@ -119,9 +119,13 @@ def token_vocabulary(df, text_col: str, *, k: int = 100, group_col: str | None =
     vocabulary-building step of a training-data pipeline.
 
     Shape at scale: explode → partial+final count aggregation (map-side
-    combine collapses each partition to its distinct tokens), then a single
-    per-group top-k window. Ties broken lexicographically so the result is
-    deterministic. Returns (group?, token, n, rank).
+    combine collapses each partition to its distinct tokens), then top-k.
+    Per-group mode ranks with one window partitioned by the group. Global
+    mode is two-level: a per-partition partial top-k first (each shuffle
+    partition holds disjoint tokens after the count aggregation), so only
+    k × n_partitions survivors reach the single-partition final rank —
+    never the full vocabulary. Ties broken lexicographically so the result
+    is deterministic. Returns (group?, token, n, rank).
     """
     from pyspark.sql import DataFrame, Window
 
@@ -134,10 +138,25 @@ def token_vocabulary(df, text_col: str, *, k: int = 100, group_col: str | None =
         .groupBy(*([group_col] if group_col else []), "token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy(*([group_col] if group_col else [])).orderBy(
-        F.col("n").desc(), F.col("token")
+    order = (F.col("n").desc(), F.col("token"))
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return (
+            counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= k)
+        )
+    # Global mode: partial top-k inside each count partition (any token's
+    # total lives in exactly one partition, so the global top-k is a subset
+    # of the per-partition top-ks), then the exact rank over the survivors.
+    w_partial = Window.partitionBy("__p").orderBy(*order)
+    survivors = (
+        counts.withColumn("__p", F.spark_partition_id())
+        .withColumn("__pr", F.row_number().over(w_partial))
+        .filter(F.col("__pr") <= k)
+        .drop("__p", "__pr")
     )
+    w_final = Window.partitionBy().orderBy(*order)
     return (
-        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        survivors.withColumn("rank", F.row_number().over(w_final).cast("bigint"))
         .filter(F.col("rank") <= k)
     )

@@ -32,7 +32,7 @@ from pyspark.sql.types import (
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (nanosAsLong read mode)
+        StructField("ts", LongType()),  # legacy nanos layout (nanosAsLong)
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -44,11 +44,30 @@ EVENTS_SCHEMA = StructType(
 def read_events_stream(
     spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """File-source stream over the events parquet, with the same nanosecond
-    normalization the batch catalog applies."""
+    """File-source stream over the events parquet, with the same timestamp
+    normalization the batch catalog applies (parquet TIMESTAMP micros or the
+    legacy nanos-as-int64 layout — a streaming source needs an explicit
+    schema, so probe the footer once via a batch read)."""
+    from pyspark.sql.types import TimestampNTZType
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    ts_type = spark.read.parquet(path).schema["ts"].dataType
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField(
+                "ts",
+                LongType() if isinstance(ts_type, LongType) else TimestampNTZType(),
+            ),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
         # the streaming file source wants a directory: watch sf_dir and
         # select just the events file (a landing zone would be a real dir)
@@ -57,7 +76,9 @@ def read_events_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def windowed_event_counts(
