@@ -395,3 +395,27 @@ def test_plan_estimates_run_no_spark_jobs_with_stats(spark, sf_dir, monkeypatch)
     est_c = g._estimate_rows(g.tables["customer"])
     assert 0 < est_o < cat.stats("orders").num_rows
     assert 0 < est_c <= cat.stats("customer").num_rows
+
+
+def test_transfer_cost_breaks_cout_ties(spark):
+    """Byte-denominated objective (Cost.h:95-123 analog): A joins B and C
+    with identical cardinalities and fanouts (C_out ties exactly), but B is
+    wide (many strings) and C narrow — the planner must join the narrow
+    table first so the wide rows cross the wire as late as possible."""
+    g = QueryGraph()
+    g.table("A", spark.createDataFrame([(1, 1, 1)], "a int, kb int, kc int"))
+    g.table("B", spark.createDataFrame(
+        [(1, "x" * 5, "y" * 5, "z" * 5, "w" * 5)],
+        "kb2 int, s1 string, s2 string, s3 string, s4 string"))
+    g.table("C", spark.createDataFrame([(1, 2)], "kc2 int, c int"))
+    g.edge("A", "kb", "B", "kb2")
+    g.edge("A", "kc", "C", "kc2")
+    est = {"A": 1000.0, "B": 1000.0, "C": 1000.0}
+    fans = {("A", "B"): (1.0, 1.0), ("A", "C"): (1.0, 1.0)}
+    g._estimate_rows = lambda ref: est[ref.name]
+    g._edge_fanout = lambda e, mod=None: fans[(e.left, e.right)]
+    g.plan("dp")
+    order = g.last_order
+    # same C_out either way (every intermediate is 1000 rows); only the
+    # transfer/width terms can separate the orders
+    assert order.index("C") < order.index("B"), order

@@ -215,3 +215,87 @@ def test_quantified_rewrites_text():
     assert "min(__q.__v)" in out  # x <= ALL(S) ⇔ x <= min(S)
     out = transpile("select 1 where 3 < any (select x from t)")
     assert "max(__q.__v)" in out  # x < ANY(S) ⇔ x < max(S)
+
+
+# ---------------------------------------------------------------------------
+# Cost-based join reordering in the front door (sql/reorder.py): the
+# reference routes every SELECT through the optimizer
+# (axiom/optimizer/Optimization.h:44-48); these tests pin the wiring.
+_BAD_ORDER_SQL = """
+    select n_name, count(*) as n_items
+    from lineitem l, orders o, customer c, nation n, region r
+    where l.l_orderkey = o.o_orderkey
+      and o.o_custkey = c.c_custkey
+      and c.c_nationkey = n.n_nationkey
+      and n.n_regionkey = r.r_regionkey
+      and r.r_name = 'ASIA'
+    group by n_name order by n_name
+"""
+
+
+def test_reorder_fixes_bad_textual_order(presto):
+    df = presto.sql(_BAD_ORDER_SQL)
+    info = presto.last_reorder
+    assert info is not None
+    # textual order starts at lineitem (the biggest table); the planner must
+    # not — it starts from the filtered region side of the star
+    assert info.order[0] != "l"
+    assert info.order.index("l") > info.order.index("r")
+    # small dimensions get broadcast hints; lineitem never does
+    assert "n" in info.broadcast and "r" in info.broadcast
+    assert "l" not in info.broadcast
+    # the hint reached Catalyst: dims are broadcast in the physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # and the rewrite is semantics-preserving
+    n = df.count()
+    want = presto.spark.sql(
+        "select count(distinct n_name) from nation n join region r "
+        "on n.n_regionkey = r.r_regionkey where r.r_name = 'ASIA' "
+        "and n_nationkey in (select c_nationkey from customer)"
+    ).collect()[0][0]
+    assert n == want
+
+
+def test_reorder_disabled_renders_as_written(spark, sf_dir):
+    ps = PrestoSession(spark, sf_dir, reorder=False)
+    ps.sql(_BAD_ORDER_SQL)
+    assert ps.last_reorder is None
+
+
+def test_reorder_skips_ineligible_queries(presto):
+    # outer join: textual order must stand (reordering is inner-join-only)
+    presto.sql(
+        "select count(*) as n from orders o left join customer c "
+        "on o.o_custkey = c.c_custkey join nation n on c.c_nationkey = n.n_nationkey"
+    )
+    assert presto.last_reorder is None
+    # two tables: below min_tables, not worth the sampling
+    presto.sql(
+        "select count(*) as n from orders o join customer c on o.o_custkey = c.c_custkey"
+    )
+    assert presto.last_reorder is None
+
+
+def test_reorder_preserves_residual_and_single_table_predicates(presto, sf_dir):
+    # theta conjunct (non-equi, two tables) + correlated-free scalar filters
+    # survive into WHERE; result matches DuckDB
+    sql = """
+        select c.c_custkey, count(*) as n
+        from orders o, customer c, nation n
+        where o.o_custkey = c.c_custkey
+          and c.c_nationkey = n.n_nationkey
+          and o.o_totalprice > c.c_acctbal
+          and n.n_name <> 'NATION_3'
+        group by c.c_custkey
+        order by c.c_custkey
+        limit 50
+    """
+    got = presto.sql(sql).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="reorder-residual")
+    assert presto.last_reorder is not None

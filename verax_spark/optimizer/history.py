@@ -49,7 +49,12 @@ class ExecutionHistory:
 
     # -- store/lookup --------------------------------------------------------
     def lookup(self, signature: str) -> float | None:
-        return self._data.get(signature)
+        """Observed actuals take precedence; otherwise fall back to the last
+        recorded estimate so repeated plannings of the same scan/edge reuse
+        the sampling work instead of re-probing (the reference's history
+        serves both roles, Cost.h:35-89)."""
+        v = self._data.get(signature)
+        return v if v is not None else self._estimates.get(signature)
 
     def record(self, signature: str, actual_rows: float) -> None:
         self._data[signature] = float(actual_rows)

@@ -41,6 +41,30 @@ from pyspark.sql import Column, DataFrame
 
 DEFAULT_BROADCAST_ROWS = 1_000_000  # ~rows that comfortably broadcast
 
+# -- transfer cost model (ref Cost struct RelationOp.h:39-74; constants
+# Cost.h:95-123 — shuffle ≈ 12 units/byte vs unit memcpy: moving bytes
+# between workers dominates, so the objective is byte-denominated) --------
+SHUFFLE_COST_PER_BYTE = 1.0  # both sides cross the wire once
+BROADCAST_REPLICATION = 8.0  # build side is copied to ~W workers
+_TYPE_WIDTH = {"string": 24.0, "binary": 24.0}  # est bytes; nested below
+
+
+def _row_width(schema) -> float:
+    """Estimated serialized row width in bytes from the schema — fixed
+    per-type widths (numerics 8, strings ~24, nested ~48), the same
+    schema-driven estimate Spark's own statistics default to when column
+    stats are absent."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    total = 0.0
+    for f in schema.fields:
+        t = f.dataType
+        if isinstance(t, (ArrayType, MapType, StructType)):
+            total += 48.0
+        else:
+            total += _TYPE_WIDTH.get(t.simpleString(), 8.0)
+    return max(total, 8.0)
+
 # analyzed-plan operators that change row counts: footer metadata is only
 # valid for bare scans (column pruning keeps counts; these do not)
 _NON_SCAN_OPS = ("Filter", "Join", "Aggregate", "Generate", "Window",
@@ -409,22 +433,65 @@ class QueryGraph:
         return df.join(F.broadcast(keys), leaf_key, "left_semi")
 
     # -- exact enumeration (memoized makeJoins analog) -----------------------
+    def choose_tree(self) -> tuple[tuple | None, dict[str, float]]:
+        """Run the subset-DP decision only: returns (tree, est) without
+        building any DataFrame. ``tree`` is None when the graph has no
+        connected cover (caller falls back to greedy/textual order). Used by
+        the SQL front door to re-render a FROM clause in the chosen order.
+        """
+        if not self.tables:
+            raise ValueError("empty query graph")
+        self.add_implied_edges()
+        return self._choose_tree_dp()
+
     def _plan_dp(self) -> DataFrame:
-        """Subset DP over left-deep + bushy join trees, C_out objective.
+        tree, est = self._choose_tree_dp()
+        if tree is None:
+            # fully disconnected pieces: fall back to greedy cross-joining
+            return self._plan_greedy()
+        self.last_tree = tree  # inspectable chosen shape (left-deep vs bushy)
+        self.last_order = []
+        return self._build_tree(tree, est)
+
+    def _choose_tree_dp(self) -> tuple[tuple | None, dict[str, float]]:
+        """Subset DP over left-deep + bushy join trees.
 
         best[S] holds (cost, rows, tree) for every connected subset S; trees
         combine either leaf-extension (left-deep step) or two memoized
         subtrees (bushy join). Growth across a join picks the MIN fanout
         among all crossing edges (the remaining crossing edges are applied
-        as additional filters, which only shrink the result)."""
+        as additional filters, which only shrink the result).
+
+        The objective is byte-denominated (ref Cost{unitCost, fanout,
+        totalBytes, transferBytes} RelationOp.h:39-74, constants
+        Cost.h:95-123): each join adds (a) output materialization
+        rows × subtree row width, and (b) the cheaper of shuffling both
+        sides vs broadcasting the smaller eligible side × replication —
+        so when two orders tie on C_out, the one moving fewer (or
+        broadcastable) bytes wins."""
         est = {name: self._estimate_rows(ref) for name, ref in self.tables.items()}
         if self.history is not None:
             for name, ref in self.tables.items():
                 self.history.record_estimate(self._signature(ref), est[name])
         fanout = {id(e): self._edge_fanout(e) for e in self.edges}
+        leaf_width = {
+            name: _row_width(ref.df.schema) for name, ref in self.tables.items()
+        }
 
         names = list(self.tables)
         full = frozenset(names)
+
+        def width(s: frozenset) -> float:
+            return sum(leaf_width[n] for n in s)
+
+        def transfer(r1: float, w1: float, r2: float, w2: float) -> float:
+            shuffle = (r1 * w1 + r2 * w2) * SHUFFLE_COST_PER_BYTE
+            bcast = float("inf")
+            if r1 <= self.broadcast_rows:
+                bcast = r1 * w1 * BROADCAST_REPLICATION
+            if r2 <= self.broadcast_rows:
+                bcast = min(bcast, r2 * w2 * BROADCAST_REPLICATION)
+            return min(shuffle, bcast)
 
         def crossing(s1: frozenset, s2: frozenset) -> list[tuple[JoinEdge, float]]:
             out = []
@@ -463,7 +530,12 @@ class QueryGraph:
                         else:
                             rows = r1 * max(r2, 1.0)
                             tree = ("cross", t1, t2)
-                        cost = c1 + c2 + rows
+                        cost = (
+                            c1
+                            + c2
+                            + rows * width(s)
+                            + transfer(r1, width(s1), r2, width(s2))
+                        )
                         cur = best.get(s)
                         if cur is None or cost < cur[0]:
                             best[s] = (cost, rows, tree)
@@ -472,13 +544,9 @@ class QueryGraph:
                                 level.append(s)
             subsets_by_size[size] = level
         if full not in best:
-            # fully disconnected pieces: fall back to greedy cross-joining
-            return self._plan_greedy()
-
+            return None, est
         _, _, tree = best[full]
-        self.last_tree = tree  # inspectable chosen shape (left-deep vs bushy)
-        self.last_order = []
-        return self._build_tree(tree, est)
+        return tree, est
 
     def _build_tree(self, tree: tuple, est: dict[str, float]) -> DataFrame:
         kind = tree[0]

@@ -1786,3 +1786,49 @@ def sql_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         from documents where doc_id < 30 order by doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL front door: cost-based join reordering (ref Optimization::toVeloxPlan,
+# axiom/optimizer/Optimization.h:44-48 — every SELECT passes through the
+# optimizer). The FROM clause lists the tables in a deliberately bad order
+# (fact tables first, the selective region filter last); the reorderer's
+# subset-DP enumeration (optimizer/query_graph.py) starts from the filtered
+# dimension and broadcasts the small sides. Results are order-independent —
+# the oracle proves the rewrite is semantics-preserving.
+@_register(
+    "sql_join_reorder",
+    """
+    select n_name, cast(count(*) as bigint) as n_items, sum(l_extendedprice) as total
+    from lineitem l, orders o, customer c, nation n, region r
+    where l.l_orderkey = o.o_orderkey
+      and o.o_custkey = c.c_custkey
+      and c.c_nationkey = n.n_nationkey
+      and n.n_regionkey = r.r_regionkey
+      and r.r_name = 'ASIA'
+      and o.o_orderdate >= date '1996-01-01'
+    group by n_name
+    order by n_name
+    """,
+)
+def sql_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.sql import PrestoSession
+
+    ps = PrestoSession(spark, sf_dir)
+    df = ps.sql(
+        """
+        select n_name, cast(count(*) as bigint) as n_items,
+          sum(l_extendedprice) as total
+        from lineitem l, orders o, customer c, nation n, region r
+        where l.l_orderkey = o.o_orderkey
+          and o.o_custkey = c.c_custkey
+          and c.c_nationkey = n.n_nationkey
+          and n.n_regionkey = r.r_regionkey
+          and r.r_name = 'ASIA'
+          and o.o_orderdate >= date '1996-01-01'
+        group by n_name
+        order by n_name
+        """
+    )
+    assert ps.last_reorder is not None, "reorderer did not fire"
+    return df

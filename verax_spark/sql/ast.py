@@ -872,9 +872,14 @@ class Select:
     having: Expr | None = None
     distinct: bool = False
     windows: list[tuple[str, WindowSpec]] = field(default_factory=list)
+    # optimizer-injected Spark hint (e.g. "broadcast(n, r)") — set by the
+    # cost-based join reorderer (sql/reorder.py), never by the parser
+    hint: str | None = None
 
     def sql(self) -> str:
         parts = ["select"]
+        if self.hint:
+            parts.append(f"/*+ {self.hint} */")
         if self.distinct:
             parts.append("distinct")
         parts.append(", ".join(i.sql() for i in self.items))

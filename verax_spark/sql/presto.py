@@ -73,13 +73,24 @@ _REGISTERED: dict[str, str] = {}
 
 
 class PrestoSession:
-    """SELECT/EXPLAIN entry point over the driver catalog, Presto dialect."""
+    """SELECT/EXPLAIN entry point over the driver catalog, Presto dialect.
 
-    def __init__(self, spark: SparkSession, sf_dir: str | None = None):
+    Every eligible SELECT passes through the cost-based join reorderer
+    (sql/reorder.py) before Catalyst — the reference's lifecycle, where
+    ``Optimization::toVeloxPlan`` sits between parser and execution for
+    every query (axiom/optimizer/Optimization.h:44-48). ``reorder=False``
+    renders joins as written.
+    """
+
+    def __init__(
+        self, spark: SparkSession, sf_dir: str | None = None, *, reorder: bool = True
+    ):
         from verax_spark.catalog import DEFAULT_SF_DIR, Catalog
         from verax_spark.functions.presto import register_sql_compat
 
         self.spark = spark
+        self.reorder = reorder
+        self.last_reorder = None  # ReorderInfo of the last sql() call
         self.catalog = Catalog(spark, sf_dir or DEFAULT_SF_DIR)
         # view + compat-UDF registration is idempotent; skip the ~12 DDL
         # round-trips when this session already has THIS sf_dir's views
@@ -107,7 +118,7 @@ class PrestoSession:
                 self.spark, rows, "column string, type string, extra string, comment string"
             )
         if isinstance(stmt, ast.ExplainStmt):
-            df = self.spark.sql(stmt.query.sql())
+            df = self.spark.sql(self._optimize(stmt.query).sql())
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
@@ -116,4 +127,15 @@ class PrestoSession:
             from verax_spark.plans.builder import local_values
 
             return local_values(self.spark, [(plan,)], "plan string")
+        if isinstance(stmt, ast.Query):
+            stmt = self._optimize(stmt)
         return self.spark.sql(stmt.sql())
+
+    def _optimize(self, query: ast.Query) -> ast.Query:
+        self.last_reorder = None
+        if not self.reorder:
+            return query
+        from verax_spark.sql.reorder import reorder_joins
+
+        query, self.last_reorder = reorder_joins(query, self.spark)
+        return query

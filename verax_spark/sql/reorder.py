@@ -1,0 +1,315 @@
+"""Cost-based join reordering for the SQL front door.
+
+In the reference, every query passes through the optimizer — there is no
+"render the joins as written" path: ``Optimization::toVeloxPlan`` builds the
+query graph and ``makeJoins`` picks the order and distribution for each
+SELECT (axiom/optimizer/Optimization.h:44-48, README.md:64-72). This module
+is that wiring for the Spark front door: an eligible FROM clause (a chain of
+INNER / comma joins over base tables) is flattened into a
+``optimizer.query_graph.QueryGraph``, the subset-DP enumeration picks the
+join tree, and the AST's FROM is re-rendered in that order with BROADCAST
+hints for the sides whose estimated cardinality clears the threshold — then
+Catalyst lowers it as usual.
+
+Safety model: reordering only changes the *order* of inner equi-joins and
+moves ON-clause conjuncts into WHERE (equivalent under inner joins); every
+original conjunct is preserved verbatim, so the rewrite cannot change
+results — only plans. Anything the flattener does not fully understand
+(outer joins, USING, subqueries in FROM, unresolvable column references)
+disqualifies the query and the textual order stands.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+
+from verax_spark.sql import ast
+
+# Process-wide estimate cache: repeated queries over the same tables/edges
+# skip the sampling jobs (VeloxHistory analog, optimizer/history.py).
+_SHARED_HISTORY = None
+
+
+def _history():
+    global _SHARED_HISTORY
+    if _SHARED_HISTORY is None:
+        from verax_spark.optimizer.history import ExecutionHistory
+
+        _SHARED_HISTORY = ExecutionHistory()
+    return _SHARED_HISTORY
+
+
+@dataclass
+class _Leaf:
+    alias: str  # unique name inside the query (alias or table name)
+    table: ast.Table  # original AST node (re-used when re-rendering)
+    real_name: str  # catalog name for spark.table()
+    columns: set[str] = field(default_factory=set)
+
+
+@dataclass
+class ReorderInfo:
+    """What the planner decided — inspectable by tests and EXPLAIN."""
+
+    order: list[str]  # leaf aliases in join sequence (tree pre-order)
+    broadcast: list[str]  # leaves hinted for broadcast
+    tree: tuple  # ("leaf", a) | ("join"/"cross", t1, t2, ...)
+    est: dict[str, float]  # estimated rows per leaf
+
+
+class _NotEligible(Exception):
+    pass
+
+
+def _flatten_from(rel: ast.Relation, leaves: list[_Leaf], conjuncts: list[ast.Expr]) -> None:
+    """Collect base-table leaves and ON conjuncts from a chain of
+    inner/cross joins; raise _NotEligible on anything else."""
+    if isinstance(rel, ast.Table):
+        alias = rel.alias or rel.name[-1]
+        if rel.col_aliases:
+            raise _NotEligible("column aliases on base table")
+        leaves.append(_Leaf(alias=alias, table=rel, real_name=".".join(rel.name)))
+        return
+    if isinstance(rel, ast.Join):
+        if rel.kind not in ("inner", "cross"):
+            raise _NotEligible(f"{rel.kind} join")
+        if rel.using:
+            raise _NotEligible("USING join")
+        if isinstance(rel.right, ast.Unnest) or isinstance(rel.left, ast.Unnest):
+            raise _NotEligible("unnest relation")
+        _flatten_from(rel.left, leaves, conjuncts)
+        _flatten_from(rel.right, leaves, conjuncts)
+        if rel.on is not None:
+            _split_and(rel.on, conjuncts)
+        return
+    raise _NotEligible(type(rel).__name__)
+
+
+def _split_and(e: ast.Expr, out: list[ast.Expr]) -> None:
+    if isinstance(e, ast.BinOp) and e.op.lower() == "and":
+        _split_and(e.left, out)
+        _split_and(e.right, out)
+    else:
+        out.append(e)
+
+
+_SUBQUERY_NODES = (ast.InSubquery, ast.Exists, ast.ScalarSubquery, ast.Quantified)
+
+
+def _refs(expr: ast.Expr, by_alias: dict[str, _Leaf], by_col: dict[str, str]):
+    """Leaf aliases referenced by ``expr``; None = unresolvable (treat the
+    conjunct as residual — stays in WHERE, never feeds estimation)."""
+    found: set[str] = set()
+    ok = True
+
+    def walk(node) -> None:
+        nonlocal ok
+        if not ok:
+            return
+        if isinstance(node, _SUBQUERY_NODES) or isinstance(node, (ast.Query, ast.Select)):
+            ok = False
+            return
+        if isinstance(node, ast.Star):
+            ok = False
+            return
+        if isinstance(node, ast.Ident):
+            parts = node.parts
+            if len(parts) >= 2:
+                q = parts[0].lower()
+                if q in by_alias:
+                    found.add(q)
+                else:
+                    ok = False  # unknown qualifier (struct deref, CTE, ...)
+                return
+            col = parts[0].lower()
+            owner = by_col.get(col)
+            if owner is None or owner == "?":
+                ok = False  # unknown or ambiguous bare column
+            else:
+                found.add(owner)
+            return
+        if dataclasses.is_dataclass(node):
+            for f in dataclasses.fields(node):
+                walk(getattr(node, f.name))
+            return
+        if isinstance(node, (list, tuple)):
+            for item in node:
+                walk(item)
+
+    walk(expr)
+    return found if ok else None
+
+
+def _dequalify(expr: ast.Expr, alias: str) -> ast.Expr:
+    """Copy of ``expr`` with ``alias.col`` references collapsed to ``col`` —
+    used ONLY to build the estimation predicate over the bare table scan;
+    the rendered query keeps the original qualified text."""
+    if isinstance(expr, ast.Ident):
+        if len(expr.parts) >= 2 and expr.parts[0].lower() == alias:
+            return ast.Ident(parts=expr.parts[1:])
+        return expr
+    if dataclasses.is_dataclass(expr) and not isinstance(expr, type):
+        changes = {}
+        for f in dataclasses.fields(expr):
+            v = getattr(expr, f.name)
+            if isinstance(v, ast.Expr):
+                changes[f.name] = _dequalify(v, alias)
+            elif isinstance(v, list):
+                changes[f.name] = [
+                    _dequalify(i, alias) if isinstance(i, ast.Expr) else i
+                    for i in v
+                ]
+        return dataclasses.replace(expr, **changes)
+    return expr
+
+
+def _bare_column(e: ast.Expr, by_alias, by_col) -> tuple[str, str] | None:
+    """(leaf alias, column name) when ``e`` is a plain column reference."""
+    if not isinstance(e, ast.Ident):
+        return None
+    if len(e.parts) == 2 and e.parts[0].lower() in by_alias:
+        return e.parts[0].lower(), e.parts[1]
+    if len(e.parts) == 1:
+        owner = by_col.get(e.parts[0].lower())
+        if owner and owner != "?":
+            return owner, e.parts[0]
+    return None
+
+
+def reorder_joins(
+    query: ast.Query,
+    spark,
+    *,
+    min_tables: int = 3,
+    broadcast_rows: int | None = None,
+) -> tuple[ast.Query, ReorderInfo | None]:
+    """Reorder the top-level FROM clause of ``query`` cost-based.
+
+    Returns (query, info); info is None when the query was not eligible
+    (the AST is returned untouched then). Eligible = top-level Select whose
+    FROM is a chain of inner/comma joins over ≥ ``min_tables`` base tables
+    with resolvable column references.
+    """
+    sel = query.body
+    if not isinstance(sel, ast.Select) or sel.from_ is None:
+        return query, None
+    leaves: list[_Leaf] = []
+    conjuncts: list[ast.Expr] = []
+    try:
+        _flatten_from(sel.from_, leaves, conjuncts)
+    except _NotEligible:
+        return query, None
+    if len(leaves) < min_tables:
+        return query, None
+    by_alias = {l.alias.lower(): l for l in leaves}
+    if len(by_alias) != len(leaves):
+        return query, None  # duplicate alias (unaliased self-join)
+
+    # bare-column → owning leaf ("?" = ambiguous)
+    by_col: dict[str, str] = {}
+    try:
+        for l in leaves:
+            l.columns = {c.lower() for c in spark.table(l.real_name).columns}
+    except Exception:
+        return query, None
+    for l in leaves:
+        for c in l.columns:
+            by_col[c] = "?" if c in by_col else l.alias.lower()
+
+    if sel.where is not None:
+        _split_and(sel.where, conjuncts)
+
+    # classify conjuncts: single-table predicates, equi-join edges, residual
+    from verax_spark.optimizer.query_graph import JoinEdge, QueryGraph
+
+    single: dict[str, list[ast.Expr]] = {}
+    edges: list[JoinEdge] = []
+    edge_expr: dict[int, ast.Expr] = {}
+    residual: list[ast.Expr] = []
+    for c in conjuncts:
+        refs = _refs(c, by_alias, by_col)
+        if refs is None or len(refs) == 0:
+            residual.append(c)
+        elif len(refs) == 1:
+            single.setdefault(next(iter(refs)), []).append(c)
+        elif (
+            len(refs) == 2
+            and isinstance(c, ast.BinOp)
+            and c.op == "="
+            and (lhs := _bare_column(c.left, by_alias, by_col)) is not None
+            and (rhs := _bare_column(c.right, by_alias, by_col)) is not None
+            and lhs[0] != rhs[0]
+        ):
+            e = JoinEdge(lhs[0], rhs[0], lhs[1], rhs[1])
+            edges.append(e)
+            edge_expr[id(e)] = c
+        else:
+            residual.append(c)
+    if not edges:
+        return query, None
+
+    # build the graph: estimation predicates are de-qualified copies over
+    # the bare scans; the rendered query keeps the original conjuncts
+    import pyspark.sql.functions as F
+
+    g = QueryGraph(history=_history())
+    if broadcast_rows is not None:
+        g.broadcast_rows = broadcast_rows
+    for l in leaves:
+        a = l.alias.lower()
+        pred = None
+        for c in single.get(a, ()):
+            term = F.expr(_dequalify(c, a).sql())
+            pred = term if pred is None else (pred & term)
+        g.table(a, spark.table(l.real_name), pred)
+    for e in edges:
+        g.edges.append(e)
+    n_explicit = len(g.edges)
+    try:
+        tree, est = g.choose_tree()
+    except Exception:
+        return query, None
+    if tree is None:
+        return query, None
+    implied = {id(e) for e in g.edges[n_explicit:]}
+
+    def render(t: tuple) -> ast.Relation:
+        if t[0] == "leaf":
+            order.append(t[1])
+            return by_alias[t[1]].table
+        left = render(t[1])
+        right = render(t[2])
+        if t[0] == "cross":
+            return ast.Join("cross", left, right)
+        on: ast.Expr | None = None
+        for e in t[3]:
+            c = edge_expr.get(id(e))
+            if c is None:  # implied edge: synthesize alias.k1 = alias.k2
+                c = ast.BinOp(
+                    "=",
+                    ast.Ident([e.left, e.left_key]),
+                    ast.Ident([e.right, e.right_key]),
+                )
+            on = c if on is None else ast.BinOp("and", on, c)
+        return ast.Join("inner", left, right, on=on)
+
+    order: list[str] = []
+    new_from = render(tree)
+
+    # WHERE = single-table predicates + residual (original spellings)
+    new_where: ast.Expr | None = None
+    for c in [c for preds in single.values() for c in preds] + residual:
+        new_where = c if new_where is None else ast.BinOp("and", new_where, c)
+
+    broadcast = sorted(
+        a for a in order if est.get(a, float("inf")) <= g.broadcast_rows
+    )
+    if len(broadcast) == len(leaves):
+        # broadcasting every side is meaningless; keep the smallest ones
+        broadcast = sorted(sorted(broadcast, key=lambda a: est[a])[:-1])
+    new_sel = dataclasses.replace(sel, from_=new_from, where=new_where)
+    if broadcast:
+        new_sel.hint = f"broadcast({', '.join(broadcast)})"
+    new_query = dataclasses.replace(query, body=new_sel)
+    return new_query, ReorderInfo(order=order, broadcast=broadcast, tree=tree, est=est)
