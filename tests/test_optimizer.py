@@ -5,6 +5,7 @@ import os
 import tempfile
 
 import pyspark.sql.functions as F
+import pytest
 
 from verax_spark.catalog import Catalog
 from verax_spark.optimizer import ExecutionHistory, QueryGraph, maps_as_structs
@@ -419,3 +420,61 @@ def test_transfer_cost_breaks_cout_ties(spark):
     # same C_out either way (every intermediate is 1000 rows); only the
     # transfer/width terms can separate the orders
     assert order.index("C") < order.index("B"), order
+
+
+# ---------------------------------------------------------------------------
+# Per-path subfield statistics (ConnectorMetadata.h:51-93 analog)
+@pytest.fixture(scope="module")
+def nested_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("nested") / "t.parquet")
+    df = spark.createDataFrame(
+        [(i, (i, f"v{i}"), {"alpha": i, "beta": i * 2}) for i in range(100)],
+        "id long, s struct<x: long, label: string>, m map<string, long>",
+    )
+    df.repartition(2).write.mode("overwrite").parquet(path)
+    return path
+
+
+def test_subfield_stats_per_path(spark, nested_parquet):
+    from verax_spark.sources.stats import table_stats
+
+    stats = table_stats(spark.read.parquet(nested_parquet))
+    assert stats is not None and stats.num_rows == 100
+    # struct field paths carry their own chunk statistics
+    sx = stats.path_stats("s.x")
+    assert sx is not None and sx.min == 0 and sx.max == 99
+    # map key/value streams (physical key_value level elided)
+    mk = stats.path_stats("m.key")
+    assert mk is not None
+    lo = mk.min.decode() if isinstance(mk.min, bytes) else mk.min
+    hi = mk.max.decode() if isinstance(mk.max, bytes) else mk.max
+    assert lo == "alpha" and hi == "beta"
+    mv = stats.path_stats("m.value")
+    assert mv is not None and mv.max == 198
+
+
+def test_selectivity_on_subfield_path(spark, nested_parquet):
+    from verax_spark.plans.expr import Col, Lit
+    from verax_spark.sources.stats import selectivity, table_stats
+
+    stats = table_stats(spark.read.parquet(nested_parquet))
+    from verax_spark.plans.expr import Call
+
+    sel = selectivity(stats, Call("lte", Col("s.x"), Lit(49)))
+    assert sel is not None and 0.4 < sel < 0.6
+
+
+def test_maps_as_structs_gated_by_key_stats(spark, nested_parquet):
+    from verax_spark.optimizer.subfields import maps_as_structs, stats_backed_keys
+    from verax_spark.sources.stats import table_stats
+
+    df = spark.read.parquet(nested_parquet)
+    stats = table_stats(df)
+    # 'zzz' is outside the footer key range [alpha, beta] — provably absent
+    assert stats_backed_keys(stats, "m", ["alpha", "zzz"]) == ["alpha"]
+    out = maps_as_structs(df, {"m": ["alpha", "zzz"]}, stats=stats)
+    assert "m_alpha" in out.columns and "m_zzz" not in out.columns
+    assert out.filter(F.col("m_alpha") != F.col("id")).count() == 0
+    # without stats the rewrite is un-gated (both keys hoisted)
+    out2 = maps_as_structs(df, {"m": ["alpha", "zzz"]})
+    assert "m_zzz" in out2.columns

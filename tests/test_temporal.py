@@ -161,3 +161,64 @@ def test_range_join_is_equi_join_plan(spark, sf_dir):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_salted_matches_unsalted(spark, sf_dir):
+    """Salting must be invisible in results: bit-identical to the plain
+    window path, for every salt factor."""
+    from verax_spark.catalog import Catalog
+    from verax_spark.operators import temporal
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    kwargs = dict(
+        left_ts="ts", right_ts="c_ts", left_by="user_id", right_by="c_user",
+        value_cols=["c_ts", "c_id"], tie_break="c_id",
+    )
+    plain = temporal.asof_join(purchases, clicks, **kwargs)
+    rows_plain = sorted(map(tuple, plain.collect()))
+    for factor in (2, 8):
+        salted = temporal.asof_join(
+            purchases, clicks, salt_col="event_id", salt_factor=factor, **kwargs
+        )
+        assert sorted(map(tuple, salted.collect())) == rows_plain, factor
+
+
+def test_asof_join_salted_splits_hot_key(spark):
+    """A single pathologically hot by-key must spread over salt_factor
+    window partitions — no one task carries the whole key."""
+    from verax_spark.operators import temporal
+
+    n = 4000
+    left = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.lit(7).alias("user_id"),  # ONE hot key
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    right = spark.range(0, n, 10).select(
+        F.lit(7).alias("c_user"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("c_ts"),
+        F.col("id").alias("c_id"),
+    )
+    out = temporal.asof_join(
+        left, right,
+        left_ts="ts", right_ts="c_ts", left_by="user_id", right_by="c_user",
+        value_cols=["c_id"], tie_break="c_id",
+        salt_col="event_id", salt_factor=8,
+    )
+    # correct: every left row matches the floor-to-10 right row
+    bad = out.filter(F.col("asof_c_id") != (F.col("event_id") / 10).cast("long") * 10)
+    assert bad.count() == 0
+    # the salt is real: left rows landed in >1 sub-partition of the hot key
+    n_salts = (
+        left.select(F.pmod(F.xxhash64("event_id"), F.lit(8)).alias("s"))
+        .distinct().count()
+    )
+    assert n_salts == 8

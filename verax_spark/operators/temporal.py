@@ -39,6 +39,8 @@ def asof_join(
     tie_break: str,
     tolerance_us: int | None = None,
     prefix: str = "asof_",
+    salt_col: str | None = None,
+    salt_factor: int = 8,
 ) -> DataFrame:
     """Backward as-of join: for each left row, attach `value_cols` from the
     most recent right row with the same by-key and ``right_ts <= left_ts``
@@ -48,6 +50,15 @@ def asof_join(
     `tie_break` value, deterministically (cross-engine reproducibility —
     pass a unique id column). ``tolerance_us`` bounds the lookback window:
     matches older than `left_ts - tolerance_us` microseconds are nulled.
+
+    ``salt_col`` enables the hot-key escape: the single window partition per
+    by-key serializes a pathologically hot key (zipf user at 100 TB), so
+    salting splits each key's LEFT rows into ``salt_factor`` deterministic
+    sub-partitions (xxhash64 of a high-cardinality left column — never
+    rand(), which breaks retry idempotency) and replicates the RIGHT rows
+    into every sub-partition. Each left row still sees every right row of
+    its key, so results are bit-identical to the unsalted path; the cost is
+    ``salt_factor``× the (usually far smaller) right side.
     """
     if tie_break not in value_cols:
         value_cols = [*value_cols, tie_break]
@@ -56,8 +67,16 @@ def asof_join(
     ltypes = {f.name: f.dataType for f in left.schema.fields}
     ts_type = rtypes[right_ts]
 
+    if salt_col is None:
+        lsalt = F.lit(0)
+        rsalt = F.lit(0)
+    else:
+        lsalt = F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt_factor))
+        rsalt = F.explode(F.array(*[F.lit(i) for i in range(salt_factor)]))
+
     tagged_left = left.select(
         F.col(left_by).alias("__by"),
+        lsalt.alias("__salt"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(rtypes[tie_break]).alias("__tie"),
@@ -69,6 +88,7 @@ def asof_join(
         right.filter(F.col(right_by).isNotNull() & F.col(right_ts).isNotNull())
         .select(
             F.col(right_by).alias("__by"),
+            rsalt.alias("__salt"),
             F.col(right_ts).alias("__ts"),
             F.lit(0).alias("__side"),
             F.col(tie_break).alias("__tie"),
@@ -80,7 +100,7 @@ def asof_join(
     # Right rows sort before left rows at equal ts (__side 0 < 1) → the match
     # is inclusive; among equal right timestamps the largest tie_break wins.
     w = (
-        Window.partitionBy("__by")
+        Window.partitionBy("__by", "__salt")
         .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

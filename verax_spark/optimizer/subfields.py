@@ -22,19 +22,46 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import MapType, StringType
 
 
+def stats_backed_keys(stats, col: str, keys: list[str]) -> list[str]:
+    """Filter candidate hot keys by per-path footer statistics: a key
+    outside the map's observed key range (the ``col.key`` subfield chunk
+    stats, sources/stats.py TableStats.subfields) can never match — hoisting
+    it would add an always-null column and mask the scan-pruning win. The
+    reference gates subfield pushdown on per-path stats the same way
+    (ConnectorMetadata.h:51-93). Returns keys in input order; when the
+    footer has no key-path stats, all candidates pass (stats absence must
+    not disable the rewrite, only un-gate it)."""
+    cs = stats.path_stats(f"{col}.key") if stats is not None else None
+    if cs is None or cs.min is None or cs.max is None:
+        return list(keys)
+    lo, hi = cs.min, cs.max
+    if isinstance(lo, bytes):
+        lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+    return [k for k in keys if lo <= str(k) <= hi]
+
+
 def maps_as_structs(
     df: DataFrame,
     hot_keys: dict[str, list[str]],
     *,
     value_type: str = "string",
     drop_source: bool = True,
+    stats=None,
 ) -> DataFrame:
     """Rewrite `col → {key: ...}` map access patterns into flat columns
     named `{col}_{key}`.
 
     hot_keys: map column (MapType or JSON string column) → keys to hoist.
+    ``stats`` (sources/stats.TableStats) gates the rewrite per key via
+    stats_backed_keys — keys the footer proves absent are not hoisted.
     """
     for col, keys in hot_keys.items():
+        if stats is not None and isinstance(
+            df.schema[col].dataType, MapType
+        ):
+            keys = stats_backed_keys(stats, col, keys)
+            if not keys:
+                continue
         dtype = df.schema[col].dataType
         if isinstance(dtype, MapType):
             for k in keys:

@@ -693,6 +693,58 @@ def pl_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Salted as-of join: same semantics, hot-by-key escape hatch. Left rows are
+# split across deterministic salt sub-partitions and right rows replicated
+# into each, so no single window partition serializes a hot user — the
+# result is bit-identical to pl_asof_join (same oracle proves it).
+@_register(
+    "pl_asof_join_salted",
+    """
+    select p.event_id, p.user_id, c.event_id as click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) as gap_us
+    from events p
+    left join lateral (
+      select event_id, ts from events c
+      where c.event_type = 'click' and c.user_id = p.user_id and c.ts <= p.ts
+      order by c.ts desc, c.event_id desc limit 1
+    ) c on true
+    where p.event_type = 'purchase'
+    order by p.event_id
+    """,
+)
+def pl_asof_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.operators import temporal
+
+    ev = Catalog(spark, sf_dir).events
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    joined = temporal.asof_join(
+        purchases,
+        clicks,
+        left_ts="ts",
+        right_ts="c_ts",
+        left_by="user_id",
+        right_by="c_user",
+        value_cols=["c_ts", "c_id"],
+        tie_break="c_id",
+        salt_col="event_id",
+        salt_factor=4,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_c_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("asof_c_ts")).alias("gap_us"),
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
 # Banded range join (beyond-reference, operators/temporal.py): clicks within
 # the 24h before each purchase, per user. Equi-join on (user, day-bucket) —
 # a plain shuffle join, never a nested-loop theta join.

@@ -38,11 +38,23 @@ class ColumnStats:
 
 @dataclass(frozen=True)
 class TableStats:
-    """TableLayout-level statistics (ConnectorMetadata.h:262-269 analog)."""
+    """TableLayout-level statistics (ConnectorMetadata.h:262-269 analog).
+
+    ``subfields`` carries per-path statistics for nested columns — the
+    reference keeps statistics per complex-type path, not just per column
+    (ConnectorMetadata.h:51-93), feeding subfield-pushdown decisions. Keys
+    are dotted parquet paths with the map repetition level elided:
+    ``s.a`` for struct field a, ``m.key`` / ``m.value`` for a map's key and
+    value streams."""
 
     num_rows: int
     total_bytes: int
     columns: dict[str, ColumnStats] = field(default_factory=dict)
+    subfields: dict[str, ColumnStats] = field(default_factory=dict)
+
+    def path_stats(self, path: str) -> ColumnStats | None:
+        """Stats for a column or dotted subfield path."""
+        return self.columns.get(path) or self.subfields.get(path)
 
 
 def _merge_min(a, b):
@@ -61,9 +73,19 @@ def _merge_max(a, b):
     return max(a, b)
 
 
+def _canon_path(path: str) -> str:
+    """Parquet's physical nesting levels elided from a dotted path:
+    ``m.key_value.key`` → ``m.key``; ``a.list.element`` → ``a.element``."""
+    return ".".join(
+        p for p in path.split(".") if p not in ("key_value", "list")
+    )
+
+
 def parquet_stats(paths: list[str]) -> TableStats | None:
     """Aggregate footer metadata across the files of one table. Returns None
-    if any file lacks a readable footer (caller falls back to sampling)."""
+    if any file lacks a readable footer (caller falls back to sampling).
+    Nested column chunks (struct fields, map key/value streams) aggregate
+    into per-path subfield statistics."""
     import pyarrow.parquet as pq
 
     num_rows = 0
@@ -72,6 +94,7 @@ def parquet_stats(paths: list[str]) -> TableStats | None:
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
     counts: dict[str, int] = {}
+    nested: set[str] = set()
     try:
         for p in paths:
             path = p.removeprefix("file://").removeprefix("file:")
@@ -83,8 +106,9 @@ def parquet_stats(paths: list[str]) -> TableStats | None:
                 for ci in range(group.num_columns):
                     col = group.column(ci)
                     name = col.path_in_schema
-                    if "." in name:  # nested subfield — track leaf only
-                        continue
+                    if "." in name:
+                        name = _canon_path(name)
+                        nested.add(name)
                     st = col.statistics
                     if st is None:
                         mins[name] = maxs[name] = None
@@ -96,13 +120,16 @@ def parquet_stats(paths: list[str]) -> TableStats | None:
                     counts[name] = counts.get(name, 0) + (st.num_values or 0)
     except Exception:
         return None
-    columns = {
-        name: ColumnStats(
+
+    def _cs(name: str) -> ColumnStats:
+        return ColumnStats(
             mins.get(name), maxs.get(name), nulls.get(name, 0), counts.get(name, 0)
         )
-        for name in set(mins) | set(nulls)
-    }
-    return TableStats(num_rows, total_bytes, columns)
+
+    names = set(mins) | set(nulls)
+    columns = {n: _cs(n) for n in names - nested}
+    subfields = {n: _cs(n) for n in names & nested}
+    return TableStats(num_rows, total_bytes, columns, subfields)
 
 
 def table_stats(df) -> TableStats | None:
@@ -195,7 +222,9 @@ def selectivity(stats: TableStats, expr) -> float | None:
             isinstance(a, Lit) for a in e.args[1:]
         )):
             return None
-        cs = stats.columns.get(e.args[0].name)
+        # dotted names reach into subfield statistics (per-path stats,
+        # ConnectorMetadata.h:51-93): Col("s.a") uses s.a's own chunk stats
+        cs = stats.path_stats(e.args[0].name)
         if cs is None:
             return None
         vals = [_as_number(a.value) for a in e.args[1:]]
