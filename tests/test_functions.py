@@ -270,6 +270,20 @@ def _cases():
         (_c("array_average", F.array(F.lit(1.0), F.lit(3.0))), 2.0),
         (_c("array_average", F.array(F.lit(None).cast("double"))), None),
     ],
+    "hamming_distance": [
+        (_c("hamming_distance", F.lit("karolin"), F.lit("kathrin")), 3),
+        (_c("hamming_distance", F.lit("abc"), F.lit("abc")), 0),
+    ],
+    "to_utf8": [
+        (_c("to_utf8", F.lit("Aé")), lambda v: bytes(v) == "Aé".encode()),
+    ],
+    "from_utf8": [
+        (_c("from_utf8", F.lit("hello").cast("binary")), "hello"),
+    ],
+    "millisecond": [
+        (_c("millisecond", F.col("ts")), 500),
+        (_c("millisecond", F.lit("2020-01-02 03:04:05")), 0),
+    ],
     "json_array_get": [
         (_c("json_array_get", F.lit('[10, "x", {"a": 1}]'), 2), '{"a":1}'),
         (_c("json_array_get", F.lit('[10, "x"]'), 1), '"x"'),

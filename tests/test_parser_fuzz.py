@@ -100,19 +100,27 @@ def test_random_sql_text_matches_duckdb(spark, sf_dir, e1, e2, pred):
         f"select n_nationkey, {e1} as v1, {e2} as v2 "
         f"from nation where {pred} order by n_nationkey"
     )
-    spark_sql = transpile(sql)
-    from verax_spark.sql import PrestoSession
-
-    PrestoSession(spark, sf_dir)  # ensure views registered
-    got = spark.sql(spark_sql).toPandas()
-    con = duckdb.connect()
     try:
-        con.execute(
-            f"create view nation as select * from read_parquet('{sf_dir}/nation.parquet')"
-        )
-        want = con.execute(sql).df()
-    finally:
-        con.close()
-    got["v1"] = got["v1"].astype("int64")
-    want["v1"] = want["v1"].astype("int64")
-    assert_frames_match(got, want, context=f"sql fuzz: {sql}")
+        spark_sql = transpile(sql)
+        from verax_spark.sql import PrestoSession
+
+        PrestoSession(spark, sf_dir)  # ensure views registered
+        got = spark.sql(spark_sql).toPandas()
+        con = duckdb.connect()
+        try:
+            con.execute(
+                f"create view nation as select * from read_parquet('{sf_dir}/nation.parquet')"
+            )
+            want = con.execute(sql).df()
+        finally:
+            con.close()
+        got["v1"] = got["v1"].astype("int64")
+        want["v1"] = want["v1"].astype("int64")
+        assert_frames_match(got, want, context=f"sql fuzz: {sql}")
+    except Exception:
+        # persist the failing input as a permanent regression test
+        # (replay corpus, PrestoQueryReplayRunner analog)
+        from tools.replay import record
+
+        record(sql, note="recorded by test_parser_fuzz failure")
+        raise

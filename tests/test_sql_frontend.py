@@ -299,3 +299,32 @@ def test_reorder_preserves_residual_and_single_table_predicates(presto, sf_dir):
         con.close()
     assert_frames_match(got, want, context="reorder-residual")
     assert presto.last_reorder is not None
+
+
+def test_reorder_fires_inside_cte(presto):
+    # the DerivedTable analog: CTE bodies are planned too
+    df = presto.sql(
+        """with asia as (
+             select n_name, count(*) as n
+             from lineitem l, orders o, customer c, nation n, region r
+             where l.l_orderkey = o.o_orderkey and o.o_custkey = c.c_custkey
+               and c.c_nationkey = n.n_nationkey and n.n_regionkey = r.r_regionkey
+               and r.r_name = 'ASIA'
+             group by n_name)
+           select count(*) as k from asia"""
+    )
+    assert df.collect()[0][0] == 5
+
+
+def test_cli_sweep_flag_combinations(spark, sf_dir):
+    """AxiomSql's check_test_flag_combinations analog: the same query under
+    reorder on/off x AQE on/off must agree."""
+    from tools.sql_cli import sweep
+
+    combos = sweep(
+        spark, sf_dir,
+        "select n_name, count(*) as n from supplier s, nation n "
+        "where s.s_nationkey = n.n_nationkey and n.n_nationkey < 10 "
+        "group by n_name order by n_name",
+    )
+    assert len(combos) == 4

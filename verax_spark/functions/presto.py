@@ -366,6 +366,23 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     # (VARIANT path keeps strings quoted). Negative (from-the-end) indexes
     # are not supported by Spark's variant path extraction — raise.
     "json_array_get": lambda x, i: _presto_json_array_get(x, i),
+    # presto hamming_distance(a, b): equal-length strings; zip chars
+    "hamming_distance": lambda a, b: F.aggregate(
+        F.zip_with(
+            F.split(_col(a), ""),
+            F.split(_col(b), ""),
+            lambda x, y: F.when(x != y, 1).otherwise(0).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ),
+    # presto to_utf8/from_utf8: varchar ↔ varbinary through UTF-8
+    "to_utf8": lambda s: F.encode(_col(s), "UTF-8"),
+    "from_utf8": lambda b: F.decode(_col(b), "UTF-8"),
+    # presto millisecond(ts): the millisecond component [0, 999]
+    "millisecond": lambda ts: (
+        F.floor(F.pmod(F.unix_micros(_col(ts).cast("timestamp")), 1_000_000) / 1000)
+    ).cast("bigint"),
 }
 
 

@@ -1832,3 +1832,62 @@ def sql_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert ps.last_reorder is not None, "reorderer did not fire"
     return df
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface, batch 4 (ref: the Presto library is registered
+# wholesale, axiom/optimizer/tests/AxiomSql.cpp:149): math passthroughs that
+# share names across engines plus the varchar/varbinary codec pair and
+# hamming distance, all through the presto_call shim so the mapping table
+# itself is what's under test.
+@_register(
+    "op_fn_extra",
+    """
+    select doc_id,
+      hamming(lpad(substr(text, 1, 8), 8, 'x'), lpad(substr(text, 9, 8), 8, 'x')) as hd,
+      hex(encode(substr(text, 1, 4))) as utf8_hex,
+      cbrt(cast(n_chars as double)) as cb,
+      log2(cast(n_chars as double) + 1) as l2,
+      log10(cast(n_chars as double) + 1) as l10,
+      atan2(cast(doc_id as double), 7.0) as at2,
+      degrees(0.5) as deg, radians(90.0) as rad,
+      cot(1.5) as ct, pi() as pi_, chr(cast(doc_id % 26 + 65 as integer)) as ch,
+      cast(bit_length(substr(text, 1, 4)) as integer) as bl,
+      cast(octet_length(encode(substr(text, 1, 4))) as integer) as ol,
+      cast(mod(doc_id, 7) as bigint) as m7,
+      cast(floor(cast(epoch_us(ts) % 1000000 as double) / 1000) as bigint) as ms
+    from (select d.*, make_timestamp(2000, 1, 1, 0, 0, cast(doc_id as double) * 1.0005) as ts
+          from documents d)
+    where doc_id < 40 order by doc_id
+    """,
+)
+def op_fn_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.filter(F.col("doc_id") < 40).withColumn(
+        "ts",
+        F.make_timestamp(
+            F.lit(2000), F.lit(1), F.lit(1), F.lit(0), F.lit(0),
+            F.col("doc_id").cast("double") * 1.0005,
+        ),
+    )
+    sub = lambda a, b: pc("lpad", pc("substr", F.col("text"), a, 8), 8, "x")  # noqa: E731
+    return docs.select(
+        "doc_id",
+        pc("hamming_distance", sub(1, 8), pc("lpad", pc("substr", F.col("text"), 9, 8), 8, "x")).alias("hd"),
+        pc("to_hex", pc("to_utf8", pc("substr", F.col("text"), 1, 4))).alias("utf8_hex"),
+        pc("cbrt", F.col("n_chars").cast("double")).alias("cb"),
+        pc("log2", F.col("n_chars").cast("double") + 1).alias("l2"),
+        pc("log10", F.col("n_chars").cast("double") + 1).alias("l10"),
+        pc("atan2", F.col("doc_id").cast("double"), F.lit(7.0)).alias("at2"),
+        pc("degrees", F.lit(0.5)).alias("deg"),
+        pc("radians", F.lit(90.0)).alias("rad"),
+        pc("cot", F.lit(1.5)).alias("ct"),
+        pc("pi").alias("pi_"),
+        pc("chr", (F.col("doc_id") % 26 + 65).cast("bigint")).alias("ch"),
+        pc("bit_length", pc("substr", F.col("text"), 1, 4)).cast("int").alias("bl"),
+        pc("octet_length", pc("substr", F.col("text"), 1, 4)).cast("int").alias("ol"),
+        pc("mod", F.col("doc_id"), F.lit(7)).cast("bigint").alias("m7"),
+        pc("millisecond", F.col("ts")).alias("ms"),
+    ).orderBy("doc_id")

@@ -187,7 +187,8 @@ class Parser:
         body = self._query_term()
         order_by = self._order_by_opt()
         limit = offset = None
-        # Presto allows OFFSET before LIMIT/FETCH
+        # Presto puts OFFSET before LIMIT/FETCH; the ANSI/engine-common
+        # LIMIT n OFFSET m order is accepted too (same semantics)
         if self.accept_kw("offset"):
             offset = int(self.next().text)
             self.accept_kw("rows") or self.accept_kw("row")
@@ -199,6 +200,9 @@ class Parser:
             limit = int(self.next().text)
             self.accept_kw("rows") or self.accept_kw("row")
             self.expect_kw("only")
+        if offset is None and self.accept_kw("offset"):
+            offset = int(self.next().text)
+            self.accept_kw("rows") or self.accept_kw("row")
         return ast.Query(body, ctes, order_by, limit, offset)
 
     def _order_by_opt(self) -> list[ast.SortItem]:

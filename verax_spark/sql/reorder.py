@@ -184,13 +184,35 @@ def reorder_joins(
     min_tables: int = 3,
     broadcast_rows: int | None = None,
 ) -> tuple[ast.Query, ReorderInfo | None]:
-    """Reorder the top-level FROM clause of ``query`` cost-based.
+    """Reorder the FROM clauses of ``query`` cost-based: the top-level
+    Select and each CTE body (the optimizer plans every DerivedTable in the
+    reference, DerivedTable.h:36-238).
 
-    Returns (query, info); info is None when the query was not eligible
-    (the AST is returned untouched then). Eligible = top-level Select whose
-    FROM is a chain of inner/comma joins over ≥ ``min_tables`` base tables
-    with resolvable column references.
+    Returns (query, info); info is the top-level Select's decision, None
+    when it was not eligible (CTE rewrites may still have fired). Eligible
+    = a Select whose FROM is a chain of inner/comma joins over ≥
+    ``min_tables`` base tables with resolvable column references.
     """
+    if query.ctes:
+        new_ctes = []
+        for cte in query.ctes:
+            body, _ = _reorder_select(
+                cte.query, spark, min_tables=min_tables, broadcast_rows=broadcast_rows
+            )
+            new_ctes.append(dataclasses.replace(cte, query=body))
+        query = dataclasses.replace(query, ctes=new_ctes)
+    return _reorder_select(
+        query, spark, min_tables=min_tables, broadcast_rows=broadcast_rows
+    )
+
+
+def _reorder_select(
+    query: ast.Query,
+    spark,
+    *,
+    min_tables: int,
+    broadcast_rows: int | None,
+) -> tuple[ast.Query, ReorderInfo | None]:
     sel = query.body
     if not isinstance(sel, ast.Select) or sel.from_ is None:
         return query, None
