@@ -478,3 +478,50 @@ def test_maps_as_structs_gated_by_key_stats(spark, nested_parquet):
     # without stats the rewrite is un-gated (both keys hoisted)
     out2 = maps_as_structs(df, {"m": ["alpha", "zzz"]})
     assert "m_zzz" in out2.columns
+
+
+def test_metadata_fanout_for_pk_edges(spark, sf_dir, monkeypatch):
+    """A dense-unique (PK) join side proven by footer stats must yield its
+    fanout from metadata alone — zero Spark jobs (TableLayout stats analog,
+    ConnectorMetadata.h:262-269: planning never scans)."""
+    from verax_spark.optimizer.query_graph import JoinEdge
+
+    cat = Catalog(spark, sf_dir)
+    g = QueryGraph()
+    g.table("supplier", cat.supplier)
+    g.table("nation", cat.nation)
+    e = JoinEdge("supplier", "nation", "s_nationkey", "n_nationkey")
+    g.edges.append(e)
+    n_sup = cat.supplier.count()
+
+    # the sampled estimator at mod=1 (exhaustive) is the ground truth
+    exact = g._edge_fanout(e, mod=1)
+    meta = g._metadata_fanout(e)
+    assert meta is not None
+    assert abs(meta[0] - exact[0]) < 1e-9  # 1 match per supplier row
+    assert abs(meta[1] - exact[1]) < 1e-9  # n_sup/25 per nation row
+    assert abs(meta[1] - n_sup / 25) < 1e-9
+
+    # and the default path takes it without running any job
+    import pyspark.sql
+
+    def boom(self):
+        raise AssertionError("fanout probe ran a Spark job on a PK edge")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "collect", boom)
+    got = g._edge_fanout(e)
+    assert abs(got[0] - meta[0]) < 1e-9 and abs(got[1] - meta[1]) < 1e-9
+
+
+def test_metadata_fanout_declines_filtered_sides(spark, sf_dir):
+    """A filter changes per-key counts the footer cannot see — the fast
+    path must decline and leave it to sampling."""
+    from verax_spark.optimizer.query_graph import JoinEdge
+
+    cat = Catalog(spark, sf_dir)
+    g = QueryGraph()
+    g.table("supplier", cat.supplier, F.col("s_acctbal") > 0)
+    g.table("nation", cat.nation)
+    e = JoinEdge("supplier", "nation", "s_nationkey", "n_nationkey")
+    g.edges.append(e)
+    assert g._metadata_fanout(e) is None

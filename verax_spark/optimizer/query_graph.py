@@ -261,6 +261,12 @@ class QueryGraph:
             rev = self.history.lookup(sig + "|r2l")
             if fwd is not None and rev is not None:
                 return fwd, rev
+        meta = self._metadata_fanout(e)
+        if meta is not None:
+            if self.history is not None:
+                self.history.record_estimate(sig + "|l2r", meta[0])
+                self.history.record_estimate(sig + "|r2l", meta[1])
+            return meta
 
         def keyed(name: str, key: str) -> DataFrame:
             return (
@@ -298,6 +304,71 @@ class QueryGraph:
             self.history.record_estimate(sig + "|l2r", l2r)
             self.history.record_estimate(sig + "|r2l", r2l)
         return l2r, r2l
+
+    def _metadata_fanout(self, e: JoinEdge) -> tuple[float, float] | None:
+        """Zero-job fanout from parquet footers: when one side's key column
+        is provably DENSE-UNIQUE (no nulls, num_values == table rows ==
+        max-min+1 — the primary-key layout every surrogate-keyed dimension
+        has), every probe from the other side matches ≤ 1 row, and the
+        unique side's fanout is rows_other/rows_unique scaled by the key-
+        range overlap. This replaces a sampling job per PK edge with a
+        footer read — at planning time over 100 TB the difference between
+        touching data and touching metadata. Falls back to sampling (None)
+        whenever the proof doesn't hold, or a side carries a filter (the
+        filter changes per-key counts the footer can't see)."""
+        from verax_spark.sources.stats import table_stats
+
+        def unique_range(name: str, key: str):
+            ref = self.tables[name]
+            if ref.predicate is not None:
+                return None
+            stats = table_stats(ref.df)
+            if stats is None:
+                return None
+            cs = stats.columns.get(key)
+            if cs is None or cs.null_count or not isinstance(cs.min, int):
+                return None
+            if cs.num_values != stats.num_rows:
+                return None
+            if cs.max - cs.min + 1 != cs.num_values:
+                return None
+            return (cs.min, cs.max, float(stats.num_rows))
+
+        def side_rows_range(name: str, key: str):
+            ref = self.tables[name]
+            if ref.predicate is not None:
+                return None
+            stats = table_stats(ref.df)
+            if stats is None:
+                return None
+            cs = stats.columns.get(key)
+            if cs is None or not isinstance(cs.min, int):
+                return None
+            return (cs.min, cs.max, float(stats.num_rows))
+
+        for unique_side in ("left", "right"):
+            uname = getattr(e, unique_side)
+            ukey = e.left_key if unique_side == "left" else e.right_key
+            oname = e.right if unique_side == "left" else e.left
+            okey = e.right_key if unique_side == "left" else e.left_key
+            u = unique_range(uname, ukey)
+            if u is None:
+                continue
+            o = side_rows_range(oname, okey)
+            if o is None:
+                continue
+            lo, hi = max(u[0], o[0]), min(u[1], o[1])
+            if hi < lo:
+                return 0.0, 0.0
+            # fraction of the other side's key range covered by the PK
+            # domain (uniformity assumption — same model as selectivity())
+            cover = (hi - lo + 1) / (o[1] - o[0] + 1) if o[1] > o[0] else 1.0
+            per_probe = cover  # ≤1 match per probe row into the PK side
+            per_unique = o[2] * cover / u[2]  # avg fact rows per PK row
+            if unique_side == "right":
+                return per_probe, per_unique
+            return per_unique, per_probe
+        return None
 
     def _signature(self, ref: TableRef) -> str:
         pred = "" if ref.predicate is None else str(ref.predicate)

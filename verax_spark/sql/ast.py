@@ -806,15 +806,21 @@ class Join(Relation):
                     "(empty behavior) — LATERAL VIEW OUTER differs on nulls"
                 )
             return f"{self.left.sql()} {self.right.lateral_view()}"
+        # SQL joins parse left-associatively: a nested join on the RIGHT
+        # (bushy trees from the cost-based reorderer) must be parenthesized
+        # or `a join b join c on e1 on e2` mis-parses
+        right = self.right.sql()
+        if isinstance(self.right, Join):
+            right = f"({right})"
         if self.kind == "cross":
-            return f"{self.left.sql()} cross join {self.right.sql()}"
+            return f"{self.left.sql()} cross join {right}"
         if self.using:
             return (
-                f"{self.left.sql()} {self.kind} join {self.right.sql()} "
+                f"{self.left.sql()} {self.kind} join {right} "
                 f"using ({', '.join(self.using)})"
             )
         on = f" on {self.on.sql()}" if self.on is not None else ""
-        return f"{self.left.sql()} {self.kind} join {self.right.sql()}{on}"
+        return f"{self.left.sql()} {self.kind} join {right}{on}"
 
 
 # ---------------------------------------------------------------------------
