@@ -150,3 +150,36 @@ def test_exact_dedup_winners_reused_at_runtime(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_scale_lint_detects_unpartitioned_window(spark):
+    """tools/scale_lint.py structural detector: a global window flags,
+    a partitioned one does not, a broadcast nested loop flags."""
+    import json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from tools.scale_lint import lint_plan_json
+
+    def nodes_of(df):
+        ep = df._jdf.queryExecution().executedPlan()
+        if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+            ep = ep.initialPlan()
+        return json.loads(ep.toJSON())
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).alias("g")
+    )
+    global_w = base.select(
+        F.row_number().over(Window.partitionBy().orderBy("id")).alias("r")
+    )
+    assert "unpartitioned-window" in lint_plan_json(nodes_of(global_w))
+
+    part_w = base.select(
+        F.row_number().over(Window.partitionBy("g").orderBy("id")).alias("r")
+    )
+    assert "unpartitioned-window" not in lint_plan_json(nodes_of(part_w))
+
+    nl = base.crossJoin(F.broadcast(spark.range(3).select(F.col("id").alias("j"))))
+    assert "nested-loop" in lint_plan_json(nodes_of(nl))

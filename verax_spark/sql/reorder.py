@@ -224,6 +224,10 @@ def _reorder_select(
         return query, None
     if len(leaves) < min_tables:
         return query, None
+    if len(leaves) > 12:
+        # subset-DP is 2^n — past this arity the textual order stands
+        # (the reference's enumeration also degrades to heuristics there)
+        return query, None
     by_alias = {l.alias.lower(): l for l in leaves}
     if len(by_alias) != len(leaves):
         return query, None  # duplicate alias (unaliased self-join)
