@@ -38,6 +38,7 @@ _PRIORITY = [
     "pl_curate",
     # -- new this round --
     "sql_join_reorder", "pl_asof_join_salted", "op_fn_extra",
+    "op_subfield_pushdown",
     # -- round-2 representatives (regression re-check) --
     "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_json",
     "op_hof_transform_filter", "op_special_forms",
@@ -47,13 +48,14 @@ _PRIORITY = [
     "sql_quantified", "sql_lateral", "sql_window_clause",
     "pl_dedup_exact", "pl_dedup_embedding", "pl_knn_brute",
     "pl_asof_join", "pl_pack_sequences", "st_windowed_counts",
-    # -- round-1 representatives (not re-checked since r01) --
+    # -- round-1 representatives (not re-checked since r01); exactly fills
+    # the driver's 50-query budget --
     "tpch_q1", "tpch_q2", "tpch_q6", "tpch_q9", "tpch_q18",
     "op_values", "op_join_semi", "op_join_anti",
     "op_setop_intersect", "op_setop_union_all", "op_agg_distinct",
-    "op_grouping_sets", "op_window_rank", "op_sort_nulls",
-    "op_unnest_array", "op_subquery_scalar",
+    "op_subquery_scalar",
     # -- position 51+: remainder, re-checked as budget allows --
+    "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",
     "op_fn_array_map", "op_fn_conv", "op_fn_percentile",
     "op_fn_null_semantics", "op_fn_map_agg",
     "op_hof_aggregate", "op_hof_zip_with", "op_dereference",

@@ -1891,3 +1891,31 @@ def op_fn_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc("mod", F.col("doc_id"), F.lit(7)).cast("bigint").alias("m7"),
         pc("millisecond", F.col("ts")).alias("ms"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Subfield pushdown (map-as-struct rewrite, optimizer/subfields.py; ref
+# axiom/optimizer/Subfields.cpp, OptimizerOptions.h:38-46 allMapsAsStruct):
+# the hot keys of the JSON props map are hoisted into flat columns with a
+# pruned from_json parse — downstream carries 3 narrow columns, never the
+# serialized map.
+@_register(
+    "op_subfield_pushdown",
+    """
+    select event_id,
+      cast(json_extract(props, '$.k') as bigint) as props_k,
+      cast(json_extract(props, '$.score') as double) as props_score
+    from events where event_id < 200 order by event_id
+    """,
+)
+def op_subfield_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.optimizer.subfields import maps_as_structs
+
+    cat = Catalog(spark, sf_dir)
+    ev = cat.events.filter(F.col("event_id") < 200)
+    hoisted = maps_as_structs(ev, {"props": ["k", "score"]}, value_type="string")
+    return hoisted.select(
+        "event_id",
+        F.col("props_k").cast("bigint").alias("props_k"),
+        F.col("props_score").cast("double").alias("props_score"),
+    ).orderBy("event_id")
