@@ -128,3 +128,16 @@ def test_lookup_join_falls_back_past_max_keys(spark, sf_dir):
     assert out.count() == cat.customer.join(
         cat.orders, F.col("c_custkey") == F.col("o_custkey")
     ).count()
+
+
+def test_bucket_spec_detected_from_catalog(spark, layout_tables):
+    """The SQL reorderer auto-detects TableLayout bucketing for catalog
+    tables (feeds the co-partitioning zero-shuffle credit)."""
+    from verax_spark.sql.reorder import _bucket_spec
+
+    spec = _bucket_spec(spark, "b_orders")
+    assert spec is not None
+    cols, n = spec
+    assert list(cols) == ["o_orderkey"] and n == 4
+    # a plain temp view has no bucket layout
+    assert _bucket_spec(spark, "nation") is None

@@ -525,3 +525,35 @@ def test_metadata_fanout_declines_filtered_sides(spark, sf_dir):
     e = JoinEdge("supplier", "nation", "s_nationkey", "n_nationkey")
     g.edges.append(e)
     assert g._metadata_fanout(e) is None
+
+
+def test_copartitioned_bucket_layout_prefers_colocated_join(spark):
+    """isSamePartition analog (Schema.h:190): with cardinalities and
+    fanouts tied, the planner must join the two identically-bucketed
+    tables first (zero shuffle) before the unbucketed one."""
+    g = QueryGraph()
+    g.table("A", spark.createDataFrame([(1, 1)], "k int, ka int"),
+            bucketed_by=(("k",), 16))
+    g.table("B", spark.createDataFrame([(1, 2)], "k2 int, kb int"),
+            bucketed_by=(("k2",), 16))
+    g.table("C", spark.createDataFrame([(1, 3)], "k3 int, kc int"))
+    g.edge("A", "k", "B", "k2")
+    g.edge("A", "k", "C", "k3")
+    est = {"A": 1000.0, "B": 1000.0, "C": 1000.0}
+    fans = {("A", "B"): (1.0, 1.0), ("A", "C"): (1.0, 1.0)}
+    g._estimate_rows = lambda ref: est[ref.name]
+    g._edge_fanout = lambda e, mod=None: fans.get((e.left, e.right), (1.0, 1.0))
+    g.plan("dp")
+    order = g.last_order
+    assert order.index("B") < order.index("C"), order
+    # mismatched bucket counts must NOT co-partition
+    g2 = QueryGraph()
+    g2.table("A", spark.createDataFrame([(1, 1)], "k int, ka int"),
+             bucketed_by=(("k",), 16))
+    g2.table("B", spark.createDataFrame([(1, 2)], "k2 int, kb int"),
+             bucketed_by=(("k2",), 8))
+    g2.edge("A", "k", "B", "k2")
+    g2._estimate_rows = lambda ref: 1000.0
+    g2._edge_fanout = lambda e, mod=None: (1.0, 1.0)
+    tree, _ = g2.choose_tree()
+    assert tree is not None  # still plans; just no zero-shuffle credit

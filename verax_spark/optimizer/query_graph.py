@@ -108,11 +108,18 @@ class TableRef:
     The predicate may be a Spark Column or a typed DSL Expr
     (verax_spark.plans.expr) — Expr predicates additionally unlock
     metadata-only selectivity estimation (sources/stats.selectivity) because
-    their structure is inspectable; Columns always estimate by sampling."""
+    their structure is inspectable; Columns always estimate by sampling.
+
+    ``bucketed_by`` declares the table's physical layout (TableLayout
+    bucketing, ConnectorMetadata.h:291-353): (bucket column names, bucket
+    count). Two sides bucketed identically on the join keys are already
+    co-partitioned — the cost model charges them zero shuffle
+    (Distribution::isSamePartition, Schema.h:190)."""
 
     name: str
     df: DataFrame
     predicate: object | None = None  # Column | Expr | None
+    bucketed_by: tuple[tuple[str, ...], int] | None = None
 
     def spark_predicate(self) -> Column | None:
         if self.predicate is None:
@@ -154,8 +161,15 @@ class QueryGraph:
     semijoin_factor: float = 10.0  # min big/partner row ratio to fire
     reductions: list[tuple[str, str]] = field(default_factory=list)
 
-    def table(self, name: str, df: DataFrame, predicate: Column | None = None) -> "QueryGraph":
-        self.tables[name] = TableRef(name, df, predicate)
+    def table(
+        self,
+        name: str,
+        df: DataFrame,
+        predicate: Column | None = None,
+        *,
+        bucketed_by: tuple[tuple[str, ...], int] | None = None,
+    ) -> "QueryGraph":
+        self.tables[name] = TableRef(name, df, predicate, bucketed_by)
         return self
 
     def edge(self, left: str, left_key: str, right: str, right_key: str) -> "QueryGraph":
@@ -555,6 +569,26 @@ class QueryGraph:
         def width(s: frozenset) -> float:
             return sum(leaf_width[n] for n in s)
 
+        def co_partitioned(s1: frozenset, s2: frozenset, edges) -> bool:
+            """Both sides are single tables bucketed identically on the
+            join keys (isSamePartition analog) — the join runs bucket-local
+            with zero exchange."""
+            if len(s1) != 1 or len(s2) != 1 or not edges:
+                return False
+            b1 = self.tables[next(iter(s1))].bucketed_by
+            b2 = self.tables[next(iter(s2))].bucketed_by
+            if b1 is None or b2 is None or b1[1] != b2[1]:
+                return False
+            keys1, keys2 = set(), set()
+            for e, _ in edges:
+                if e.left in s1:
+                    keys1.add(e.left_key)
+                    keys2.add(e.right_key)
+                else:
+                    keys1.add(e.right_key)
+                    keys2.add(e.left_key)
+            return set(b1[0]) == keys1 and set(b2[0]) == keys2
+
         def transfer(r1: float, w1: float, r2: float, w2: float) -> float:
             shuffle = (r1 * w1 + r2 * w2) * SHUFFLE_COST_PER_BYTE
             bcast = float("inf")
@@ -601,12 +635,12 @@ class QueryGraph:
                         else:
                             rows = r1 * max(r2, 1.0)
                             tree = ("cross", t1, t2)
-                        cost = (
-                            c1
-                            + c2
-                            + rows * width(s)
-                            + transfer(r1, width(s1), r2, width(s2))
+                        move = (
+                            0.0
+                            if co_partitioned(s1, s2, edges)
+                            else transfer(r1, width(s1), r2, width(s2))
                         )
+                        cost = c1 + c2 + rows * width(s) + move
                         cur = best.get(s)
                         if cur is None or cost < cur[0]:
                             best[s] = (cost, rows, tree)

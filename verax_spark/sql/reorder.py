@@ -164,6 +164,25 @@ def _dequalify(expr: ast.Expr, alias: str) -> ast.Expr:
     return expr
 
 
+def _bucket_spec(spark, table_name: str) -> tuple[tuple[str, ...], int] | None:
+    """(bucket columns, bucket count) for a catalog table written with
+    bucketBy (TableLayout bucketing) — feeds the cost model's
+    co-partitioning credit. None for plain views/paths."""
+    try:
+        rows = spark.sql(f"describe extended {table_name}").collect()
+    except Exception:
+        return None
+    n = cols = None
+    for r in rows:
+        if r.col_name == "Num Buckets":
+            n = int(r.data_type)
+        elif r.col_name == "Bucket Columns":
+            cols = tuple(
+                c.strip(" `") for c in r.data_type.strip("[]").split(",")
+            )
+    return (cols, n) if n and cols else None
+
+
 def _bare_column(e: ast.Expr, by_alias, by_col) -> tuple[str, str] | None:
     """(leaf alias, column name) when ``e`` is a plain column reference."""
     if not isinstance(e, ast.Ident):
@@ -288,7 +307,12 @@ def _reorder_select(
         for c in single.get(a, ()):
             term = F.expr(_dequalify(c, a).sql())
             pred = term if pred is None else (pred & term)
-        g.table(a, spark.table(l.real_name), pred)
+        g.table(
+            a,
+            spark.table(l.real_name),
+            pred,
+            bucketed_by=_bucket_spec(spark, l.real_name),
+        )
     for e in edges:
         g.edges.append(e)
     n_explicit = len(g.edges)
