@@ -513,18 +513,33 @@ def test_metadata_fanout_for_pk_edges(spark, sf_dir, monkeypatch):
     assert abs(got[0] - meta[0]) < 1e-9 and abs(got[1] - meta[1]) < 1e-9
 
 
-def test_metadata_fanout_declines_filtered_sides(spark, sf_dir):
-    """A filter changes per-key counts the footer cannot see — the fast
-    path must decline and leave it to sampling."""
+def test_metadata_fanout_filter_rules(spark, sf_dir):
+    """Filters under uniformity: a PK-side filter scales matches-per-probe
+    -row by its selectivity; a PROBE-side filter leaves it unchanged and
+    scales only the reverse fanout."""
     from verax_spark.optimizer.query_graph import JoinEdge
 
     cat = Catalog(spark, sf_dir)
     g = QueryGraph()
-    g.table("supplier", cat.supplier, F.col("s_acctbal") > 0)
-    g.table("nation", cat.nation)
+    g.table("supplier", cat.supplier)
+    g.table("nation", cat.nation, F.col("n_regionkey") == 0)
     e = JoinEdge("supplier", "nation", "s_nationkey", "n_nationkey")
     g.edges.append(e)
-    assert g._metadata_fanout(e) is None
+    meta0 = g._metadata_fanout(e)
+    assert meta0 is not None
+    n_match = cat.nation.filter(F.col("n_regionkey") == 0).count()
+    assert abs(meta0[0] - n_match / 25) < 1e-9  # sel-scaled per-probe fanout
+
+    g2 = QueryGraph()
+    g2.table("supplier", cat.supplier, F.col("s_acctbal") > 0)
+    g2.table("nation", cat.nation)
+    e2 = JoinEdge("supplier", "nation", "s_nationkey", "n_nationkey")
+    g2.edges.append(e2)
+    meta = g2._metadata_fanout(e2)
+    assert meta is not None
+    assert abs(meta[0] - 1.0) < 1e-9  # per filtered-supplier row: 1 nation
+    est_sup = g2._estimate_rows(g2.tables["supplier"])
+    assert abs(meta[1] - est_sup / 25) < 1e-9
 
 
 def test_copartitioned_bucket_layout_prefers_colocated_join(spark):

@@ -328,3 +328,31 @@ def test_cli_sweep_flag_combinations(spark, sf_dir):
         "group by n_name order by n_name",
     )
     assert len(combos) == 4
+
+
+def test_reorder_plans_star_without_sampling(spark, sf_dir, monkeypatch):
+    """With DSL-translatable predicates, dense-unique PK fanouts, and
+    footer stats, planning the star query must never call df.sample() —
+    the 100 TB contract: planning touches metadata, not data."""
+    import pyspark.sql
+
+    import verax_spark.sql.reorder as ro
+
+    ro._SHARED_HISTORY = None  # cold planner — no cached estimates
+
+    def boom(self, *a, **k):
+        raise AssertionError("df.sample() during planning")
+
+    monkeypatch.setattr(pyspark.sql.DataFrame, "sample", boom)
+    ps = PrestoSession(spark, sf_dir)
+    ps.sql(
+        """select n_name, count(*) as n from
+           lineitem l, orders o, customer c, nation n, region r
+           where l.l_orderkey = o.o_orderkey and o.o_custkey = c.c_custkey
+             and c.c_nationkey = n.n_nationkey and n.n_regionkey = r.r_regionkey
+             and r.r_name = 'ASIA' and o.o_orderdate >= date '1996-01-01'
+           group by n_name order by n_name"""
+    )
+    assert ps.last_reorder is not None
+    monkeypatch.undo()
+    ro._SHARED_HISTORY = None

@@ -229,6 +229,18 @@ class QueryGraph:
         return float(ref.df.count())
 
     def _estimate_rows(self, ref: TableRef) -> float:
+        # per-instance memo: a planning pass consults the same scan estimate
+        # from several places (DP, fanout fast path) — sample once
+        if not hasattr(self, "_est_memo"):
+            self._est_memo: dict[str, float] = {}
+        memo_key = self._signature(ref)
+        if memo_key in self._est_memo:
+            return self._est_memo[memo_key]
+        out = self._estimate_rows_uncached(ref)
+        self._est_memo[memo_key] = out
+        return out
+
+    def _estimate_rows_uncached(self, ref: TableRef) -> float:
         if self.history is not None:
             remembered = self.history.lookup(self._signature(ref))
             if remembered is not None:
@@ -327,15 +339,16 @@ class QueryGraph:
         unique side's fanout is rows_other/rows_unique scaled by the key-
         range overlap. This replaces a sampling job per PK edge with a
         footer read — at planning time over 100 TB the difference between
-        touching data and touching metadata. Falls back to sampling (None)
-        whenever the proof doesn't hold, or a side carries a filter (the
-        filter changes per-key counts the footer can't see)."""
+        touching data and touching metadata. Filters are handled by the
+        uniformity assumption: a PROBE-side filter leaves matches-per-
+        probe-row unchanged; a PK-side filter scales matches-per-probe-row
+        by the PK's (memoized) filter selectivity, with per-key counts
+        still ≤ 1 since the density proof holds on the unfiltered layout.
+        Falls back to sampling (None) whenever the proof doesn't hold."""
         from verax_spark.sources.stats import table_stats
 
         def unique_range(name: str, key: str):
             ref = self.tables[name]
-            if ref.predicate is not None:
-                return None
             stats = table_stats(ref.df)
             if stats is None:
                 return None
@@ -346,19 +359,28 @@ class QueryGraph:
                 return None
             if cs.max - cs.min + 1 != cs.num_values:
                 return None
-            return (cs.min, cs.max, float(stats.num_rows))
+            base = float(stats.num_rows)
+            sel = 1.0
+            if ref.predicate is not None:
+                sel = self._estimate_rows(ref) / base if base else 1.0
+            return (cs.min, cs.max, base, sel)
 
         def side_rows_range(name: str, key: str):
             ref = self.tables[name]
-            if ref.predicate is not None:
-                return None
             stats = table_stats(ref.df)
             if stats is None:
                 return None
             cs = stats.columns.get(key)
             if cs is None or not isinstance(cs.min, int):
                 return None
-            return (cs.min, cs.max, float(stats.num_rows))
+            # filtered probe: footer key range (filters rarely move it) with
+            # the filtered row estimate — stats/sample-derived, memoized
+            rows = (
+                float(stats.num_rows)
+                if ref.predicate is None
+                else self._estimate_rows(ref)
+            )
+            return (cs.min, cs.max, rows)
 
         for unique_side in ("left", "right"):
             uname = getattr(e, unique_side)
@@ -377,8 +399,9 @@ class QueryGraph:
             # fraction of the other side's key range covered by the PK
             # domain (uniformity assumption — same model as selectivity())
             cover = (hi - lo + 1) / (o[1] - o[0] + 1) if o[1] > o[0] else 1.0
-            per_probe = cover  # ≤1 match per probe row into the PK side
-            per_unique = o[2] * cover / u[2]  # avg fact rows per PK row
+            sel = u[3]  # PK-side filter selectivity (1.0 when unfiltered)
+            per_probe = cover * sel  # ≤1 match per probe row into the PK
+            per_unique = o[2] * cover / u[2]  # avg probe rows per PK row
             if unique_side == "right":
                 return per_probe, per_unique
             return per_unique, per_probe

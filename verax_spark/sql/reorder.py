@@ -164,6 +164,71 @@ def _dequalify(expr: ast.Expr, alias: str) -> ast.Expr:
     return expr
 
 
+_DSL_CMP = {">": "gt", ">=": "gte", "<": "lt", "<=": "lte", "=": "eq"}
+
+
+def _to_dsl(expr: ast.Expr, alias: str):
+    """AST conjunct → typed DSL Expr (plans/expr) for the leaf ``alias``,
+    or None when the shape is outside what the DSL/selectivity model
+    understands. A DSL predicate unlocks footer-stats selectivity
+    (sources/stats.selectivity) — zero Spark jobs at planning time; the
+    Column fallback estimates by sampling instead."""
+    import datetime as _dt
+
+    from verax_spark.plans import expr as dsl
+
+    def conv(e):
+        if isinstance(e, ast.Ident):
+            parts = e.parts
+            if len(parts) >= 2 and parts[0].lower() == alias:
+                parts = parts[1:]
+            if len(parts) != 1:
+                return None
+            return dsl.Col(parts[0])
+        if isinstance(e, ast.Raw):
+            txt = e.text
+            if txt.startswith("'") and txt.endswith("'"):
+                return dsl.Lit(txt[1:-1])
+            try:
+                return dsl.Lit(int(txt))
+            except ValueError:
+                try:
+                    return dsl.Lit(float(txt))
+                except ValueError:
+                    return None
+        if isinstance(e, ast.TypedLit) and e.type_.lower() in ("date", "timestamp"):
+            body = e.value.strip("'")
+            try:
+                if e.type_.lower() == "date":
+                    return dsl.Lit(_dt.date.fromisoformat(body))
+                return dsl.Lit(_dt.datetime.fromisoformat(body))
+            except ValueError:
+                return None
+        if isinstance(e, ast.BinOp):
+            op = e.op.lower()
+            if op in ("and", "or"):
+                a, b = conv(e.left), conv(e.right)
+                return None if a is None or b is None else dsl.Call(op, a, b)
+            if e.op in _DSL_CMP:
+                a, b = conv(e.left), conv(e.right)
+                return (
+                    None
+                    if a is None or b is None
+                    else dsl.Call(_DSL_CMP[e.op], a, b)
+                )
+            return None
+        if isinstance(e, ast.Between) and not getattr(e, "negated", False):
+            a = conv(e.operand) if hasattr(e, "operand") else None
+            lo = conv(e.low) if hasattr(e, "low") else None
+            hi = conv(e.high) if hasattr(e, "high") else None
+            if a is None or lo is None or hi is None:
+                return None
+            return dsl.Call("between", a, lo, hi)
+        return None
+
+    return conv(expr)
+
+
 def _bucket_spec(spark, table_name: str) -> tuple[tuple[str, ...], int] | None:
     """(bucket columns, bucket count) for a catalog table written with
     bucketBy (TableLayout bucketing) — feeds the cost model's
@@ -303,10 +368,20 @@ def _reorder_select(
         g.broadcast_rows = broadcast_rows
     for l in leaves:
         a = l.alias.lower()
+        preds = single.get(a, ())
         pred = None
-        for c in single.get(a, ()):
-            term = F.expr(_dequalify(c, a).sql())
-            pred = term if pred is None else (pred & term)
+        dsl_terms = [_to_dsl(c, a) for c in preds]
+        if preds and all(d is not None for d in dsl_terms):
+            # typed DSL predicate: footer-stats selectivity, zero jobs
+            from verax_spark.plans.expr import Call as _Call
+
+            pred = dsl_terms[0]
+            for d in dsl_terms[1:]:
+                pred = _Call("and", pred, d)
+        else:
+            for c in preds:
+                term = F.expr(_dequalify(c, a).sql())
+                pred = term if pred is None else (pred & term)
         g.table(
             a,
             spark.table(l.real_name),
