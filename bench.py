@@ -50,6 +50,12 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
         cold[name] = round(time.perf_counter() - t0, 4)
+        if cold[name] > 3.0:
+            # multi-stage pipeline queries are shuffle-floor bound, not
+            # JIT bound — steady state ≈ cold; skip the re-run to keep
+            # total bench wall-clock bounded
+            timings[name] = cold[name]
+            continue
         t1 = time.perf_counter()
         fn(spark, SF_DIR).collect()
         timings[name] = round(min(time.perf_counter() - t1, cold[name]), 4)
