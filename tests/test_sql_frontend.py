@@ -356,3 +356,30 @@ def test_reorder_plans_star_without_sampling(spark, sf_dir, monkeypatch):
     assert ps.last_reorder is not None
     monkeypatch.undo()
     ro._SHARED_HISTORY = None
+
+
+def test_reorder_fires_in_setop_branches(presto, sf_dir):
+    """Each branch of a UNION is its own DerivedTable — both star branches
+    must still produce correct results after per-branch reordering."""
+    sql = """
+        select n_name, count(*) as n
+        from lineitem l, orders o, customer c, nation n, region r
+        where l.l_orderkey = o.o_orderkey and o.o_custkey = c.c_custkey
+          and c.c_nationkey = n.n_nationkey and n.n_regionkey = r.r_regionkey
+          and r.r_name = 'ASIA'
+        group by n_name
+        union all
+        select n_name, count(*) as n
+        from supplier s, nation n, region r
+        where s.s_nationkey = n.n_nationkey and n.n_regionkey = r.r_regionkey
+          and r.r_name = 'EUROPE'
+        group by n_name
+        order by n_name, n
+    """
+    got = presto.sql(sql).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="setop-reorder")

@@ -298,6 +298,32 @@ def _reorder_select(
     broadcast_rows: int | None,
 ) -> tuple[ast.Query, ReorderInfo | None]:
     sel = query.body
+    if isinstance(sel, ast.SetOp):
+        # plan each branch of a set operation independently (each is its
+        # own DerivedTable in the reference's model)
+        def branch(b):
+            if isinstance(b, ast.Query):
+                return _reorder_select(
+                    b, spark, min_tables=min_tables, broadcast_rows=broadcast_rows
+                )[0]
+            if isinstance(b, ast.Select):
+                wrapped, _ = _reorder_select(
+                    ast.Query(body=b),
+                    spark,
+                    min_tables=min_tables,
+                    broadcast_rows=broadcast_rows,
+                )
+                return wrapped.body
+            if isinstance(b, ast.SetOp):
+                return dataclasses.replace(
+                    b, left=branch(b.left), right=branch(b.right)
+                )
+            return b
+
+        new_body = dataclasses.replace(
+            sel, left=branch(sel.left), right=branch(sel.right)
+        )
+        return dataclasses.replace(query, body=new_body), None
     if not isinstance(sel, ast.Select) or sel.from_ is None:
         return query, None
     leaves: list[_Leaf] = []
