@@ -124,3 +124,91 @@ def test_random_sql_text_matches_duckdb(spark, sf_dir, e1, e2, pred):
 
         record(sql, note="recorded by test_parser_fuzz failure")
         raise
+
+
+# ---------------------------------------------------------------------------
+# Metamorphic fuzzing of the cost-based reorderer: for random star-join
+# queries over the TPC-H FK graph, the reordered plan must return exactly
+# what the textual-order plan returns (reordering may only change plans).
+_FK_EDGES = {
+    ("lineitem", "orders"): "l_orderkey = o_orderkey",
+    ("lineitem", "part"): "l_partkey = p_partkey",
+    ("lineitem", "supplier"): "l_suppkey = s_suppkey",
+    ("orders", "customer"): "o_custkey = c_custkey",
+    ("customer", "nation"): "c_nationkey = n_nationkey",
+    ("supplier", "nation"): "s_nationkey = n_nationkey",
+    ("nation", "region"): "n_regionkey = r_regionkey",
+}
+_FILTERS = {
+    "lineitem": ["l_quantity < 25", "l_discount >= 0.05"],
+    "orders": ["o_totalprice > 150000", "o_orderdate >= date '1997-01-01'"],
+    "customer": ["c_acctbal > 0"],
+    "supplier": ["s_acctbal > 1000"],
+    "part": ["p_size < 30"],
+    "nation": ["n_regionkey <> 2"],
+    "region": ["r_name = 'ASIA'"],
+}
+_COUNT_COL = {
+    "lineitem": "l_orderkey", "orders": "o_orderkey", "customer": "c_custkey",
+    "supplier": "s_suppkey", "part": "p_partkey", "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
+
+def _connected_subsets():
+    # every connected table subset of size 3-5 reachable through FK edges
+    import itertools
+
+    tables = sorted({t for e in _FK_EDGES for t in e})
+    out = []
+    for size in (3, 4, 5):
+        for combo in itertools.combinations(tables, size):
+            s = set(combo)
+            edges = [v for k, v in _FK_EDGES.items() if set(k) <= s]
+            # connectivity via union-find over chosen edges
+            parent = {t: t for t in s}
+
+            def find(x):
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for k in _FK_EDGES:
+                if set(k) <= s:
+                    parent[find(k[0])] = find(k[1])
+            if len({find(t) for t in s}) == 1:
+                out.append((sorted(s), edges))
+    return out
+
+
+_SUBSETS = _connected_subsets()
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ix=st.integers(min_value=0, max_value=len(_SUBSETS) - 1),
+    filter_mask=st.integers(min_value=0, max_value=127),
+)
+def test_reorder_metamorphic_star_fuzz(spark, sf_dir, ix, filter_mask):
+    from verax_spark.sql import PrestoSession
+
+    tables, edges = _SUBSETS[ix]
+    conds = list(edges)
+    for i, t in enumerate(tables):
+        if filter_mask >> i & 1:
+            conds.append(
+                _FILTERS[t][(filter_mask >> (i + 3) & 1) % len(_FILTERS[t])]
+            )
+    count_expr = _COUNT_COL[tables[0]]
+    sql = (
+        f"select count(*) as n, sum({count_expr}) as s from {', '.join(tables)} "
+        f"where {' and '.join(conds)}"
+    )
+    on = PrestoSession(spark, sf_dir, reorder=True).sql(sql).collect()
+    off = PrestoSession(spark, sf_dir, reorder=False).sql(sql).collect()
+    assert [tuple(r) for r in on] == [tuple(r) for r in off], sql
