@@ -473,11 +473,22 @@ def test_maps_as_structs_gated_by_key_stats(spark, nested_parquet):
     # 'zzz' is outside the footer key range [alpha, beta] — provably absent
     assert stats_backed_keys(stats, "m", ["alpha", "zzz"]) == ["alpha"]
     out = maps_as_structs(df, {"m": ["alpha", "zzz"]}, stats=stats)
-    assert "m_alpha" in out.columns and "m_zzz" not in out.columns
+    # pruned key still materializes (typed null) — schema must be stable
+    # whether or not the footer proved it absent (ADVICE r03)
+    assert "m_alpha" in out.columns and "m_zzz" in out.columns
     assert out.filter(F.col("m_alpha") != F.col("id")).count() == 0
-    # without stats the rewrite is un-gated (both keys hoisted)
+    assert out.schema["m_zzz"].dataType == out.schema["m_alpha"].dataType
+    assert out.filter(F.col("m_zzz").isNotNull()).count() == 0
+    # the pruned plan must not touch the map for the absent key: same
+    # result set as the un-gated rewrite
     out2 = maps_as_structs(df, {"m": ["alpha", "zzz"]})
     assert "m_zzz" in out2.columns
+    assert sorted(map(tuple, out.select("id", "m_alpha", "m_zzz").collect())) == sorted(
+        map(tuple, out2.select("id", "m_alpha", "m_zzz").collect())
+    )
+    # truncated-upper-bound soundness: a key that merely EXTENDS the stored
+    # max prefix may exist — must NOT be pruned
+    assert "beta2" in stats_backed_keys(stats, "m", ["beta2"])
 
 
 def test_metadata_fanout_for_pk_edges(spark, sf_dir, monkeypatch):
@@ -540,6 +551,91 @@ def test_metadata_fanout_filter_rules(spark, sf_dir):
     assert abs(meta[0] - 1.0) < 1e-9  # per filtered-supplier row: 1 nation
     est_sup = g2._estimate_rows(g2.tables["supplier"])
     assert abs(meta[1] - est_sup / 25) < 1e-9
+
+
+def test_metadata_fanout_requires_uniqueness_proof(spark, tmp_path):
+    """ADVICE r03 (medium): dense-range footer stats do NOT prove
+    uniqueness — [1,2,2,4] passes every min/max/count test. Without a
+    declared unique-key constraint (or exact footer NDV) the metadata
+    path must decline and leave the sampler in charge."""
+    import pandas as pd
+
+    from verax_spark.optimizer.query_graph import JoinEdge
+
+    left = str(tmp_path / "dup.parquet")
+    right = str(tmp_path / "probe.parquet")
+    # the advisor's exact counterexample: range 4, count 4, no nulls — dup
+    pd.DataFrame({"k": [1, 2, 2, 4]}).to_parquet(left)
+    # every probe row hits the duplicated key — the ≤1-match claim is
+    # off by 2× here, exactly what the unsound range "proof" would assert
+    pd.DataFrame({"pk": [2, 2, 2, 2]}).to_parquet(right)
+    g = QueryGraph()
+    g.table("d", spark.read.parquet(left))
+    g.table("p", spark.read.parquet(right))
+    e = JoinEdge("d", "p", "k", "pk")
+    g.edges.append(e)
+    assert g._metadata_fanout(e) is None
+    # the sampler ground truth disagrees with the ≤1-match "proof":
+    # key 2 matches twice
+    exact = g._edge_fanout(e, mod=1)
+    assert exact[1] > 1.0  # per probe row with pk=2: two matches
+
+    # a declared constraint flips it back on — and a declared constraint
+    # contradicted by footers (nulls) is still refused
+    g2 = QueryGraph()
+    g2.table("d", spark.read.parquet(left), unique_keys={"k"})
+    g2.table("p", spark.read.parquet(right))
+    g2.edges.append(e)
+    assert g2._metadata_fanout(e) is not None  # trusted contract
+
+    nulls = str(tmp_path / "nullkey.parquet")
+    pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64")}).to_parquet(nulls)
+    g3 = QueryGraph()
+    g3.table("d", spark.read.parquet(nulls), unique_keys={"k"})
+    g3.table("p", spark.read.parquet(right))
+    g3.edges.append(e)
+    assert g3._metadata_fanout(e) is None  # falsified by footer
+
+    # pigeonhole falsification: 5 values in a 4-slot range → duplicates
+    pig = str(tmp_path / "pigeon.parquet")
+    pd.DataFrame({"k": [1, 2, 2, 3, 4]}).to_parquet(pig)
+    g4 = QueryGraph()
+    g4.table("d", spark.read.parquet(pig), unique_keys={"k"})
+    g4.table("p", spark.read.parquet(right))
+    g4.edges.append(e)
+    assert g4._metadata_fanout(e) is None
+
+
+def test_metadata_fanout_not_recorded_into_history(spark, sf_dir):
+    """Footer-derived fanouts are recomputable for free and must not
+    outlive the files they describe — _edge_fanout must serve them
+    without persisting estimates into the shared history (ADVICE r03)."""
+    from verax_spark.optimizer.history import ExecutionHistory
+    from verax_spark.optimizer.query_graph import JoinEdge
+
+    cat = Catalog(spark, sf_dir)
+    g = QueryGraph(history=ExecutionHistory())
+    g.table("supplier", cat.supplier)
+    g.table("nation", cat.nation)
+    e = JoinEdge("supplier", "nation", "s_nationkey", "n_nationkey")
+    g.edges.append(e)
+    got = g._edge_fanout(e)
+    assert got is not None
+    assert not any(k.startswith("edge:") for k in g.history._estimates)
+    assert not any(k.startswith("edge:") for k in g.history._data)
+
+
+def test_history_signature_carries_data_fingerprint(spark, sf_dir):
+    """ADVICE r03: history signatures must change when the underlying
+    files change, or stale row estimates silently drive plans."""
+    cat = Catalog(spark, sf_dir)
+    g = QueryGraph()
+    g.table("nation", cat.nation)
+    sig = g._signature(g.tables["nation"])
+    assert "fp=" in sig and not sig.endswith("fp=mem")
+    # in-memory relations get the neutral marker
+    g.table("m", spark.createDataFrame([(1,)], "a int"))
+    assert g._signature(g.tables["m"]).endswith("fp=mem")
 
 
 def test_copartitioned_bucket_layout_prefers_colocated_join(spark):

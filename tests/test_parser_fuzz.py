@@ -186,15 +186,16 @@ _SUBSETS = _connected_subsets()
 
 
 @settings(
-    max_examples=20,
+    max_examples=24,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(
     ix=st.integers(min_value=0, max_value=len(_SUBSETS) - 1),
     filter_mask=st.integers(min_value=0, max_value=127),
+    star=st.booleans(),
 )
-def test_reorder_metamorphic_star_fuzz(spark, sf_dir, ix, filter_mask):
+def test_reorder_metamorphic_star_fuzz(spark, sf_dir, ix, filter_mask, star):
     from verax_spark.sql import PrestoSession
 
     tables, edges = _SUBSETS[ix]
@@ -204,11 +205,42 @@ def test_reorder_metamorphic_star_fuzz(spark, sf_dir, ix, filter_mask):
             conds.append(
                 _FILTERS[t][(filter_mask >> (i + 3) & 1) % len(_FILTERS[t])]
             )
-    count_expr = _COUNT_COL[tables[0]]
+    if star:
+        # `select *` expands in FROM order: the reorderer must decline, and
+        # the result (column order included) must match the textual plan.
+        select_list = "*"
+    else:
+        count_expr = _COUNT_COL[tables[0]]
+        select_list = f"count(*) as n, sum({count_expr}) as s"
     sql = (
-        f"select count(*) as n, sum({count_expr}) as s from {', '.join(tables)} "
+        f"select {select_list} from {', '.join(tables)} "
         f"where {' and '.join(conds)}"
     )
-    on = PrestoSession(spark, sf_dir, reorder=True).sql(sql).collect()
-    off = PrestoSession(spark, sf_dir, reorder=False).sql(sql).collect()
-    assert [tuple(r) for r in on] == [tuple(r) for r in off], sql
+    df_on = PrestoSession(spark, sf_dir, reorder=True).sql(sql)
+    df_off = PrestoSession(spark, sf_dir, reorder=False).sql(sql)
+    assert df_on.columns == df_off.columns, sql
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(df_on.collect()) == key(df_off.collect()), sql
+
+
+def test_reorder_declines_unqualified_star(spark, sf_dir):
+    # ADVICE r03 (high): unqualified `select *` must disqualify reordering —
+    # column order is positional and FROM-order-dependent.
+    from verax_spark.sql import PrestoSession
+    from verax_spark.sql.parser import parse
+    from verax_spark.sql.reorder import reorder_joins
+
+    PrestoSession(spark, sf_dir)  # registers views
+    sql = (
+        "select * from lineitem, orders, customer "
+        "where l_orderkey = o_orderkey and o_custkey = c_custkey"
+    )
+    _, info = reorder_joins(parse(sql), spark)
+    assert info is None
+    # qualified stars stay eligible
+    sql_q = (
+        "select c.*, o.o_totalprice from lineitem l, orders o, customer c "
+        "where l.l_orderkey = o.o_orderkey and o.o_custkey = c.c_custkey"
+    )
+    _, info_q = reorder_joins(parse(sql_q), spark)
+    assert info_q is not None

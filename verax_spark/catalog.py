@@ -34,6 +34,27 @@ ALL_TABLES = TPCH_TABLES + EXTRA_TABLES
 # by nature: geography dimensions) to always broadcast.
 BROADCAST_TABLES = frozenset({"region", "nation"})
 
+# Declared unique-key (primary-key) constraints of the driver schema — the
+# connector-metadata contract the reference's layouts carry
+# (axiom/connectors/ConnectorMetadata.h:176-353 table metadata). The
+# optimizer TRUSTS these like a database trusts DECLARE PRIMARY KEY; parquet
+# footers can only FALSIFY uniqueness (nulls present, or pigeonhole: more
+# values than [min, max] slots), never prove it — min/max/count stats admit
+# duplicates like [1, 2, 2, 4]. `lineitem` is absent: its key is composite
+# (l_orderkey, l_linenumber). Column names are schema-unique in this
+# catalog, so a flat set suffices.
+DECLARED_UNIQUE_COLUMNS = frozenset({
+    "r_regionkey",
+    "n_nationkey",
+    "c_custkey",
+    "s_suppkey",
+    "p_partkey",
+    "o_orderkey",
+    "event_id",
+    "doc_id",
+    "vec_id",
+})
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 # (application id, sf_dir, table) → DataFrame; see Catalog.table.

@@ -120,6 +120,9 @@ class TableRef:
     df: DataFrame
     predicate: object | None = None  # Column | Expr | None
     bucketed_by: tuple[tuple[str, ...], int] | None = None
+    # declared unique-key constraints beyond catalog.DECLARED_UNIQUE_COLUMNS
+    # (trusted contract; footers can falsify but never prove uniqueness)
+    unique_keys: frozenset = frozenset()
 
     def spark_predicate(self) -> Column | None:
         if self.predicate is None:
@@ -168,8 +171,11 @@ class QueryGraph:
         predicate: Column | None = None,
         *,
         bucketed_by: tuple[tuple[str, ...], int] | None = None,
+        unique_keys: frozenset | set | tuple = frozenset(),
     ) -> "QueryGraph":
-        self.tables[name] = TableRef(name, df, predicate, bucketed_by)
+        self.tables[name] = TableRef(
+            name, df, predicate, bucketed_by, frozenset(unique_keys)
+        )
         return self
 
     def edge(self, left: str, left_key: str, right: str, right_key: str) -> "QueryGraph":
@@ -281,7 +287,13 @@ class QueryGraph:
         column only.
         """
         mod = self.fanout_mod if mod is None else mod
-        sig = f"edge:{e.left}.{e.left_key}={e.right}.{e.right_key}|mod={mod}"
+        fps = (
+            f"{self._fingerprint(self.tables[e.left])},"
+            f"{self._fingerprint(self.tables[e.right])}"
+        )
+        sig = (
+            f"edge:{e.left}.{e.left_key}={e.right}.{e.right_key}|mod={mod}|fp={fps}"
+        )
         if self.history is not None:
             fwd = self.history.lookup(sig + "|l2r")
             rev = self.history.lookup(sig + "|r2l")
@@ -289,9 +301,10 @@ class QueryGraph:
                 return fwd, rev
         meta = self._metadata_fanout(e)
         if meta is not None:
-            if self.history is not None:
-                self.history.record_estimate(sig + "|l2r", meta[0])
-                self.history.record_estimate(sig + "|r2l", meta[1])
+            # NOT recorded into history: footer-derived numbers are free to
+            # recompute and must not outlive the files they describe (ADVICE
+            # r03 — a stale or unsound metadata fanout persisted here would
+            # silently steer join order across queries).
             return meta
 
         def keyed(name: str, key: str) -> DataFrame:
@@ -332,19 +345,26 @@ class QueryGraph:
         return l2r, r2l
 
     def _metadata_fanout(self, e: JoinEdge) -> tuple[float, float] | None:
-        """Zero-job fanout from parquet footers: when one side's key column
-        is provably DENSE-UNIQUE (no nulls, num_values == table rows ==
-        max-min+1 — the primary-key layout every surrogate-keyed dimension
-        has), every probe from the other side matches ≤ 1 row, and the
-        unique side's fanout is rows_other/rows_unique scaled by the key-
-        range overlap. This replaces a sampling job per PK edge with a
-        footer read — at planning time over 100 TB the difference between
-        touching data and touching metadata. Filters are handled by the
-        uniformity assumption: a PROBE-side filter leaves matches-per-
-        probe-row unchanged; a PK-side filter scales matches-per-probe-row
-        by the PK's (memoized) filter selectivity, with per-key counts
-        still ≤ 1 since the density proof holds on the unfiltered layout.
-        Falls back to sampling (None) whenever the proof doesn't hold."""
+        """Zero-job fanout from metadata: when one side's key column is
+        UNIQUE — a declared unique-key constraint (catalog.
+        DECLARED_UNIQUE_COLUMNS / TableRef.unique_keys, the connector-
+        metadata contract) or an exact footer distinct_count == num_values —
+        every probe from the other side matches ≤ 1 row, and the unique
+        side's fanout is rows_other/rows_unique scaled by the key-range
+        overlap and the key density (num_values / range span; 1.0 for the
+        dense surrogate-key layout). Footer min/max/count alone can NEVER
+        prove uniqueness ([1,2,2,4] passes every range test), so they are
+        used only to FALSIFY a declared constraint: nulls present, or
+        pigeonhole (more values than range slots) → fall back to sampling.
+        This replaces a sampling job per PK edge with a footer read — at
+        planning time over 100 TB the difference between touching data and
+        touching metadata. Filters are handled by the uniformity
+        assumption: a PROBE-side filter leaves matches-per-probe-row
+        unchanged; a PK-side filter scales matches-per-probe-row by the
+        PK's (memoized) filter selectivity, with per-key counts still ≤ 1
+        since uniqueness holds on the unfiltered layout. Falls back to
+        sampling (None) whenever the proof doesn't hold."""
+        from verax_spark.catalog import DECLARED_UNIQUE_COLUMNS
         from verax_spark.sources.stats import table_stats
 
         def unique_range(name: str, key: str):
@@ -357,13 +377,22 @@ class QueryGraph:
                 return None
             if cs.num_values != stats.num_rows:
                 return None
-            if cs.max - cs.min + 1 != cs.num_values:
+            span = cs.max - cs.min + 1
+            if span < cs.num_values:
+                return None  # pigeonhole: provably non-unique
+            proven = (
+                (cs.distinct_count is not None and cs.distinct_count == cs.num_values)
+                or key in ref.unique_keys
+                or key in DECLARED_UNIQUE_COLUMNS
+            )
+            if not proven:
                 return None
             base = float(stats.num_rows)
             sel = 1.0
             if ref.predicate is not None:
                 sel = self._estimate_rows(ref) / base if base else 1.0
-            return (cs.min, cs.max, base, sel)
+            density = cs.num_values / span if span else 1.0
+            return (cs.min, cs.max, base, sel, density)
 
         def side_rows_range(name: str, key: str):
             ref = self.tables[name]
@@ -400,7 +429,9 @@ class QueryGraph:
             # domain (uniformity assumption — same model as selectivity())
             cover = (hi - lo + 1) / (o[1] - o[0] + 1) if o[1] > o[0] else 1.0
             sel = u[3]  # PK-side filter selectivity (1.0 when unfiltered)
-            per_probe = cover * sel  # ≤1 match per probe row into the PK
+            # ≤1 match per probe row into the unique side; sparse unique
+            # keys (density < 1) thin the matches under uniformity
+            per_probe = cover * u[4] * sel
             per_unique = o[2] * cover / u[2]  # avg probe rows per PK row
             if unique_side == "right":
                 return per_probe, per_unique
@@ -409,7 +440,38 @@ class QueryGraph:
 
     def _signature(self, ref: TableRef) -> str:
         pred = "" if ref.predicate is None else str(ref.predicate)
-        return f"scan:{ref.name}|{pred}"
+        return f"scan:{ref.name}|{pred}|fp={self._fingerprint(ref)}"
+
+    def _fingerprint(self, ref: TableRef) -> str:
+        """Cheap identity of the underlying files (paths + sizes + mtimes)
+        folded into every history signature, so entries die with the data
+        they describe — the shared history is process-wide and testdata is
+        regenerated between rounds (ADVICE r03). Driver-side metadata only;
+        memoized per planning pass."""
+        if not hasattr(self, "_fp_memo"):
+            self._fp_memo: dict[str, str] = {}
+        if ref.name in self._fp_memo:
+            return self._fp_memo[ref.name]
+        out = "mem"
+        try:
+            files = ref.df.inputFiles()
+        except Exception:
+            files = []
+        if files:
+            import hashlib
+            import os as _os
+
+            h = hashlib.md5()
+            for f in sorted(files):
+                p = f.removeprefix("file://").removeprefix("file:")
+                try:
+                    st = _os.stat(p)
+                    h.update(f"{p}|{st.st_size}|{int(st.st_mtime)};".encode())
+                except OSError:
+                    h.update(f"{p};".encode())
+            out = h.hexdigest()[:12]
+        self._fp_memo[ref.name] = out
+        return out
 
     # -- ordering (makeJoins analog) -----------------------------------------
     def plan(self, algorithm: str = "auto") -> DataFrame:

@@ -30,14 +30,25 @@ def stats_backed_keys(stats, col: str, keys: list[str]) -> list[str]:
     reference gates subfield pushdown on per-path stats the same way
     (ConnectorMetadata.h:51-93). Returns keys in input order; when the
     footer has no key-path stats, all candidates pass (stats absence must
-    not disable the rewrite, only un-gate it)."""
+    not disable the rewrite, only un-gate it).
+
+    Writers may truncate string statistics. A prefix-truncated min is still
+    a sound LOWER bound, so ``k < min`` always proves absence; a truncated
+    max that a buggy writer failed to increment bounds only the prefix, so
+    the sound upper-side test is ``k[:len(max)] > max`` — k exceeds every
+    possible extension of the stored prefix (ADVICE r03)."""
     cs = stats.path_stats(f"{col}.key") if stats is not None else None
     if cs is None or cs.min is None or cs.max is None:
         return list(keys)
     lo, hi = cs.min, cs.max
     if isinstance(lo, bytes):
         lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
-    return [k for k in keys if lo <= str(k) <= hi]
+    lo, hi = str(lo), str(hi)
+
+    def absent(k: str) -> bool:
+        return k < lo or k[: len(hi)] > hi
+
+    return [k for k in keys if not absent(str(k))]
 
 
 def maps_as_structs(
@@ -56,16 +67,22 @@ def maps_as_structs(
     stats_backed_keys — keys the footer proves absent are not hoisted.
     """
     for col, keys in hot_keys.items():
-        if stats is not None and isinstance(
-            df.schema[col].dataType, MapType
-        ):
-            keys = stats_backed_keys(stats, col, keys)
-            if not keys:
-                continue
         dtype = df.schema[col].dataType
+        pruned: list[str] = []
+        if stats is not None and isinstance(dtype, MapType):
+            kept = stats_backed_keys(stats, col, keys)
+            pruned = [k for k in keys if k not in kept]
+            keys = kept
         if isinstance(dtype, MapType):
             for k in keys:
                 df = df.withColumn(f"{col}_{k}", F.col(col).getItem(k))
+            for k in pruned:
+                # footer-proven absent: the lookup is all-null, but the
+                # column must still exist — downstream references expect a
+                # stable schema regardless of pruning (ADVICE r03)
+                df = df.withColumn(
+                    f"{col}_{k}", F.lit(None).cast(dtype.valueType)
+                )
         elif isinstance(dtype, StringType):
             # JSON map: parse ONLY the hot keys (pruned schema = pruned parse)
             schema = ", ".join(f"`{k}` {value_type}" for k in keys)

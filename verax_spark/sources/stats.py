@@ -29,6 +29,13 @@ class ColumnStats:
     max: object | None
     null_count: int
     num_values: int
+    # Exact footer NDV when every row group recorded one and their key
+    # ranges are pairwise disjoint (sums are then exact); None otherwise.
+    # Most writers omit it — callers needing uniqueness must combine this
+    # with declared constraints (catalog.DECLARED_UNIQUE_COLUMNS): min/max/
+    # count alone can NEVER prove distinctness ([1,2,2,4] passes every
+    # range test).
+    distinct_count: int | None = None
 
     @property
     def null_fraction(self) -> float:
@@ -95,6 +102,10 @@ def parquet_stats(paths: list[str]) -> TableStats | None:
     nulls: dict[str, int] = {}
     counts: dict[str, int] = {}
     nested: set[str] = set()
+    # per-column (group_min, group_max, group_distinct) — kept only while
+    # EVERY row group of the column reports a distinct_count with min/max
+    rg_total = 0
+    ndv_groups: dict[str, list[tuple[object, object, int]]] = {}
     try:
         for p in paths:
             path = p.removeprefix("file://").removeprefix("file:")
@@ -102,6 +113,7 @@ def parquet_stats(paths: list[str]) -> TableStats | None:
             num_rows += meta.num_rows
             for rg in range(meta.num_row_groups):
                 group = meta.row_group(rg)
+                rg_total += 1
                 total_bytes += group.total_byte_size
                 for ci in range(group.num_columns):
                     col = group.column(ci)
@@ -116,14 +128,35 @@ def parquet_stats(paths: list[str]) -> TableStats | None:
                     if st.has_min_max:
                         mins[name] = _merge_min(mins.get(name), st.min)
                         maxs[name] = _merge_max(maxs.get(name), st.max)
+                        if st.distinct_count:
+                            ndv_groups.setdefault(name, []).append(
+                                (st.min, st.max, st.distinct_count)
+                            )
                     nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
                     counts[name] = counts.get(name, 0) + (st.num_values or 0)
     except Exception:
         return None
 
+    def _ndv(name: str) -> int | None:
+        groups = ndv_groups.get(name)
+        if not groups or len(groups) != rg_total:
+            return None
+        if len(groups) == 1:
+            return groups[0][2]
+        # sums are exact only when group key ranges never overlap
+        ordered = sorted(groups)
+        for (_, prev_max, _), (nxt_min, _, _) in zip(ordered, ordered[1:]):
+            if not nxt_min > prev_max:
+                return None
+        return sum(g[2] for g in ordered)
+
     def _cs(name: str) -> ColumnStats:
         return ColumnStats(
-            mins.get(name), maxs.get(name), nulls.get(name, 0), counts.get(name, 0)
+            mins.get(name),
+            maxs.get(name),
+            nulls.get(name, 0),
+            counts.get(name, 0),
+            _ndv(name),
         )
 
     names = set(mins) | set(nulls)

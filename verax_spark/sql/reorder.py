@@ -326,6 +326,14 @@ def _reorder_select(
         return dataclasses.replace(query, body=new_body), None
     if not isinstance(sel, ast.Select) or sel.from_ is None:
         return query, None
+    # An unqualified `SELECT *` expands in FROM order, so reordering the
+    # FROM clause would change the output column order — positional
+    # semantics (UNION / INSERT by position) would silently break. A
+    # qualified star (`a.*`) is pinned to its select-list position and
+    # stays eligible.
+    for item in sel.items:
+        if isinstance(item.expr, ast.Star) and not item.expr.qualifier:
+            return query, None
     leaves: list[_Leaf] = []
     conjuncts: list[ast.Expr] = []
     try:
