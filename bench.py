@@ -1,11 +1,16 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": sf}.
+Prints ONE compact JSON line LAST on stdout — totals plus the TPC-H
+per-query steady-state dict — sized to fit the driver's 2000-byte stdout
+capture window (r03's full per-query dump truncated mid-line and parsed as
+null). The complete per-query detail (steady + cold for every query, notes)
+goes to BENCH_DETAIL.json next to this file.
 
 Protocol (BASELINE.md): wall-clock per query on the TPC-H-derived corpus;
-each query is fully materialized via a count-collect (foreach-noop would
-skip result assembly; collect of aggregated results is tiny).
+each query is fully materialized via collect (aggregated results are tiny).
+Methodology (uniform for EVERY query, ADVICE r03): run 1 = cold (whole-stage
+-codegen JIT + planning), run 2 = steady state, both always measured and
+both reported; no min(), no conditional skips.
 """
 
 from __future__ import annotations
@@ -18,6 +23,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DETAIL_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+)
 
 
 def main() -> None:
@@ -38,27 +46,19 @@ def main() -> None:
     # Warm the JVM + parquet footer caches with one tiny query.
     next(iter(qs.values()))(spark, SF_DIR).collect()
 
-    # Two runs per query: run 1 pays whole-stage-codegen JIT + planner
-    # warm-up (real, but amortizes to ~zero over a 100 TB job); run 2 is the
-    # steady state a long-running cluster sees. "queries" reports steady
-    # state (what the plan costs), "queries_cold" keeps the cold run —
-    # both disclosed so the numbers are comparable either way. Streaming
-    # drains re-execute their source either way (no state reuse).
-    timings: dict[str, float] = {}
+    # Two runs per query — uniformly. Run 1 pays codegen JIT + planner
+    # warm-up (real, but amortizes to ~zero over a 100 TB job); run 2 is
+    # the steady state a long-running cluster sees. Streaming drains
+    # re-execute their source either way (no state reuse).
+    steady: dict[str, float] = {}
     cold: dict[str, float] = {}
     for name, fn in qs.items():
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
         cold[name] = round(time.perf_counter() - t0, 4)
-        if cold[name] > 3.0:
-            # multi-stage pipeline queries are shuffle-floor bound, not
-            # JIT bound — steady state ≈ cold; skip the re-run to keep
-            # total bench wall-clock bounded
-            timings[name] = cold[name]
-            continue
         t1 = time.perf_counter()
         fn(spark, SF_DIR).collect()
-        timings[name] = round(min(time.perf_counter() - t1, cold[name]), 4)
+        steady[name] = round(time.perf_counter() - t1, 4)
 
     # single-node columnar baseline: DuckDB running the oracle SQL of the
     # TPC-H corpus on the same parquet (the closest available stand-in for
@@ -85,35 +85,50 @@ def main() -> None:
         pass
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    tpch_total = sum(v for k, v in timings.items() if k.startswith("tpch_"))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    tpch_steady = {k: v for k, v in steady.items() if k.startswith("tpch_")}
+    tpch_total = round(sum(tpch_steady.values()), 4)
+    tpch_cold = round(
+        sum(v for k, v in cold.items() if k.startswith("tpch_")), 4
+    )
+    detail = {
+        "metric": "tpch_subset_total_wall_clock",
+        "value": tpch_total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries_steady": steady,
+        "queries_cold": cold,
+        "tpch_total_steady": tpch_total,
+        "tpch_total_cold": tpch_cold,
+        "total_all_queries_steady": round(sum(steady.values()), 4),
+        "total_all_queries_cold": round(sum(cold.values()), 4),
+        "duckdb_tpch_total": duck_total,
+        "notes": (
+            "Uniform two-run methodology for every query: cold = 1st run "
+            "(codegen JIT + planning), steady = 2nd run as measured (no "
+            "min, no skips). Headline value = TPC-H steady total; "
+            "steady is the 100 TB-relevant number (JIT amortizes), cold "
+            "kept alongside for cross-round comparability."
+        ),
+    }
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1)
+
+    # the driver captures only the tail of stdout: keep this line compact
+    # (TPC-H per-query dict only ≈ 0.5 KB) and print it LAST
     print(
         json.dumps(
             {
                 "metric": "tpch_subset_total_wall_clock",
-                "value": round(tpch_total, 4),
+                "value": tpch_total,
                 "unit": "sec",
-                "queries": timings,
-                "total_all_queries": round(sum(timings.values()), 4),
-                "queries_cold": cold,
-                "tpch_total_cold": round(
-                    sum(v for k, v in cold.items() if k.startswith("tpch_")), 4
-                ),
+                "queries": tpch_steady,
+                "sf": sf_val,
+                "tpch_total_cold": tpch_cold,
+                "total_all_queries_steady": detail["total_all_queries_steady"],
+                "total_all_queries_cold": detail["total_all_queries_cold"],
                 "duckdb_tpch_total": duck_total,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                # round-2 bench regressions re-measured n>=5 isolated
-                # (op_agg_distinct 0.75-0.9 s, plan unchanged: partial+final
-                # distinct agg, two exchanges; tpch_q18 back to 0.67 s;
-                # setops ~0.7-0.8 s) — all four were suite-order/shuffle
-                # -floor noise, not plan changes. Single-shot suite timings
-                # shift with the priority rotation because each query's
-                # first run pays whole-stage-codegen JIT: isolated n=3 runs
-                # of every shifted query match its round-2 level.
-                "notes": (
-                    "queries = steady-state (2nd run; JIT amortized, the "
-                    "100 TB-relevant number); queries_cold = 1st run incl. "
-                    "codegen + planning, reported alongside for "
-                    "cross-round comparability"
-                ),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )
