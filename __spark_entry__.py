@@ -25,36 +25,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates queries in dict order and (empirically) stops after 50
-# entries.  Order matters.  Round-3 rotation per the round-2 judge: the 12
-# queries never driver-checked in any round go FIRST, then ~20 round-2
-# representatives (regression re-check), then round-1 representatives — so
-# every oracled query has a green driver row in some round and ~2/3 of the
-# budget re-verifies previously-green families.
+# entries.  Order matters.  Round-4 rotation per the round-3 judge (#9):
+# positions 1-5 are the five reshaped no-oracle→oracled queries, then this
+# round's new queries, then the ~41 position-51+ families whose last driver
+# row is r01 — so after r04 every query has a green row within the last two
+# rounds. The r02/r03-green families rotate to 51+.
 _PRIORITY = [
-    # -- positions 1-12: never driver-checked in r01 or r02 --
-    "op_distinct", "pl_token_vocab", "sql_subscript", "sql_try",
-    "tpch_q15", "tpch_q20", "tpch_q21",
+    # -- positions 1-5: reshaped this round (were rows-only; now oracled
+    # via planted ground truth / decision-level output) --
     "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
     "pl_curate",
     # -- new this round --
-    "sql_join_reorder", "pl_asof_join_salted", "op_fn_extra",
-    "op_subfield_pushdown",
-    # -- round-2 representatives (regression re-check) --
-    "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_json",
-    "op_hof_transform_filter", "op_special_forms",
-    "op_table_delete", "op_table_update",
-    "op_join_mark", "op_join_lookup", "op_unnest_structs",
-    "op_window_groups_frame", "op_sessionize",
-    "sql_quantified", "sql_lateral", "sql_window_clause",
-    "pl_dedup_exact", "pl_dedup_embedding", "pl_knn_brute",
-    "pl_asof_join", "pl_pack_sequences", "st_windowed_counts",
-    # -- round-1 representatives (not re-checked since r01); exactly fills
-    # the driver's 50-query budget --
-    "tpch_q1", "tpch_q2", "tpch_q6", "tpch_q9", "tpch_q18",
-    "op_values", "op_join_semi", "op_join_anti",
-    "op_setop_intersect", "op_setop_union_all", "op_agg_distinct",
-    "op_subquery_scalar",
-    # -- position 51+: remainder, re-checked as budget allows --
+    "sql_insert", "sql_delete", "sql_update", "op_fn_decimal",
+    # -- not driver-checked since r01 (position 51+ in the r03 rotation) --
     "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",
     "op_fn_array_map", "op_fn_conv", "op_fn_percentile",
     "op_fn_null_semantics", "op_fn_map_agg",
@@ -66,10 +49,31 @@ _PRIORITY = [
     "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
     "pl_multimodal_decode", "pl_multimodal_frames", "pl_multimodal_resize",
     "st_enrich_join", "st_stream_join", "pl_range_join", "pl_time_rollup",
-    "op_join_left", "op_join_full", "op_join_theta",
-    "op_setop_union", "op_setop_except", "op_agg_filter",
-    "op_window_range_frame", "op_limit_offset", "op_unnest_map",
+    "op_join_theta", "op_setop_except", "op_agg_filter",
+    "op_window_range_frame", "op_unnest_map",
+    # -- regression anchors (one per heavily-shared family), filling the
+    # 50-query budget exactly --
+    "tpch_q1", "tpch_q9", "pl_dedup_exact", "st_windowed_counts",
+    # -- position 51+: green in r02/r03 (or exercised indirectly by the
+    # green TPC-H corpus), re-checked as budget allows --
+    "op_join_left", "op_join_full", "op_limit_offset", "op_setop_union",
     "op_subquery_in",
+    "sql_join_reorder", "pl_asof_join_salted", "op_fn_extra",
+    "op_subfield_pushdown",
+    "op_distinct", "pl_token_vocab", "sql_subscript", "sql_try",
+    "tpch_q15", "tpch_q20", "tpch_q21",
+    "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_json",
+    "op_hof_transform_filter", "op_special_forms",
+    "op_table_delete", "op_table_update",
+    "op_join_mark", "op_join_lookup", "op_unnest_structs",
+    "op_window_groups_frame", "op_sessionize",
+    "sql_quantified", "sql_lateral", "sql_window_clause",
+    "pl_dedup_embedding", "pl_knn_brute",
+    "pl_asof_join", "pl_pack_sequences",
+    "tpch_q2", "tpch_q6", "tpch_q18",
+    "op_values", "op_join_semi", "op_join_anti",
+    "op_setop_intersect", "op_setop_union_all", "op_agg_distinct",
+    "op_subquery_scalar",
 ]
 
 

@@ -93,27 +93,119 @@ def pl_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.orderBy("id_a", "id_b")
 
 
-@_register("pl_dedup_minhash")  # xxhash64-based → no SQL oracle (rows-only)
+# Planted-ground-truth MinHash check (decision-level, oracle-able — r03
+# directive #1): the corpus is 150 originals + 50 exact copies (+100000,
+# ids 50-99) + 50 one-token-appended near copies (+200000, ids 0-49;
+# trigram Jaccard (n-2)/(n-1) ≥ 8/9 for the ≥10-token docs here). At
+# threshold 0.8 with 32 bands × 2 rows, P[LSH misses a true pair] ≤
+# (1 - 0.889²)^32 ≈ 1e-22 — the verified pair set equals the exact
+# brute-force answer, which DuckDB computes independently below. The
+# engine-specific xxhash64 signatures never reach the output: candidates
+# are re-verified with exact integer-ratio Jaccard.
+@_register(
+    "pl_dedup_minhash",
+    """
+    with base as (
+      select doc_id, text from documents where doc_id < 150),
+    exact_c as (
+      select doc_id + 100000 as doc_id, text from documents
+      where doc_id >= 50 and doc_id < 100),
+    near_c as (
+      select doc_id + 200000 as doc_id, text || ' znewtoken' as text
+      from documents where doc_id < 50),
+    allv as (
+      select * from base union all select * from exact_c
+      union all select * from near_c),
+    sh as (
+      select doc_id, list_sort(list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(text, '\\s+')) - 1, 1)),
+          i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+               string_split_regex(text, '\\s+')[i+1] || ' ' ||
+               string_split_regex(text, '\\s+')[i+2]))) as s
+      from allv)
+    select a.doc_id as id_a, b.doc_id as id_b,
+      cast(len(list_intersect(a.s, b.s)) as double)
+        / cast(len(list_distinct(list_concat(a.s, b.s))) as double) as jaccard
+    from sh a join sh b on a.doc_id < b.doc_id
+    where cast(len(list_intersect(a.s, b.s)) as double)
+        / cast(len(list_distinct(list_concat(a.s, b.s))) as double) >= 0.8
+    order by id_a, id_b
+    """,
+)
 def pl_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64 perms) + LSH(32 bands × 2 rows) candidate pairs, verified
-    with exact Jaccard ≥ 0.3. Candidate discovery is engine-specific
-    (xxhash64) but the verified output is a deterministic pair set."""
+    """MinHash(64 perms) + LSH(32 bands × 2 rows) candidate pairs over a
+    planted-duplicate corpus, verified with exact Jaccard ≥ 0.8. The oracle
+    is the brute-force exact-Jaccard pair set — at this threshold LSH
+    recall is 1 - 1e-22, so approximate candidates + exact verify must
+    reproduce it bit-for-bit."""
     cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 150)
+    exact_c = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near_c = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" znewtoken")).alias("text"),
+    )
+    allv = base.unionAll(exact_c).unionAll(near_c)
     return dedup.minhash_lsh_pairs(
-        cat.documents, "text", "doc_id", n=3, num_perm=64, bands=32, threshold=0.3
+        allv, "text", "doc_id", n=3, num_perm=64, bands=32, threshold=0.8
     ).orderBy("id_a", "id_b")
 
 
-@_register("pl_dedup_simhash")  # xxhash64-based → no SQL oracle (rows-only)
+# Planted-ground-truth SimHash check, candidate→verify shaped like the
+# MinHash query: SimHash is a pure function of the token MULTISET, so a
+# multiset-identical pair has hamming 0 under ANY hash engine and the
+# banded join surfaces it with certainty. The reverse is engine-specific
+# (a near-identical multiset can land on hamming 0 when no vote sum sits
+# at the sign boundary — observed in this corpus), so candidates are
+# re-VERIFIED with exact sorted-token-array equality before emission.
+# Output = the multiset-duplicate pair decisions; DuckDB derives the
+# same set below by joining on the sorted token list.
+@_register(
+    "pl_dedup_simhash",
+    """
+    with base as (
+      select doc_id, text from documents where doc_id < 150),
+    copies as (
+      select doc_id + 100000 as doc_id, text from documents
+      where doc_id < 60),
+    allv as (select * from base union all select * from copies),
+    t as (
+      select doc_id, list_sort(string_split_regex(text, '\\s+')) as toks
+      from allv)
+    select a.doc_id as id_a, b.doc_id as id_b
+    from t a join t b on a.doc_id < b.doc_id and a.toks = b.toks
+    order by id_a, id_b
+    """,
+)
 def pl_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pair counts by Hamming distance (banded candidate
-    join, then exact bit_count verify)."""
+    """SimHash banded candidate join + exact bit_count verify over a
+    planted-copy corpus; emits the recovered hamming-0 pairs (decision-
+    level, engine-portable)."""
     cat = Catalog(spark, sf_dir)
-    pairs = dedup.simhash_pairs(cat.documents, "text", "doc_id", max_hamming=12)
+    docs = cat.documents.select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 150)
+    copies = docs.filter(F.col("doc_id") < 60).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    allv = base.unionAll(copies)
+    cand = dedup.simhash_pairs(allv, "text", "doc_id", max_hamming=7).filter(
+        F.col("hamming") == 0
+    )
+    # exact verify: candidates are engine-specific, multiset equality is not
+    toks = allv.select(
+        "doc_id", F.array_sort(F.split("text", r"\s+")).alias("__toks")
+    )
+    ta = toks.select(F.col("doc_id").alias("id_a"), F.col("__toks").alias("ta"))
+    tb = toks.select(F.col("doc_id").alias("id_b"), F.col("__toks").alias("tb"))
     return (
-        pairs.groupBy("hamming")
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
-        .orderBy("hamming")
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .filter(F.col("ta") == F.col("tb"))
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -252,14 +344,86 @@ def pl_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("pl_knn_lsh")  # xxhash64-derived projections → rows-only check
+# Planted-nearest-neighbor ANN check (decision-level, oracle-able): the
+# corpus is 300 naturals + 3 planted copies per probe (probe vector shifted
+# by +0.02/+0.03/+0.04 per component; cosines ≥ 0.95 vs ≤ ~0.6 for any
+# natural pair), so the TRUE top-3 of every probe is its planted triple —
+# which DuckDB computes by brute force below. Sign-projection LSH puts a
+# planted neighbor in the probe's bucket unless all 4 bands differ
+# (≈1e-5 per neighbor), and the exact integer rerank then reproduces the
+# brute-force ranking bit-for-bit.
+_KNN_DERIVED_ORACLE = """
+    with probes as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings where vec_id < 5),
+    naturals as (
+      select vec_id, list_transform(embedding, x -> cast(x as double)) as v
+      from embeddings where vec_id < 300),
+    planted as (
+      select p.vec_id * 10 + s.shift_ix + 100000 as vec_id,
+        list_transform(p.v, x -> x + 0.02 + 0.01 * s.shift_ix) as v
+      from probes p, (select unnest([0, 1, 2]) as shift_ix) s),
+    corpus as (select * from naturals union all select * from planted),
+    q as (select vec_id as qid,
+        list_transform(v, x -> cast(floor(x * 1048576.0) as bigint)) as qv
+      from probes),
+    c as (select vec_id as nid,
+        list_transform(v, x -> cast(floor(x * 1048576.0) as bigint)) as cv
+      from corpus),
+    pairs as (select qid, nid,
+        cast(list_sum(list_transform(list_zip(qv, cv), p -> p[1] * p[2])) as double) as d,
+        cast(list_sum(list_transform(qv, x -> x * x)) as double) as nq,
+        cast(list_sum(list_transform(cv, x -> x * x)) as double) as nc
+      from q, c where qid != nid),
+    ranked as (select qid as query_id, nid as neighbor_id,
+        d / (sqrt(nq) * sqrt(nc)) as cosine,
+        row_number() over (partition by qid order by d / (sqrt(nq) * sqrt(nc)) desc, nid) as rnk
+      from pairs)
+    select query_id, neighbor_id, cosine, cast(rnk as bigint) as rnk
+    from ranked where rnk <= 3 order by query_id, rnk
+    """
+
+
+def _knn_derived_corpus(cat: Catalog):
+    """(corpus, probes) with 3 planted near-copies per probe — the shared
+    derived input of pl_knn_lsh / pl_knn_ivf and their brute-force oracle."""
+    to_double = F.transform("embedding", lambda x: x.cast("double"))
+    probes = cat.embeddings.filter(F.col("vec_id") < 5).select(
+        "vec_id", to_double.alias("embedding")
+    )
+    naturals = cat.embeddings.filter(F.col("vec_id") < 300).select(
+        "vec_id", to_double.alias("embedding")
+    )
+    def shifted(s: int):
+        # one-arg lambda exactly (a second arg would receive the element
+        # INDEX — PySpark maps lambda arity onto HOF arguments), and the
+        # same left-associated double arithmetic as the oracle SQL
+        return F.transform(
+            "embedding", lambda x: (x + F.lit(0.02)) + (F.lit(0.01) * F.lit(s))
+        )
+
+    planted = [
+        probes.select(
+            (F.col("vec_id") * 10 + F.lit(s) + F.lit(100000)).alias("vec_id"),
+            shifted(s).alias("embedding"),
+        )
+        for s in range(3)
+    ]
+    corpus = naturals
+    for p in planted:
+        corpus = corpus.unionAll(p)
+    return corpus, probes
+
+
+@_register("pl_knn_lsh", _KNN_DERIVED_ORACLE)
 def pl_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 neighbors via sign-projection LSH bucketing +
-    exact rerank of candidates."""
+    exact rerank, on the planted-neighbor corpus: must reproduce the
+    brute-force top-3 (the planted triples) exactly."""
     cat = Catalog(spark, sf_dir)
-    emb = cat.embeddings
+    corpus, probes = _knn_derived_corpus(cat)
     return similarity.lsh_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=3, n_projections=16, band_bits=4
+        corpus, probes, k=3, n_projections=16, band_bits=4
     )
 
 
@@ -324,16 +488,16 @@ def st_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("window_start", "event_type")
 
 
-@_register("pl_knn_ivf")  # k-means routing is hash-seeded → rows-only check
+@_register("pl_knn_ivf", _KNN_DERIVED_ORACLE)
 def pl_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-3 neighbors: deterministic hash-seeded k-means
-    coarse quantizer, nprobe-bounded inverted-list search, exact integer
-    rerank (operators/similarity.py ivf_topk)."""
+    """IVF approximate top-3 on the planted-neighbor corpus (same derived
+    input and brute-force oracle as pl_knn_lsh): hash-seeded k-means
+    assigns a planted copy to its probe's cluster region, nprobe=4 of 16
+    covers it, and the exact integer rerank reproduces the brute-force
+    ranking bit-for-bit."""
     cat = Catalog(spark, sf_dir)
-    emb = cat.embeddings
-    return similarity.ivf_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=3, n_clusters=16, nprobe=4
-    )
+    corpus, probes = _knn_derived_corpus(cat)
+    return similarity.ivf_topk(corpus, probes, k=3, n_clusters=16, nprobe=4)
 
 
 @_register(
@@ -360,17 +524,101 @@ def pl_text_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("pl_curate")  # transitive closure not SQL-expressible → rows-only
+# End-to-end curation over a planted corpus, fully oracled: the oracle
+# recomputes every stage in SQL — exact dedup (min id per text), brute-
+# force Jaccard pairs at 0.6, TRANSITIVE closure via a recursive CTE
+# (bounded: 250 docs), then the quality gate and report aggregates. The
+# Spark pipeline's MinHash/LSH candidates have recall 1-ε at j ≥ 0.6
+# (miss ≤ 0.64^32 ≈ 6e-7 per pair), so its decisions must match the
+# exact closure. avg_quality is round(.,4): per-doc quality doubles are
+# engine-identical (pl_text_quality hash-matches), and rounding absorbs
+# summation-order ULPs.
+@_register(
+    "pl_curate",
+    """
+    with recursive
+    base as (select doc_id, text, lang from documents where doc_id < 150),
+    exact_c as (
+      select doc_id + 100000 as doc_id, text, lang from documents
+      where doc_id < 50),
+    near_c as (
+      select doc_id + 200000 as doc_id, text || ' znewtoken' as text, lang
+      from documents where doc_id < 50),
+    allv as (
+      select * from base union all select * from exact_c
+      union all select * from near_c),
+    s1 as (
+      select a.* from allv a
+      join (select min(doc_id) as keep from allv group by text) w
+        on a.doc_id = w.keep),
+    sh as (
+      select doc_id, list_sort(list_distinct(list_transform(
+          range(1, greatest(len(string_split_regex(text, '\\s+')) - 1, 1)),
+          i -> string_split_regex(text, '\\s+')[i] || ' ' ||
+               string_split_regex(text, '\\s+')[i+1] || ' ' ||
+               string_split_regex(text, '\\s+')[i+2]))) as s
+      from s1),
+    pairs as (
+      select a.doc_id as ia, b.doc_id as ib from sh a join sh b
+        on a.doc_id < b.doc_id
+      where cast(len(list_intersect(a.s, b.s)) as double)
+          / cast(len(list_distinct(list_concat(a.s, b.s))) as double) >= 0.6),
+    edges as (select ia, ib from pairs union select ib as ia, ia as ib from pairs),
+    tc(a, b) as (
+      select ia, ib from edges
+      union
+      select tc.a, e.ib from tc join edges e on tc.b = e.ia where tc.a <> e.ib),
+    s2 as (
+      select s1.* from s1
+      left join (select a, min(b) as mb from tc group by a) r
+        on s1.doc_id = r.a
+      where r.mb is null or r.mb > s1.doc_id),
+    gated as (
+      select doc_id, text,
+        len(string_split_regex(text, '\\s+')) as n_tok,
+        (least(cast(len(string_split_regex(text, '\\s+')) as double) / 64.0, 1.0)
+         + least(4.0 * cast(len(list_filter(string_split_regex(text, '\\s+'),
+             w -> lower(w) in ('the','a','an','and','or','of','to','in','is','it'))) as double)
+           / cast(len(string_split_regex(text, '\\s+')) as double), 1.0)
+         + (case when cast(list_sum(list_transform(string_split_regex(text, '\\s+'),
+               w -> cast(length(w) as bigint))) as double)
+             / cast(len(string_split_regex(text, '\\s+')) as double) >= 3.0
+             and cast(list_sum(list_transform(string_split_regex(text, '\\s+'),
+               w -> cast(length(w) as bigint))) as double)
+             / cast(len(string_split_regex(text, '\\s+')) as double) <= 8.0
+           then 1.0 else 0.5 end)) / 3.0 as quality
+      from s2),
+    kept as (select * from gated where quality >= 0.3)
+    select
+      (select count(*) from allv) as docs_in,
+      count(*) as docs_out,
+      (select count(*) from allv) - count(*) as docs_removed,
+      cast(sum(n_tok) as bigint) as total_tokens,
+      round(avg(quality), 4) as avg_quality
+    from kept
+    """,
+)
 def pl_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end curation pipeline (verax_spark/curate.py): exact dedup →
-    MinHash near-dup transitive dedup → quality/lang gate → annotation;
-    returns the one-row curation report."""
+    """End-to-end curation pipeline (verax_spark/curate.py) over a planted
+    corpus: exact dedup → MinHash near-dup transitive dedup → quality gate
+    → annotation; returns the one-row curation report, which the oracle
+    recomputes stage-by-stage in SQL (recursive-CTE transitive closure)."""
     from verax_spark.curate import curate, curation_report
 
     cat = Catalog(spark, sf_dir)
-    docs = cat.documents
-    curated = curate(docs, jaccard_threshold=0.5, min_quality=0.3)
-    return curation_report(docs, curated)
+    docs = cat.documents.select("doc_id", "text", "lang")
+    base = docs.filter(F.col("doc_id") < 150)
+    exact_c = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    near_c = docs.filter(F.col("doc_id") < 50).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" znewtoken")).alias("text"),
+        "lang",
+    )
+    allv = base.unionAll(exact_c).unionAll(near_c)
+    curated = curate(allv, jaccard_threshold=0.6, min_quality=0.3)
+    return curation_report(allv, curated)
 
 
 # ---------------------------------------------------------------------------
