@@ -1690,6 +1690,120 @@ def sql_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dml_target(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
+    """CTAS a writable copy of high-quantity lineitem rows and register it
+    with a PrestoSession — the shared setup of the SQL-DML checks."""
+    import uuid as _uuid
+
+    from verax_spark.sql import PrestoSession
+
+    cat = Catalog(spark, sf_dir)
+    target = os.path.join(
+        tempfile.gettempdir(), "verax_dml", f"{tag}_{_uuid.uuid4().hex[:10]}"
+    )
+    (
+        cat.lineitem.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartition(4, "l_returnflag")
+        .write.mode("overwrite")
+        .parquet(target)
+    )
+    sess = PrestoSession(spark, sf_dir)
+    sess.register_table("dml_target", target)
+    return sess, target
+
+
+def _dml_readback(sess) -> DataFrame:
+    return sess.sql(
+        """
+        select coalesce(l_returnflag, '?') as flag, count(*) as n,
+          cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty
+        from dml_target group by 1 order by 1
+        """
+    )
+
+
+@_register(
+    "sql_insert",
+    """
+    with t as (
+      select l_orderkey, l_returnflag, l_quantity from lineitem
+      where l_quantity >= 45
+      union all
+      select l_orderkey, l_returnflag, l_quantity from lineitem
+      where l_quantity < 3
+      union all
+      select o_orderkey as l_orderkey, cast(null as varchar) as l_returnflag,
+        99.0 as l_quantity
+      from orders where o_orderkey < 20)
+    select coalesce(l_returnflag, '?') as flag, count(*) as n,
+      cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty
+    from t group by 1 order by 1
+    """,
+)
+def sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text INSERT (reference AstStatements.h / WriteKind kInsert,
+    ConnectorMetadata.h:457): a full-row positional insert plus a
+    column-list insert (unmentioned columns NULL-filled), appended to the
+    parquet table and scanned back."""
+    sess, _ = _dml_target(spark, sf_dir, "ins")
+    sess.sql(
+        """
+        insert into dml_target
+        select l_orderkey, l_returnflag, l_quantity from lineitem
+        where l_quantity < 3
+        """
+    )
+    sess.sql(
+        """
+        insert into dml_target (l_orderkey, l_quantity)
+        select o_orderkey, 99.0 from orders where o_orderkey < 20
+        """
+    )
+    return _dml_readback(sess)
+
+
+@_register(
+    "sql_delete",
+    """
+    select coalesce(l_returnflag, '?') as flag, count(*) as n,
+      cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty
+    from lineitem
+    where l_quantity >= 45 and not (l_quantity < 48)
+    group by 1 order by 1
+    """,
+)
+def sql_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text DELETE lowered onto file-granular copy-on-write
+    (sources/cow.py; reference WriteKind kDelete)."""
+    sess, _ = _dml_target(spark, sf_dir, "del")
+    n = sess.sql("delete from dml_target where l_quantity < 48").first()[0]
+    assert n >= 0
+    return _dml_readback(sess)
+
+
+@_register(
+    "sql_update",
+    """
+    select coalesce(l_returnflag, '?') as flag, count(*) as n,
+      cast(sum(cast(
+        case when l_returnflag = 'R' then l_quantity * 2 else l_quantity end
+        as decimal(8,1))) as double) as qty
+    from lineitem where l_quantity >= 45
+    group by 1 order by 1
+    """,
+)
+def sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text UPDATE ... SET lowered onto copy-on-write row patching
+    (sources/cow.py; reference WriteKind kUpdate)."""
+    sess, _ = _dml_target(spark, sf_dir, "upd")
+    sess.sql(
+        "update dml_target set l_quantity = l_quantity * 2 "
+        "where l_returnflag = 'R'"
+    )
+    return _dml_readback(sess)
+
+
 @_register(
     "sql_ordered_agg",
     """

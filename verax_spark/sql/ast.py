@@ -964,6 +964,47 @@ class ExplainStmt:
 
 
 @dataclass
+class InsertStmt:
+    """INSERT INTO t [(cols)] <query|VALUES ...> — reference WriteKind
+    kInsert (axiom/connectors/ConnectorMetadata.h:457-627); AST surface
+    axiom/sql/presto/ast/AstStatements.h."""
+
+    table: str
+    query: Query
+    columns: list[str] = field(default_factory=list)
+
+    def sql(self) -> str:
+        cols = f" ({', '.join(self.columns)})" if self.columns else ""
+        return f"insert into {self.table}{cols} {self.query.sql()}"
+
+
+@dataclass
+class DeleteStmt:
+    """DELETE FROM t [WHERE p] — reference WriteKind kDelete."""
+
+    table: str
+    where: Expr | None = None
+
+    def sql(self) -> str:
+        w = f" where {self.where.sql()}" if self.where is not None else ""
+        return f"delete from {self.table}{w}"
+
+
+@dataclass
+class UpdateStmt:
+    """UPDATE t SET c = e, ... [WHERE p] — reference WriteKind kUpdate."""
+
+    table: str
+    assignments: list[tuple[str, Expr]] = field(default_factory=list)
+    where: Expr | None = None
+
+    def sql(self) -> str:
+        sets = ", ".join(f"{c} = {e.sql()}" for c, e in self.assignments)
+        w = f" where {self.where.sql()}" if self.where is not None else ""
+        return f"update {self.table} set {sets}{w}"
+
+
+@dataclass
 class DescribeStmt:
     """DESCRIBE t / DESC t / SHOW COLUMNS FROM t — the reference lowers
     these to a Values relation of column metadata (PrestoParserTest.cpp

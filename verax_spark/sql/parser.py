@@ -145,8 +145,9 @@ class Parser:
         raise ParseError(f"expected identifier at {t.pos}, got {t.text!r}")
 
     # -- statements ----------------------------------------------------------
-    def parse_statement(self) -> "ast.Query | ast.ExplainStmt | ast.DescribeStmt":
-        stmt: ast.Query | ast.ExplainStmt | ast.DescribeStmt
+    def parse_statement(self):
+        """Query | ExplainStmt | DescribeStmt | InsertStmt | DeleteStmt |
+        UpdateStmt (DML surface: reference sql/presto/ast/AstStatements.h)."""
         if self.accept_kw("describe") or self.accept_kw("desc"):
             stmt = ast.DescribeStmt(self.ident())
         elif self.at_kw("show") and self.at_kw("columns", ahead=1):
@@ -155,6 +156,36 @@ class Parser:
             stmt = ast.DescribeStmt(self.ident())
         elif self.accept_kw("explain"):
             stmt = ast.ExplainStmt(self.parse_query())
+        elif self.accept_kw("insert"):
+            self.expect_kw("into")
+            table = self.ident()
+            columns: list[str] = []
+            if self.at_op("(") and not self.at_kw("select", ahead=1) and not self.at_kw(
+                "values", ahead=1
+            ) and not self.at_kw("with", ahead=1):
+                self.expect_op("(")
+                columns.append(self.ident())
+                while self.accept_op(","):
+                    columns.append(self.ident())
+                self.expect_op(")")
+            stmt = ast.InsertStmt(table, self.parse_query(), columns)
+        elif self.accept_kw("delete"):
+            self.expect_kw("from")
+            table = self.ident()
+            where = self.parse_expr() if self.accept_kw("where") else None
+            stmt = ast.DeleteStmt(table, where)
+        elif self.accept_kw("update"):
+            table = self.ident()
+            self.expect_kw("set")
+            assignments: list[tuple[str, "ast.Expr"]] = []
+            while True:
+                col = self.ident()
+                self.expect_op("=")
+                assignments.append((col, self.parse_expr()))
+                if not self.accept_op(","):
+                    break
+            where = self.parse_expr() if self.accept_kw("where") else None
+            stmt = ast.UpdateStmt(table, assignments, where)
         else:
             stmt = self.parse_query()
         if not self.at_op(";") and self.peek().kind != "eof":

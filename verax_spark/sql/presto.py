@@ -72,6 +72,24 @@ def _presto_type(spark_type: str) -> str:
 _REGISTERED: dict[str, str] = {}
 
 
+def _walk_expr(node):
+    """Pre-order walk over an AST dataclass tree (fields that are nodes or
+    lists/tuples of nodes)."""
+    import dataclasses
+
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        if dataclasses.is_dataclass(n):
+            for f in dataclasses.fields(n):
+                v = getattr(n, f.name)
+                if dataclasses.is_dataclass(v):
+                    stack.append(v)
+                elif isinstance(v, (list, tuple)):
+                    stack.extend(x for x in v if dataclasses.is_dataclass(x))
+
+
 class PrestoSession:
     """SELECT/EXPLAIN entry point over the driver catalog, Presto dialect.
 
@@ -92,6 +110,11 @@ class PrestoSession:
         self.reorder = reorder
         self.last_reorder = None  # ReorderInfo of the last sql() call
         self.catalog = Catalog(spark, sf_dir or DEFAULT_SF_DIR)
+        # writable parquet tables (DML targets) — name → directory path.
+        # The driver catalog is read-only; INSERT/DELETE/UPDATE require an
+        # explicitly registered writable table (connector WriteKind surface,
+        # ref ConnectorMetadata.h:457-627).
+        self.writable: dict[str, str] = {}
         # view + compat-UDF registration is idempotent; skip the ~12 DDL
         # round-trips when this session already has THIS sf_dir's views
         # (re-register whenever the sf_dir changes — views are global names)
@@ -127,9 +150,104 @@ class PrestoSession:
             from verax_spark.plans.builder import local_values
 
             return local_values(self.spark, [(plan,)], "plan string")
+        if isinstance(stmt, (ast.InsertStmt, ast.DeleteStmt, ast.UpdateStmt)):
+            return self._execute_dml(stmt)
         if isinstance(stmt, ast.Query):
             stmt = self._optimize(stmt)
         return self.spark.sql(stmt.sql())
+
+    # -- DML (WriteKind kInsert/kDelete/kUpdate, ConnectorMetadata.h:457) ----
+    def register_table(self, name: str, path: str) -> None:
+        """Register a writable parquet directory as table ``name`` — the
+        target surface for SQL DML (and readable like any view)."""
+        self.writable[name] = path
+        self._refresh(name)
+
+    def _refresh(self, name: str) -> None:
+        self.spark.read.parquet(self.writable[name]).createOrReplaceTempView(name)
+
+    def _writable_path(self, table: str) -> str:
+        path = self.writable.get(table)
+        if path is None:
+            raise ValueError(
+                f"{table!r} is not a registered writable table; DML targets "
+                "must be registered via PrestoSession.register_table(name, "
+                "path) — the driver catalog is read-only"
+            )
+        return path
+
+    @staticmethod
+    def _dml_predicate(where) -> "Column":
+        """WHERE tree → Spark Column via the rendered SQL (compat functions
+        are session-registered). Subquery predicates need a relational
+        rewrite that F.expr cannot hold — directed to the API instead."""
+        import pyspark.sql.functions as F
+
+        if where is None:
+            return F.lit(True)
+        for node in _walk_expr(where):
+            if isinstance(
+                node, (ast.InSubquery, ast.Exists, ast.ScalarSubquery, ast.Quantified)
+            ):
+                raise NotImplementedError(
+                    "subquery predicates in DELETE/UPDATE are not supported "
+                    "in SQL text; use sources.cow with an anti/semi-join "
+                    "predicate instead"
+                )
+        return F.expr(where.sql())
+
+    def _execute_dml(self, stmt) -> DataFrame:
+        import pyspark.sql.functions as F
+        from pyspark.sql.observation import Observation
+
+        from verax_spark.plans.builder import local_values
+        from verax_spark.sources.cow import delete_rows, update_rows
+
+        path = self._writable_path(stmt.table)
+        target = self.spark.read.parquet(path)
+        if isinstance(stmt, ast.InsertStmt):
+            src = self.spark.sql(self._optimize(stmt.query).sql())
+            names = stmt.columns or [f.name for f in target.schema.fields]
+            if len(src.columns) != len(names):
+                raise ValueError(
+                    f"INSERT column count mismatch: {len(names)} target vs "
+                    f"{len(src.columns)} query columns"
+                )
+            lower = {n.lower() for n in names}
+            unknown = lower - {f.name.lower() for f in target.schema.fields}
+            if unknown:
+                raise ValueError(f"INSERT into unknown columns: {sorted(unknown)}")
+            # positional rename via toDF — immune to auto-generated source
+            # names containing dots (e.g. a bare literal column `99.0`)
+            aligned = src.toDF(*names)
+            # table column order; unmentioned columns NULL; types coerced
+            full = aligned.select(
+                *[
+                    (
+                        F.col(f.name) if f.name.lower() in lower else F.lit(None)
+                    ).cast(f.dataType).alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+            obs = Observation()
+            full.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "append"
+            ).parquet(path)
+            self._refresh(stmt.table)
+            return local_values(
+                self.spark, [(int(obs.get["rows"]),)], "rows_inserted bigint"
+            )
+        pred = self._dml_predicate(stmt.where)
+        # matching-row count first (file-pruned scan), then the rewrite
+        n = target.filter(pred).count()
+        if isinstance(stmt, ast.DeleteStmt):
+            delete_rows(self.spark, path, pred)
+            self._refresh(stmt.table)
+            return local_values(self.spark, [(n,)], "rows_deleted bigint")
+        assignments = {c: F.expr(e.sql()) for c, e in stmt.assignments}
+        update_rows(self.spark, path, assignments, pred)
+        self._refresh(stmt.table)
+        return local_values(self.spark, [(n,)], "rows_updated bigint")
 
     def _optimize(self, query: ast.Query) -> ast.Query:
         self.last_reorder = None
