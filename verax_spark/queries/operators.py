@@ -1690,6 +1690,48 @@ def sql_subscript(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "op_fn_decimal",
+    """
+    with t as (
+      select o_orderkey as n, o_custkey + 3 as d
+      from orders where o_orderkey < 800)
+    select n as o_orderkey,
+      cast(cast(cast(n as decimal(12,2)) + cast(d as decimal(9,3))
+        as decimal(14,3)) as double) as add_r,
+      cast(cast(cast(n as decimal(12,2)) * cast(d as decimal(9,3))
+        as decimal(21,5)) as double) as mul_r,
+      -- Presto division decimal(12,2)/decimal(9,3) -> decimal(16,3),
+      -- ROUND HALF-UP at scale 3, reproduced with exact integer math:
+      -- round_half_up(n/d, 3) = (2*n*1000 + d) // (2*d) thousandths
+      cast(cast((2 * n * 1000 + d) // (2 * d) as decimal(19,0))
+        * cast(0.001 as decimal(4,3)) as double) as div_r
+    from t order by o_orderkey
+    """,
+)
+def op_fn_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Presto DECIMAL(p,s) arithmetic (functions/decimal.py): result types
+    and half-up rounding follow Presto's published rules where Spark's
+    native algebra differs (mul precision, div scale). Operands are
+    integer-derived so every expected value is exact; the oracle recomputes
+    division with integer math (reference decimal surface:
+    axiom/sql/presto/ast/AstLiterals.h:125)."""
+    from verax_spark.functions import decimal as dml
+
+    cat = Catalog(spark, sf_dir)
+    t = cat.orders.filter(F.col("o_orderkey") < 800).select(
+        F.col("o_orderkey").alias("n"), (F.col("o_custkey") + 3).alias("d")
+    )
+    a, ta = F.col("n"), "decimal(12,2)"
+    b, tb = F.col("d"), "decimal(9,3)"
+    return t.select(
+        F.col("n").alias("o_orderkey"),
+        dml.binary("+", a, ta, b, tb).cast("double").alias("add_r"),
+        dml.binary("*", a, ta, b, tb).cast("double").alias("mul_r"),
+        dml.binary("/", a, ta, b, tb).cast("double").alias("div_r"),
+    ).orderBy("o_orderkey")
+
+
 def _dml_target(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
     """CTAS a writable copy of high-quantity lineitem rows and register it
     with a PrestoSession — the shared setup of the SQL-DML checks."""
