@@ -668,3 +668,58 @@ def test_copartitioned_bucket_layout_prefers_colocated_join(spark):
     g2._edge_fanout = lambda e, mod=None: (1.0, 1.0)
     tree, _ = g2.choose_tree()
     assert tree is not None  # still plans; just no zero-shuffle credit
+
+
+def test_execution_feedback_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-4 #5: an executed query's per-scan actuals (from Spark SQL
+    metrics — zero extra jobs) are recorded into the shared history under
+    the planner's own signatures, persisted, and the SECOND planning of the
+    same query uses the observed rows without running any estimation job
+    (VeloxHistory::recordVeloxExecution analog, VeloxHistory.h:44-50)."""
+    import verax_spark.sql.reorder as reorder_mod
+    from verax_spark.optimizer.history import ExecutionHistory
+    from verax_spark.sql import PrestoSession
+
+    hist = ExecutionHistory(path=str(tmp_path / "h.json"))
+    monkeypatch.setattr(reorder_mod, "_SHARED_HISTORY", hist)
+    ps = PrestoSession(spark, sf_dir)
+    sql = (
+        "select count(*) as n from lineitem l, orders o, customer c "
+        "where l.l_orderkey = o.o_orderkey and o.o_custkey = c.c_custkey "
+        "and o.o_totalprice > 150000"
+    )
+    df = ps.sql(sql)
+    info1 = ps.last_reorder
+    assert info1 is not None and set(info1.signatures) == {"l", "o", "c"}
+    df.collect()  # full action → feedback flush
+    o_sig = info1.signatures["o"][0]
+    assert o_sig in hist._data, "filtered-scan actual not recorded"
+    true_o = (
+        spark.table("orders").filter(F.col("o_totalprice") > 150000).count()
+    )
+    assert hist._data[o_sig] == true_o
+    # unfiltered scans record their scan-node actuals too
+    assert hist._data[info1.signatures["l"][0]] == spark.table("lineitem").count()
+    # persisted to disk (flush-on-action)
+    assert ExecutionHistory(path=str(tmp_path / "h.json"))._data.get(o_sig) == true_o
+
+    # second planning: every leaf estimate must come from the recorded
+    # actuals — pin by breaking the entire estimation fallback
+    def boom(self, ref):
+        raise AssertionError(f"estimation ran for {ref.name} despite actuals")
+
+    monkeypatch.setattr(QueryGraph, "_estimate_rows_uncached", boom, raising=True)
+    # keep the history shortcut alive: _estimate_rows_uncached consults the
+    # history first, so emulate just that prefix
+    def history_only(self, ref):
+        got = self.history.lookup(self._signature(ref)) if self.history else None
+        if got is None:
+            raise AssertionError(f"no actual for {ref.name}; estimation would run")
+        return got
+
+    monkeypatch.setattr(QueryGraph, "_estimate_rows_uncached", history_only)
+    ps2 = PrestoSession(spark, sf_dir)
+    ps2.sql(sql)
+    info2 = ps2.last_reorder
+    assert info2 is not None
+    assert info2.est["o"] == true_o

@@ -134,8 +134,9 @@ def test_parse_errors_have_positions():
     assert "at" in str(e.value)
     with pytest.raises(ParseError):
         parse("select (1 from t")
+    # INSERT/DELETE/UPDATE parse since the DML front door; DDL still does not
     with pytest.raises(ParseError):
-        parse("insert into t values (1)")  # only SELECT/EXPLAIN
+        parse("create table t (x int)")
 
 
 def test_explain_statement_shape():

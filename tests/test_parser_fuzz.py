@@ -223,6 +223,72 @@ def test_reorder_metamorphic_star_fuzz(spark, sf_dir, ix, filter_mask, star):
     assert key(df_on.collect()) == key(df_off.collect()), sql
 
 
+def _chain_order(tables):
+    """BFS order along FK edges: each table after the first joins one
+    earlier table through exactly one _FK_EDGES condition."""
+    order, conds = [tables[0]], []
+    remaining = set(tables[1:])
+    while remaining:
+        for t in sorted(remaining):
+            hit = next(
+                (
+                    cond
+                    for (a, b), cond in _FK_EDGES.items()
+                    if t in (a, b) and (a if b == t else b) in order
+                ),
+                None,
+            )
+            if hit is not None:
+                order.append(t)
+                conds.append(hit)
+                remaining.discard(t)
+                break
+        else:  # pragma: no cover - subsets are connected by construction
+            break
+    return order, conds
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ix=st.integers(min_value=0, max_value=len(_SUBSETS) - 1),
+    left_pick=st.integers(min_value=0, max_value=10),
+    filter_mask=st.integers(min_value=0, max_value=127),
+)
+def test_reorder_metamorphic_left_join_fuzz(spark, sf_dir, ix, left_pick, filter_mask):
+    """One join in a random FK chain becomes LEFT: the reorderer either
+    hoists it above the reordered core or declines — both must return
+    exactly the textual-order result, including null-extension (count of a
+    left-side column vs count(*) would expose any divergence)."""
+    from verax_spark.sql import PrestoSession
+
+    tables, _ = _SUBSETS[ix]
+    order, conds = _chain_order(tables)
+    left_ix = 1 + left_pick % (len(order) - 1)
+    from_parts = [order[0]]
+    for i, t in enumerate(order[1:], 1):
+        kind = "left join" if i == left_ix else "join"
+        from_parts.append(f"{kind} {t} on {conds[i - 1]}")
+    where = [
+        _FILTERS[t][(filter_mask >> (i + 3) & 1) % len(_FILTERS[t])]
+        for i, t in enumerate(order)
+        if filter_mask >> i & 1 and i != left_ix  # null-extended side stays unfiltered
+    ]
+    left_col = _COUNT_COL[order[left_ix]]
+    sql = (
+        f"select count(*) as n, count({left_col}) as matched "
+        f"from {' '.join(from_parts)}"
+        + (f" where {' and '.join(where)}" if where else "")
+    )
+    df_on = PrestoSession(spark, sf_dir, reorder=True).sql(sql)
+    df_off = PrestoSession(spark, sf_dir, reorder=False).sql(sql)
+    key = lambda rows: sorted(tuple(r) for r in rows)
+    assert key(df_on.collect()) == key(df_off.collect()), sql
+
+
 def test_reorder_declines_unqualified_star(spark, sf_dir):
     # ADVICE r03 (high): unqualified `select *` must disqualify reordering —
     # column order is positional and FROM-order-dependent.

@@ -264,7 +264,13 @@ def test_reorder_disabled_renders_as_written(spark, sf_dir):
 
 
 def test_reorder_skips_ineligible_queries(presto):
-    # outer join: textual order must stand (reordering is inner-join-only)
+    # FULL join: textual order must stand (only LEFT boundaries hoist)
+    presto.sql(
+        "select count(*) as n from orders o full join customer c "
+        "on o.o_custkey = c.c_custkey join nation n on c.c_nationkey = n.n_nationkey"
+    )
+    assert presto.last_reorder is None
+    # LEFT join over a 2-table core: below min_tables, not worth sampling
     presto.sql(
         "select count(*) as n from orders o left join customer c "
         "on o.o_custkey = c.c_custkey join nation n on c.c_nationkey = n.n_nationkey"
@@ -275,6 +281,87 @@ def test_reorder_skips_ineligible_queries(presto):
         "select count(*) as n from orders o join customer c on o.o_custkey = c.c_custkey"
     )
     assert presto.last_reorder is None
+
+
+def test_reorder_hoists_left_join_boundary(presto, sf_dir):
+    """A single LEFT JOIN no longer forfeits reordering: the 5-table inner
+    core is planned and the LEFT boundary re-attaches above it (wrapInDt
+    analog, ref axiom/optimizer/ToGraph.cpp:1216). The ON predicate stays on
+    the join (NOT movable to WHERE — it controls null-extension)."""
+    sql = """
+        select n_name, count(*) as n_items, count(s.s_suppkey) as n_matched
+        from lineitem l
+          join orders o on l.l_orderkey = o.o_orderkey
+          left join supplier s
+            on l.l_suppkey = s.s_suppkey and s.s_acctbal > 3000
+          join customer c on o.o_custkey = c.c_custkey
+          join nation n on c.c_nationkey = n.n_nationkey
+          join region r on n.n_regionkey = r.r_regionkey
+        where r.r_name = 'ASIA'
+        group by n_name order by n_name
+    """
+    df = presto.sql(sql)
+    info = presto.last_reorder
+    assert info is not None
+    assert info.attachments == ["s"]
+    assert set(info.order) == {"l", "o", "c", "n", "r"}
+    # the core was actually replanned: big fact never first, dims broadcast
+    assert info.order[0] != "l"
+    assert "r" in info.broadcast and "n" in info.broadcast
+    got = df.toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="reorder-left-hoist")
+
+
+def test_reorder_left_join_conjunct_referencing_attachment(presto, sf_dir):
+    """An inner-ON conjunct that references the hoisted attachment migrates
+    to WHERE (filter placement above both joins commutes); when that would
+    force a cross join in the core, the textual order stands instead."""
+    sql = """
+        select count(*) as n
+        from orders o
+          join customer c on o.o_custkey = c.c_custkey
+          left join nation n on c.c_nationkey = n.n_nationkey
+          join region r on n.n_regionkey = r.r_regionkey
+        where o.o_totalprice > 1000
+    """
+    got = presto.sql(sql).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="reorder-left-residual")
+
+
+def test_reorder_derived_table_leaf(presto, sf_dir):
+    """A non-lateral aliased subquery in FROM joins the core as an opaque
+    derived-table leaf with estimated cardinality."""
+    sql = """
+        select n.n_name, count(*) as n_cust, sum(t.cnt) as n_orders
+        from customer c
+          join nation n on c.c_nationkey = n.n_nationkey
+          join (select o_custkey, count(*) as cnt
+                from orders group by o_custkey) t
+            on t.o_custkey = c.c_custkey
+        where n.n_name <> 'NATION_3'
+        group by n.n_name order by n.n_name
+    """
+    df = presto.sql(sql)
+    info = presto.last_reorder
+    assert info is not None
+    assert "t" in info.order and set(info.order) == {"c", "n", "t"}
+    got = df.toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="reorder-derived-leaf")
 
 
 def test_reorder_preserves_residual_and_single_table_predicates(presto, sf_dir):

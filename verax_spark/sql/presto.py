@@ -90,6 +90,54 @@ def _walk_expr(node):
                     stack.extend(x for x in v if dataclasses.is_dataclass(x))
 
 
+try:  # pyspark 4: the pyspark.sql.DataFrame facade's __new__ pins the
+    # concrete class, so subclass the classic implementation directly
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+except ImportError:  # pragma: no cover - older pyspark
+    _ClassicDataFrame = DataFrame
+
+
+class _ObservedFrame(_ClassicDataFrame):
+    """DataFrame whose full actions flush execution feedback: after
+    collect()/toPandas(), the executed plan's per-scan actual row counts are
+    recorded into the shared ExecutionHistory under the planner's own
+    signatures (VeloxHistory::recordVeloxExecution analog,
+    axiom/optimizer/VeloxHistory.h:44-50) — so the NEXT planning of the same
+    scans uses actuals instead of sampling. Zero extra jobs: Spark's SQL
+    metrics are populated by the action itself. Partial actions (show's
+    limit, count's derived plan) don't flush — their metrics would
+    under-report."""
+
+    def __new__(cls, df: DataFrame, session: "PrestoSession", info):
+        # bypass the facade's argument-pinned __new__ (classic inherits it)
+        return object.__new__(cls)
+
+    def __init__(self, df: DataFrame, session: "PrestoSession", info):
+        super().__init__(df._jdf, df.sparkSession)
+        self._verax_session = session
+        self._verax_info = info  # ReorderInfo captured at planning time
+        self._verax_flushed = False
+
+    def _verax_flush(self) -> None:
+        if self._verax_flushed:
+            return
+        self._verax_flushed = True
+        try:
+            self._verax_session._record_feedback(self, self._verax_info)
+        except Exception:
+            pass  # feedback must never break the user's action
+
+    def collect(self):
+        out = super().collect()
+        self._verax_flush()
+        return out
+
+    def toPandas(self):
+        out = super().toPandas()
+        self._verax_flush()
+        return out
+
+
 class PrestoSession:
     """SELECT/EXPLAIN entry point over the driver catalog, Presto dialect.
 
@@ -97,8 +145,8 @@ class PrestoSession:
     (sql/reorder.py) before Catalyst — the reference's lifecycle, where
     ``Optimization::toVeloxPlan`` sits between parser and execution for
     every query (axiom/optimizer/Optimization.h:44-48). ``reorder=False``
-    renders joins as written.
-    """
+    renders joins as written. Executions feed actual cardinalities back
+    into the planner's history (_ObservedFrame)."""
 
     def __init__(
         self, spark: SparkSession, sf_dir: str | None = None, *, reorder: bool = True
@@ -154,7 +202,18 @@ class PrestoSession:
             return self._execute_dml(stmt)
         if isinstance(stmt, ast.Query):
             stmt = self._optimize(stmt)
-        return self.spark.sql(stmt.sql())
+        df = self.spark.sql(stmt.sql())
+        if self.last_reorder is not None and self.last_reorder.signatures:
+            return _ObservedFrame(df, self, self.last_reorder)
+        return df
+
+    def _record_feedback(self, df: DataFrame, info) -> None:
+        """Flush per-scan actuals from df's executed plan into the shared
+        planning history (called by _ObservedFrame after a full action)."""
+        from verax_spark.optimizer.feedback import record_actuals
+        from verax_spark.sql.reorder import _history
+
+        record_actuals(df, _history(), info.signatures)
 
     # -- DML (WriteKind kInsert/kDelete/kUpdate, ConnectorMetadata.h:457) ----
     def register_table(self, name: str, path: str) -> None:

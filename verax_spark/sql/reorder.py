@@ -15,8 +15,30 @@ Safety model: reordering only changes the *order* of inner equi-joins and
 moves ON-clause conjuncts into WHERE (equivalent under inner joins); every
 original conjunct is preserved verbatim, so the rewrite cannot change
 results — only plans. Anything the flattener does not fully understand
-(outer joins, USING, subqueries in FROM, unresolvable column references)
-disqualifies the query and the textual order stands.
+(FULL/RIGHT joins, USING, unresolvable column references) disqualifies the
+query and the textual order stands.
+
+Non-inner boundaries (``wrapInDt`` analog, ref
+axiom/optimizer/ToGraph.cpp:1216 — the reference wraps non-reorderable
+structures in derived tables and reorders the inner core around them):
+
+- **LEFT JOIN attachments.** A LEFT JOIN whose right side is a single base
+  table or derived table is *hoisted above* the reordered inner core. This
+  is the classic l-asscom identity: inner joins and cross products commute
+  with a left outer join whose ON predicate does not reference them —
+  ``(X LEFT f ON p) ⋈ d ON q  ≡  σ_q((X ⋈ d) LEFT f ON p)`` because the
+  f-extension of a row depends only on that row's columns, and SQL scoping
+  guarantees ``p`` references only relations to f's left (which all remain
+  below f after the hoist). Attachments re-attach in their original
+  left-to-right order, preserving inter-attachment scope. Inner-join ON
+  conjuncts that reference an attachment migrate to WHERE (filter placement
+  above both joins is equivalent under inner semantics).
+- **Derived-table leaves.** A non-lateral aliased subquery in FROM joins
+  the core as an opaque leaf with estimated cardinality; its body is
+  re-rendered verbatim. Estimation is bounded: the leaf is only eligible
+  when its input files' footer row total is small enough that counting it
+  is a planning-scale job (at 100 TB the query falls back to textual
+  order rather than execute a subquery to plan one).
 """
 
 from __future__ import annotations
@@ -43,8 +65,23 @@ def _history():
 @dataclass
 class _Leaf:
     alias: str  # unique name inside the query (alias or table name)
-    table: ast.Table  # original AST node (re-used when re-rendering)
-    real_name: str  # catalog name for spark.table()
+    table: ast.Relation  # original AST node (re-used when re-rendering)
+    real_name: str  # catalog name for spark.table(); "" for derived leaves
+    columns: set[str] = field(default_factory=set)
+
+    @property
+    def derived(self) -> bool:
+        return not self.real_name
+
+
+@dataclass
+class _Attachment:
+    """A hoisted LEFT JOIN: re-attached verbatim above the reordered core."""
+
+    alias: str
+    rel: ast.Relation  # right side (base table or derived table)
+    on: ast.Expr | None
+    real_name: str = ""  # catalog name when rel is a base table
     columns: set[str] = field(default_factory=set)
 
 
@@ -56,30 +93,92 @@ class ReorderInfo:
     broadcast: list[str]  # leaves hinted for broadcast
     tree: tuple  # ("leaf", a) | ("join"/"cross", t1, t2, ...)
     est: dict[str, float]  # estimated rows per leaf
+    attachments: list[str] = field(default_factory=list)  # hoisted LEFT joins
+    # alias → (history signature, input-file dirs) for the core leaves —
+    # consumed by the execution-feedback recorder (PrestoSession)
+    signatures: dict[str, tuple[str, tuple[str, ...]]] = field(default_factory=dict)
 
 
 class _NotEligible(Exception):
     pass
 
 
-def _flatten_from(rel: ast.Relation, leaves: list[_Leaf], conjuncts: list[ast.Expr]) -> None:
-    """Collect base-table leaves and ON conjuncts from a chain of
-    inner/cross joins; raise _NotEligible on anything else."""
+# max total footer rows under a derived-table leaf for it to be eligible:
+# estimating such a leaf may execute its subquery (a planning-time job), so
+# it is only allowed when the inputs are provably small. Past the bound the
+# query keeps its textual order — planning must never scan big data.
+DERIVED_LEAF_ROW_BOUND = 20_000_000
+
+
+def _bounded_inputs(df, bound: int = DERIVED_LEAF_ROW_BOUND) -> bool:
+    """True when df's parquet input files total ≤ ``bound`` footer rows
+    (driver-side metadata read, no Spark job). Non-parquet/empty inputs
+    count as bounded (in-memory test relations)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return True
+    import pyarrow.parquet as pq
+
+    total = 0
+    for f in files:
+        path = f.removeprefix("file://").removeprefix("file:")
+        try:
+            total += pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            continue
+        if total > bound:
+            return False
+    return True
+
+
+def _opaque_leaf(rel: ast.Relation) -> tuple[str, str]:
+    """(alias, real_name) for a relation usable as an opaque unit — a base
+    table or an aliased non-lateral derived table. Raises otherwise."""
     if isinstance(rel, ast.Table):
-        alias = rel.alias or rel.name[-1]
         if rel.col_aliases:
             raise _NotEligible("column aliases on base table")
-        leaves.append(_Leaf(alias=alias, table=rel, real_name=".".join(rel.name)))
+        return rel.alias or rel.name[-1], ".".join(rel.name)
+    if isinstance(rel, ast.SubqueryRel):
+        if rel.lateral:
+            raise _NotEligible("lateral subquery")
+        if rel.col_aliases or not rel.alias:
+            raise _NotEligible("derived table without a plain alias")
+        return rel.alias, ""
+    raise _NotEligible(type(rel).__name__)
+
+
+def _flatten_from(
+    rel: ast.Relation,
+    leaves: list[_Leaf],
+    conjuncts: list[ast.Expr],
+    attachments: list[_Attachment],
+) -> None:
+    """Collect opaque leaves (base tables / derived tables) and ON conjuncts
+    from a chain of inner/cross joins; LEFT joins over an opaque right side
+    become hoisted attachments; raise _NotEligible on anything else."""
+    if isinstance(rel, (ast.Table, ast.SubqueryRel)):
+        alias, real = _opaque_leaf(rel)
+        leaves.append(_Leaf(alias=alias, table=rel, real_name=real))
         return
     if isinstance(rel, ast.Join):
-        if rel.kind not in ("inner", "cross"):
-            raise _NotEligible(f"{rel.kind} join")
         if rel.using:
             raise _NotEligible("USING join")
         if isinstance(rel.right, ast.Unnest) or isinstance(rel.left, ast.Unnest):
             raise _NotEligible("unnest relation")
-        _flatten_from(rel.left, leaves, conjuncts)
-        _flatten_from(rel.right, leaves, conjuncts)
+        if rel.kind == "left":
+            # hoistable boundary: recurse into the left subtree; the right
+            # side re-attaches (with its ON verbatim) above the whole core
+            _flatten_from(rel.left, leaves, conjuncts, attachments)
+            alias, real = _opaque_leaf(rel.right)
+            attachments.append(
+                _Attachment(alias=alias, rel=rel.right, on=rel.on, real_name=real)
+            )
+            return
+        if rel.kind not in ("inner", "cross"):
+            raise _NotEligible(f"{rel.kind} join")
+        _flatten_from(rel.left, leaves, conjuncts, attachments)
+        _flatten_from(rel.right, leaves, conjuncts, attachments)
         if rel.on is not None:
             _split_and(rel.on, conjuncts)
         return
@@ -336,30 +435,68 @@ def _reorder_select(
             return query, None
     leaves: list[_Leaf] = []
     conjuncts: list[ast.Expr] = []
+    attachments: list[_Attachment] = []
     try:
-        _flatten_from(sel.from_, leaves, conjuncts)
+        _flatten_from(sel.from_, leaves, conjuncts, attachments)
     except _NotEligible:
         return query, None
     if len(leaves) < min_tables:
         return query, None
-    if len(leaves) > 12:
-        # subset-DP is 2^n — past this arity the textual order stands
-        # (the reference's enumeration also degrades to heuristics there)
+    if len(leaves) > 14:
+        # pruned subset-DP is exact to this arity — past it the textual
+        # order stands (the reference's enumeration also degrades there)
         return query, None
+    # reorder inside derived-table bodies first (every DerivedTable is
+    # planned in the reference, DerivedTable.h:36-238), so the leaf df used
+    # for estimation matches what is rendered
+    for unit in [*leaves, *attachments]:
+        node = unit.table if isinstance(unit, _Leaf) else unit.rel
+        if isinstance(node, ast.SubqueryRel):
+            body, _ = _reorder_select(
+                node.query, spark, min_tables=min_tables, broadcast_rows=broadcast_rows
+            )
+            replaced = dataclasses.replace(node, query=body)
+            if isinstance(unit, _Leaf):
+                unit.table = replaced
+            else:
+                unit.rel = replaced
     by_alias = {l.alias.lower(): l for l in leaves}
-    if len(by_alias) != len(leaves):
+    att_alias = {a.alias.lower(): a for a in attachments}
+    if len(by_alias) != len(leaves) or len(att_alias) != len(attachments):
         return query, None  # duplicate alias (unaliased self-join)
+    if set(by_alias) & set(att_alias):
+        return query, None
 
-    # bare-column → owning leaf ("?" = ambiguous)
+    def unit_df(unit):
+        if isinstance(unit, _Leaf) and not unit.derived:
+            return spark.table(unit.real_name)
+        if isinstance(unit, _Attachment) and unit.real_name:
+            return spark.table(unit.real_name)
+        node = unit.table if isinstance(unit, _Leaf) else unit.rel
+        return spark.sql(node.query.sql())
+
+    # bare-column → owning unit ("?" = ambiguous); attachments participate
+    # so their columns classify conjuncts as residual, never as core edges
     by_col: dict[str, str] = {}
+    dfs: dict[str, "DataFrame"] = {}
     try:
-        for l in leaves:
-            l.columns = {c.lower() for c in spark.table(l.real_name).columns}
+        for unit in [*leaves, *attachments]:
+            df = dfs[unit.alias.lower()] = unit_df(unit)
+            unit.columns = {c.lower() for c in df.columns}
     except Exception:
         return query, None
+    for unit in [*leaves, *attachments]:
+        for c in unit.columns:
+            by_col[c] = "?" if c in by_col else unit.alias.lower()
+    # derived core leaves: planning may need to count the subquery — only
+    # eligible when its inputs are planning-scale (footer metadata bound);
+    # an unbounded derived leaf forfeits reordering rather than running a
+    # full subquery to plan one
     for l in leaves:
-        for c in l.columns:
-            by_col[c] = "?" if c in by_col else l.alias.lower()
+        if l.derived and not _bounded_inputs(dfs[l.alias.lower()]):
+            return query, None
+    by_alias_all = dict(by_alias)
+    by_alias_all.update(att_alias)
 
     if sel.where is not None:
         _split_and(sel.where, conjuncts)
@@ -372,8 +509,10 @@ def _reorder_select(
     edge_expr: dict[int, ast.Expr] = {}
     residual: list[ast.Expr] = []
     for c in conjuncts:
-        refs = _refs(c, by_alias, by_col)
-        if refs is None or len(refs) == 0:
+        refs = _refs(c, by_alias_all, by_col)
+        if refs is None or len(refs) == 0 or (refs & set(att_alias)):
+            # conjuncts touching a hoisted attachment stay in WHERE
+            # verbatim — filter placement above both joins is equivalent
             residual.append(c)
         elif len(refs) == 1:
             single.setdefault(next(iter(refs)), []).append(c)
@@ -418,9 +557,11 @@ def _reorder_select(
                 pred = term if pred is None else (pred & term)
         g.table(
             a,
-            spark.table(l.real_name),
+            dfs[a],
             pred,
-            bucketed_by=_bucket_spec(spark, l.real_name),
+            bucketed_by=(
+                None if l.derived else _bucket_spec(spark, l.real_name)
+            ),
         )
     for e in edges:
         g.edges.append(e)
@@ -431,7 +572,31 @@ def _reorder_select(
         return query, None
     if tree is None:
         return query, None
+
+    def _has_cross(t: tuple) -> bool:
+        return t[0] == "cross" or (
+            t[0] != "leaf" and (_has_cross(t[1]) or _has_cross(t[2]))
+        )
+
+    # a core that only connects through a hoisted attachment would plan a
+    # cross join the textual order avoids — keep the textual order there
+    if attachments and _has_cross(tree):
+        return query, None
     implied = {id(e) for e in g.edges[n_explicit:]}
+    # core-leaf history signatures + input dirs: the execution-feedback
+    # recorder matches executed-plan scan nodes back to these
+    signatures: dict[str, tuple[str, tuple[str, ...]]] = {}
+    for a, ref in g.tables.items():
+        try:
+            files = ref.df.inputFiles()
+        except Exception:
+            files = []
+        paths = tuple(
+            sorted(
+                f.removeprefix("file://").removeprefix("file:") for f in files
+            )
+        )
+        signatures[a] = (g._signature(ref), paths)
 
     def render(t: tuple) -> ast.Relation:
         if t[0] == "leaf":
@@ -456,19 +621,43 @@ def _reorder_select(
     order: list[str] = []
     new_from = render(tree)
 
+    # re-attach hoisted LEFT joins above the reordered core, in their
+    # original left-to-right order (preserves inter-attachment scope)
+    from verax_spark.optimizer.query_graph import _parquet_row_count
+
+    for att in attachments:
+        new_from = ast.Join("left", new_from, att.rel, on=att.on)
+        rows = _parquet_row_count(dfs[att.alias.lower()])
+        if rows is not None:
+            est[att.alias.lower()] = float(rows)
+
     # WHERE = single-table predicates + residual (original spellings)
     new_where: ast.Expr | None = None
     for c in [c for preds in single.values() for c in preds] + residual:
         new_where = c if new_where is None else ast.BinOp("and", new_where, c)
 
-    broadcast = sorted(
+    core_bcast = [
         a for a in order if est.get(a, float("inf")) <= g.broadcast_rows
-    )
-    if len(broadcast) == len(leaves):
-        # broadcasting every side is meaningless; keep the smallest ones
-        broadcast = sorted(sorted(broadcast, key=lambda a: est[a])[:-1])
+    ]
+    if len(core_bcast) == len(leaves):
+        # broadcasting every core side is meaningless; keep the smallest
+        core_bcast = sorted(core_bcast, key=lambda a: est[a])[:-1]
+    # a small attachment is a broadcastable build side of its left join
+    att_bcast = [
+        a.alias.lower()
+        for a in attachments
+        if est.get(a.alias.lower(), float("inf")) <= g.broadcast_rows
+    ]
+    broadcast = sorted(core_bcast + att_bcast)
     new_sel = dataclasses.replace(sel, from_=new_from, where=new_where)
     if broadcast:
         new_sel.hint = f"broadcast({', '.join(broadcast)})"
     new_query = dataclasses.replace(query, body=new_sel)
-    return new_query, ReorderInfo(order=order, broadcast=broadcast, tree=tree, est=est)
+    return new_query, ReorderInfo(
+        order=order,
+        broadcast=broadcast,
+        tree=tree,
+        est=est,
+        attachments=[a.alias.lower() for a in attachments],
+        signatures=signatures,
+    )
