@@ -723,3 +723,45 @@ def test_execution_feedback_roundtrip(spark, sf_dir, tmp_path, monkeypatch):
     info2 = ps2.last_reorder
     assert info2 is not None
     assert info2.est["o"] == true_o
+
+
+def test_branch_and_bound_dp_beats_greedy_at_12_tables(spark):
+    """Round-4 #8: branch-and-bound pruning (Plan.h:273-276 analog) keeps
+    exact enumeration affordable past the old 10-table cap. A 12-table
+    chain with one expensive edge at the smallest table: greedy starts
+    there and drags the blow-up through every intermediate; exact DP joins
+    the cheap suffix first and crosses the expensive edge once, at the end.
+    """
+    import time
+
+    g = QueryGraph()
+    n = 12
+    names = [f"t{i:02d}" for i in range(n)]
+    for i, name in enumerate(names):
+        # two DISTINCT key columns per table: a real chain, not one big
+        # equivalence class (implied-edge closure would clique it)
+        g.table(name, spark.createDataFrame([(1, 1)], f"a{i} int, b{i} int"))
+        if i:
+            g.edge(names[i - 1], f"b{i - 1}", name, f"a{i}")
+    est = {"t00": 10.0}
+    est.update({name: 1000.0 - i for i, name in enumerate(names) if i})
+    fans = {("t00", "t01"): (500.0, 5.0)}  # the trap edge
+    g._estimate_rows = lambda ref: est[ref.name]
+    g._edge_fanout = lambda e, mod=None: fans.get((e.left, e.right), (1.0, 1.0))
+
+    t0 = time.monotonic()
+    tree, _ = g.choose_tree()
+    elapsed = time.monotonic() - t0
+    assert tree is not None
+    assert elapsed < 20.0, f"12-table enumeration took {elapsed:.1f}s"
+
+    def leaves_in_order(t):
+        if t[0] == "leaf":
+            return [t[1]]
+        return leaves_in_order(t[1]) + leaves_in_order(t[2])
+
+    order = leaves_in_order(tree)
+    # greedy starts at t00 (smallest); exact DP must NOT — the expensive
+    # edge is deferred so intermediates stay small
+    assert order[0] != "t00", order
+    assert order.index("t00") >= n - 2, order

@@ -163,6 +163,11 @@ class QueryGraph:
     semijoin_reduction: bool = True
     semijoin_factor: float = 10.0  # min big/partner row ratio to fire
     reductions: list[tuple[str, str]] = field(default_factory=list)
+    # exact-enumeration bounds: branch-and-bound DP is exact to
+    # ``dp_max_tables`` relations; ``dp_budget`` caps combination
+    # evaluations (dense cliques) — past either, greedy takes over
+    dp_max_tables: int = 14
+    dp_budget: int = 500_000
 
     def table(
         self,
@@ -493,7 +498,7 @@ class QueryGraph:
             raise ValueError("empty query graph")
         self.add_implied_edges()
         if algorithm == "auto":
-            algorithm = "dp" if len(self.tables) <= 10 else "greedy"
+            algorithm = "dp" if len(self.tables) <= self.dp_max_tables else "greedy"
         if algorithm == "dp":
             return self._plan_dp()
         return self._plan_greedy()
@@ -624,7 +629,7 @@ class QueryGraph:
         return self._build_tree(tree, est)
 
     def _choose_tree_dp(self) -> tuple[tuple | None, dict[str, float]]:
-        """Subset DP over left-deep + bushy join trees.
+        """Branch-and-bound subset DP over left-deep + bushy join trees.
 
         best[S] holds (cost, rows, tree) for every connected subset S; trees
         combine either leaf-extension (left-deep step) or two memoized
@@ -638,7 +643,18 @@ class QueryGraph:
         rows × subtree row width, and (b) the cheaper of shuffling both
         sides vs broadcasting the smaller eligible side × replication —
         so when two orders tie on C_out, the one moving fewer (or
-        broadcastable) bytes wins."""
+        broadcastable) bytes wins.
+
+        Branch-and-bound (ref Plan.h:273-276 — partial plans are pruned
+        against the best complete plan): a greedy complete plan seeds the
+        upper bound, and any partial subset whose cost already meets it is
+        dropped — admissible because every cost term is nonnegative, so a
+        subset's cost lower-bounds every completion through it. This keeps
+        exact enumeration affordable to ``dp_max_tables`` (14) relations on
+        the sparse FK graphs real queries have; ``dp_budget`` caps
+        combination evaluations on dense cliques, falling back to the
+        greedy plan (the reference's enumeration degrades the same way,
+        Optimization.h:322 memo + heuristic cutoffs)."""
         est = {name: self._estimate_rows(ref) for name, ref in self.tables.items()}
         if self.history is not None:
             for name, ref in self.tables.items():
@@ -693,12 +709,65 @@ class QueryGraph:
                     out.append((e, r2l))
             return out
 
+        def join_step(s1, s2, entry1, entry2):
+            """(cost, rows, tree, has_edges) of joining two planned
+            disjoint subsets — the single shared costing step."""
+            edges = crossing(s1, s2)
+            c1, r1, t1 = entry1
+            c2, r2, t2 = entry2
+            if edges:
+                growth = min(g for _, g in edges)
+                rows = r1 * growth
+                tree = ("join", t1, t2, [e for e, _ in edges])
+            else:
+                rows = r1 * max(r2, 1.0)
+                tree = ("cross", t1, t2)
+            move = (
+                0.0
+                if co_partitioned(s1, s2, edges)
+                else transfer(r1, width(s1), r2, width(s2))
+            )
+            cost = c1 + c2 + rows * width(s1 | s2) + move
+            return cost, rows, tree, bool(edges)
+
+        def greedy_entry() -> tuple[float, float, tuple] | None:
+            """Complete plan from smallest-cost-step frontier expansion —
+            the branch-and-bound upper bound AND the fallback plan."""
+            if not names:
+                return None
+            start = min(names, key=lambda n: est[n])
+            cur_set = frozenset([start])
+            cur = (0.0, est[start], ("leaf", start))
+            while len(cur_set) < len(names):
+                rest = [n for n in names if n not in cur_set]
+                cands = [n for n in rest if crossing(cur_set, frozenset([n]))]
+                if not cands:
+                    cands = rest  # disconnected: forced cross join
+                step_best = None
+                pick = None
+                for n in cands:
+                    step = join_step(
+                        cur_set,
+                        frozenset([n]),
+                        cur,
+                        (0.0, est[n], ("leaf", n)),
+                    )
+                    if step_best is None or step[0] < step_best[0]:
+                        step_best, pick = step, n
+                cur_set |= {pick}
+                cur = step_best[:3]
+            return cur
+
+        ub_entry = greedy_entry()
+        ub = ub_entry[0] if ub_entry is not None else float("inf")
+
         # best[S] = (cost, rows, tree); tree = ("leaf", name) |
         # ("join", treeL, treeR, [edges]) | ("cross", treeL, treeR)
         best: dict[frozenset, tuple[float, float, tuple]] = {
             frozenset([n]): (0.0, est[n], ("leaf", n)) for n in names
         }
         subsets_by_size: dict[int, list[frozenset]] = {1: list(best)}
+        evals = 0
         for size in range(2, len(names) + 1):
             level: list[frozenset] = []
             seen: set[frozenset] = set()
@@ -707,36 +776,36 @@ class QueryGraph:
                     for s2 in subsets_by_size.get(lsize, []):
                         if s1 & s2:
                             continue
-                        edges = crossing(s1, s2)
-                        if not edges and size < len(names):
-                            continue  # defer cross joins until forced
-                        s = s1 | s2
-                        c1, r1, t1 = best[s1]
-                        c2, r2, t2 = best[s2]
-                        if edges:
-                            growth = min(g for _, g in edges)
-                            rows = r1 * growth
-                            tree = ("join", t1, t2, [e for e, _ in edges])
-                        else:
-                            rows = r1 * max(r2, 1.0)
-                            tree = ("cross", t1, t2)
-                        move = (
-                            0.0
-                            if co_partitioned(s1, s2, edges)
-                            else transfer(r1, width(s1), r2, width(s2))
+                        evals += 1
+                        if evals > self.dp_budget:
+                            # dense graph blew the budget: greedy stands
+                            return (
+                                (ub_entry[2], est)
+                                if ub_entry is not None
+                                else (None, est)
+                            )
+                        cost, rows, tree, has_edges = join_step(
+                            s1, s2, best[s1], best[s2]
                         )
-                        cost = c1 + c2 + rows * width(s) + move
+                        if not has_edges and size < len(names):
+                            continue  # defer cross joins until forced
+                        if cost >= ub and size < len(names):
+                            continue  # B&B prune: no completion can win
+                        s = s1 | s2
                         cur = best.get(s)
                         if cur is None or cost < cur[0]:
                             best[s] = (cost, rows, tree)
-                            if s not in seen:
+                            if s == full:
+                                ub = min(ub, cost)  # tighten the bound
+                            elif s not in seen:
                                 seen.add(s)
                                 level.append(s)
             subsets_by_size[size] = level
-        if full not in best:
-            return None, est
-        _, _, tree = best[full]
-        return tree, est
+        if full in best and (ub_entry is None or best[full][0] <= ub_entry[0]):
+            return best[full][2], est
+        if ub_entry is not None:
+            return ub_entry[2], est
+        return None, est
 
     def _build_tree(self, tree: tuple, est: dict[str, float]) -> DataFrame:
         kind = tree[0]
