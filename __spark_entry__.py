@@ -37,6 +37,7 @@ _PRIORITY = [
     "pl_curate",
     # -- new this round --
     "sql_insert", "sql_delete", "sql_update", "op_fn_decimal",
+    "op_connector_tpch",
     # -- not driver-checked since r01 (position 51+ in the r03 rotation) --
     "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",
     "op_fn_array_map", "op_fn_conv", "op_fn_percentile",
@@ -52,7 +53,8 @@ _PRIORITY = [
     "op_join_theta", "op_setop_except", "op_agg_filter",
     "op_window_range_frame", "op_unnest_map",
     # -- regression anchors (one per heavily-shared family), filling the
-    # 50-query budget exactly --
+    # 50-query budget exactly (st_windowed_counts rotates to 51: its family
+    # was re-checked green in r03) --
     "tpch_q1", "tpch_q9", "pl_dedup_exact", "st_windowed_counts",
     # -- position 51+: green in r02/r03 (or exercised indirectly by the
     # green TPC-H corpus), re-checked as budget allows --

@@ -84,6 +84,22 @@ def main() -> None:
     except Exception:
         pass
 
+    # sf1 convergence evidence (tools/bench_sf1.py, committed artifact):
+    # surfaces the compute-bound-scale ratio alongside the sf0.1 numbers
+    sf1 = None
+    sf1_path = os.path.join(os.path.dirname(DETAIL_PATH), "BENCH_SF1.json")
+    if os.path.exists(sf1_path):
+        try:
+            with open(sf1_path) as f:
+                j = json.load(f)
+            sf1 = {
+                "ratio_steady": j.get("ratio_steady"),
+                "spark_total": j.get("spark_tpch_total_steady"),
+                "duckdb_total": j.get("duckdb_tpch_total"),
+            }
+        except (json.JSONDecodeError, OSError):
+            pass
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     tpch_steady = {k: v for k, v in steady.items() if k.startswith("tpch_")}
@@ -103,6 +119,7 @@ def main() -> None:
         "total_all_queries_steady": round(sum(steady.values()), 4),
         "total_all_queries_cold": round(sum(cold.values()), 4),
         "duckdb_tpch_total": duck_total,
+        "sf1_vs_duckdb": sf1,
         "notes": (
             "Uniform two-run methodology for every query: cold = 1st run "
             "(codegen JIT + planning), steady = 2nd run as measured (no "
@@ -128,6 +145,7 @@ def main() -> None:
                 "total_all_queries_steady": detail["total_all_queries_steady"],
                 "total_all_queries_cold": detail["total_all_queries_cold"],
                 "duckdb_tpch_total": duck_total,
+                "sf1_vs_duckdb": sf1,
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -123,8 +123,15 @@ class Catalog:
         raise AttributeError(name)
 
     def register_views(self, names: tuple[str, ...] = ALL_TABLES) -> None:
-        """Register temp views so spark.sql() sees the catalog."""
+        """Register temp views so spark.sql() sees the catalog. Tables whose
+        parquet is absent in this sf_dir are skipped (recorded in
+        ``self.missing``) — partial directories (e.g. a TPC-H-only scale
+        run) still get a working session for the tables they do have."""
+        self.missing: list[str] = []
         for name in names:
+            if not os.path.exists(os.path.join(self.sf_dir, f"{name}.parquet")):
+                self.missing.append(name)
+                continue
             self.table(name).createOrReplaceTempView(name)
 
 

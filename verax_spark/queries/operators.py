@@ -2075,3 +2075,50 @@ def op_subfield_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("props_k").cast("bigint").alias("props_k"),
         F.col("props_score").cast("double").alias("props_score"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Connector metadata layer (ConnectorMetadata analog with hive/tpch/test
+# implementations, ref axiom/connectors/ConnectorMetadata.h:176-353): the
+# generated tpch connector materializes nothing — tables are closed-form
+# expressions of the row id (spark.range, JVM-side), reproducible in ANSI
+# SQL by any engine, so the differential oracle regenerates the SAME rows
+# from range() CTEs. Exercises attach() + catalog-qualified name resolution
+# through the SQL front door, a generated-source join, and decimal-exact
+# aggregation.
+def _connector_tpch_sql(src: dict[str, str]) -> str:
+    return f"""
+    select o.o_orderstatus, l.l_returnflag,
+      cast(sum(cast(l.l_quantity as decimal(18,2))) as double) as sum_qty,
+      cast(sum(cast(l.l_extendedprice as decimal(18,2))
+               * (cast(1.00 as decimal(3,2)) - cast(l.l_discount as decimal(3,2))))
+           as double) as sum_disc,
+      count(*) as n
+    from {src['lineitem']} l join {src['orders']} o
+      on l.l_orderkey = o.o_orderkey
+    where l.l_shipdate <= timestamp '2000-12-01 00:00:00'
+    group by o.o_orderstatus, l.l_returnflag
+    order by o.o_orderstatus, l.l_returnflag
+    """
+
+
+def _connector_tpch_oracle() -> str:
+    from verax_spark.connectors.tpch import oracle_ddl
+
+    # the driver's correctness gate always runs at sf=0.01 (TESTDATA.md)
+    body = _connector_tpch_sql({"lineitem": "gen_lineitem", "orders": "gen_orders"})
+    return f"with {oracle_ddl(0.01)} {body}"
+
+
+@_register("op_connector_tpch", _connector_tpch_oracle())
+def op_connector_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.connectors import TpchConnector
+    from verax_spark.sql import PrestoSession
+
+    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(tail) if tail.replace(".", "").isdigit() else 0.01
+    ps = PrestoSession(spark, sf_dir)
+    ps.attach(TpchConnector(spark, sf=sf))
+    return ps.sql(
+        _connector_tpch_sql({"lineitem": "tpch.lineitem", "orders": "tpch.orders"})
+    )

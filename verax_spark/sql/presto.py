@@ -163,6 +163,9 @@ class PrestoSession:
         # explicitly registered writable table (connector WriteKind surface,
         # ref ConnectorMetadata.h:457-627).
         self.writable: dict[str, str] = {}
+        # attached connectors (ConnectorMetadata registry analog): catalog
+        # name → Connector; SQL text reaches their tables as <catalog>.<table>
+        self.connectors: dict[str, "Connector"] = {}
         # view + compat-UDF registration is idempotent; skip the ~12 DDL
         # round-trips when this session already has THIS sf_dir's views
         # (re-register whenever the sf_dir changes — views are global names)
@@ -172,8 +175,35 @@ class PrestoSession:
             register_sql_compat(spark)
             _REGISTERED[app] = self.catalog.sf_dir
 
+    def attach(self, connector) -> None:
+        """Expose a connector's tables to SQL text under
+        ``<connector.name>.<table>`` (the reference's catalog-qualified
+        names; ConnectorMetadata registry analog)."""
+        self.connectors[connector.name] = connector
+
+    def _resolve_connector_tables(self, stmt) -> None:
+        """Rewrite ``catalog.table`` references for attached connectors to
+        session temp views (registered lazily from the connector's
+        DataFrame). The original table name becomes the alias, so qualified
+        column references keep resolving."""
+        if not self.connectors:
+            return
+        for node in _walk_expr(stmt):
+            if (
+                isinstance(node, ast.Table)
+                and len(node.name) == 2
+                and node.name[0].lower() in self.connectors
+            ):
+                cat, tbl = node.name[0].lower(), node.name[1]
+                view = f"{cat}__{tbl}"
+                handle = self.connectors[cat].table(tbl)
+                handle.df.createOrReplaceTempView(view)
+                node.alias = node.alias or tbl
+                node.name = [view]
+
     def sql(self, text: str) -> DataFrame:
         stmt = parse(text.strip())
+        self._resolve_connector_tables(stmt)
         if isinstance(stmt, ast.DescribeStmt):
             # Presto DESCRIBE shape: (column, type, extra, comment) rows,
             # produced as a local Values relation like the reference
