@@ -84,21 +84,23 @@ def main() -> None:
     except Exception:
         pass
 
-    # sf1 convergence evidence (tools/bench_sf1.py, committed artifact):
-    # surfaces the compute-bound-scale ratio alongside the sf0.1 numbers
-    sf1 = None
-    sf1_path = os.path.join(os.path.dirname(DETAIL_PATH), "BENCH_SF1.json")
-    if os.path.exists(sf1_path):
+    # scale-convergence evidence (tools/bench_sf1.py, committed artifacts):
+    # surfaces the compute-bound-scale ratios alongside the sf0.1 numbers
+    import glob as _glob
+
+    sf1 = {}
+    for p in sorted(_glob.glob(os.path.join(os.path.dirname(DETAIL_PATH), "BENCH_SF*.json"))):
         try:
-            with open(sf1_path) as f:
+            with open(p) as f:
                 j = json.load(f)
-            sf1 = {
+            sf1[f"sf{j.get('sf')}"] = {
                 "ratio_steady": j.get("ratio_steady"),
                 "spark_total": j.get("spark_tpch_total_steady"),
                 "duckdb_total": j.get("duckdb_tpch_total"),
             }
         except (json.JSONDecodeError, OSError):
             pass
+    sf1 = sf1 or None
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

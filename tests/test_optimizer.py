@@ -765,3 +765,66 @@ def test_branch_and_bound_dp_beats_greedy_at_12_tables(spark):
     # edge is deferred so intermediates stay small
     assert order[0] != "t00", order
     assert order.index("t00") >= n - 2, order
+
+
+def test_byte_aware_broadcast_gate(spark):
+    """Broadcast eligibility is byte-denominated (Distribution::broadcast,
+    Schema.h:167-171): a 2M-row narrow side under the byte budget
+    broadcasts (beats re-shuffling a 60M-row probe); a wide side of the
+    same row count does not; the hash-build row cap binds regardless."""
+    g = QueryGraph()
+    assert g.broadcastable(500_000, 1000.0)  # legacy row threshold
+    assert g.broadcastable(2_000_000, 24.0)  # 48 MB narrow slice
+    assert not g.broadcastable(2_000_000, 100.0)  # 200 MB
+    assert not g.broadcastable(5_000_000, 4.0)  # row cap
+
+
+def test_parquet_stats_cached_by_file_state(sf_dir, monkeypatch):
+    from verax_spark.sources import stats as stats_mod
+
+    files = [f"{sf_dir}/nation.parquet"]
+    stats_mod._STATS_CACHE.clear()
+    first = stats_mod.parquet_stats(files)
+    assert first is not None and first.num_rows == 25
+
+    def boom(paths):
+        raise AssertionError("footer re-read despite unchanged files")
+
+    monkeypatch.setattr(stats_mod, "_parquet_stats_uncached", boom)
+    again = stats_mod.parquet_stats(files)
+    assert again is first
+
+
+def test_fanout_survives_low_cardinality_key_domains(spark, sf_dir):
+    """A 25-value key domain can dodge the mod-16 hash sample entirely; the
+    estimator must re-probe exhaustively rather than silently report the
+    neutral 1.0 fanout (which once made a 60,000x nationkey edge look free
+    and planned a billion-row intermediate)."""
+    from verax_spark.optimizer.query_graph import JoinEdge
+
+    cat = Catalog(spark, sf_dir)
+    g = QueryGraph()
+    g.table("customer", cat.customer)
+    g.table("supplier", cat.supplier)
+    e = JoinEdge("customer", "supplier", "c_nationkey", "s_nationkey")
+    g.edges.append(e)
+    n_c = cat.customer.count()
+    n_s = cat.supplier.count()
+    # exhaustive ground truth: uniform nationkeys → ~n_s/25 matches per
+    # customer row; accept wide tolerance but NEVER the neutral 1.0
+    l2r, r2l = g._edge_fanout(e)
+    assert l2r > n_s / 25 * 0.3, (l2r, r2l)
+    assert r2l > n_c / 25 * 0.3, (l2r, r2l)
+
+
+def test_fanout_single_key_domain_exact(spark):
+    """Degenerate single-valued key: fanout is exactly the other side's row
+    count whether or not the hash sample catches the one key."""
+    from verax_spark.optimizer.query_graph import JoinEdge
+
+    g = QueryGraph()
+    g.table("a", spark.createDataFrame([(7,)] * 40, "k int"))
+    g.table("b", spark.createDataFrame([(7,)] * 10, "j int"))
+    e = JoinEdge("a", "b", "k", "j")
+    g.edges.append(e)
+    assert g._edge_fanout(e) == (10.0, 40.0)

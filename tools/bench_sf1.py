@@ -32,9 +32,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SRC = "/root/testdata/sf0.1"
-DST = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-COPIES = 10
-OUT = os.path.join(REPO, "BENCH_SF1.json")
+# scaled-copy count: 10 → sf1, 100 → sf10 (use --copies N)
+COPIES = int(
+    next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--copies=")),
+        "10",
+    )
+)
+SF = round(0.1 * COPIES, 4)
+_tag = str(SF).rstrip("0").rstrip(".")
+DST = os.environ.get("SPARK_GRAFT_SF1_DIR", f"/tmp/sf{_tag}")
+OUT = os.path.join(REPO, f"BENCH_SF{_tag}.json")
 
 # key columns to shift per table (offset = COPY_INDEX * (max+1) of the
 # column's HOME table, so foreign keys follow their primary keys)
@@ -156,7 +164,7 @@ def main() -> None:
     spark_total = round(sum(steady.values()), 4)
     duck_total = round(sum(duck.values()), 4)
     out = {
-        "sf": 1.0,
+        "sf": SF,
         "derivation": f"{COPIES} key-shifted copies of sf0.1 (see docstring)",
         "spark_tpch_total_steady": spark_total,
         "spark_tpch_total_cold": round(sum(cold.values()), 4),

@@ -40,6 +40,14 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 DEFAULT_BROADCAST_ROWS = 1_000_000  # ~rows that comfortably broadcast
+# bytes-aware broadcast gate (Distribution::broadcast is byte-denominated in
+# the reference, Schema.h:167-171): a side broadcasts when EITHER its row
+# count clears broadcast_rows OR its estimated bytes fit the exchange budget
+# while rows stay under a hard hash-build cap. A 2M-row × 24-byte filtered
+# fact slice (~50 MB) beats re-shuffling a 60M-row probe side; a 10M-row
+# build never broadcasts regardless of bytes (hash-build time dominates).
+DEFAULT_BROADCAST_BYTES = 64 << 20
+BROADCAST_ROW_CAP = 4_000_000
 
 # -- transfer cost model (ref Cost struct RelationOp.h:39-74; constants
 # Cost.h:95-123 — shuffle ≈ 12 units/byte vs unit memcpy: moving bytes
@@ -87,18 +95,12 @@ def _parquet_row_count(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
-    import pyarrow.parquet as pq
+    if any(".parquet" not in f.rsplit("/", 1)[-1] for f in files):
+        return None
+    from verax_spark.sources.stats import parquet_stats
 
-    total = 0
-    for f in files:
-        if ".parquet" not in f.rsplit("/", 1)[-1]:
-            return None
-        path = f.removeprefix("file://").removeprefix("file:")
-        try:
-            total += pq.ParquetFile(path).metadata.num_rows
-        except Exception:
-            return None
-    return total
+    stats = parquet_stats(list(files))  # process-cached footer read
+    return None if stats is None else stats.num_rows
 
 
 @dataclass
@@ -155,6 +157,7 @@ class QueryGraph:
     edges: list[JoinEdge] = field(default_factory=list)
     sample_fraction: float = 0.05
     broadcast_rows: int = DEFAULT_BROADCAST_ROWS
+    broadcast_bytes: int = DEFAULT_BROADCAST_BYTES
     history: "ExecutionHistory | None" = None
     fanout_mod: int = 16  # key-domain hash-sample rate for fanout probes
     last_order: list[str] = field(default_factory=list)  # chosen join order
@@ -340,8 +343,20 @@ class QueryGraph:
             )
             .collect()[0]
         )
-        if not stats.pairs or not stats.lrows or not stats.rrows:
-            return 1.0, 1.0  # empty sample → neutral fanout
+        if not stats.lrows or not stats.rrows:
+            # A low-cardinality key domain (e.g. 25 nation keys) can dodge
+            # the hash sample entirely — a silent neutral (1.0) here once
+            # made a 60,000x-fanout nationkey edge look free and planned a
+            # billion-row intermediate. Re-probe exhaustively over the key
+            # domain (mod=1 groups by key: cost ~ #distinct keys, cheap
+            # precisely when the sample came back empty).
+            if mod > 1:
+                return self._edge_fanout(e, mod=1)
+            if stats.lrows or stats.rrows:
+                return 0.0, 0.0  # provably disjoint key domains
+            return 1.0, 1.0  # both sides empty under no sampling: no data
+        if not stats.pairs:
+            return 0.0, 0.0  # sampled keys exist on both sides, none match
         l2r = float(stats.pairs) / float(stats.lrows)
         r2l = float(stats.pairs) / float(stats.rrows)
         if self.history is not None:
@@ -564,9 +579,16 @@ class QueryGraph:
             self.last_order.append(nxt)
         return current
 
+    def broadcastable(self, rows: float, width: float) -> bool:
+        """Byte-aware broadcast gate (see DEFAULT_BROADCAST_BYTES)."""
+        if rows <= self.broadcast_rows:
+            return True
+        return rows <= BROADCAST_ROW_CAP and rows * width <= self.broadcast_bytes
+
     def _side(self, name: str, est: dict[str, float]) -> DataFrame:
-        df = self.tables[name].filtered()
-        if est[name] <= self.broadcast_rows:
+        ref = self.tables[name]
+        df = ref.filtered()
+        if self.broadcastable(est[name], _row_width(ref.df.schema)):
             df = F.broadcast(df)
         return df
 
@@ -693,9 +715,9 @@ class QueryGraph:
         def transfer(r1: float, w1: float, r2: float, w2: float) -> float:
             shuffle = (r1 * w1 + r2 * w2) * SHUFFLE_COST_PER_BYTE
             bcast = float("inf")
-            if r1 <= self.broadcast_rows:
+            if self.broadcastable(r1, w1):
                 bcast = r1 * w1 * BROADCAST_REPLICATION
-            if r2 <= self.broadcast_rows:
+            if self.broadcastable(r2, w2):
                 bcast = min(bcast, r2 * w2 * BROADCAST_REPLICATION)
             return min(shuffle, bcast)
 

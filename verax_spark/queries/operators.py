@@ -2115,10 +2115,11 @@ def op_connector_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from verax_spark.connectors import TpchConnector
     from verax_spark.sql import PrestoSession
 
-    tail = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    sf = float(tail) if tail.replace(".", "").isdigit() else 0.01
+    # generated at a FIXED sf so the static oracle regenerates the same
+    # rows no matter which sf_dir the harness passes (oracle_sql() strings
+    # cannot see sf_dir; the generated source doesn't read it anyway)
     ps = PrestoSession(spark, sf_dir)
-    ps.attach(TpchConnector(spark, sf=sf))
+    ps.attach(TpchConnector(spark, sf=0.01))
     return ps.sql(
         _connector_tpch_sql({"lineitem": "tpch.lineitem", "orders": "tpch.orders"})
     )

@@ -88,11 +88,45 @@ def _canon_path(path: str) -> str:
     )
 
 
+# process-wide footer cache: (files, sizes, mtimes) → TableStats. Footers
+# are immutable for a given file state, so caching is exact; the key dies
+# with the files it describes (same invalidation rule as the history
+# fingerprint). Re-planning the same tables then costs zero I/O.
+_STATS_CACHE: dict[tuple, "TableStats | None"] = {}
+
+
+def _stats_key(paths: list[str]) -> tuple | None:
+    import os as _os
+
+    key = []
+    for p in sorted(paths):
+        local = p.removeprefix("file://").removeprefix("file:")
+        try:
+            st = _os.stat(local)
+        except OSError:
+            return None
+        key.append((local, st.st_size, int(st.st_mtime)))
+    return tuple(key)
+
+
 def parquet_stats(paths: list[str]) -> TableStats | None:
     """Aggregate footer metadata across the files of one table. Returns None
     if any file lacks a readable footer (caller falls back to sampling).
     Nested column chunks (struct fields, map key/value streams) aggregate
-    into per-path subfield statistics."""
+    into per-path subfield statistics. Cached per file state (footers are
+    immutable; see _STATS_CACHE)."""
+    key = _stats_key(paths)
+    if key is not None and key in _STATS_CACHE:
+        return _STATS_CACHE[key]
+    out = _parquet_stats_uncached(paths)
+    if key is not None:
+        if len(_STATS_CACHE) > 256:
+            _STATS_CACHE.clear()
+        _STATS_CACHE[key] = out
+    return out
+
+
+def _parquet_stats_uncached(paths: list[str]) -> TableStats | None:
     import pyarrow.parquet as pq
 
     num_rows = 0

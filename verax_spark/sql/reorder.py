@@ -94,7 +94,7 @@ class ReorderInfo:
     tree: tuple  # ("leaf", a) | ("join"/"cross", t1, t2, ...)
     est: dict[str, float]  # estimated rows per leaf
     attachments: list[str] = field(default_factory=list)  # hoisted LEFT joins
-    # alias → (history signature, input-file dirs) for the core leaves —
+    # alias → (history signature, input file paths) for the core leaves —
     # consumed by the execution-feedback recorder (PrestoSession)
     signatures: dict[str, tuple[str, tuple[str, ...]]] = field(default_factory=dict)
 
@@ -194,6 +194,21 @@ def _split_and(e: ast.Expr, out: list[ast.Expr]) -> None:
 
 
 _SUBQUERY_NODES = (ast.InSubquery, ast.Exists, ast.ScalarSubquery, ast.Quantified)
+
+
+def _walk_idents(node):
+    """All ast.Ident nodes under ``node`` (dataclass tree walk)."""
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, ast.Ident):
+            yield n
+            continue
+        if dataclasses.is_dataclass(n) and not isinstance(n, type):
+            for f in dataclasses.fields(n):
+                stack.append(getattr(n, f.name))
+        elif isinstance(n, (list, tuple)):
+            stack.extend(n)
 
 
 def _refs(expr: ast.Expr, by_alias: dict[str, _Leaf], by_col: dict[str, str]):
@@ -636,18 +651,42 @@ def _reorder_select(
     for c in [c for preds in single.values() for c in preds] + residual:
         new_where = c if new_where is None else ast.BinOp("and", new_where, c)
 
-    core_bcast = [
-        a for a in order if est.get(a, float("inf")) <= g.broadcast_rows
-    ]
+    from verax_spark.optimizer.query_graph import _row_width
+
+    # columns each leaf actually contributes (Catalyst prunes the rest), so
+    # the broadcast byte estimate reflects the projected row, not the table
+    used_cols: dict[str, set[str]] = {a: set() for a in by_alias}
+    for node in _walk_idents(sel):
+        parts = node.parts
+        if len(parts) >= 2 and parts[0].lower() in used_cols:
+            used_cols[parts[0].lower()].add(parts[-1].lower())
+        elif len(parts) == 1:
+            owner = by_col.get(parts[0].lower())
+            if owner in used_cols:
+                used_cols[owner].add(parts[0].lower())
+
+    def can_bcast(alias: str) -> bool:
+        rows = est.get(alias, float("inf"))
+        try:
+            schema = dfs[alias].schema
+            cols = used_cols.get(alias)
+            if cols:
+                from pyspark.sql.types import StructType
+
+                schema = StructType(
+                    [f for f in schema.fields if f.name.lower() in cols]
+                )
+            width = _row_width(schema)
+        except Exception:
+            width = 24.0
+        return g.broadcastable(rows, width)
+
+    core_bcast = [a for a in order if can_bcast(a)]
     if len(core_bcast) == len(leaves):
         # broadcasting every core side is meaningless; keep the smallest
         core_bcast = sorted(core_bcast, key=lambda a: est[a])[:-1]
     # a small attachment is a broadcastable build side of its left join
-    att_bcast = [
-        a.alias.lower()
-        for a in attachments
-        if est.get(a.alias.lower(), float("inf")) <= g.broadcast_rows
-    ]
+    att_bcast = [a.alias.lower() for a in attachments if can_bcast(a.alias.lower())]
     broadcast = sorted(core_bcast + att_bcast)
     new_sel = dataclasses.replace(sel, from_=new_from, where=new_where)
     if broadcast:
