@@ -65,6 +65,43 @@ def _ts(s: str) -> F.Column:
     return F.lit(s).cast("timestamp")
 
 
+def _ts_range_est(cat: Catalog, table: str, col: str, lo: str, hi: str) -> float | None:
+    """Footer-estimated rows of ``table`` restricted to ``lo <= col < hi``
+    — the planning-side estimate the cost-based layer uses (parquet footer
+    min/max under uniformity, sources/stats.selectivity; zero Spark jobs,
+    stats cached per file state). None when footers can't say."""
+    import datetime as _dt
+
+    from verax_spark.plans import expr as dsl
+    from verax_spark.sources.stats import selectivity
+
+    stats = cat.stats(table)
+    if stats is None:
+        return None
+    pred = dsl.Call(
+        "and",
+        dsl.Call("gte", dsl.Col(col), dsl.Lit(_dt.datetime.fromisoformat(lo))),
+        dsl.Call("lt", dsl.Col(col), dsl.Lit(_dt.datetime.fromisoformat(hi))),
+    )
+    sel = selectivity(stats, pred)
+    return None if sel is None else stats.num_rows * sel
+
+
+def _bcast_if_small(df: DataFrame, est_rows: float | None, width: float = 24.0) -> DataFrame:
+    """Explicit broadcast when the footer ESTIMATE clears the byte-aware
+    gate (Distribution::broadcast analog — the decision Catalyst cannot
+    make statically because a Filter's size estimate is its child's). At
+    small sf this matches auto-broadcast; at mid scale it saves the probe
+    side's shuffle; at very large sf the estimate exceeds the gate and the
+    plan falls back to AQE's runtime choice — scale-adaptive by
+    construction, never a hardcoded hint."""
+    from verax_spark.optimizer.query_graph import QueryGraph
+
+    if est_rows is not None and QueryGraph().broadcastable(est_rows, width):
+        return F.broadcast(df)
+    return df
+
+
 # SQL-side equivalents (DuckDB dialect == ANSI here)
 SQL_REV = "cast(l_extendedprice as decimal(12,2)) * (1 - cast(l_discount as decimal(3,2)))"
 SQL_QTY = "cast(l_quantity as decimal(4,1))"
@@ -201,8 +238,15 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = cat.orders.filter(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
     )
+    # see q10: the filtered (customer ⋈ orders) build side is footer-sized
+    # and broadcast when it fits, so lineitem streams without a shuffle
+    cust_orders = _bcast_if_small(
+        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey")),
+        _ts_range_est(cat, "orders", "o_orderdate", "1996-01-01", "1997-01-01"),
+        width=24.0,  # projected build row: c_custkey, c_nationkey, o_orderkey
+    )
     return (
-        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        cust_orders
         .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             cat.supplier,
@@ -420,8 +464,17 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
     )
     line = cat.lineitem.filter(F.col("l_returnflag") == "R")
+    # the (customer ⋈ quarter-of-orders) side is small but statically
+    # invisible (Filter keeps the child's size estimate): broadcast it from
+    # the footer estimate so the big probe never shuffles (rows ≈ filtered
+    # orders: o_custkey joins the customer PK 1:1)
+    cust_orders = _bcast_if_small(
+        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey")),
+        _ts_range_est(cat, "orders", "o_orderdate", "1996-10-01", "1997-01-01"),
+        width=64.0,  # c_custkey,c_name,c_nationkey,c_acctbal + o keys
+    )
     return (
-        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        cust_orders
         .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cat.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")

@@ -251,6 +251,32 @@ def _range_fraction(cs: ColumnStats, lo: float | None, hi: float | None) -> floa
 _CMP = {"lt", "lte", "gt", "gte", "eq", "between"}
 
 
+def _as_col_range(e) -> tuple[str, float | None, float | None] | None:
+    """(column, lo, hi) when ``e`` is a one-sided/two-sided range over a
+    single column with literal bounds; None otherwise."""
+    from verax_spark.plans.expr import Call, Col, Lit
+
+    if not isinstance(e, Call):
+        return None
+    fn = e.fn.lower()
+    if fn not in ("lt", "lte", "gt", "gte", "between"):
+        return None
+    if not (
+        isinstance(e.args[0], Col)
+        and all(isinstance(a, Lit) for a in e.args[1:])
+    ):
+        return None
+    vals = [_as_number(a.value) for a in e.args[1:]]
+    if any(v is None for v in vals):
+        return None
+    name = e.args[0].name
+    if fn == "between":
+        return name, vals[0], vals[1]
+    if fn in ("lt", "lte"):
+        return name, None, vals[0]
+    return name, vals[0], None
+
+
 def selectivity(stats: TableStats, expr) -> float | None:
     """Estimated fraction of rows satisfying ``expr``, or None when the
     expression shape/type is outside what footer stats can answer (the
@@ -265,11 +291,48 @@ def selectivity(stats: TableStats, expr) -> float | None:
             return None
         fn = e.fn.lower()
         if fn == "and":
-            parts = [est(a) for a in e.args]
-            if any(p is None for p in parts):
-                return None
+            # Same-column range conjuncts form an INTERVAL INTERSECTION,
+            # not an independence product: ``lo <= c AND c < hi`` under
+            # naive multiplication estimates P(c >= lo) x P(c < hi) — for a
+            # 3-month window in a 7-year span that is 22% instead of the
+            # true 3.6% (6x), which once inflated an orders date-slice from
+            # 0.5M to 3.3M rows and blocked its broadcast.
+            conj: list = []
+
+            def flat(x) -> None:
+                if isinstance(x, Call) and x.fn.lower() == "and":
+                    for a in x.args:
+                        flat(a)
+                else:
+                    conj.append(x)
+
+            flat(e)
+            ranges: dict[str, list] = {}
+            others: list = []
+            for c in conj:
+                r = _as_col_range(c)
+                if r is None:
+                    others.append(c)
+                    continue
+                name, lo, hi = r
+                cur = ranges.setdefault(name, [None, None])
+                if lo is not None:
+                    cur[0] = lo if cur[0] is None else max(cur[0], lo)
+                if hi is not None:
+                    cur[1] = hi if cur[1] is None else min(cur[1], hi)
             out = 1.0
-            for p in parts:
+            for name, (lo, hi) in ranges.items():
+                cs = stats.path_stats(name)
+                if cs is None:
+                    return None
+                f = _range_fraction(cs, lo, hi)
+                if f is None:
+                    return None
+                out *= f
+            for c in others:
+                p = est(c)
+                if p is None:
+                    return None
                 out *= p
             return out
         if fn == "or":
