@@ -94,6 +94,11 @@ _NO_DIRECT_CASE = {"grouping", "reduce"}
 def _cases():
     return {
     "approx_distinct": [(_c("approx_distinct", F.col("i")), 1)],
+    "chr": [(_c("chr", F.lit(66)), "B")],
+    # single-row fixture: geometric mean of {2.5} is 2.5 (exp(avg(ln x)))
+    "geometric_mean": [
+        (_c("geometric_mean", F.col("d")), lambda v: abs(v - 2.5) < 1e-12)
+    ],
     "approx_percentile": [(_c("approx_percentile", F.col("d"), F.lit(0.5)), 2.5)],
     "arbitrary": [(_c("arbitrary", F.col("s")), "hello world")],
     "array_agg": [(_c("array_agg", F.col("i")), [5])],

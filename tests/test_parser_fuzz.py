@@ -257,12 +257,16 @@ def _chain_order(tables):
     ix=st.integers(min_value=0, max_value=len(_SUBSETS) - 1),
     left_pick=st.integers(min_value=0, max_value=10),
     filter_mask=st.integers(min_value=0, max_value=127),
+    use_right=st.booleans(),
 )
-def test_reorder_metamorphic_left_join_fuzz(spark, sf_dir, ix, left_pick, filter_mask):
-    """One join in a random FK chain becomes LEFT: the reorderer either
-    hoists it above the reordered core or declines — both must return
-    exactly the textual-order result, including null-extension (count of a
-    left-side column vs count(*) would expose any divergence)."""
+def test_reorder_metamorphic_left_join_fuzz(
+    spark, sf_dir, ix, left_pick, filter_mask, use_right
+):
+    """One join in a random FK chain becomes LEFT (or RIGHT, with the new
+    table as the null-supplied left operand): the reorderer either hoists
+    it above the reordered core or declines — both must return exactly the
+    textual-order result, including null-extension (count of the nullable
+    side's column vs count(*) would expose any divergence)."""
     from verax_spark.sql import PrestoSession
 
     tables, _ = _SUBSETS[ix]
@@ -270,7 +274,18 @@ def test_reorder_metamorphic_left_join_fuzz(spark, sf_dir, ix, left_pick, filter
     left_ix = 1 + left_pick % (len(order) - 1)
     from_parts = [order[0]]
     for i, t in enumerate(order[1:], 1):
-        kind = "left join" if i == left_ix else "join"
+        kind = "join"
+        if i == left_ix:
+            # RIGHT spelling only works at position 1 (the chain head
+            # becomes the right operand); elsewhere keep LEFT
+            if use_right and i == 1:
+                from_parts = [t, f"right join {order[0]} on {conds[0]}"]
+                # null-supplied side is t itself under RIGHT…, but the
+                # chain needs order[0..] joinable: swap roles — simplest is
+                # to treat this as: new table t RIGHT JOIN head — head
+                # stays the core. Continue the chain from the head.
+                continue
+            kind = "left join"
         from_parts.append(f"{kind} {t} on {conds[i - 1]}")
     where = [
         _FILTERS[t][(filter_mask >> (i + 3) & 1) % len(_FILTERS[t])]

@@ -338,6 +338,34 @@ def test_reorder_left_join_conjunct_referencing_attachment(presto, sf_dir):
     assert_frames_match(got, want, context="reorder-left-residual")
 
 
+def test_reorder_hoists_right_join_boundary(presto, sf_dir):
+    """A RIGHT JOIN B ≡ B LEFT JOIN A: the left side hoists as the
+    null-supplied attachment and the inner core still reorders."""
+    sql = """
+        select n_name, count(*) as n, count(s.s_acctbal) as matched
+        from supplier s
+          right join lineitem l
+            on l.l_suppkey = s.s_suppkey and s.s_acctbal > 3000
+          join orders o on l.l_orderkey = o.o_orderkey
+          join customer c on o.o_custkey = c.c_custkey
+          join nation n on c.c_nationkey = n.n_nationkey
+        where o.o_totalprice > 50000
+        group by n_name order by n_name
+    """
+    df = presto.sql(sql)
+    info = presto.last_reorder
+    assert info is not None
+    assert info.attachments == ["s"]
+    assert set(info.order) == {"l", "o", "c", "n"}
+    got = df.toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="reorder-right-hoist")
+
+
 def test_reorder_derived_table_leaf(presto, sf_dir):
     """A non-lateral aliased subquery in FROM joins the core as an opaque
     derived-table leaf with estimated cardinality."""

@@ -77,6 +77,13 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "from_hex": "unhex",
     "to_base64": "base64",
     "from_base64": "unbase64",
+    # batch 5: collection/math parity. Same-name functions with identical
+    # semantics (array_position 1-based + 0-when-absent, array_remove,
+    # array_intersect/except, map_keys/values/entries, map_filter,
+    # transform_keys/values, map_zip_with, width_bucket, reverse, typeof,
+    # corr, covar_samp/pop, stddev/var families) resolve by passthrough —
+    # only genuine renames live here.
+    "chr": "char",
 }
 
 # Seconds per fixed-width unit for date_add/date_diff arithmetic.
@@ -247,6 +254,8 @@ def _presto_split(s, delim, limit=None) -> Column:
 
 # Tier 3: signature adapters (arg order / semantics differ).
 _ADAPTERS: dict[str, Callable[..., Column]] = {
+    # presto geometric_mean aggregate: exp(mean(ln x)) — no Spark builtin
+    "geometric_mean": lambda x: F.exp(F.avg(F.log(_col(x)))),
     # presto date_add(unit, n, ts): calendar-aware Column arithmetic
     "date_add": _presto_date_add,
     # presto date_diff(unit, ts1, ts2): complete units, truncated toward zero
@@ -440,6 +449,12 @@ _SQL_COMPAT = [
     "RETURNS BIGINT RETURN a | b",
     "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_xor(a BIGINT, b BIGINT) "
     "RETURNS BIGINT RETURN a ^ b",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_left_shift(a BIGINT, s INT) "
+    "RETURNS BIGINT RETURN shiftleft(a, s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_right_shift(a BIGINT, s INT) "
+    "RETURNS BIGINT RETURN shiftright(a, s)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not(a BIGINT) "
+    "RETURNS BIGINT RETURN -a - 1",
 ]
 
 

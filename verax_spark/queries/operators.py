@@ -2123,3 +2123,77 @@ def op_connector_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ps.sql(
         _connector_tpch_sql({"lineitem": "tpch.lineitem", "orders": "tpch.orders"})
     )
+
+
+# ---------------------------------------------------------------------------
+# Function batch 5: collection functions (array_position/remove/intersect/
+# except, chr, width_bucket), statistical aggregates (corr, stddev_samp,
+# geometric_mean adapter), and bitwise shifts via the compat shim — each
+# exercised through presto_call / the session UDFs and recomputed by DuckDB
+# with its own list/stat spellings (ref Presto function library parity,
+# SURVEY §2.2 CallExpr).
+@_register(
+    "op_fn_collections",
+    """
+    with g as (
+      select l_orderkey,
+             list_sort(list(l_linenumber)) as lns,
+             exp(avg(ln(l_quantity))) as gm,
+             covar_pop(l_quantity, l_extendedprice) as cr,
+             stddev_samp(l_quantity) as sd
+      from lineitem where l_orderkey < 500 group by l_orderkey)
+    select l_orderkey,
+      coalesce(list_position(lns, 2), 0) as pos2,
+      len(list_filter(lns, x -> x <> 1)) as n_no1,
+      len(list_intersect(lns, [1, 2])) as n_int,
+      len(list_distinct(list_filter(lns, x -> x <> 1))) as n_exc,
+      chr(cast(65 + (l_orderkey % 26) as int)) as ch,
+      cast(floor(5 * gm / 50.0) as int) + 1 as wb,
+      (l_orderkey << 2) as shl,
+      (l_orderkey >> 1) as shr,
+      (-l_orderkey - 1) as bnot,
+      round(gm, 6) as gm,
+      round(cr, 6) as cr,
+      round(sd, 6) as sd
+    from g order by l_orderkey
+    """,
+)
+def op_fn_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+    from verax_spark.functions.presto import register_sql_compat
+
+    register_sql_compat(spark)
+    cat = Catalog(spark, sf_dir)
+    g = (
+        cat.lineitem.filter(F.col("l_orderkey") < 500)
+        .groupBy("l_orderkey")
+        .agg(
+            F.sort_array(F.collect_list("l_linenumber")).alias("lns"),
+            pc("geometric_mean", F.col("l_quantity")).alias("gm"),
+            F.covar_pop("l_quantity", "l_extendedprice").alias("cr"),
+            F.stddev_samp("l_quantity").alias("sd"),
+        )
+    )
+    two = F.lit(2).cast("int")
+    one_two = F.array(F.lit(1).cast("int"), two)
+    return g.select(
+        "l_orderkey",
+        pc("array_position", F.col("lns"), two).cast("bigint").alias("pos2"),
+        pc("cardinality", pc("array_remove", F.col("lns"), F.lit(1).cast("int")))
+        .cast("bigint")
+        .alias("n_no1"),
+        pc("cardinality", pc("array_intersect", F.col("lns"), one_two))
+        .cast("bigint")
+        .alias("n_int"),
+        pc("cardinality", pc("array_except", F.col("lns"), F.array(F.lit(1).cast("int"))))
+        .cast("bigint")
+        .alias("n_exc"),
+        pc("chr", (F.lit(65) + F.col("l_orderkey") % 26).cast("bigint")).alias("ch"),
+        pc("width_bucket", F.col("gm"), F.lit(0.0), F.lit(50.0), F.lit(5)).alias("wb"),
+        pc("bitwise_left_shift", F.col("l_orderkey"), F.lit(2)).alias("shl"),
+        pc("bitwise_right_shift", F.col("l_orderkey"), F.lit(1)).alias("shr"),
+        pc("bitwise_not", F.col("l_orderkey")).alias("bnot"),
+        F.round("gm", 6).alias("gm"),
+        F.round("cr", 6).alias("cr"),
+        F.round("sd", 6).alias("sd"),
+    ).orderBy("l_orderkey")

@@ -175,6 +175,19 @@ def _flatten_from(
                 _Attachment(alias=alias, rel=rel.right, on=rel.on, real_name=real)
             )
             return
+        if rel.kind == "right":
+            # A RIGHT JOIN B ≡ B LEFT JOIN A (same rows; output column
+            # order is fixed by the select list, and unqualified `*` is
+            # declined upstream) — so the LEFT side is the opaque
+            # null-supplied attachment and the RIGHT subtree is the core.
+            # DFS appends A before any later attachment whose ON may
+            # reference it, preserving scope order.
+            alias, real = _opaque_leaf(rel.left)
+            attachments.append(
+                _Attachment(alias=alias, rel=rel.left, on=rel.on, real_name=real)
+            )
+            _flatten_from(rel.right, leaves, conjuncts, attachments)
+            return
         if rel.kind not in ("inner", "cross"):
             raise _NotEligible(f"{rel.kind} join")
         _flatten_from(rel.left, leaves, conjuncts, attachments)
