@@ -52,9 +52,9 @@ _PRIORITY = [
     "st_enrich_join", "st_stream_join", "pl_range_join", "pl_time_rollup",
     "op_join_theta", "op_setop_except", "op_agg_filter",
     "op_window_range_frame", "op_unnest_map",
-    # -- regression anchors (one per heavily-shared family), filling the
-    # 50-query budget exactly (st_windowed_counts rotates to 51: its family
-    # was re-checked green in r03) --
+    # -- regression anchors (one per heavily-shared family); tpch_q1/q9
+    # close the 50-query budget, pl_dedup_exact and st_windowed_counts
+    # rotate to 51+ (both families re-checked green in r02/r03) --
     "tpch_q1", "tpch_q9", "pl_dedup_exact", "st_windowed_counts",
     # -- position 51+: green in r02/r03 (or exercised indirectly by the
     # green TPC-H corpus), re-checked as budget allows --
