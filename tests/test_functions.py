@@ -88,13 +88,14 @@ def _c(name, *args):
 # name → list of (column, expected value | predicate); None → covered by a
 # dedicated test below (context-dependent: grouping needs CUBE, reduce needs
 # a SQL lambda). Built lazily: Columns need an active SparkContext.
-_NO_DIRECT_CASE = {"grouping", "reduce"}
+_NO_DIRECT_CASE = {"grouping", "reduce", "merge"}  # merge needs a sketch input
 
 
 def _cases():
     return {
     "approx_distinct": [(_c("approx_distinct", F.col("i")), 1)],
     "chr": [(_c("chr", F.lit(66)), "B")],
+    "approx_set": [(_c("approx_set", F.col("i")), lambda v: v is not None and len(bytes(v)) > 0)],
     # single-row fixture: geometric mean of {2.5} is 2.5 (exp(avg(ln x)))
     "geometric_mean": [
         (_c("geometric_mean", F.col("d")), lambda v: abs(v - 2.5) < 1e-12)
@@ -454,3 +455,22 @@ def test_sql_front_door_divergent_semantics(spark):
 
     with _pytest.raises(NotImplementedError):
         transpile("select split(s, d) from t")
+
+
+def test_hll_family_and_cardinality_rewrite(spark):
+    """Presto approx_set/merge/cardinality(hll) → Spark DataSketches; the
+    cardinality-over-sketch pattern rewrites structurally in SQL text while
+    bare cardinality stays size()."""
+    from verax_spark.sql import transpile
+
+    out = transpile("select cardinality(approx_set(x)) from t")
+    assert "hll_sketch_estimate(hll_sketch_agg(x))" in out
+    out2 = transpile("select cardinality(merge(sk)) from t")
+    assert "hll_sketch_estimate(hll_union_agg(sk))" in out2
+    assert "size(xs)" in transpile("select cardinality(xs) from t")
+    df = spark.range(5000).selectExpr("id % 4 as g", "id")
+    df.createOrReplaceTempView("hll_t")
+    est = spark.sql(
+        "select hll_sketch_estimate(hll_sketch_agg(id)) as e from hll_t"
+    ).collect()[0].e
+    assert abs(est - 5000) / 5000 < 0.05

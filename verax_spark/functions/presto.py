@@ -84,6 +84,13 @@ PRESTO_TO_SPARK: dict[str, str] = {
     # corr, covar_samp/pop, stddev/var families) resolve by passthrough —
     # only genuine renames live here.
     "chr": "char",
+    # Presto HLL sketches → Spark DataSketches (binary sketch column):
+    # approx_set aggregates a sketch; merge unions sketches; the estimate
+    # is hll_sketch_estimate — `cardinality(approx_set(..))` is rewritten
+    # structurally at render time (sql/ast.py Call.sql) since bare
+    # `cardinality` must keep meaning `size` for arrays.
+    "approx_set": "hll_sketch_agg",
+    "merge": "hll_union_agg",
 }
 
 # Seconds per fixed-width unit for date_add/date_diff arithmetic.

@@ -2197,3 +2197,55 @@ def op_fn_collections(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cr", 6).alias("cr"),
         F.round("sd", 6).alias("sd"),
     ).orderBy("l_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Presto HLL sketch family (approx_set / merge / cardinality(hll)) on Spark
+# DataSketches (hll_sketch_agg / hll_union_agg / hll_sketch_estimate).
+# Sketch bytes are engine-specific, so the driver-checkable output is
+# decision-level (r03 lesson): the exact distinct count plus within-bound
+# flags for the direct estimate and the partial-sketch rollup (the
+# pattern that matters at scale: per-partition sketches merged without
+# re-scanning). Default lgK=12 gives ~1.6% standard error; bound = 5%.
+@_register(
+    "op_fn_hll",
+    """
+    select l_returnflag,
+           count(distinct l_orderkey) as exact,
+           true as direct_ok,
+           true as rollup_ok
+    from lineitem group by l_returnflag order by l_returnflag
+    """,
+)
+def op_fn_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.lineitem
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact")
+    )
+    direct = li.groupBy("l_returnflag").agg(
+        F.hll_sketch_estimate(pc("approx_set", F.col("l_orderkey"))).alias("d_est")
+    )
+    rollup = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(pc("approx_set", F.col("l_orderkey")).alias("sk"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(pc("merge", F.col("sk"))).alias("m_est"))
+    )
+    return (
+        exact.join(direct, "l_returnflag")
+        .join(rollup, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact",
+            (F.abs(F.col("d_est") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+                "direct_ok"
+            ),
+            (F.abs(F.col("m_est") - F.col("exact")) / F.col("exact") <= 0.05).alias(
+                "rollup_ok"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -505,7 +505,18 @@ class Call(Expr):
             return self._ordered_agg_sql()
         name = _renamed(self.name)
         args = ", ".join(e.sql() for e in self.args)
-        if self.name.lower() == "map" and len(self.args) == 2:
+        if (
+            self.name.lower() == "cardinality"
+            and len(self.args) == 1
+            and isinstance(self.args[0], Call)
+            and self.args[0].name.lower() in ("approx_set", "merge")
+        ):
+            # Presto HLL pipeline: cardinality(approx_set(x)) /
+            # cardinality(merge(hll)) → DataSketches estimate over the
+            # sketch aggregate (approx_set → hll_sketch_agg, merge →
+            # hll_union_agg). `cardinality` alone stays `size` (arrays).
+            name, args = "hll_sketch_estimate", args
+        elif self.name.lower() == "map" and len(self.args) == 2:
             name, args = "map_from_arrays", args
         elif self.name.lower() == "map" and not self.args:
             name, args = "map", ""
