@@ -37,7 +37,7 @@ _PRIORITY = [
     "pl_curate",
     # -- new this round --
     "sql_insert", "sql_delete", "sql_update", "op_fn_decimal",
-    "op_connector_tpch", "op_fn_collections",
+    "op_connector_tpch", "op_fn_collections", "op_fn_hll", "st_dedup",
     # -- not driver-checked since r01 (position 51+ in the r03 rotation) --
     "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",
     "op_fn_array_map", "op_fn_conv", "op_fn_percentile",

@@ -1094,3 +1094,36 @@ def pl_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "day", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+@_register(
+    "st_dedup",
+    """
+    select event_id, event_type, cast(value as double) as value
+    from events where event_id < 2000
+    order by event_id
+    """,
+)
+def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/pipeline.streaming_dedup =
+    dropDuplicatesWithinWatermark — watermark-bounded state, the standard
+    first stage of a streaming ingestion pipeline). The stream is the
+    events source unioned with itself — every event arrives exactly twice
+    as an identical copy — so the surviving set is deterministic (one copy
+    per event_id) and the oracle is plain DISTINCT over the batch table.
+    """
+    import uuid
+
+    from verax_spark.streaming import read_events_stream, run_available_now
+    from verax_spark.streaming.pipeline import streaming_dedup
+
+    a = read_events_stream(spark, sf_dir).filter(F.col("event_id") < 2000)
+    b = read_events_stream(spark, sf_dir).filter(F.col("event_id") < 2000)
+    deduped = streaming_dedup(
+        a.unionByName(b), key_cols=["event_id"], watermark="30 days"
+    )
+    out = run_available_now(deduped, f"st_dedup_{uuid.uuid4().hex[:8]}")
+    return out.select(
+        "event_id", "event_type", F.col("value").cast("double").alias("value")
+    ).orderBy("event_id")
