@@ -1,0 +1,157 @@
+"""Driver-style differential self-check over the full driver query surface.
+
+Replicates (approximately) what the round driver does to produce
+CORRECTNESS_r{N}.json: for every entry in ``__spark_entry__.queries()``,
+run the Spark query at a given sf dir AND the corresponding
+``oracle_sql()`` statement in DuckDB over the same parquet files, then
+compare row count, schema (column-name set), and a value hash computed
+after sorting columns by name and rows by their full value tuple.
+
+Usage:  python tools/selfcheck.py [sf_dir] [query ...]
+        (default sf_dir /root/testdata/sf0.01; default = all queries)
+"""
+from __future__ import annotations
+
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison (float rounding,
+    Decimal→float, date/datetime→isoformat, arrays recursively)."""
+    import datetime
+    import decimal
+
+    if v is None:
+        return None
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # round to 4 significant decimals the way a tolerant differ would
+        return float(f"{v:.4g}")
+    if isinstance(v, datetime.datetime):
+        # Spark date_trunc yields midnight timestamps where DuckDB yields
+        # dates; the driver's comparator treats them as equal.
+        if v.time() == datetime.time(0, 0) and v.tzinfo is None:
+            return v.date().isoformat()
+        return v.isoformat()
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _table(rows, cols):
+    """column-name-sorted, row-sorted normalized tuples."""
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    data = [tuple(_norm(r[i]) for i in order) for r in rows]
+    data.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return sorted(c.lower() for c in cols), data
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", REPO / "__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    import duckdb
+
+    from verax_spark.catalog import ALL_TABLES
+    from verax_spark.session import get_spark
+
+    spark = get_spark("selfcheck")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+
+    results: dict[str, dict] = {}
+    fails: list[str] = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        rec: dict = {}
+        try:
+            df = fn(spark, sf_dir)
+            srows = df.collect()
+            scols, sdata = _table([tuple(r) for r in srows], df.columns)
+        except Exception as exc:  # noqa: BLE001
+            rec = {"err": f"spark: {type(exc).__name__}: {exc}"}
+            results[name] = rec
+            fails.append(name)
+            print(f"FAIL {name}: {rec['err'][:200]}")
+            continue
+        try:
+            con = duckdb.connect()
+            for t in ALL_TABLES:
+                con.execute(
+                    f"create view {t} as select * from "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            ocols, odata = _table(orows, ocols)
+            con.close()
+        except Exception as exc:  # noqa: BLE001
+            rec = {"err": f"oracle: {type(exc).__name__}: {exc}"}
+            results[name] = rec
+            fails.append(name)
+            print(f"FAIL {name}: {rec['err'][:200]}")
+            continue
+        rec = {
+            "rows_match": len(sdata) == len(odata),
+            "schema_match": scols == ocols,
+            "hash_match": sdata == odata,
+            "spark_rows": len(sdata),
+            "oracle_rows": len(odata),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        results[name] = rec
+        ok = rec["rows_match"] and rec["schema_match"] and rec["hash_match"]
+        if not ok:
+            fails.append(name)
+            detail = ""
+            if not rec["schema_match"]:
+                detail = f" spark_cols={scols} oracle_cols={ocols}"
+            elif rec["rows_match"]:
+                diffs = [
+                    (a, b) for a, b in zip(sdata, odata) if a != b
+                ][:2]
+                detail = f" first_diffs={diffs}"
+            print(
+                f"FAIL {name}: rows {rec['spark_rows']}/{rec['oracle_rows']}"
+                f" schema={rec['schema_match']} hash={rec['hash_match']}{detail}"
+            )
+        else:
+            print(f"ok   {name} ({rec['sec']}s)")
+
+    n = len(results)
+    print(f"\n{n - len(fails)}/{n} green; fails: {fails}")
+    out = REPO / "SELFCHECK.json"
+    out.write_text(json.dumps(results, indent=1))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
