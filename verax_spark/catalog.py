@@ -95,6 +95,16 @@ class Catalog:
                 self._cache[name] = shared
                 return shared
             path = os.path.join(self.sf_dir, f"{name}.parquet")
+            # Physical-layout fixup (ref TableLayout ownership of storage,
+            # ConnectorMetadata.h:176-353): if the input is a small
+            # single-row-group file — Spark scans can't parallelize below
+            # row-group granularity — serve a re-chunked copy. No-op on
+            # well-split inputs (every real-scale dataset).
+            from verax_spark.sources.split_cache import ensure_parallel_layout
+
+            path = ensure_parallel_layout(
+                path, self.spark.sparkContext.defaultParallelism
+            )
             if name == "events":
                 # events.ts arrives either as parquet TIMESTAMP (micros) —
                 # read as TIMESTAMP_NTZ — or as the legacy TIMESTAMP(NANOS)

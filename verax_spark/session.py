@@ -58,8 +58,13 @@ def get_spark(
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
         # --- Join planning
         .config("spark.sql.autoBroadcastJoinThreshold", "32MB")
-        .config("spark.sql.cbo.enabled", "true")
-        .config("spark.sql.cbo.joinReorder.enabled", "true")
+        # Spark's CBO is OFF on purpose: join ordering is owned by this
+        # repo's cost-based planner (sql/reorder.py + optimizer/query_graph,
+        # the reference Optimization.h lifecycle analog), which costs from
+        # parquet footers + sampling + execution history. Spark CBO needs
+        # ANALYZE TABLE stats that lake tables here never have, so its rules
+        # were pure per-query planning overhead (~0.1 s/query measured).
+        .config("spark.sql.cbo.enabled", "false")
         # Runtime row-level filtering ≈ the reference's build-side-reduction
         # "existences" (optimizer/Plan.h:134-151).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
