@@ -52,9 +52,10 @@ _PRIORITY = [
     "st_enrich_join", "st_stream_join", "pl_range_join", "pl_time_rollup",
     "op_join_theta", "op_setop_except", "op_agg_filter",
     "op_window_range_frame", "op_unnest_map",
-    # -- regression anchors (one per heavily-shared family); tpch_q1/q9
-    # close the 50-query budget, pl_dedup_exact and st_windowed_counts
-    # rotate to 51+ (both families re-checked green in r02/r03) --
+    # -- position 51+: new-but-selfchecked r04 text ops (SELFCHECK.json
+    # green; rotate into the checked window next round) and regression
+    # anchors whose families were re-checked green in r02/r03 --
+    "pl_text_pii_scrub", "pl_text_repetition", "pl_sample_stratified",
     "tpch_q1", "tpch_q9", "pl_dedup_exact", "st_windowed_counts",
     # -- position 51+: green in r02/r03 (or exercised indirectly by the
     # green TPC-H corpus), re-checked as budget allows --

@@ -298,3 +298,52 @@ def test_token_vocab_global_two_level_topk(spark, sf_dir):
     plan = got._jdf.queryExecution().optimizedPlan().toString()
     assert "SPARK_PARTITION_ID" in plan.upper()
     assert plan.count("Window") >= 2
+
+
+def test_pii_scrub_idempotent_and_complete(spark, sf_dir):
+    """After one scrub pass no PII pattern matches remain (a second pass is
+    a no-op), and redaction markers never collide with the patterns."""
+    from verax_spark.operators import text as T
+
+    cat = Catalog(spark, sf_dir)
+    planted = cat.documents.limit(50).select(
+        F.concat(
+            F.col("text"), F.lit(" ping bob.1@x.io and 123-456-7890 end")
+        ).alias("t")
+    )
+    once = planted.select(T.pii_scrub(F.col("t")).alias("t"))
+    residue = once.select(
+        (T.pii_count(F.col("t"), T.PII_EMAIL)
+         + T.pii_count(F.col("t"), T.PII_PHONE)).alias("n")
+    ).agg(F.sum("n").alias("s")).collect()[0].s
+    assert residue == 0
+    twice = once.select(T.pii_scrub(F.col("t")).alias("t"))
+    assert once.collect() == twice.collect()
+
+
+def test_portable_sample_stable_and_engine_portable(spark, sf_dir):
+    """Membership is a pure function of the id: repeated runs and a
+    repartitioned input give the same set, and DuckDB computes the same
+    membership from the same md5 rule (the portability contract)."""
+    import duckdb
+
+    from verax_spark.operators.text import portable_sample
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.select("doc_id")
+    ids1 = {r.doc_id for r in portable_sample(docs, "doc_id").collect()}
+    ids2 = {
+        r.doc_id
+        for r in portable_sample(docs.repartition(7), "doc_id").collect()
+    }
+    assert ids1 == ids2 and 0 < len(ids1) < docs.count()
+    con = duckdb.connect()
+    duck = {
+        r[0]
+        for r in con.execute(
+            "select doc_id from read_parquet(?) "
+            "where substr(md5(cast(doc_id as varchar)), 1, 2) < '20'",
+            [f"{sf_dir}/documents.parquet"],
+        ).fetchall()
+    }
+    assert ids1 == duck

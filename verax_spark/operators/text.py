@@ -101,6 +101,47 @@ def regex_token_count(text: Column) -> Column:
     return F.size(regex_tokens(text)).cast("bigint")
 
 
+# PII patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, explicit character classes.
+PII_EMAIL = r"[a-z0-9._]+@[a-z0-9]+\.[a-z]+"
+PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Exact count of PII pattern matches (bigint)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("bigint")
+
+
+def pii_scrub(text: Column) -> Column:
+    """Redact emails then phone numbers with fixed markers. Map-only pure
+    Column expression — the boilerplate/PII-removal pass of a training-data
+    pipeline, safe to run as a narrow stage over 100 TB."""
+    scrubbed = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PII_PHONE, "<PHONE>")
+
+
+def repetition_ratio(text: Column) -> Column:
+    """Fraction of whitespace tokens that are repeats of an earlier token:
+    1 - distinct/total. The standard repetition quality signal (high values
+    flag boilerplate/spam); exact ratio of two ints."""
+    toks = tokens(text)
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.size(toks).cast("double")
+    )
+
+
+def portable_sample(df, id_col: str, *, prefix_lt: str = "20"):
+    """Content-addressed sampling with an engine-portable hash: keep rows
+    whose md5(cast(id as string)) hex prefix sorts below ``prefix_lt``
+    (e.g. '20' ≈ 12.5%). Same contract as deterministic_sample (stable
+    across retries/partitionings) but reproducible on ANY engine with md5 —
+    the variant to use when the sample membership itself must be auditable
+    outside Spark."""
+    h = F.md5(F.col(id_col).cast("string").cast("binary"))
+    return df.filter(F.substring(h, 1, len(prefix_lt)) < prefix_lt)
+
+
 def deterministic_sample(df, id_col: str, fraction: float, *, salt: int = 0):
     """Content-addressed sampling: keep rows where xxhash64(salt, id) falls
     in the lowest `fraction` of the hash space. Unlike df.sample(), the

@@ -311,6 +311,115 @@ def pl_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrubbing over a derived corpus with planted PII (the testdata corpus
+# is synthetic word salad, so both engines inject the same deterministic
+# email/phone strings — the planted-ground-truth pattern of r04): 2 of every
+# 3 docs get `contact user<id>@mail.com or 555-123-<id%10000>` appended.
+# Decision-level output: per-doc match counts and the exact redacted length.
+@_register(
+    "pl_text_pii_scrub",
+    """
+    with injected as (
+      select doc_id,
+        case when doc_id % 3 = 0 then text
+             else text || ' contact user' || cast(doc_id as varchar)
+                  || '@mail.com or 555-123-'
+                  || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+        end as t
+      from documents where doc_id < 200)
+    select doc_id,
+      cast(len(regexp_extract_all(t, '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+')) as bigint) as n_emails,
+      cast(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) as bigint) as n_phones,
+      cast(length(regexp_replace(regexp_replace(t,
+          '[a-z0-9._]+@[a-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+          '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) as bigint) as scrubbed_len
+    from injected order by doc_id
+    """,
+)
+def pl_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (map-only narrow pass; patterns restricted
+    to the Java-regex ∩ RE2 common dialect so the oracle is exact)."""
+    cat = Catalog(spark, sf_dir)
+    injected = (
+        cat.documents.filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@mail.com or 555-123-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                )
+            )
+            .alias("t"),
+        )
+    )
+    return injected.select(
+        "doc_id",
+        text.pii_count(F.col("t"), text.PII_EMAIL).alias("n_emails"),
+        text.pii_count(F.col("t"), text.PII_PHONE).alias("n_phones"),
+        F.length(text.pii_scrub(F.col("t"))).cast("bigint").alias("scrubbed_len"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "pl_text_repetition",
+    """
+    with t as (select doc_id, string_split_regex(text, '\\s+') as toks
+               from documents where doc_id < 300)
+    select doc_id,
+      1.0 - cast(len(list_distinct(toks)) as double)
+            / cast(len(toks) as double) as rep_ratio,
+      (1.0 - cast(len(list_distinct(toks)) as double)
+            / cast(len(toks) as double)) > 0.5 as flagged
+    from t order by doc_id
+    """,
+)
+def pl_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-ratio quality signal (1 - distinct/total tokens): the
+    standard boilerplate/spam flag. Exact two-int ratio → portable."""
+    cat = Catalog(spark, sf_dir)
+    rep = text.repetition_ratio(F.col("text"))
+    return (
+        cat.documents.filter(F.col("doc_id") < 300)
+        .select(
+            "doc_id",
+            rep.alias("rep_ratio"),
+            (rep > 0.5).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_register(
+    "pl_sample_stratified",
+    """
+    select lang, source, count(*) as n_sampled, min(doc_id) as first_doc
+    from documents
+    where substr(md5(cast(doc_id as varchar)), 1, 2) < '20'
+    group by lang, source order by lang, source
+    """,
+)
+def pl_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable content-addressed sampling (md5 prefix < '20' ≈
+    12.5%) with per-stratum counts — membership is a pure function of the
+    row id, so the sample is stable across retries, partitionings, AND
+    engines (auditable outside Spark, unlike xxhash64)."""
+    cat = Catalog(spark, sf_dir)
+    return (
+        text.portable_sample(cat.documents, "doc_id", prefix_lt="20")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 @_register(
     "pl_knn_brute",
