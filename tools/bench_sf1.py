@@ -88,7 +88,12 @@ def generate(con, spark) -> None:
         spark.range(COPIES).select(F.col("id").alias("__i"))
     )
     for t in _SCALED:
-        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        n_out = max(_OUT_FILES.get(t, 4), min(32, COPIES))
+        # The source is a small single-row-group file (one scan task);
+        # repartition it FIRST so the COPIES-fold expansion below runs on
+        # all cores and writes its n_out files directly — with the shuffle
+        # on the 600k-row source, never on the N-hundred-million-row output.
+        df = spark.read.parquet(f"{SRC}/{t}.parquet").repartition(n_out)
         shifted = dict(_FOREIGN.get(t, {}))
         for k in _HOME_KEYS[t]:
             shifted[k] = (t, k)
@@ -105,7 +110,7 @@ def generate(con, spark) -> None:
         dst = f"{DST}/{t}.parquet"
         if os.path.exists(dst) and not os.path.isfile(dst):
             shutil.rmtree(dst, ignore_errors=True)
-        out.repartition(_OUT_FILES.get(t, 4)).write.mode("overwrite").parquet(dst)
+        out.write.mode("overwrite").parquet(dst)
 
 
 def main() -> None:
