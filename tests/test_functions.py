@@ -294,6 +294,62 @@ def _cases():
         (_c("json_array_get", F.lit('[10, "x", {"a": 1}]'), 2), '{"a":1}'),
         (_c("json_array_get", F.lit('[10, "x"]'), 1), '"x"'),
     ],
+    # --- batch 6 ---
+    "strrpos": [
+        (_c("strrpos", F.lit("abcabc"), F.lit("bc")), 5),
+        (_c("strrpos", F.lit("abcabc"), F.lit("zz")), 0),
+        (_c("strrpos", F.lit("aaaa"), F.lit("aa")), 3),
+    ],
+    "to_iso8601": [
+        (
+            _c("to_iso8601", F.lit("2020-01-02 03:04:05.5").cast("timestamp")),
+            "2020-01-02T03:04:05.500",
+        ),
+    ],
+    # ISO week-year: 2021-01-01 (Friday) belongs to ISO week 53 of 2020;
+    # 2019-12-30 (Monday) belongs to ISO week 1 of 2020
+    "year_of_week": [
+        (_c("year_of_week", F.lit("2021-01-01").cast("date")), 2020),
+        (_c("year_of_week", F.lit("2019-12-30").cast("date")), 2020),
+        (_c("year_of_week", F.lit("2020-06-15").cast("date")), 2020),
+    ],
+    "yow": [(_c("yow", F.lit("2021-01-01").cast("date")), 2020)],
+    "is_finite": [
+        (_c("is_finite", F.lit(1.5)), True),
+        (_c("is_finite", F.lit(float("inf"))), False),
+        (_c("is_finite", F.lit(float("nan"))), False),
+    ],
+    # 79927398713 is the canonical valid Luhn number
+    "luhn_check": [
+        (_c("luhn_check", F.lit("79927398713")), True),
+        (_c("luhn_check", F.lit("79927398714")), False),
+        (_c("luhn_check", F.lit("4532015112830366")), True),
+    ],
+    "cosine_similarity": [
+        # identical vectors → 1.0; orthogonal (disjoint keys) → 0.0
+        (
+            _c(
+                "cosine_similarity",
+                F.create_map(F.lit("a"), F.lit(3.0), F.lit("b"), F.lit(4.0)),
+                F.create_map(F.lit("a"), F.lit(3.0), F.lit("b"), F.lit(4.0)),
+            ),
+            1.0,
+        ),
+        (
+            _c(
+                "cosine_similarity",
+                F.create_map(F.lit("a"), F.lit(1.0)),
+                F.create_map(F.lit("b"), F.lit(1.0)),
+            ),
+            0.0,
+        ),
+    ],
+    "json_size": [
+        (_c("json_size", F.lit('{"a": {"x": 1, "y": 2}}'), "$.a"), 2),
+        (_c("json_size", F.lit('{"a": [1, 2, 3]}'), "$.a"), 3),
+        (_c("json_size", F.lit('{"a": 7}'), "$.a"), 0),
+        (_c("json_size", F.lit('{"a": 7}'), "$.b"), None),
+    ],
     # Presto least/greatest: NULL if ANY argument is NULL (Spark skips NULLs)
     "least": [
         (_c("least", F.lit(3), F.lit(1), F.lit(2)), 1),

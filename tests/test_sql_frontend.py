@@ -114,6 +114,24 @@ def test_sql_compat_functions(presto):
     assert row.inf == float("inf")
 
 
+def test_sql_compat_batch6(presto):
+    row = presto.sql(
+        "select strrpos('abcabc', 'bc') as rp, strrpos('abc', 'zz') as rp0, "
+        "to_iso8601(timestamp '2020-01-02 03:04:05.5') as iso, "
+        "year_of_week(date '2021-01-01') as yw, "
+        "is_finite(infinity()) as fin, "
+        "luhn_check('79927398713') as luhn, "
+        "cosine_similarity(map(array['a','b'], array[3.0, 4.0]), "
+        "                  map(array['a','b'], array[3.0, 4.0])) as cs"
+    ).collect()[0]
+    assert (row.rp, row.rp0) == (5, 0)
+    assert row.iso == "2020-01-02T03:04:05.500"
+    assert row.yw == 2020
+    assert row.fin is False
+    assert row.luhn is True
+    assert row.cs == 1.0
+
+
 def test_explain_statement(presto):
     plan = presto.sql("explain select count(*) from lineitem").collect()[0].plan
     assert "Physical Plan" in plan

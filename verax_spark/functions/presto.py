@@ -399,7 +399,82 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "millisecond": lambda ts: (
         F.floor(F.pmod(F.unix_micros(_col(ts).cast("timestamp")), 1_000_000) / 1000)
     ).cast("bigint"),
+    # --- batch 6 ---
+    # presto strrpos(s, sub): LAST 1-based occurrence, 0 when absent.
+    # locate over the reversed pair finds the last original occurrence.
+    "strrpos": lambda s, sub: _presto_strrpos(s, sub),
+    # presto to_iso8601(timestamp) → 'YYYY-MM-DDTHH:MM:SS.mmm'
+    "to_iso8601": lambda ts: F.date_format(
+        _col(ts).cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss.SSS"
+    ),
+    # presto year_of_week / yow: ISO-8601 week-numbering year = calendar
+    # year of that ISO week's Thursday (Java 'YYYY' patterns are rejected
+    # by Spark's formatter, so compute it arithmetically)
+    "year_of_week": lambda ts: _presto_yow(ts),
+    "yow": lambda ts: _presto_yow(ts),
+    # presto is_finite(double): neither NaN nor ±Infinity
+    "is_finite": lambda x: (
+        ~F.isnan(_col(x).cast("double"))
+        & (_col(x).cast("double") != F.lit(float("inf")))
+        & (_col(x).cast("double") != F.lit(float("-inf")))
+    ),
+    # presto luhn_check(varchar): Spark >= 3.5 ships the identical
+    # built-in, so delegate (and it already exists on the SQL side)
+    "luhn_check": lambda s: F.call_function("luhn_check", _col(s)),
+    # presto cosine_similarity(map<varchar,double>, map<varchar,double>):
+    # dot(a,b) / (||a|| * ||b||) over the sparse key space
+    "cosine_similarity": lambda a, b: _presto_cosine_similarity(a, b),
+    # presto json_size(json, path): members of an object / elements of an
+    # array at path; 0 for a scalar; NULL when the path is absent
+    "json_size": lambda x, p: _presto_json_size(x, p),
 }
+
+
+def _presto_strrpos(s, sub) -> Column:
+    s, sub = _col(s), _col(sub)
+    pos_in_rev = F.instr(F.reverse(s), F.reverse(sub))
+    return F.when(
+        pos_in_rev == 0, F.lit(0)
+    ).otherwise(F.length(s) - pos_in_rev - F.length(sub) + 2).cast("bigint")
+
+
+def _presto_yow(ts) -> Column:
+    d = _col(ts).cast("date")
+    iso_dow = ((F.dayofweek(d) + F.lit(5)) % F.lit(7) + F.lit(1))
+    return F.year(F.date_add(d, (F.lit(4) - iso_dow).cast("int"))).cast("bigint")
+
+
+def _presto_cosine_similarity(a, b) -> Column:
+    a, b = _col(a), _col(b)
+    dot = F.aggregate(
+        F.map_values(
+            F.map_zip_with(
+                a, b, lambda _k, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0))
+            )
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(m):
+        return F.sqrt(
+            F.aggregate(
+                F.map_values(m), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+
+    return dot / (norm(a) * norm(b))
+
+
+def _presto_json_size(x, p) -> Column:
+    j = F.to_json(
+        F.variant_get(F.parse_json(_col(x).cast("string")), str(p), "variant")
+    )
+    return F.when(j.isNull(), F.lit(None).cast("bigint")).otherwise(
+        F.when(j.startswith("{"), F.size(F.json_object_keys(j)).cast("bigint"))
+        .when(j.startswith("["), F.json_array_length(j).cast("bigint"))
+        .otherwise(F.lit(0).cast("bigint"))
+    )
 
 
 def _presto_json_array_get(x, i) -> Column:
@@ -462,6 +537,26 @@ _SQL_COMPAT = [
     "RETURNS BIGINT RETURN shiftright(a, s)",
     "CREATE OR REPLACE TEMPORARY FUNCTION bitwise_not(a BIGINT) "
     "RETURNS BIGINT RETURN -a - 1",
+    # --- batch 6 ---
+    "CREATE OR REPLACE TEMPORARY FUNCTION strrpos(s STRING, sub STRING) "
+    "RETURNS BIGINT RETURN CASE WHEN instr(reverse(s), reverse(sub)) = 0 "
+    "THEN 0 ELSE length(s) - instr(reverse(s), reverse(sub)) - length(sub) + 2 END",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_iso8601(x TIMESTAMP) "
+    "RETURNS STRING RETURN date_format(x, \"yyyy-MM-dd'T'HH:mm:ss.SSS\")",
+    "CREATE OR REPLACE TEMPORARY FUNCTION year_of_week(x DATE) "
+    "RETURNS BIGINT RETURN year(date_add(x, cast(4 - ((dayofweek(x) + 5) % 7 + 1) as int)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION yow(x DATE) "
+    "RETURNS BIGINT RETURN year(date_add(x, cast(4 - ((dayofweek(x) + 5) % 7 + 1) as int)))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_finite(x DOUBLE) "
+    "RETURNS BOOLEAN RETURN NOT isnan(x) AND x != cast('Infinity' as double) "
+    "AND x != cast('-Infinity' as double)",
+    # luhn_check: Spark built-in since 3.5 — no shim needed on the SQL side
+    "CREATE OR REPLACE TEMPORARY FUNCTION cosine_similarity("
+    "a MAP<STRING, DOUBLE>, b MAP<STRING, DOUBLE>) RETURNS DOUBLE RETURN "
+    "aggregate(map_values(map_zip_with(a, b, "
+    "(k, x, y) -> coalesce(x, 0d) * coalesce(y, 0d))), 0d, (acc, x) -> acc + x)"
+    " / (sqrt(aggregate(map_values(a), 0d, (acc, x) -> acc + x * x))"
+    " * sqrt(aggregate(map_values(b), 0d, (acc, x) -> acc + x * x)))",
 ]
 
 

@@ -2049,6 +2049,78 @@ def op_fn_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_register(
+    "op_fn_batch6",
+    """
+    with t as (select doc_id, text,
+        make_timestamp(2001, 3, 4, 5, 6, cast(doc_id as double) * 1.25) as ts,
+        lpad(cast(doc_id * 7919 as varchar), 10, '0') as digits,
+        cast(doc_id as double) + 1.0 as xv
+      from documents where doc_id < 40)
+    select doc_id,
+      case when strpos(reverse(text), 'a') = 0 then 0
+           else length(text) - strpos(reverse(text), 'a') + 1 end as rp,
+      strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') as iso,
+      isoyear(date '1995-01-02' + to_days(cast(doc_id * 37 as integer))) as yw,
+      isfinite(case when doc_id % 5 = 0 then cast('Infinity' as double)
+               else cast(doc_id as double) end) as fin,
+      list_sum(list_transform(
+        list_transform(string_split(reverse(digits), ''), c -> ascii(c) - 48),
+        (d, i) -> case when (i - 1) % 2 = 1
+                  then case when d * 2 > 9 then d * 2 - 9 else d * 2 end
+                  else d end)) % 10 = 0 as luhn,
+      3.0 * xv / (sqrt(xv * xv + 4.0) * sqrt(10.0)) as cos_sim,
+      cast(doc_id % 4 + 1 as bigint) as jsz
+    from t order by doc_id
+    """,
+)
+def op_fn_batch6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function batch 6: strrpos, to_iso8601, year_of_week, is_finite,
+    luhn_check, cosine_similarity (sparse-map form), json_size — every
+    adapter exercised against closed-form / DuckDB-native equivalents.
+    ``strrpos`` probes a 1-char needle so the reverse-locate formula is the
+    oracle's own formula; cosine runs on maps {x: doc_id+1, y: 2} vs
+    {x: 3, z: 1} whose closed form the oracle evaluates in the identical
+    double operation order."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    t = cat.documents.filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        "text",
+        F.make_timestamp(
+            F.lit(2001), F.lit(3), F.lit(4), F.lit(5), F.lit(6),
+            F.col("doc_id").cast("double") * 1.25,
+        ).alias("ts"),
+        F.lpad((F.col("doc_id") * 7919).cast("string"), 10, "0").alias("digits"),
+        (F.col("doc_id").cast("double") + 1.0).alias("xv"),
+    )
+    a_map = F.create_map(F.lit("x"), F.col("xv"), F.lit("y"), F.lit(2.0))
+    b_map = F.create_map(F.lit("x"), F.lit(3.0), F.lit("z"), F.lit(1.0))
+    json_doc = F.concat(
+        F.lit('{"xs": ['),
+        F.repeat(F.lit("1,"), (F.col("doc_id") % 4).cast("int")),
+        F.lit("1]}"),
+    )
+    return t.select(
+        "doc_id",
+        pc("strrpos", F.col("text"), F.lit("a")).alias("rp"),
+        pc("to_iso8601", F.col("ts")).alias("iso"),
+        pc(
+            "year_of_week",
+            F.date_add(F.lit("1995-01-02").cast("date"), (F.col("doc_id") * 37).cast("int")),
+        ).alias("yw"),
+        pc(
+            "is_finite",
+            F.when(F.col("doc_id") % 5 == 0, F.lit(float("inf")))
+            .otherwise(F.col("doc_id").cast("double")),
+        ).alias("fin"),
+        pc("luhn_check", F.col("digits")).alias("luhn"),
+        pc("cosine_similarity", a_map, b_map).alias("cos_sim"),
+        pc("json_size", json_doc, "$.xs").alias("jsz"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Subfield pushdown (map-as-struct rewrite, optimizer/subfields.py; ref
 # axiom/optimizer/Subfields.cpp, OptimizerOptions.h:38-46 allMapsAsStruct):
