@@ -386,7 +386,172 @@ def _cases():
     "map_agg": [
         (_c("map_agg", F.col("i"), F.col("s")), {5: "hello world"}),
     ],
+    # --- batch 7 ---
+    "sha512": [
+        (
+            _c("sha512", F.lit("hello world")),
+            "309ecc489c12d6eb4cc40f50c902f2b4d0ed77ee511a7c7a9bcd3ca86d4cd86f"
+            "989dd35bc5ff499670da34255b45b0cfd830e81f605dcf7dc5542e93ae9cd76f",
+        ),
+    ],
+    "hmac_md5": [
+        (
+            _c("hmac_md5", F.lit("hello world"), F.lit("key")),
+            "ae92cf51adf91130130aefc2b39a7595",
+        ),
+    ],
+    "hmac_sha1": [
+        (
+            _c("hmac_sha1", F.lit("hello world"), F.lit("key")),
+            "34dd234b92683593560528f6193ea68c8005f615",
+        ),
+    ],
+    "hmac_sha256": [
+        (
+            _c("hmac_sha256", F.lit("hello world"), F.lit("key")),
+            "0ba06f1f9a6300461e43454535dc3c4223e47b1d357073d7536eae90ec095be1",
+        ),
+    ],
+    "hmac_sha512": [
+        (
+            _c("hmac_sha512", F.lit("hello world"), F.lit("key")),
+            "ea0625a5ff1cd1653a327f8a4ae2f478fc51405c73ddac3a8a05a7a810310a6a"
+            "14d7c8b4d284013493a6016ecadc772cfd98ed6cbe745949c5e6119fafb63b54",
+        ),
+    ],
+    "to_base64url": [
+        (_c("to_base64url", F.lit("hello world")), "aGVsbG8gd29ybGQ="),
+        # bytes fb ff be encode to '+/++' in standard base64 → '-_--'
+        (_c("to_base64url", F.unhex(F.lit("FBFFBE"))), "-_--"),
+    ],
+    "from_base64url": [
+        (_c("from_base64url", F.lit("aGVsbG8gd29ybGQ=")), b"hello world"),
+        (_c("from_base64url", F.lit("-_--")), bytes([251, 255, 190])),
+    ],
+    "wilson_interval_lower": [
+        (
+            _c("wilson_interval_lower", F.lit(50), F.lit(100), F.lit(1.96)),
+            lambda v: abs(v - _wilson_py(50, 100, 1.96, -1)) < 1e-12,
+        ),
+    ],
+    "wilson_interval_upper": [
+        (
+            _c("wilson_interval_upper", F.lit(50), F.lit(100), F.lit(1.96)),
+            lambda v: abs(v - _wilson_py(50, 100, 1.96, +1)) < 1e-12,
+        ),
+    ],
+    # session zone is UTC in tests → offset 0 (the shim reads the session
+    # zone; Presto reads the value's zone)
+    "timezone_hour": [(_c("timezone_hour", F.col("ts")), 0)],
+    "timezone_minute": [(_c("timezone_minute", F.col("ts")), 0)],
+    "parse_datetime": [
+        (
+            _c("parse_datetime", F.lit("2020-01-02 03:04:05"), "YYYY-MM-dd HH:mm:ss"),
+            datetime.datetime(2020, 1, 2, 3, 4, 5),
+        ),
+    ],
+    "url_extract_port": [
+        (_c("url_extract_port", F.lit(_URL)), 8080),
+        (_c("url_extract_port", F.lit("https://example.com/p")), None),
+        (_c("url_extract_port", F.lit("https://u:pw@example.com:9443/p")), 9443),
+    ],
+    "json_format": [
+        (_c("json_format", F.lit('{"a":   1, "b": [1, 2]}')), '{"a":1,"b":[1,2]}'),
+    ],
+    "json_array_contains": [
+        (_c("json_array_contains", F.lit("[1, 2, 3]"), F.lit(2)), True),
+        (_c("json_array_contains", F.lit("[1, 2, 3]"), F.lit(5)), False),
+        (_c("json_array_contains", F.lit('["x", "y"]'), F.lit("x")), True),
+        (_c("json_array_contains", F.lit('{"a": 1}'), F.lit(1)), None),
+        (_c("json_array_contains", F.lit("[true]"), F.lit(True)), True),
+    ],
+    "is_json_scalar": [
+        (_c("is_json_scalar", F.lit("1")), True),
+        (_c("is_json_scalar", F.lit('"abc"')), True),
+        (_c("is_json_scalar", F.lit("[1, 2]")), False),
+        (_c("is_json_scalar", F.lit('{"a": 1}')), False),
+        (_c("is_json_scalar", F.lit("not json")), None),
+    ],
+    "normalize": [
+        # NFD 'e' + combining acute composes to U+00E9 under NFC
+        (_c("normalize", F.lit("é")), "é"),
+        (_c("normalize", F.lit("é"), "NFD"), "é"),
+    ],
+    "word_stem": [
+        # canonical examples from Porter (1980)
+        (_c("word_stem", F.lit("caresses")), "caress"),
+        (_c("word_stem", F.lit("ponies")), "poni"),
+        (_c("word_stem", F.lit("running")), "run"),
+        # (official Porter vocabulary output: step 5a strips the final e)
+        (_c("word_stem", F.lit("agreed")), "agre"),
+        (_c("word_stem", F.lit("happy")), "happi"),
+        (_c("word_stem", F.lit("relational"), "en"), "relat"),
+    ],
+    "multimap_from_entries": [
+        (
+            _c(
+                "multimap_from_entries",
+                F.array(
+                    F.struct(F.lit("a").alias("key"), F.lit(1).alias("value")),
+                    F.struct(F.lit("a").alias("key"), F.lit(2).alias("value")),
+                    F.struct(F.lit("b").alias("key"), F.lit(3).alias("value")),
+                ),
+            ),
+            {"a": [1, 2], "b": [3]},
+        ),
+    ],
+    "map_union": [
+        (_c("map_union", F.col("m1")), {"a": 1}),
+    ],
+    "multimap_agg": [
+        (_c("multimap_agg", F.col("s"), F.col("i")), {"hello world": [5]}),
+    ],
+    "set_union": [
+        (_c("set_union", F.col("xs")), [1, 2, 3]),
+    ],
+    "histogram": [
+        (_c("histogram", F.col("s")), {"hello world": 1}),
+    ],
+    "checksum": [
+        (_c("checksum", F.col("s")), lambda v: isinstance(v, int)),
+    ],
+    "approx_most_frequent": [
+        (_c("approx_most_frequent", 2, F.col("s"), 10), {"hello world": 1}),
+    ],
+    "numeric_histogram": [
+        (_c("numeric_histogram", 2, F.col("d")), {2.5: 1}),
+    ],
+    "ip_prefix": [
+        (_c("ip_prefix", F.lit("10.1.2.3"), 24), "10.1.2.0/24"),
+        (_c("ip_prefix", F.lit("10.1.2.3"), 32), "10.1.2.3/32"),
+        (_c("ip_prefix", F.lit("2001:db8::1"), 48), None),  # IPv6 → NULL
+    ],
+    "ip_subnet_min": [
+        (_c("ip_subnet_min", F.lit("10.1.2.0/24")), "10.1.2.0"),
+    ],
+    "ip_subnet_max": [
+        (_c("ip_subnet_max", F.lit("10.1.2.0/24")), "10.1.2.255"),
+        (_c("ip_subnet_max", F.lit("0.0.0.0/0")), "255.255.255.255"),
+    ],
+    "ip_subnet_range": [
+        (_c("ip_subnet_range", F.lit("10.1.2.0/24")), ["10.1.2.0", "10.1.2.255"]),
+    ],
+    "is_subnet_of": [
+        (_c("is_subnet_of", F.lit("10.1.0.0/16"), F.lit("10.1.2.3")), True),
+        (_c("is_subnet_of", F.lit("10.1.0.0/16"), F.lit("10.2.0.1")), False),
+        (_c("is_subnet_of", F.lit("10.1.0.0/16"), F.lit("10.1.2.0/24")), True),
+        (_c("is_subnet_of", F.lit("10.1.2.0/24"), F.lit("10.1.0.0/16")), False),
+    ],
+    "every": [(_c("every", F.col("b")), True)],
+    "bitwise_and_agg": [(_c("bitwise_and_agg", F.col("i")), 5)],
+    "bitwise_or_agg": [(_c("bitwise_or_agg", F.col("i")), 5)],
     }
+
+
+def _wilson_py(s, n, z, sign):
+    p = s / n
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    return (p + z * z / (2 * n) + sign * half) / (1 + z * z / n)
 
 
 _ALL_NAMES = sorted(set(PRESTO_TO_SPARK) | set(_ADAPTERS))

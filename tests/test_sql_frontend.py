@@ -132,6 +132,57 @@ def test_sql_compat_batch6(presto):
     assert row.cs == 1.0
 
 
+def test_sql_compat_batch7(presto):
+    row = presto.sql(
+        "select sha512('hello world') as h512, "
+        "to_base64url('hello world') as b64u, "
+        "wilson_interval_lower(50, 100, 1.96) as wl, "
+        "url_extract_port('https://example.com:8080/p') as port, "
+        "is_json_scalar('1') as ijs, "
+        "json_array_contains('[1, 2, 3]', 2) as jac, "
+        "word_stem('running') as stem, "
+        "normalize('é') as norm, "
+        "parse_datetime('2020-01-02 03:04', 'YYYY-MM-dd HH:mm') as pd, "
+        "ip_prefix('10.1.2.3', 24) as ipp, "
+        "ip_subnet_min('10.1.2.0/24') as smin, "
+        "is_subnet_of('10.1.0.0/16', '10.1.2.3') as sof"
+    ).collect()[0]
+    assert row.h512.startswith("309ecc489c12d6eb")
+    assert row.b64u == "aGVsbG8gd29ybGQ="
+    assert abs(row.wl - 0.40382982859014716) < 1e-12
+    assert row.port == 8080
+    assert row.ijs is True and row.jac is True
+    assert row.stem == "run" and row.norm == "é"
+    assert row.pd.year == 2020 and row.pd.minute == 4
+    assert row.ipp == "10.1.2.0/24" and row.smin == "10.1.2.0"
+    assert row.sof is True
+
+
+def test_sql_compat_batch7_aggregates(presto):
+    rows = presto.sql(
+        "select n_regionkey as rk, "
+        "histogram(n_regionkey) as h, "
+        "map_union(map(array[n_name], array[n_nationkey])) as mu, "
+        "multimap_agg(n_regionkey, n_nationkey) as mm, "
+        "set_union(array[n_nationkey, n_nationkey + 100]) as su, "
+        "checksum(n_name) as ck "
+        "from nation group by n_regionkey order by n_regionkey"
+    ).collect()
+    assert len(rows) == 5
+    r0 = rows[0]
+    assert r0.h == {r0.rk: 5}
+    assert len(r0.mu) == 5 and len(r0.mm[r0.rk]) == 5
+    assert len(r0.su) == 10 and isinstance(r0.ck, int)
+    # checksum is order-insensitive: same multiset in reversed order
+    a, b = presto.sql(
+        "select checksum(n_name) as c from (select n_name from nation order by n_name)"
+    ).collect()[0].c, presto.sql(
+        "select checksum(n_name) as c from "
+        "(select n_name from nation order by n_name desc)"
+    ).collect()[0].c
+    assert a == b
+
+
 def test_explain_statement(presto):
     plan = presto.sql("explain select count(*) from lineitem").collect()[0].plan
     assert "Physical Plan" in plan

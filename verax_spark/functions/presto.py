@@ -91,6 +91,10 @@ PRESTO_TO_SPARK: dict[str, str] = {
     # `cardinality` must keep meaning `size` for arrays.
     "approx_set": "hll_sketch_agg",
     "merge": "hll_union_agg",
+    # batch 7 renames
+    "every": "bool_and",
+    "bitwise_and_agg": "bit_and",
+    "bitwise_or_agg": "bit_or",
 }
 
 # Seconds per fixed-width unit for date_add/date_diff arithmetic.
@@ -427,6 +431,90 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     # presto json_size(json, path): members of an object / elements of an
     # array at path; 0 for a scalar; NULL when the path is absent
     "json_size": lambda x, p: _presto_json_size(x, p),
+    # --- batch 7: crypto / encodings ---
+    # hex-digest convention (consistent with md5/sha1 passthroughs)
+    "sha512": lambda x: F.sha2(_col(x).cast("binary"), 512),
+    "hmac_md5": lambda m, k: _udf_call("hmac_md5", m, k),
+    "hmac_sha1": lambda m, k: _udf_call("hmac_sha1", m, k),
+    "hmac_sha256": lambda m, k: _udf_call("hmac_sha256", m, k),
+    "hmac_sha512": lambda m, k: _udf_call("hmac_sha512", m, k),
+    # presto to_base64url/from_base64url: RFC 4648 URL-safe alphabet
+    "to_base64url": lambda x: F.translate(
+        F.base64(_col(x).cast("binary")), "+/", "-_"
+    ),
+    "from_base64url": lambda s: F.unbase64(F.translate(_col(s), "-_", "+/")),
+    # --- batch 7: math / stats ---
+    "wilson_interval_lower": lambda s, n, z: _wilson(s, n, z, -1),
+    "wilson_interval_upper": lambda s, n, z: _wilson(s, n, z, +1),
+    # --- batch 7: datetime ---
+    # session-zone offset components (Presto reads the value's own zone;
+    # Spark timestamps are session-zoned, so the session zone is THE zone)
+    "timezone_hour": lambda ts: _tz_offset_part(ts, "hour"),
+    "timezone_minute": lambda ts: _tz_offset_part(ts, "minute"),
+    # presto parse_datetime(string, joda_pattern)
+    "parse_datetime": lambda s, fmt: F.to_timestamp(
+        _col(s), _joda_pattern(fmt)
+    ),
+    # --- batch 7: URL ---
+    # parse_url has no PORT part — take it from the authority
+    "url_extract_port": lambda u: F.nullif(
+        F.regexp_extract(
+            _col(u), r"^[^:/?#]+://(?:[^/@]*@)?[^/:?#]*:([0-9]+)", 1
+        ),
+        F.lit(""),
+    ).cast("bigint"),
+    # --- batch 7: JSON ---
+    "json_format": lambda x: F.to_json(
+        F.parse_json(_col(x).cast("string"))
+    ),
+    "json_array_contains": lambda x, v: _presto_json_array_contains(x, v),
+    "is_json_scalar": lambda x: _presto_is_json_scalar(x),
+    # --- batch 7: text (UDF slow path, see functions/udfs.py) ---
+    "normalize": lambda s, form="NFC": _udf_normalize(s, form),
+    "word_stem": lambda s, lang="en": _udf_word_stem(s, lang),
+    # --- batch 7: collections ---
+    # presto multimap_from_entries(array<row(k,v)>): k -> array of all v
+    "multimap_from_entries": lambda ents: _group_entries(_col(ents)),
+    # --- batch 7: aggregates ---
+    # presto map_union: merge maps across rows; on duplicate keys an
+    # arbitrary value survives (here: first collected)
+    "map_union": lambda m: _entries_to_map(
+        F.flatten(F.collect_list(F.map_entries(_col(m))))
+    ),
+    "multimap_agg": lambda k, v: _group_entries(
+        F.collect_list(F.struct(_col(k).alias("key"), _col(v).alias("value")))
+    ),
+    "set_union": lambda arr: F.array_distinct(
+        F.flatten(F.collect_list(_col(arr)))
+    ),
+    # presto histogram(x): value -> count map
+    "histogram": lambda x: _presto_histogram(F.collect_list(_col(x))),
+    # presto checksum: order-insensitive aggregate checksum. Engine-local
+    # constant (Presto's exact bytes are xxhash64-based too but not
+    # bit-compatible); the contract — equal multisets ⇒ equal checksum,
+    # order-independent — holds.
+    "checksum": lambda x: F.sum(F.xxhash64(_col(x))),
+    # presto approx_most_frequent(buckets, value, capacity): here computed
+    # exactly (a strictly stronger guarantee; capacity is accepted and
+    # ignored). For hot-path global top-k at scale prefer
+    # operators.text.token_vocabulary's two-level partial top-k plan.
+    "approx_most_frequent": lambda b, x, cap=None: _top_k_by_count(
+        F.collect_list(_col(x)), int(b)
+    ),
+    # presto numeric_histogram(buckets, x): Presto's is an adaptive
+    # streaming histogram; this is the equal-width deterministic analog
+    # (bin mean -> count), documented deviation.
+    "numeric_histogram": lambda b, x: _numeric_histogram(
+        F.collect_list(_col(x).cast("double")), int(b)
+    ),
+    # --- batch 7: IPv4 network functions (IPv6 inputs yield NULL) ---
+    "ip_prefix": lambda ip, bits: _ip_prefix(ip, bits),
+    "ip_subnet_min": lambda p: _int_to_ip(_subnet_bounds(p)[0]),
+    "ip_subnet_max": lambda p: _int_to_ip(_subnet_bounds(p)[1]),
+    "ip_subnet_range": lambda p: F.array(
+        _int_to_ip(_subnet_bounds(p)[0]), _int_to_ip(_subnet_bounds(p)[1])
+    ),
+    "is_subnet_of": lambda p, ip: _is_subnet_of(p, ip),
 }
 
 
@@ -475,6 +563,258 @@ def _presto_json_size(x, p) -> Column:
         .when(j.startswith("["), F.json_array_length(j).cast("bigint"))
         .otherwise(F.lit(0).cast("bigint"))
     )
+
+
+def _udf_call(name: str, *args) -> Column:
+    """Dispatch to a Pandas-UDF-backed function (functions/udfs.py)."""
+    from verax_spark.functions import udfs
+
+    fn = getattr(udfs, name)
+    return fn(*(_col(a) for a in args))
+
+
+def _udf_normalize(s, form) -> Column:
+    from verax_spark.functions import udfs
+
+    return udfs.normalize(_col(s), form if not isinstance(form, Column) else "NFC")
+
+
+def _udf_word_stem(s, lang) -> Column:
+    if not isinstance(lang, Column) and str(lang).lower() not in ("en", "english"):
+        raise NotImplementedError(
+            "word_stem: only the English Porter stemmer is implemented"
+        )
+    return _udf_call("word_stem", s)
+
+
+def _wilson(s, n, z, sign: int) -> Column:
+    """Wilson score interval bound: (p̂ + z²/2n ± z·√(p̂(1-p̂)/n + z²/4n²))
+    / (1 + z²/n)."""
+    s, n, z = _col(s).cast("double"), _col(n).cast("double"), _col(z).cast("double")
+    p = s / n
+    z2n = z * z / n
+    half = z * F.sqrt(p * (F.lit(1.0) - p) / n + z2n / (F.lit(4.0) * n))
+    return (p + z2n / F.lit(2.0) + F.lit(float(sign)) * half) / (F.lit(1.0) + z2n)
+
+
+def _tz_offset_part(ts, part: str) -> Column:
+    """Offset of the session zone at instant ts, split Presto-style
+    (both components carry the offset's sign)."""
+    t = _col(ts).cast("timestamp")
+    off_min = (
+        (
+            F.unix_timestamp(t)
+            - F.unix_timestamp(F.to_utc_timestamp(t, F.current_timezone()))
+        )
+        / F.lit(60)
+    ).cast("int")
+    hour = (off_min / F.lit(60)).cast("int")
+    if part == "hour":
+        return hour.cast("bigint")
+    return (off_min - hour * F.lit(60)).cast("bigint")
+
+
+_JODA_TO_JAVA = [
+    # Joda weekyear/era tokens that Java-time (Spark) spells differently or
+    # rejects; common field tokens (y M d H m s S E) are identical.
+    ("YYYY", "yyyy"),
+    ("YY", "yy"),
+    ("ZZ", "XXX"),
+    ("Z", "xx"),
+]
+
+
+def _joda_pattern(fmt) -> str:
+    if isinstance(fmt, Column):
+        raise ValueError("parse_datetime: pattern must be a literal string")
+    out = str(fmt)
+    for joda, java in _JODA_TO_JAVA:
+        out = out.replace(joda, java)
+    return out
+
+
+def _presto_json_array_contains(x, v) -> Column:
+    arr = F.try_parse_json(_col(x).cast("string")).try_cast("array<variant>")
+    # serialize the probe value through to_json(array(v)) and strip the
+    # brackets so string values compare quoted, numbers unquoted — the same
+    # canonical form to_json gives the elements
+    wrapped = F.to_json(F.array(_col(v)))
+    rhs = wrapped.substr(F.lit(2), F.length(wrapped) - 2)
+    return F.when(arr.isNull(), F.lit(None).cast("boolean")).otherwise(
+        F.exists(arr, lambda e: F.to_json(e) == rhs)
+    )
+
+
+def _presto_is_json_scalar(x) -> Column:
+    v = F.try_parse_json(_col(x).cast("string"))
+    sch = F.schema_of_variant(v)
+    return F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(
+        ~(sch.startswith("OBJECT") | sch.startswith("ARRAY") | sch.startswith("STRUCT"))
+    )
+
+
+def _entries_to_map(ents: Column) -> Column:
+    """array<struct<key,value>> (possibly duplicate keys) → map keeping the
+    first value per key."""
+    keys = F.array_distinct(F.transform(ents, lambda e: e["key"]))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys, lambda k: F.filter(ents, lambda e: e["key"] == k)[0]["value"]
+        ),
+    )
+
+
+def _group_entries(ents: Column) -> Column:
+    """array<struct<key,value>> → map key -> array of every value."""
+    keys = F.array_distinct(F.transform(ents, lambda e: e["key"]))
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys,
+            lambda k: F.transform(
+                F.filter(ents, lambda e: e["key"] == k), lambda e: e["value"]
+            ),
+        ),
+    )
+
+
+def _presto_histogram(vals: Column) -> Column:
+    keys = F.array_distinct(vals)
+    return F.map_from_arrays(
+        keys,
+        F.transform(
+            keys, lambda k: F.size(F.filter(vals, lambda e: e == k)).cast("long")
+        ),
+    )
+
+
+def _top_k_by_count(vals: Column, k: int) -> Column:
+    keys = F.array_distinct(vals)
+    counted = F.transform(
+        keys,
+        lambda key: F.struct(
+            key.alias("key"),
+            F.size(F.filter(vals, lambda e: e == key)).cast("long").alias("value"),
+        ),
+    )
+    ranked = F.array_sort(
+        counted,
+        lambda a, b: F.when(a["value"] > b["value"], -1)
+        .when(a["value"] < b["value"], 1)
+        .when(a["key"] < b["key"], -1)
+        .when(a["key"] > b["key"], 1)
+        .otherwise(0),
+    )
+    return F.map_from_entries(F.slice(ranked, 1, k))
+
+
+def _numeric_histogram(vals: Column, buckets: int) -> Column:
+    mn, mx = F.array_min(vals), F.array_max(vals)
+    width = F.nullif((mx - mn) / F.lit(float(buckets)), F.lit(0.0))
+    idxs = F.sequence(F.lit(0), F.lit(buckets - 1))
+
+    def in_bucket(i):
+        # [mn + i*w, mn + (i+1)*w), last bucket closed; degenerate
+        # (all-equal) input collapses into bucket 0
+        lo = mn + i.cast("double") * width
+        hi = mn + (i.cast("double") + F.lit(1.0)) * width
+        return F.when(
+            width.isNull(), F.when(i == 0, vals).otherwise(F.array())
+        ).otherwise(
+            F.filter(
+                vals,
+                lambda v: (v >= lo)
+                & (F.when(i == F.lit(buckets - 1), v <= hi).otherwise(v < hi)),
+            )
+        )
+
+    entries = F.filter(
+        F.transform(
+            idxs,
+            lambda i: F.struct(
+                F.aggregate(
+                    in_bucket(i), F.lit(0.0), lambda acc, v: acc + v
+                ).alias("s"),
+                F.size(in_bucket(i)).cast("long").alias("value"),
+            ),
+        ),
+        lambda e: e["value"] > 0,
+    )
+    return F.map_from_entries(
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                (e["s"] / e["value"].cast("double")).alias("key"),
+                e["value"].alias("value"),
+            ),
+        )
+    )
+
+
+def _ip_to_int(ip) -> Column:
+    """Dotted-quad IPv4 → bigint; NULL for anything else (IPv6 unsupported,
+    documented)."""
+    s = _col(ip)
+    valid = s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    parts = F.split(s, r"\.")
+    val = (
+        parts[0].cast("bigint") * F.lit(16777216)
+        + parts[1].cast("bigint") * F.lit(65536)
+        + parts[2].cast("bigint") * F.lit(256)
+        + parts[3].cast("bigint")
+    )
+    return F.when(valid, val)
+
+
+def _int_to_ip(v: Column) -> Column:
+    # concat_ws skips NULL args, so guard explicitly (IPv6 input → NULL int)
+    return F.when(
+        v.isNotNull(),
+        F.concat_ws(
+            ".",
+            (v / F.lit(16777216)).cast("bigint") % 256,
+            (v / F.lit(65536)).cast("bigint") % 256,
+            (v / F.lit(256)).cast("bigint") % 256,
+            v % 256,
+        ),
+    )
+
+
+def _prefix_parts(p) -> tuple[Column, Column]:
+    s = _col(p)
+    return F.split(s, "/")[0], F.split(s, "/")[1].cast("int")
+
+
+def _pow2(e: Column) -> Column:
+    # 2^e as bigint (exact for e <= 32; shiftleft needs a literal shift)
+    return F.pow(F.lit(2.0), e.cast("double")).cast("bigint")
+
+
+def _subnet_bounds(p) -> tuple[Column, Column]:
+    ip_s, bits = _prefix_parts(p)
+    base = _ip_to_int(ip_s)
+    block = _pow2(F.lit(32) - bits)
+    # mask off host bits (works for any in-subnet address given as base)
+    lo = base - (base % block)
+    return lo, lo + block - F.lit(1)
+
+
+def _ip_prefix(ip, bits) -> Column:
+    b = _col(bits).cast("int") if isinstance(bits, Column) else F.lit(int(bits))
+    base = _ip_to_int(ip)
+    lo = base - (base % _pow2(F.lit(32) - b))
+    return F.concat(_int_to_ip(lo), F.lit("/"), b.cast("string"))
+
+
+def _is_subnet_of(p, x) -> Column:
+    lo, hi = _subnet_bounds(p)
+    x_s = _col(x)
+    # second arg may be an address or a prefix
+    is_prefix = x_s.contains("/")
+    xlo = F.when(is_prefix, _subnet_bounds(x_s)[0]).otherwise(_ip_to_int(x_s))
+    xhi = F.when(is_prefix, _subnet_bounds(x_s)[1]).otherwise(_ip_to_int(x_s))
+    return (xlo >= lo) & (xhi <= hi)
 
 
 def _presto_json_array_get(x, i) -> Column:
@@ -557,6 +897,75 @@ _SQL_COMPAT = [
     "(k, x, y) -> coalesce(x, 0d) * coalesce(y, 0d))), 0d, (acc, x) -> acc + x)"
     " / (sqrt(aggregate(map_values(a), 0d, (acc, x) -> acc + x * x))"
     " * sqrt(aggregate(map_values(b), 0d, (acc, x) -> acc + x * x)))",
+    # --- batch 7 ---
+    "CREATE OR REPLACE TEMPORARY FUNCTION sha512(x BINARY) "
+    "RETURNS STRING RETURN sha2(x, 512)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_base64url(x BINARY) "
+    "RETURNS STRING RETURN translate(base64(x), '+/', '-_')",
+    "CREATE OR REPLACE TEMPORARY FUNCTION from_base64url(s STRING) "
+    "RETURNS BINARY RETURN unbase64(translate(s, '-_', '+/'))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION wilson_interval_lower("
+    "s DOUBLE, n DOUBLE, z DOUBLE) RETURNS DOUBLE RETURN "
+    "(s / n + z * z / (2 * n) - z * sqrt(s / n * (1 - s / n) / n "
+    "+ z * z / (4 * n * n))) / (1 + z * z / n)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION wilson_interval_upper("
+    "s DOUBLE, n DOUBLE, z DOUBLE) RETURNS DOUBLE RETURN "
+    "(s / n + z * z / (2 * n) + z * sqrt(s / n * (1 - s / n) / n "
+    "+ z * z / (4 * n * n))) / (1 + z * z / n)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION timezone_hour(t TIMESTAMP) "
+    "RETURNS BIGINT RETURN cast(cast((unix_timestamp(t) - unix_timestamp("
+    "to_utc_timestamp(t, current_timezone()))) / 60 as int) / 60 as int)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION timezone_minute(t TIMESTAMP) "
+    "RETURNS BIGINT RETURN cast((unix_timestamp(t) - unix_timestamp("
+    "to_utc_timestamp(t, current_timezone()))) / 60 as int) "
+    "- 60 * cast(cast((unix_timestamp(t) - unix_timestamp("
+    "to_utc_timestamp(t, current_timezone()))) / 60 as int) / 60 as int)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_extract_port(u STRING) "
+    "RETURNS BIGINT RETURN cast(nullif(regexp_extract(u, "
+    r"'^[^:/?#]+://(?:[^/@]*@)?[^/:?#]*:([0-9]+)', 1), '') as bigint)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_format(x STRING) "
+    "RETURNS STRING RETURN to_json(parse_json(x))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_json_scalar(x STRING) "
+    "RETURNS BOOLEAN RETURN case when try_parse_json(x) is null then "
+    "cast(null as boolean) else not ("
+    "startswith(schema_of_variant(try_parse_json(x)), 'OBJECT') or "
+    "startswith(schema_of_variant(try_parse_json(x)), 'ARRAY') or "
+    "startswith(schema_of_variant(try_parse_json(x)), 'STRUCT')) end",
+    # IPv4 network helpers (documented: IPv6 inputs yield NULL)
+    "CREATE OR REPLACE TEMPORARY FUNCTION ip4_to_int(ip STRING) "
+    "RETURNS BIGINT RETURN case when ip rlike "
+    r"'^\\d{1,3}\.\\d{1,3}\.\\d{1,3}\.\\d{1,3}$' then "
+    r"cast(split(ip, '\\.')[0] as bigint) * 16777216 "
+    r"+ cast(split(ip, '\\.')[1] as bigint) * 65536 "
+    r"+ cast(split(ip, '\\.')[2] as bigint) * 256 "
+    r"+ cast(split(ip, '\\.')[3] as bigint) end",
+    # concat_ws skips NULLs — guard so a NULL int (IPv6 input) stays NULL
+    "CREATE OR REPLACE TEMPORARY FUNCTION int_to_ip4(v BIGINT) "
+    "RETURNS STRING RETURN case when v is null then cast(null as string) "
+    "else concat_ws('.', cast(v div 16777216 as string), "
+    "cast(v div 65536 % 256 as string), cast(v div 256 % 256 as string), "
+    "cast(v % 256 as string)) end",
+    "CREATE OR REPLACE TEMPORARY FUNCTION ip_prefix(ip STRING, b INT) "
+    "RETURNS STRING RETURN concat(int_to_ip4(ip4_to_int(ip) "
+    "- ip4_to_int(ip) % cast(pow(2, 32 - b) as bigint)), '/', "
+    "cast(b as string))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION ip_subnet_min(p STRING) "
+    "RETURNS STRING RETURN int_to_ip4(ip4_to_int(split(p, '/')[0]) "
+    "- ip4_to_int(split(p, '/')[0]) "
+    "% cast(pow(2, 32 - cast(split(p, '/')[1] as int)) as bigint))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION ip_subnet_max(p STRING) "
+    "RETURNS STRING RETURN int_to_ip4(ip4_to_int(split(p, '/')[0]) "
+    "- ip4_to_int(split(p, '/')[0]) "
+    "% cast(pow(2, 32 - cast(split(p, '/')[1] as int)) as bigint) "
+    "+ cast(pow(2, 32 - cast(split(p, '/')[1] as int)) as bigint) - 1)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION ip_subnet_range(p STRING) "
+    "RETURNS ARRAY<STRING> RETURN array(ip_subnet_min(p), ip_subnet_max(p))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_subnet_of(p STRING, x STRING) "
+    "RETURNS BOOLEAN RETURN "
+    "(case when contains(x, '/') then ip4_to_int(ip_subnet_min(x)) "
+    "else ip4_to_int(x) end) >= ip4_to_int(ip_subnet_min(p)) AND "
+    "(case when contains(x, '/') then ip4_to_int(ip_subnet_max(x)) "
+    "else ip4_to_int(x) end) <= ip4_to_int(ip_subnet_max(p))",
 ]
 
 
@@ -564,6 +973,9 @@ def register_sql_compat(spark) -> None:
     """Register Presto-compat SQL UDFs in the session (idempotent)."""
     for ddl in _SQL_COMPAT:
         spark.sql(ddl)
+    from verax_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
 
 
 def presto_call(name: str, *args) -> Column:

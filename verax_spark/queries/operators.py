@@ -2121,6 +2121,211 @@ def op_fn_batch6(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_STEM_WORDS = [
+    ("running", "run"), ("ponies", "poni"), ("caresses", "caress"),
+    ("relational", "relat"), ("happy", "happi"), ("conflated", "conflat"),
+]
+_SHA512_M = [
+    "60906c15a8ea9d3d7f71eec4c7c1304eba5e2c09da0e869e723eef5ec71df710"
+    "b885b922159f51fa09da232a8d8d4e6fb94a2dfd3a8903dadf9a3b2262cae197",
+    "c10ab654c9594899c6a2ee26e20b05d4587cdbf392ba4e98380816bb0b6cc707"
+    "99872394c092612cb782ff21a993b7fca2f857dbdda52f84cd3ffc3dfe708784",
+    "e17497c2b76c6e487a1b8fc74f55000c6cfebdd4e584655ecb386d0911592446"
+    "f386b32d0b7d54f166c19d051992c41290760065ede2a3f702a3de5f8bfe0bd8",
+]
+_HMAC256_M = [
+    "17ed3dfd825255fe0ed14a1a41b642a85cc45de75ddd7a85672e5ef78ffbdbe1",
+    "52c080f2f8a84f321f9127c63ce19619ddab3f0565fe5064ff62b81f329e692e",
+    "ccbd4dc59931cee31682845ff83e287660226c156ac73b7f6f0dbf9cf0054275",
+]
+
+
+@_register(
+    "op_fn_batch7",
+    f"""
+    with t as (select doc_id,
+        concat('10.', cast(doc_id % 256 as varchar), '.',
+               cast(doc_id * 7 % 256 as varchar), '.',
+               cast(doc_id * 13 % 256 as varchar)) as ip,
+        cast(doc_id % 25 + 8 as integer) as bits,
+        doc_id % 7 + 1 as hits
+      from documents where doc_id < 40),
+    ip_math as (select *,
+        (cast(string_split(ip, '.')[1] as bigint) * 16777216
+         + cast(string_split(ip, '.')[2] as bigint) * 65536
+         + cast(string_split(ip, '.')[3] as bigint) * 256
+         + cast(string_split(ip, '.')[4] as bigint)) as ip_int,
+        cast(pow(2, 32 - bits) as bigint) as block
+      from t),
+    ip_lo as (select *, ip_int - ip_int % block as lo from ip_math)
+    select doc_id,
+      (hits / 10.0 + 1.96 * 1.96 / 20.0 - 1.96 * sqrt(
+        hits / 10.0 * (1 - hits / 10.0) / 10.0
+        + 1.96 * 1.96 / (4.0 * 100.0))) / (1 + 1.96 * 1.96 / 10.0) as wl,
+      (hits / 10.0 + 1.96 * 1.96 / 20.0 + 1.96 * sqrt(
+        hits / 10.0 * (1 - hits / 10.0) / 10.0
+        + 1.96 * 1.96 / (4.0 * 100.0))) / (1 + 1.96 * 1.96 / 10.0) as wu,
+      concat(cast(lo // 16777216 as varchar), '.',
+             cast(lo // 65536 % 256 as varchar), '.',
+             cast(lo // 256 % 256 as varchar), '.',
+             cast(lo % 256 as varchar), '/', cast(bits as varchar)) as ipp,
+      concat(cast((lo + block - 1) // 16777216 as varchar), '.',
+             cast((lo + block - 1) // 65536 % 256 as varchar), '.',
+             cast((lo + block - 1) // 256 % 256 as varchar), '.',
+             cast((lo + block - 1) % 256 as varchar)) as smax,
+      (ip_int >= 167772160 and ip_int <= 184549375) as sof,
+      cast(1000 + doc_id as bigint) as port,
+      translate(to_base64(encode(concat('m', cast(doc_id % 3 as varchar)))),
+                '+/', '-_') as b64u,
+      case doc_id % 3
+        when 0 then '{_SHA512_M[0]}'
+        when 1 then '{_SHA512_M[1]}'
+        else '{_SHA512_M[2]}' end as h512,
+      case doc_id % 3
+        when 0 then '{_HMAC256_M[0]}'
+        when 1 then '{_HMAC256_M[1]}'
+        else '{_HMAC256_M[2]}' end as mac,
+      json_contains(concat('[', cast(doc_id % 5 as varchar), ', 9]'),
+                    cast(doc_id % 3 as varchar)) as jac,
+      (doc_id % 3 = 0) as ijs,
+      case doc_id % 6
+        {" ".join(f"when {i} then '{s}'" for i, (_, s) in enumerate(_STEM_WORDS[:-1]))}
+        else '{_STEM_WORDS[-1][1]}' end as stem,
+      nfc_normalize(concat('abce', chr(769))) as norm
+    from ip_lo order by doc_id
+    """,
+)
+def op_fn_batch7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function batch 7 scalars, each against an independent ground truth:
+    wilson intervals and IPv4 subnet math against DuckDB closed-form
+    arithmetic, base64url against translate(to_base64(..)), json predicates
+    against DuckDB's json_contains, word_stem against the published Porter
+    vocabulary outputs, sha512/hmac_sha256 against spec digests (planted;
+    DuckDB has neither), normalize against nfc_normalize. Ref: the reference
+    registers the full Presto scalar library
+    (axiom/optimizer/FunctionRegistry.h:111-295)."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    stem_arr = F.array(*[F.lit(w) for w, _ in _STEM_WORDS])
+    t = cat.documents.filter(F.col("doc_id") < 40).select(
+        "doc_id",
+        F.concat_ws(
+            ".",
+            F.lit("10"),
+            (F.col("doc_id") % 256).cast("string"),
+            (F.col("doc_id") * 7 % 256).cast("string"),
+            (F.col("doc_id") * 13 % 256).cast("string"),
+        ).alias("ip"),
+        (F.col("doc_id") % 25 + 8).cast("int").alias("bits"),
+        (F.col("doc_id") % 7 + 1).alias("hits"),
+        F.concat(F.lit("m"), (F.col("doc_id") % 3).cast("string")).alias("msg"),
+    )
+    prefix = pc("ip_prefix", F.col("ip"), F.col("bits"))
+    return t.select(
+        "doc_id",
+        pc("wilson_interval_lower", F.col("hits"), F.lit(10), F.lit(1.96)).alias("wl"),
+        pc("wilson_interval_upper", F.col("hits"), F.lit(10), F.lit(1.96)).alias("wu"),
+        prefix.alias("ipp"),
+        pc("ip_subnet_max", prefix).alias("smax"),
+        pc("is_subnet_of", F.lit("10.0.0.0/8"), F.col("ip")).alias("sof"),
+        pc(
+            "url_extract_port",
+            F.concat(
+                F.lit("https://h:"), (F.lit(1000) + F.col("doc_id")).cast("string"),
+                F.lit("/p"),
+            ),
+        ).alias("port"),
+        pc("to_base64url", F.col("msg").cast("binary")).alias("b64u"),
+        pc("sha512", F.col("msg")).alias("h512"),
+        pc("hmac_sha256", F.col("msg"), F.lit("k")).alias("mac"),
+        pc(
+            "json_array_contains",
+            F.concat(
+                F.lit("["), (F.col("doc_id") % 5).cast("string"), F.lit(", 9]")
+            ),
+            F.col("doc_id") % 3,
+        ).alias("jac"),
+        pc(
+            "is_json_scalar",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("1"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("[1]"))
+            .otherwise(F.lit('{"a": 1}')),
+        ).alias("ijs"),
+        pc("word_stem", stem_arr[(F.col("doc_id") % 6).cast("int")]).alias("stem"),
+        # U+0301 combining acute: NFC composes 'e'+accent into U+00E9
+        # (Spark's char() wraps codepoints at 256, so use the literal)
+        pc(
+            "normalize", F.concat(F.lit("abce"), F.lit("́"))
+        ).alias("norm"),
+    ).orderBy("doc_id")
+
+
+@_register(
+    "op_fn_agg2",
+    """
+    with base as (
+      select l_returnflag as rf,
+        count(distinct l_linenumber) as cd,
+        count(*) filter (where l_linenumber = 1) as c1,
+        bool_and(l_quantity > 0) as ep,
+        bit_and(l_linenumber) as ba,
+        bit_or(l_linenumber) as bo
+      from lineitem group by 1),
+    cnts as (
+      select l_returnflag as rf, l_linenumber as ln, count(*) as cnt
+      from lineitem group by 1, 2),
+    top as (
+      select rf, ln from (
+        select rf, ln, row_number() over
+          (partition by rf order by cnt desc, ln asc) as r
+        from cnts) t where r = 1)
+    select b.rf,
+      b.cd as hist_card, b.c1 as hist_1, top.ln as amf_top,
+      cast(b.cd * 2 as integer) as su_card,
+      b.cd as mm_card, b.c1 as mm_vals_1, b.cd as mu_card,
+      b.ep as every_pos, b.ba as band, b.bo as bor
+    from base b join top on b.rf = top.rf order by b.rf
+    """,
+)
+def op_fn_agg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-7 aggregates with decision-level oracles: the map-typed results
+    (histogram, multimap_agg, map_union, set_union, approx_most_frequent)
+    are projected onto engine-portable scalars — cardinalities, a specific
+    key's count, the top-frequency key — that DuckDB reproduces with plain
+    COUNT/FILTER/window SQL. every/bitwise_*_agg map onto DuckDB
+    bool_and/bit_and/bit_or directly."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    ln = F.col("l_linenumber")
+    hist = pc("histogram", ln)
+    mm = pc("multimap_agg", ln, F.col("l_orderkey"))
+    amf = pc("approx_most_frequent", 1, ln, 100)
+    return (
+        cat.lineitem.groupBy(F.col("l_returnflag").alias("rf"))
+        .agg(
+            F.size(F.map_keys(hist)).cast("long").alias("hist_card"),
+            F.coalesce(
+                F.element_at(hist, F.lit(1)), F.lit(0)
+            ).alias("hist_1"),
+            F.map_keys(amf)[0].alias("amf_top"),
+            F.size(pc("set_union", F.array(ln, ln + 10))).alias("su_card"),
+            F.size(F.map_keys(mm)).cast("long").alias("mm_card"),
+            F.coalesce(
+                F.size(F.element_at(mm, F.lit(1))), F.lit(0)
+            ).cast("long").alias("mm_vals_1"),
+            F.size(
+                F.map_keys(pc("map_union", F.create_map(ln, F.col("l_quantity"))))
+            ).cast("long").alias("mu_card"),
+            pc("every", F.col("l_quantity") > 0).alias("every_pos"),
+            pc("bitwise_and_agg", ln).alias("band"),
+            pc("bitwise_or_agg", ln).alias("bor"),
+        )
+        .orderBy("rf")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subfield pushdown (map-as-struct rewrite, optimizer/subfields.py; ref
 # axiom/optimizer/Subfields.cpp, OptimizerOptions.h:38-46 allMapsAsStruct):

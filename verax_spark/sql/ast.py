@@ -494,6 +494,50 @@ class Call(Expr):
             "expressions cannot throw in Spark's non-ANSI evaluation"
         )
 
+    def _entry_agg_sql(self) -> str:
+        """Presto map/set aggregates with no Spark builtin — lowered onto a
+        collect_list fold (ref function surface
+        axiom/optimizer/FunctionRegistry.h:111-295). Catalyst deduplicates
+        the repeated identical collect_list aggregate expressions."""
+        if self.window is not None or self.window_name is not None:
+            raise NotImplementedError(f"windowed {self.name}")
+        kind = self.name.lower()
+        filt = (
+            f" filter (where {self.filter_.sql()})" if self.filter_ is not None else ""
+        )
+        a0 = self.args[0].sql()
+        if kind == "checksum":
+            # order-insensitive aggregate checksum (engine-local constant;
+            # equal multisets ⇒ equal checksum)
+            return f"sum(xxhash64({a0})){filt}"
+        if kind == "set_union":
+            return f"array_distinct(flatten(collect_list({a0}){filt}))"
+        if kind == "map_union":
+            ents = f"flatten(collect_list(map_entries({a0})){filt})"
+            keys = f"array_distinct(transform({ents}, __e -> __e.key))"
+            return (
+                f"map_from_arrays({keys}, transform({keys}, "
+                f"__k -> filter({ents}, __e -> __e.key = __k)[0].value))"
+            )
+        if kind == "multimap_agg":
+            a1 = self.args[1].sql()
+            ents = (
+                f"collect_list(struct({a0} as key, {a1} as value)){filt}"
+            )
+            keys = f"array_distinct(transform({ents}, __e -> __e.key))"
+            return (
+                f"map_from_arrays({keys}, transform({keys}, "
+                f"__k -> transform(filter({ents}, __e -> __e.key = __k), "
+                f"__e -> __e.value)))"
+            )
+        # histogram
+        vals = f"collect_list({a0}){filt}"
+        keys = f"array_distinct({vals})"
+        return (
+            f"map_from_arrays({keys}, transform({keys}, "
+            f"__k -> cast(size(filter({vals}, __e -> __e = __k)) as bigint)))"
+        )
+
     def sql(self) -> str:
         if self.name.lower() == "try" and len(self.args) == 1:
             return self._try_sql()
@@ -553,6 +597,34 @@ class Call(Expr):
         elif self.name.lower() == "regexp_extract" and len(self.args) == 2:
             # Presto defaults to group 0 (whole match); Spark SQL to group 1
             args += ", 0"
+        elif self.name.lower() == "normalize" and len(self.args) == 1:
+            # registered UDF is the 2-arg form; Presto's default form is NFC
+            args += ", 'NFC'"
+        elif self.name.lower() == "word_stem" and len(self.args) == 2:
+            lang = _literal_text(self.args[1])
+            if lang not in ("en", "english"):
+                raise NotImplementedError(
+                    "word_stem: only the English Porter stemmer is implemented"
+                )
+            args = self.args[0].sql()
+        elif self.name.lower() == "parse_datetime" and len(self.args) == 2:
+            inner = _literal_text(self.args[1])
+            if inner is None:
+                raise NotImplementedError(
+                    "parse_datetime requires a literal Joda pattern"
+                )
+            from verax_spark.functions.presto import _joda_pattern
+
+            name = "to_timestamp"
+            args = ", ".join([self.args[0].sql(), _quote_str(_joda_pattern(inner))])
+        elif self.name.lower() == "json_array_contains" and len(self.args) == 2:
+            x, v = self.args[0].sql(), self.args[1].sql()
+            arr = f"try_cast(try_parse_json({x}) as array<variant>)"
+            probe = f"substring(to_json(array({v})), 2, length(to_json(array({v}))) - 2)"
+            return (
+                f"(case when {arr} is null then cast(null as boolean) "
+                f"else exists({arr}, __e -> to_json(__e) = {probe}) end)"
+            )
         elif self.name.lower() == "regexp_replace" and len(self.args) == 2:
             # Presto 2-arg form removes matches; Spark requires 3 args
             args += ", ''"
@@ -610,6 +682,12 @@ class Call(Expr):
             if self.filter_ is not None:
                 inner += f" filter (where {self.filter_.sql()})"
             return f"map_from_entries({inner})"
+        elif (
+            self.name.lower()
+            in ("map_union", "multimap_agg", "set_union", "histogram", "checksum")
+            and self.args
+        ):
+            return self._entry_agg_sql()
         head = f"{name}({'distinct ' if self.distinct else ''}{args})"
         if self.filter_ is not None:
             head += f" filter (where {self.filter_.sql()})"
