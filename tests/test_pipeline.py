@@ -347,3 +347,52 @@ def test_portable_sample_stable_and_engine_portable(spark, sf_dir):
         ).fetchall()
     }
     assert ids1 == duck
+
+
+def test_embedding_ops_invariants(spark, sf_dir):
+    """Unit norm after l2_normalize; int8 round-trip error bounded by
+    scale/2 per component; random projection is linear (proj(2x) =
+    2*proj(x))."""
+    from verax_spark.operators import embeddings as E
+
+    df = Catalog(spark, sf_dir).embeddings.limit(200)
+    v = F.col("embedding")
+    packed = E.int8_quantize(v)
+    err = F.aggregate(
+        F.zip_with(
+            E.int8_dequantize(packed),
+            v,
+            lambda xhat, x: F.abs(xhat - x.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    row = df.select(
+        F.max(F.abs(E.l2_norm(E.l2_normalize(v)) - 1.0)).alias("unit_err"),
+        F.max(err - packed["scale"] / 2.0).alias("quant_slack"),
+        F.max(
+            F.abs(
+                E.random_projection(F.transform(v, lambda x: x * 2), 1)[0]
+                - 2.0 * E.random_projection(v, 1)[0]
+            )
+        ).alias("lin_err"),
+    ).collect()[0]
+    assert row.unit_err < 1e-12
+    assert row.quant_slack <= 1e-9  # |x̂ - x| ≤ scale/2 (round-to-nearest)
+    assert row.lin_err < 1e-9
+
+
+def test_dimension_stats_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from verax_spark.operators import embeddings as E
+
+    df = Catalog(spark, sf_dir).embeddings.limit(300)
+    mat = np.array([r.embedding for r in df.collect()], dtype=np.float64)
+    got = {r.dim: r for r in E.dimension_stats(df).collect()}
+    assert len(got) == mat.shape[1]
+    for d in (0, 7, mat.shape[1] - 1):
+        assert got[d].n == mat.shape[0]
+        assert abs(got[d].mean - mat[:, d].mean()) < 1e-9
+        assert abs(got[d].variance - mat[:, d].var()) < 1e-9
+        assert got[d].mn == mat[:, d].min() and got[d].mx == mat[:, d].max()

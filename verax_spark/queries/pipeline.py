@@ -1236,3 +1236,79 @@ def st_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "event_type", F.col("value").cast("double").alias("value")
     ).orderBy("event_id")
+
+
+@_register(
+    "pl_embed_ops",
+    """
+    with t as (select vec_id, embedding from embeddings where vec_id < 60)
+    select vec_id,
+      sqrt(list_sum(list_transform(embedding,
+        x -> x::double * x::double))) as nrm,
+      coalesce(embedding[1]::double /
+        nullif(sqrt(list_sum(list_transform(embedding,
+        x -> x::double * x::double))), 0), 0) as unit0,
+      list_max(list_transform(embedding, x -> abs(x::double))) / 127.0
+        as q_scale,
+      cast(coalesce(round(embedding[1]::double /
+        nullif(list_max(list_transform(embedding, x -> abs(x::double)))
+               / 127.0, 0)), 0) as integer) as q0,
+      list_sum(list_transform(embedding, (x, i) -> x::double *
+        (case when ((i - 1) * 31 + 0 * 17) % 2 = 0 then 1 else -1 end)))
+        as proj0,
+      list_sum(list_transform(embedding, (x, i) -> x::double *
+        (case when ((i - 1) * 31 + 1 * 17) % 2 = 0 then 1 else -1 end)))
+        as proj1
+    from t order by vec_id
+    """,
+)
+def pl_embed_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding preparation ops (operators/embeddings.py), decision-level:
+    L2 norm, first unit-normalized component, int8 quantization scale and
+    first quantized value, first two signed-random-projection components.
+    Every output is a closed-form arithmetic function of the vector that
+    DuckDB recomputes exactly (the projection signs come from an integer
+    formula, not an engine hash)."""
+    from verax_spark.operators import embeddings as E
+
+    cat = Catalog(spark, sf_dir)
+    v = F.col("embedding")
+    packed = E.int8_quantize(v)
+    return (
+        cat.embeddings.filter(F.col("vec_id") < 60)
+        .select(
+            "vec_id",
+            E.l2_norm(v).alias("nrm"),
+            E.l2_normalize(v)[0].alias("unit0"),
+            packed["scale"].alias("q_scale"),
+            packed["q"][0].alias("q0"),
+            E.random_projection(v, 2)[0].alias("proj0"),
+            E.random_projection(v, 2)[1].alias("proj1"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@_register(
+    "pl_embed_stats",
+    """
+    select u.i - 1 as dim, count(*) as n,
+      sum(u.x) / count(*) as mean,
+      sum(u.x * u.x) / count(*)
+        - (sum(u.x) / count(*)) * (sum(u.x) / count(*)) as variance,
+      min(u.x) as mn, max(u.x) as mx
+    from (
+      select unnest(list_transform(embedding,
+        (x, i) -> {'i': i, 'x': x::double})) as u
+      from embeddings) t
+    group by 1 order by 1
+    """,
+)
+def pl_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus statistics (whitening / drift monitoring input).
+    posexplode + groupBy(dim) with map-side partial aggregation: the
+    shuffle carries partitions × 64 rows however large the corpus is."""
+    from verax_spark.operators import embeddings as E
+
+    cat = Catalog(spark, sf_dir)
+    return E.dimension_stats(cat.embeddings).orderBy("dim")
