@@ -88,7 +88,8 @@ def _c(name, *args):
 # name → list of (column, expected value | predicate); None → covered by a
 # dedicated test below (context-dependent: grouping needs CUBE, reduce needs
 # a SQL lambda). Built lazily: Columns need an active SparkContext.
-_NO_DIRECT_CASE = {"grouping", "reduce", "merge"}  # merge needs a sketch input
+# merge needs a sketch input; qdigest/tdigest_agg return pipeline markers
+_NO_DIRECT_CASE = {"grouping", "reduce", "merge", "qdigest_agg", "tdigest_agg"}
 
 
 def _cases():
@@ -542,6 +543,20 @@ def _cases():
         (_c("is_subnet_of", F.lit("10.1.0.0/16"), F.lit("10.1.2.0/24")), True),
         (_c("is_subnet_of", F.lit("10.1.2.0/24"), F.lit("10.1.0.0/16")), False),
     ],
+    "value_at_quantile": [
+        (_c("value_at_quantile", _c("qdigest_agg", F.col("d")), 0.5), 2.5),
+        (_c("value_at_quantile", _c("tdigest_agg", F.col("i")), 0.9), 5),
+    ],
+    "values_at_quantiles": [
+        (
+            _c(
+                "values_at_quantiles",
+                _c("qdigest_agg", F.col("d")),
+                F.array(F.lit(0.1), F.lit(0.9)),
+            ),
+            [2.5, 2.5],
+        ),
+    ],
     "every": [(_c("every", F.col("b")), True)],
     "bitwise_and_agg": [(_c("bitwise_and_agg", F.col("i")), 5)],
     "bitwise_or_agg": [(_c("bitwise_or_agg", F.col("i")), 5)],
@@ -695,3 +710,17 @@ def test_hll_family_and_cardinality_rewrite(spark):
         "select hll_sketch_estimate(hll_sketch_agg(id)) as e from hll_t"
     ).collect()[0].e
     assert abs(est - 5000) / 5000 < 0.05
+
+
+def test_quantile_sketch_pipeline(spark):
+    """Presto qdigest pipelines lower onto percentile_approx; a sketch
+    marker escaping its pipeline fails at the call site."""
+    df = spark.range(1, 101).select(F.col("id").cast("double").alias("x"))
+    row = df.select(
+        presto_call(
+            "value_at_quantile", presto_call("qdigest_agg", F.col("x")), 0.5
+        ).alias("med")
+    ).collect()[0]
+    assert 49 <= row.med <= 51
+    with pytest.raises(ValueError, match="qdigest_agg"):
+        presto_call("value_at_quantile", F.col("x"), 0.5)

@@ -654,3 +654,19 @@ def test_dml_guards(dml_table):
         sess.sql("insert into t (id) select 1, 2")
     with pytest.raises(ValueError, match="unknown columns"):
         sess.sql("insert into t (nope) select 1")
+
+
+def test_quantile_sketch_pipeline_sql(presto):
+    from verax_spark.sql.presto import transpile
+
+    sql = transpile(
+        "select value_at_quantile(qdigest_agg(l_quantity), 0.5) as med "
+        "from lineitem"
+    )
+    assert "percentile_approx" in sql
+    row = presto.sql(
+        "select value_at_quantile(qdigest_agg(l_quantity), 0.5) as med, "
+        "values_at_quantiles(tdigest_agg(l_quantity), array[0.1, 0.9]) as vs "
+        "from lineitem"
+    ).collect()[0]
+    assert 1 <= row.med <= 50 and len(row.vs) == 2 and row.vs[0] <= row.vs[1]

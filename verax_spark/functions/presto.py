@@ -507,6 +507,20 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "numeric_histogram": lambda b, x: _numeric_histogram(
         F.collect_list(_col(x).cast("double")), int(b)
     ),
+    # --- batch 7: quantile sketches. Spark exposes no reusable
+    # quantile-sketch value (its percentile_approx folds sketch build +
+    # query into one aggregate), so qdigest_agg/tdigest_agg return a
+    # pipeline marker that value_at_quantile consumes — mirroring the
+    # cardinality(approx_set(..)) HLL rewrite. A marker escaping its
+    # pipeline fails loudly at the call site.
+    "qdigest_agg": lambda x: _QuantileSketch(_col(x)),
+    "tdigest_agg": lambda x: _QuantileSketch(_col(x)),
+    "value_at_quantile": lambda d, q: F.percentile_approx(
+        _sketch_input(d, "value_at_quantile"), _col(q), F.lit(10000)
+    ),
+    "values_at_quantiles": lambda d, qs: F.percentile_approx(
+        _sketch_input(d, "values_at_quantiles"), _col(qs), F.lit(10000)
+    ),
     # --- batch 7: IPv4 network functions (IPv6 inputs yield NULL) ---
     "ip_prefix": lambda ip, bits: _ip_prefix(ip, bits),
     "ip_subnet_min": lambda p: _int_to_ip(_subnet_bounds(p)[0]),
@@ -563,6 +577,26 @@ def _presto_json_size(x, p) -> Column:
         .when(j.startswith("["), F.json_array_length(j).cast("bigint"))
         .otherwise(F.lit(0).cast("bigint"))
     )
+
+
+class _QuantileSketch:
+    """Marker produced by qdigest_agg/tdigest_agg, consumed by
+    value_at_quantile/values_at_quantiles (Presto sketch pipelines;
+    ref FunctionRegistry.h — approx aggregates). Not a Column: using it
+    outside its pipeline raises at the call site."""
+
+    def __init__(self, col: Column):
+        self.col = col
+
+
+def _sketch_input(d, fn: str) -> Column:
+    if not isinstance(d, _QuantileSketch):
+        raise ValueError(
+            f"{fn}: first argument must be qdigest_agg(x)/tdigest_agg(x) "
+            "(Spark has no standalone quantile-sketch value; the pipeline "
+            "is rewritten onto percentile_approx)"
+        )
+    return d.col
 
 
 def _udf_call(name: str, *args) -> Column:

@@ -560,6 +560,23 @@ class Call(Expr):
             # sketch aggregate (approx_set → hll_sketch_agg, merge →
             # hll_union_agg). `cardinality` alone stays `size` (arrays).
             name, args = "hll_sketch_estimate", args
+        elif (
+            self.name.lower() in ("value_at_quantile", "values_at_quantiles")
+            and len(self.args) == 2
+            and isinstance(self.args[0], Call)
+            and self.args[0].name.lower() in ("qdigest_agg", "tdigest_agg")
+        ):
+            # Presto quantile-sketch pipeline: value_at_quantile(
+            # qdigest_agg(x), q) → percentile_approx(x, q) (Spark folds
+            # sketch build + query into one aggregate)
+            inner = self.args[0]
+            name = "percentile_approx"
+            args = ", ".join(
+                [inner.args[0].sql(), self.args[1].sql(), "10000"]
+            )
+            if inner.filter_ is not None:
+                head = f"{name}({args}) filter (where {inner.filter_.sql()})"
+                return head
         elif self.name.lower() == "map" and len(self.args) == 2:
             name, args = "map_from_arrays", args
         elif self.name.lower() == "map" and not self.args:
