@@ -1312,3 +1312,51 @@ def pl_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     return E.dimension_stats(cat.embeddings).orderBy("dim")
+
+
+@_register(
+    "st_session_windows",
+    """
+    with marked as (
+      select user_id, ts,
+        case when epoch_us(ts) - lag(epoch_us(ts)) over
+               (partition by user_id order by ts) > 1800000000
+             then 1 else 0 end as new_session
+      from events where user_id < 20),
+    numbered as (
+      select user_id, ts,
+        sum(new_session) over (partition by user_id order by ts
+          rows between unbounded preceding and current row) as sid
+      from marked)
+    select user_id,
+      min(ts) as session_start,
+      max(ts) + interval 30 minute as session_end,
+      count(*) as n_events
+    from numbered group by user_id, sid
+    having max(ts) + interval 30 minute <=
+      (select max(ts) from events where user_id < 20)
+    order by user_id, session_start
+    """,
+)
+def st_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-based session windows (F.session_window + watermark,
+    run available-now). Append mode emits a session once the watermark
+    (zero delay → the global max event time over the filtered stream)
+    passes its end, so the deterministic output is every CLOSED session —
+    the oracle is the batch gaps-and-islands formulation with the same
+    closed-session HAVING bound, recomputed by DuckDB with lag +
+    running-sum SQL."""
+    import uuid
+
+    from verax_spark.streaming import read_events_stream, run_available_now
+    from verax_spark.streaming.pipeline import session_windows
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("user_id") < 20)
+    out = run_available_now(
+        session_windows(ev, gap="30 minutes", watermark="0 seconds"),
+        f"st_session_{uuid.uuid4().hex[:8]}",
+    )
+    return out.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    ).orderBy("user_id", "session_start")
