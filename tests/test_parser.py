@@ -134,9 +134,11 @@ def test_parse_errors_have_positions():
     assert "at" in str(e.value)
     with pytest.raises(ParseError):
         parse("select (1 from t")
-    # INSERT/DELETE/UPDATE parse since the DML front door; DDL still does not
+    # DDL parses since the CREATE/DROP front door; unknown statements don't
+    stmt = parse("create table t (x int)")
+    assert stmt.table == "t" and stmt.columns == [("x", "int")]
     with pytest.raises(ParseError):
-        parse("create table t (x int)")
+        parse("grant select on t to alice")
 
 
 def test_explain_statement_shape():

@@ -670,3 +670,54 @@ def test_quantile_sketch_pipeline_sql(presto):
         "from lineitem"
     ).collect()[0]
     assert 1 <= row.med <= 50 and len(row.vs) == 2 and row.vs[0] <= row.vs[1]
+
+
+def test_sql_ddl_lifecycle(spark, sf_dir):
+    """CREATE TABLE / CTAS / CREATE VIEW / DROP — reference
+    AstStatements.h:44-460 statement surface, executed on the session
+    scratch (WriteKind kCreate) so created tables accept the DML surface."""
+    sess = PrestoSession(spark, sf_dir)
+    # CTAS with data
+    r = sess.sql(
+        "create table t_ctas as select n_nationkey, n_name from nation "
+        "where n_regionkey = 2"
+    ).collect()[0]
+    assert r.rows == 5
+    assert sess.sql("select count(*) as n from t_ctas").collect()[0].n == 5
+    # idempotence via IF NOT EXISTS; plain duplicate raises
+    sess.sql("create table if not exists t_ctas as select 1 as x")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("create table t_ctas as select 1 as x")
+    # empty CREATE TABLE + INSERT round trip
+    sess.sql("create table t_empty (k bigint, v varchar, d decimal(12,2))")
+    ins = sess.sql(
+        "insert into t_empty select n_nationkey, n_name, 1.50 from nation"
+    ).collect()[0]
+    assert ins.rows_inserted == 25
+    row = sess.sql(
+        "select count(*) as n, sum(d) as s from t_empty"
+    ).collect()[0]
+    assert row.n == 25 and float(row.s) == 37.5
+    # CTAS WITH NO DATA copies only the shape
+    sess.sql("create table t_shape as select * from t_empty with no data")
+    assert sess.sql("select count(*) as n from t_shape").collect()[0].n == 0
+    # views
+    sess.sql("create view v_two as select * from t_ctas where n_nationkey < 99")
+    assert sess.sql("select count(*) as n from v_two").collect()[0].n == 5
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("create view v_two as select 1 as x")
+    sess.sql("create or replace view v_two as select 1 as x")
+    assert sess.sql("select * from v_two").collect()[0].x == 1
+    # show tables includes catalog + created + views
+    names = {r.table for r in sess.sql("show tables").collect()}
+    assert {"nation", "t_ctas", "t_empty", "v_two"} <= names
+    # drops
+    assert sess.sql("drop view v_two").collect()[0].dropped is True
+    assert sess.sql("drop table t_ctas").collect()[0].dropped is True
+    assert (
+        sess.sql("drop table if exists t_ctas").collect()[0].dropped is False
+    )
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("drop table t_ctas")
+    names = {r.table for r in sess.sql("show tables").collect()}
+    assert "t_ctas" not in names and "v_two" not in names

@@ -1847,6 +1847,45 @@ def sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sql_ctas",
+    """
+    with t as (
+      select l_returnflag, l_quantity from lineitem where l_quantity >= 45
+      union all
+      select l_returnflag, l_quantity from lineitem where l_quantity < 3)
+    select l_returnflag as flag, count(*) as n,
+      cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty
+    from t group by 1 order by 1
+    """,
+)
+def sql_ctas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text DDL lifecycle (reference AstStatements.h:44-460): CREATE
+    TABLE AS SELECT into the session scratch (WriteKind kCreate), INSERT
+    into the created table, read back through a CREATE VIEW — the oracle
+    recomputes the same result from the base table directly."""
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    sess.sql("drop table if exists ctas_t")
+    sess.sql("drop view if exists ctas_v")
+    sess.sql(
+        "create table ctas_t as select l_returnflag, l_quantity "
+        "from lineitem where l_quantity >= 45"
+    )
+    sess.sql(
+        "insert into ctas_t select l_returnflag, l_quantity "
+        "from lineitem where l_quantity < 3"
+    )
+    sess.sql(
+        "create or replace view ctas_v as "
+        "select l_returnflag as flag, count(*) as n, "
+        "cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty "
+        "from ctas_t group by 1"
+    )
+    return sess.sql("select * from ctas_v order by flag")
+
+
+@_register(
     "sql_ordered_agg",
     """
     select user_id,

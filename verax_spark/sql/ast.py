@@ -1120,3 +1120,83 @@ class DescribeStmt:
 
     def sql(self) -> str:
         return f"describe {self.table}"
+
+
+@dataclass
+class CreateTableStmt:
+    """CREATE TABLE [IF NOT EXISTS] t (col type, ...) — reference
+    AstStatements.h:44 CreateTable; executed as an empty parquet directory
+    registered as a writable table (WriteKind kCreate)."""
+
+    table: str
+    columns: list[tuple[str, str]] = field(default_factory=list)
+    if_not_exists: bool = False
+
+    def sql(self) -> str:
+        ine = "if not exists " if self.if_not_exists else ""
+        cols = ", ".join(f"{n} {t}" for n, t in self.columns)
+        return f"create table {ine}{self.table} ({cols})"
+
+
+@dataclass
+class CreateTableAsStmt:
+    """CREATE TABLE [IF NOT EXISTS] t AS query [WITH [NO] DATA] —
+    reference AstStatements.h:90 CreateTableAsSelect."""
+
+    table: str
+    query: Query
+    if_not_exists: bool = False
+    with_data: bool = True
+
+    def sql(self) -> str:
+        ine = "if not exists " if self.if_not_exists else ""
+        tail = "" if self.with_data else " with no data"
+        return f"create table {ine}{self.table} as {self.query.sql()}{tail}"
+
+
+@dataclass
+class DropTableStmt:
+    """DROP TABLE [IF EXISTS] t — reference AstStatements.h:374."""
+
+    table: str
+    if_exists: bool = False
+
+    def sql(self) -> str:
+        ie = "if exists " if self.if_exists else ""
+        return f"drop table {ie}{self.table}"
+
+
+@dataclass
+class CreateViewStmt:
+    """CREATE [OR REPLACE] VIEW v AS query — reference
+    AstStatements.h:143 CreateView; executed as a Spark temp view over the
+    optimized query."""
+
+    name: str
+    query: Query
+    or_replace: bool = False
+
+    def sql(self) -> str:
+        orr = "or replace " if self.or_replace else ""
+        return f"create {orr}view {self.name} as {self.query.sql()}"
+
+
+@dataclass
+class DropViewStmt:
+    """DROP VIEW [IF EXISTS] v — reference AstStatements.h:399."""
+
+    name: str
+    if_exists: bool = False
+
+    def sql(self) -> str:
+        ie = "if exists " if self.if_exists else ""
+        return f"drop view {ie}{self.name}"
+
+
+@dataclass
+class ShowTablesStmt:
+    """SHOW TABLES — catalog + writable + view names as a Values relation
+    (same lowering as DESCRIBE)."""
+
+    def sql(self) -> str:
+        return "show tables"

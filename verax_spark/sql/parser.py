@@ -154,6 +154,56 @@ class Parser:
             self.next(), self.next()
             self.expect_kw("from")
             stmt = ast.DescribeStmt(self.ident())
+        elif self.at_kw("show") and self.at_kw("tables", ahead=1):
+            self.next(), self.next()
+            stmt = ast.ShowTablesStmt()
+        elif self.accept_kw("create"):
+            or_replace = False
+            if self.accept_kw("or"):
+                self.expect_kw("replace")
+                or_replace = True
+            if self.accept_kw("view"):
+                name = self.ident()
+                self.expect_kw("as")
+                stmt = ast.CreateViewStmt(name, self.parse_query(), or_replace)
+            else:
+                self.expect_kw("table")
+                if or_replace:
+                    raise ParseError("CREATE OR REPLACE TABLE is not Presto syntax")
+                ine = False
+                if self.accept_kw("if"):
+                    self.expect_kw("not"), self.expect_kw("exists")
+                    ine = True
+                name = self.ident()
+                if self.accept_kw("as"):
+                    stmt = ast.CreateTableAsStmt(name, self.parse_query(), ine)
+                    if self.accept_kw("with"):
+                        no = bool(self.accept_kw("no"))
+                        self.expect_kw("data")
+                        stmt.with_data = not no
+                else:
+                    self.expect_op("(")
+                    cols: list[tuple[str, str]] = []
+                    while True:
+                        cols.append((self.ident(), self._type_text()))
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                    stmt = ast.CreateTableStmt(name, cols, ine)
+        elif self.accept_kw("drop"):
+            is_view = bool(self.accept_kw("view"))
+            if not is_view:
+                self.expect_kw("table")
+            ie = False
+            if self.accept_kw("if"):
+                self.expect_kw("exists")
+                ie = True
+            name = self.ident()
+            stmt = (
+                ast.DropViewStmt(name, ie)
+                if is_view
+                else ast.DropTableStmt(name, ie)
+            )
         elif self.accept_kw("explain"):
             stmt = ast.ExplainStmt(self.parse_query())
         elif self.accept_kw("insert"):
@@ -192,6 +242,18 @@ class Parser:
             t = self.peek()
             raise ParseError(f"trailing input at {t.pos}: {t.text!r}")
         return stmt
+
+    def _type_text(self) -> str:
+        """Column type in a CREATE TABLE definition: a name plus optional
+        parenthesized parameters, e.g. ``decimal(12,2)``, ``varchar``."""
+        t = self.ident()
+        if self.accept_op("("):
+            parts: list[str] = []
+            while not self.at_op(")"):
+                parts.append(self.next().text)
+            self.expect_op(")")
+            return f"{t}({''.join(parts)})"
+        return t
 
     # -- query ---------------------------------------------------------------
     def parse_query(self) -> ast.Query:

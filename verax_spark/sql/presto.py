@@ -230,6 +230,18 @@ class PrestoSession:
             return local_values(self.spark, [(plan,)], "plan string")
         if isinstance(stmt, (ast.InsertStmt, ast.DeleteStmt, ast.UpdateStmt)):
             return self._execute_dml(stmt)
+        if isinstance(
+            stmt,
+            (
+                ast.CreateTableStmt,
+                ast.CreateTableAsStmt,
+                ast.DropTableStmt,
+                ast.CreateViewStmt,
+                ast.DropViewStmt,
+                ast.ShowTablesStmt,
+            ),
+        ):
+            return self._execute_ddl(stmt)
         if isinstance(stmt, ast.Query):
             stmt = self._optimize(stmt)
         df = self.spark.sql(stmt.sql())
@@ -337,6 +349,100 @@ class PrestoSession:
         update_rows(self.spark, path, assignments, pred)
         self._refresh(stmt.table)
         return local_values(self.spark, [(n,)], "rows_updated bigint")
+
+    # Presto type name → Spark DDL type (CREATE TABLE column definitions)
+    _TYPE_MAP = {
+        "varchar": "string",
+        "varbinary": "binary",
+        "real": "float",
+        "integer": "int",
+    }
+
+    def _ddl_path(self, name: str) -> str:
+        import os
+        import tempfile
+
+        if not hasattr(self, "_ddl_dir"):
+            self._ddl_dir = tempfile.mkdtemp(prefix="verax_ddl_")
+        return os.path.join(self._ddl_dir, name)
+
+    def _execute_ddl(self, stmt) -> DataFrame:
+        """DDL statement surface (reference AstStatements.h:44-460:
+        CreateTable / CreateTableAsSelect / DropTable / CreateView /
+        DropView / ShowColumns-family). Created tables are parquet
+        directories in a session scratch dir, registered writable — the
+        WriteKind kCreate path — so they accept the full DML surface."""
+        import shutil
+
+        import pyspark.sql.functions as F
+
+        from pyspark.sql.observation import Observation
+
+        from verax_spark.plans.builder import local_values
+
+        if not hasattr(self, "views"):
+            self.views: set[str] = set()
+        if isinstance(stmt, ast.ShowTablesStmt):
+            from verax_spark.catalog import ALL_TABLES
+
+            names = sorted(set(ALL_TABLES) | set(self.writable) | self.views)
+            return local_values(self.spark, [(n,) for n in names], "table string")
+        if isinstance(stmt, ast.CreateTableStmt):
+            if stmt.table in self.writable:
+                if stmt.if_not_exists:
+                    return local_values(self.spark, [(0,)], "rows bigint")
+                raise ValueError(f"table {stmt.table!r} already exists")
+            ddl = ", ".join(
+                f"{n} {self._TYPE_MAP.get(t.lower().split('(')[0], None) or t}"
+                for n, t in stmt.columns
+            )
+            empty = self.spark.createDataFrame([], ddl)
+            path = self._ddl_path(stmt.table)
+            empty.write.mode("overwrite").parquet(path)
+            self.register_table(stmt.table, path)
+            return local_values(self.spark, [(0,)], "rows bigint")
+        if isinstance(stmt, ast.CreateTableAsStmt):
+            if stmt.table in self.writable:
+                if stmt.if_not_exists:
+                    return local_values(self.spark, [(0,)], "rows bigint")
+                raise ValueError(f"table {stmt.table!r} already exists")
+            df = self.spark.sql(self._optimize(stmt.query).sql())
+            if not stmt.with_data:
+                df = df.limit(0)
+            obs = Observation()
+            path = self._ddl_path(stmt.table)
+            df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+                "overwrite"
+            ).parquet(path)
+            self.register_table(stmt.table, path)
+            return local_values(
+                self.spark, [(int(obs.get["rows"]),)], "rows bigint"
+            )
+        if isinstance(stmt, ast.DropTableStmt):
+            path = self.writable.pop(stmt.table, None)
+            if path is None:
+                if stmt.if_exists:
+                    return local_values(self.spark, [(False,)], "dropped boolean")
+                raise ValueError(f"table {stmt.table!r} does not exist")
+            self.spark.catalog.dropTempView(stmt.table)
+            if path.startswith(getattr(self, "_ddl_dir", "\0")):
+                shutil.rmtree(path, ignore_errors=True)
+            return local_values(self.spark, [(True,)], "dropped boolean")
+        if isinstance(stmt, ast.CreateViewStmt):
+            if stmt.name in self.views and not stmt.or_replace:
+                raise ValueError(f"view {stmt.name!r} already exists")
+            df = self.spark.sql(self._optimize(stmt.query).sql())
+            df.createOrReplaceTempView(stmt.name)
+            self.views.add(stmt.name)
+            return local_values(self.spark, [(True,)], "created boolean")
+        # DropViewStmt
+        if stmt.name not in self.views:
+            if stmt.if_exists:
+                return local_values(self.spark, [(False,)], "dropped boolean")
+            raise ValueError(f"view {stmt.name!r} does not exist")
+        self.views.discard(stmt.name)
+        self.spark.catalog.dropTempView(stmt.name)
+        return local_values(self.spark, [(True,)], "dropped boolean")
 
     def _optimize(self, query: ast.Query) -> ast.Query:
         self.last_reorder = None
