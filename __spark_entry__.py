@@ -36,7 +36,8 @@ _PRIORITY = [
     "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
     "pl_curate",
     # -- new this round --
-    "sql_insert", "sql_delete", "sql_update", "sql_ctas", "op_fn_decimal",
+    "sql_insert", "sql_delete", "sql_update", "sql_ctas", "sql_txn",
+    "op_fn_decimal",
     "op_connector_tpch", "op_fn_collections", "op_fn_hll", "st_dedup",
     # -- not driver-checked since r01 (position 51+ in the r03 rotation) --
     "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",

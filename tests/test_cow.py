@@ -68,3 +68,65 @@ def test_update_casts_back_to_column_type(spark, table):
     back = spark.read.parquet(table)
     assert dict(back.dtypes)["v"] == "double"
     assert back.filter(F.col("bucket") == 3).select(F.min("v")).collect()[0][0] == 7.0
+
+
+def test_transaction_rollback_and_commit(spark, sf_dir):
+    """START TRANSACTION / COMMIT / ROLLBACK (reference
+    AstStatements.h:687-713): ROLLBACK restores the exact pre-transaction
+    contents via the file-metadata undo log; COMMIT makes mutations
+    permanent and drops the undo state."""
+    import os
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from verax_spark.catalog import Catalog
+    from verax_spark.sql import PrestoSession
+
+    cat = Catalog(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"verax_txn_{uuid.uuid4().hex[:8]}")
+    (
+        cat.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    sess = PrestoSession(spark, sf_dir)
+    sess.register_table("txn_t", path)
+
+    def state():
+        return sorted(
+            (r.n_nationkey, r.n_name, r.n_regionkey)
+            for r in sess.sql("select * from txn_t").collect()
+        )
+
+    original = state()
+
+    # rollback restores everything: insert + delete + update undone
+    sess.sql("start transaction")
+    sess.sql("insert into txn_t select 990, 'X', 9 ")
+    sess.sql("delete from txn_t where n_regionkey = 2")
+    sess.sql("update txn_t set n_name = 'ZZZ' where n_regionkey = 0")
+    assert state() != original  # mutations visible inside the transaction
+    sess.sql("rollback")
+    assert state() == original
+
+    # commit makes mutations permanent and cleans the undo dirs
+    sess.sql("start transaction")
+    sess.sql("delete from txn_t where n_regionkey = 2")
+    sess.sql("commit")
+    after = state()
+    assert len(after) == len(original) - 5
+    assert not [d for d in os.listdir(path) if d.startswith("_txn_undo")]
+
+    # error surface
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="outside a transaction"):
+        sess.sql("commit")
+    sess.sql("begin")
+    with _pytest.raises(ValueError, match="already in progress"):
+        sess.sql("start transaction")
+    sess.sql("rollback")
+    assert state() == after

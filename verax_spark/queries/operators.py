@@ -1847,6 +1847,42 @@ def sql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sql_txn",
+    """
+    -- committed state only: the rolled-back transaction (which deleted
+    -- flag 'A' rows and inserted 77s) must leave no trace; the committed
+    -- one doubled R-flag quantities
+    with t as (
+      select l_returnflag,
+        case when l_returnflag = 'R' then l_quantity * 2 else l_quantity end
+          as l_quantity
+      from lineitem where l_quantity >= 45)
+    select coalesce(l_returnflag, '?') as flag, count(*) as n,
+      cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty
+    from t group by 1 order by 1
+    """,
+)
+def sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactions over the writable COW table (reference
+    AstStatements.h:687-713 StartTransaction/Commit/Rollback; undo-log
+    mechanism sources/txn.py): a rolled-back transaction's INSERT + DELETE
+    vanish bit-exactly; a committed transaction's UPDATE persists. The
+    oracle recomputes the committed-only state from the base table."""
+    sess, _ = _dml_target(spark, sf_dir, "txn")
+    sess.sql("start transaction")
+    sess.sql("delete from dml_target where l_returnflag = 'A'")
+    sess.sql("insert into dml_target select 7, 'X', 77.0")
+    sess.sql("rollback")
+    sess.sql("start transaction")
+    sess.sql(
+        "update dml_target set l_quantity = l_quantity * 2 "
+        "where l_returnflag = 'R'"
+    )
+    sess.sql("commit")
+    return _dml_readback(sess)
+
+
+@_register(
     "sql_ctas",
     """
     with t as (

@@ -53,9 +53,14 @@ def _rewrite(
     path: str,
     affected: list[str],
     transform,
+    txn=None,
 ) -> int:
     """Copy-on-write body: transform(affected-file rows) → new files in the
-    table dir, then drop the superseded files. Returns #files rewritten."""
+    table dir, then drop the superseded files. Returns #files rewritten.
+
+    Inside a transaction (sources/txn.py), superseded files are retired
+    into the undo dir instead of deleted and new files are recorded, making
+    the rewrite reversible at file-metadata cost."""
     if not affected:
         return 0
     schema = spark.read.parquet(path).schema  # pin schema (all-delete case)
@@ -65,27 +70,36 @@ def _rewrite(
     prefix = f"cow-{uuid.uuid4().hex[:12]}"
     for name in os.listdir(staging):
         if name.endswith(".parquet"):
-            os.rename(
-                os.path.join(staging, name),
-                os.path.join(_local(path), f"{prefix}-{name}"),
-            )
+            dest = os.path.join(_local(path), f"{prefix}-{name}")
+            os.rename(os.path.join(staging, name), dest)
+            if txn is not None:
+                txn.record_added(dest)
     shutil.rmtree(staging, ignore_errors=True)
     for f in affected:
-        os.remove(_local(f))
+        if txn is not None:
+            txn.retire(path, f)
+        else:
+            os.remove(_local(f))
     return len(affected)
 
 
-def delete_rows(spark: SparkSession, path: str, predicate: Column) -> int:
+def delete_rows(
+    spark: SparkSession, path: str, predicate: Column, txn=None
+) -> int:
     """DELETE FROM <path> WHERE predicate (WriteKind::kDelete analog).
 
     Returns the number of files rewritten.
     """
     affected = _affected_files(spark, path, predicate)
-    return _rewrite(spark, path, affected, lambda df: df.filter(~predicate))
+    return _rewrite(spark, path, affected, lambda df: df.filter(~predicate), txn)
 
 
 def update_rows(
-    spark: SparkSession, path: str, assignments: dict[str, Column], predicate: Column
+    spark: SparkSession,
+    path: str,
+    assignments: dict[str, Column],
+    predicate: Column,
+    txn=None,
 ) -> int:
     """UPDATE <path> SET col = expr, ... WHERE predicate (kUpdate analog).
 
@@ -111,4 +125,4 @@ def update_rows(
         return out
 
     affected = _affected_files(spark, path, predicate)
-    return _rewrite(spark, path, affected, patch)
+    return _rewrite(spark, path, affected, patch, txn)

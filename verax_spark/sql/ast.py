@@ -1200,3 +1200,27 @@ class ShowTablesStmt:
 
     def sql(self) -> str:
         return "show tables"
+
+
+@dataclass
+class StartTransactionStmt:
+    """START TRANSACTION / BEGIN — reference AstStatements.h:687."""
+
+    def sql(self) -> str:
+        return "start transaction"
+
+
+@dataclass
+class CommitStmt:
+    """COMMIT [WORK] — reference AstStatements.h:706."""
+
+    def sql(self) -> str:
+        return "commit"
+
+
+@dataclass
+class RollbackStmt:
+    """ROLLBACK [WORK] — reference AstStatements.h:713."""
+
+    def sql(self) -> str:
+        return "rollback"

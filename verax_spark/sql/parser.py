@@ -190,6 +190,17 @@ class Parser:
                             break
                     self.expect_op(")")
                     stmt = ast.CreateTableStmt(name, cols, ine)
+        elif self.at_kw("start") and self.at_kw("transaction", ahead=1):
+            self.next(), self.next()
+            stmt = ast.StartTransactionStmt()
+        elif self.accept_kw("begin"):
+            stmt = ast.StartTransactionStmt()
+        elif self.accept_kw("commit"):
+            self.accept_kw("work")
+            stmt = ast.CommitStmt()
+        elif self.accept_kw("rollback"):
+            self.accept_kw("work")
+            stmt = ast.RollbackStmt()
         elif self.accept_kw("drop"):
             is_view = bool(self.accept_kw("view"))
             if not is_view:

@@ -163,6 +163,9 @@ class PrestoSession:
         # explicitly registered writable table (connector WriteKind surface,
         # ref ConnectorMetadata.h:457-627).
         self.writable: dict[str, str] = {}
+        # active transaction (sources/txn.py undo log) + tables it touched
+        self._txn = None
+        self._txn_tables: set[str] = set()
         # attached connectors (ConnectorMetadata registry analog): catalog
         # name → Connector; SQL text reaches their tables as <catalog>.<table>
         self.connectors: dict[str, "Connector"] = {}
@@ -228,6 +231,10 @@ class PrestoSession:
             from verax_spark.plans.builder import local_values
 
             return local_values(self.spark, [(plan,)], "plan string")
+        if isinstance(
+            stmt, (ast.StartTransactionStmt, ast.CommitStmt, ast.RollbackStmt)
+        ):
+            return self._execute_txn(stmt)
         if isinstance(stmt, (ast.InsertStmt, ast.DeleteStmt, ast.UpdateStmt)):
             return self._execute_dml(stmt)
         if isinstance(
@@ -331,9 +338,19 @@ class PrestoSession:
                 ]
             )
             obs = Observation()
+            if self._txn is not None:
+                from verax_spark.sources.txn import _local, snapshot_names
+
+                before = snapshot_names(path)
             full.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                 "append"
             ).parquet(path)
+            if self._txn is not None:
+                import os as _os
+
+                for name in snapshot_names(path) - before:
+                    self._txn.record_added(_os.path.join(_local(path), name))
+                self._txn_tables.add(stmt.table)
             self._refresh(stmt.table)
             return local_values(
                 self.spark, [(int(obs.get["rows"]),)], "rows_inserted bigint"
@@ -341,14 +358,48 @@ class PrestoSession:
         pred = self._dml_predicate(stmt.where)
         # matching-row count first (file-pruned scan), then the rewrite
         n = target.filter(pred).count()
+        if self._txn is not None:
+            self._txn_tables.add(stmt.table)
         if isinstance(stmt, ast.DeleteStmt):
-            delete_rows(self.spark, path, pred)
+            delete_rows(self.spark, path, pred, self._txn)
             self._refresh(stmt.table)
             return local_values(self.spark, [(n,)], "rows_deleted bigint")
         assignments = {c: F.expr(e.sql()) for c, e in stmt.assignments}
-        update_rows(self.spark, path, assignments, pred)
+        update_rows(self.spark, path, assignments, pred, self._txn)
         self._refresh(stmt.table)
         return local_values(self.spark, [(n,)], "rows_updated bigint")
+
+    def _execute_txn(self, stmt) -> DataFrame:
+        """START TRANSACTION / COMMIT / ROLLBACK (reference
+        AstStatements.h:687-713) over the writable tables, backed by the
+        file-metadata undo log in sources/txn.py: BEGIN costs nothing,
+        ROLLBACK restores every touched table's exact pre-transaction file
+        set, COMMIT drops the undo state. DDL auto-commits (documented —
+        the scratch tables themselves are session-scoped)."""
+        from verax_spark.plans.builder import local_values
+        from verax_spark.sources.txn import Transaction
+
+        if isinstance(stmt, ast.StartTransactionStmt):
+            if self._txn is not None:
+                raise ValueError("a transaction is already in progress")
+            self._txn = Transaction()
+            self._txn_tables = set()
+            return local_values(self.spark, [(True,)], "started boolean")
+        if self._txn is None:
+            kind = "COMMIT" if isinstance(stmt, ast.CommitStmt) else "ROLLBACK"
+            raise ValueError(f"{kind} outside a transaction")
+        if isinstance(stmt, ast.CommitStmt):
+            self._txn.commit()
+            out = "committed boolean"
+        else:
+            self._txn.rollback()
+            out = "rolled_back boolean"
+        touched, self._txn = self._txn_tables, None
+        self._txn_tables = set()
+        for name in touched:
+            self.spark.catalog.refreshByPath(self.writable[name])
+            self._refresh(name)
+        return local_values(self.spark, [(True,)], out)
 
     # Presto type name → Spark DDL type (CREATE TABLE column definitions)
     _TYPE_MAP = {
