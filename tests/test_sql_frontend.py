@@ -721,3 +721,28 @@ def test_sql_ddl_lifecycle(spark, sf_dir):
         sess.sql("drop table t_ctas")
     names = {r.table for r in sess.sql("show tables").collect()}
     assert "t_ctas" not in names and "v_two" not in names
+
+
+def test_analyze_statement(spark, sf_dir):
+    """ANALYZE computes table stats in one pass and records the exact row
+    count into the planner history under the reorderer's scan signature."""
+    from verax_spark.optimizer.query_graph import QueryGraph
+    from verax_spark.sql.reorder import _history
+
+    sess = PrestoSession(spark, sf_dir)
+    rows = {r.column: r for r in sess.sql("analyze nation").collect()}
+    assert rows["__table__"].ndv == 25
+    assert rows["n_nationkey"].nulls == 0
+    assert 23 <= rows["n_nationkey"].ndv <= 27  # approx NDV of 25
+    g = QueryGraph(history=_history())
+    g.table("nation", spark.table("nation"), None)
+    assert _history().lookup(g._signature(g.tables["nation"])) == 25.0
+
+
+def test_explain_analyze(spark, sf_dir):
+    sess = PrestoSession(spark, sf_dir)
+    row = sess.sql(
+        "explain analyze select count(*) as n from lineitem where l_quantity < 10"
+    ).collect()[0]
+    assert row.rows == 1 and row.wall_ms > 0
+    assert "Scan" in row.plan or "AdaptiveSparkPlan" in row.plan

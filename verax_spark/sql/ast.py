@@ -1063,7 +1063,11 @@ class Query:
 
 @dataclass
 class ExplainStmt:
+    """EXPLAIN [ANALYZE] query — reference AstStatements.h:597; ANALYZE
+    executes the query and reports the final (AQE-resolved) physical plan."""
+
     query: Query
+    analyze: bool = False
 
     def sql(self) -> str:
         return self.query.sql()
@@ -1224,3 +1228,16 @@ class RollbackStmt:
 
     def sql(self) -> str:
         return "rollback"
+
+
+@dataclass
+class AnalyzeStmt:
+    """ANALYZE t — reference AstStatements.h:636: one aggregation pass
+    computing table row count + per-column NDV/null stats, recorded into
+    the planner's execution history (VeloxHistory analog) under the same
+    scan signature the join reorderer consults."""
+
+    table: str
+
+    def sql(self) -> str:
+        return f"analyze {self.table}"

@@ -216,7 +216,10 @@ class Parser:
                 else ast.DropTableStmt(name, ie)
             )
         elif self.accept_kw("explain"):
-            stmt = ast.ExplainStmt(self.parse_query())
+            analyze = bool(self.accept_kw("analyze"))
+            stmt = ast.ExplainStmt(self.parse_query(), analyze)
+        elif self.accept_kw("analyze"):
+            stmt = ast.AnalyzeStmt(self.ident())
         elif self.accept_kw("insert"):
             self.expect_kw("into")
             table = self.ident()

@@ -222,15 +222,32 @@ class PrestoSession:
                 self.spark, rows, "column string, type string, extra string, comment string"
             )
         if isinstance(stmt, ast.ExplainStmt):
+            from verax_spark.plans.builder import local_values
+
             df = self.spark.sql(self._optimize(stmt.query).sql())
+            if stmt.analyze:
+                # EXPLAIN ANALYZE: execute, then report the FINAL physical
+                # plan (AQE-resolved: actual join strategies, coalesced
+                # partitions) plus actual row count and wall time
+                import time
+
+                t0 = time.perf_counter()
+                n = df.count()
+                wall_ms = round((time.perf_counter() - t0) * 1000, 1)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                return local_values(
+                    self.spark,
+                    [(plan, n, wall_ms)],
+                    "plan string, rows bigint, wall_ms double",
+                )
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "formatted"
                 )
             )
-            from verax_spark.plans.builder import local_values
-
             return local_values(self.spark, [(plan,)], "plan string")
+        if isinstance(stmt, ast.AnalyzeStmt):
+            return self._execute_analyze(stmt)
         if isinstance(
             stmt, (ast.StartTransactionStmt, ast.CommitStmt, ast.RollbackStmt)
         ):
@@ -368,6 +385,43 @@ class PrestoSession:
         update_rows(self.spark, path, assignments, pred, self._txn)
         self._refresh(stmt.table)
         return local_values(self.spark, [(n,)], "rows_updated bigint")
+
+    def _execute_analyze(self, stmt) -> DataFrame:
+        """ANALYZE t (reference AstStatements.h:636): ONE aggregation pass
+        over the table computing row count + per-column approx NDV and null
+        counts, returned Presto-style as stats rows. The exact row count is
+        recorded into the shared planner history under the identical scan
+        signature the join reorderer consults (QueryGraph._signature incl.
+        data fingerprint), so the next planning of any query over this
+        table uses the ANALYZE actuals instead of sampling."""
+        import pyspark.sql.functions as F
+
+        from verax_spark.optimizer.query_graph import QueryGraph
+        from verax_spark.plans.builder import local_values
+        from verax_spark.sql.reorder import _history
+
+        df = self.spark.table(stmt.table)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for f in df.schema.fields:
+            aggs.append(F.approx_count_distinct(f.name).alias(f"__ndv_{f.name}"))
+            aggs.append(
+                F.sum(F.col(f.name).isNull().cast("long")).alias(
+                    f"__nulls_{f.name}"
+                )
+            )
+        row = df.agg(*aggs).collect()[0]
+        g = QueryGraph(history=_history())
+        g.table(stmt.table, df, None)
+        hist = _history()
+        hist.record(g._signature(g.tables[stmt.table]), float(row["__rows"]))
+        hist.save()
+        out = [
+            (f.name, int(row[f"__ndv_{f.name}"]), int(row[f"__nulls_{f.name}"]))
+            for f in df.schema.fields
+        ] + [("__table__", int(row["__rows"]), 0)]
+        return local_values(
+            self.spark, out, "column string, ndv bigint, nulls bigint"
+        )
 
     def _execute_txn(self, stmt) -> DataFrame:
         """START TRANSACTION / COMMIT / ROLLBACK (reference
