@@ -746,3 +746,20 @@ def test_explain_analyze(spark, sf_dir):
     ).collect()[0]
     assert row.rows == 1 and row.wall_ms > 0
     assert "Scan" in row.plan or "AdaptiveSparkPlan" in row.plan
+
+
+def test_extract_presto_units(presto):
+    """EXTRACT canonicalizes Presto-semantic units: dow is ISO Monday=1
+    (2020-01-02 is a Thursday); yow is the ISO week-numbering year."""
+    row = presto.sql(
+        "select extract(dow from date '2020-01-02') as dw, "
+        "extract(day_of_week from date '2019-12-29') as sun, "
+        "extract(doy from date '2020-02-01') as dy, "
+        "extract(week from date '2020-01-02') as wk, "
+        "extract(yow from date '2021-01-01') as yw, "
+        "extract(year from date '2020-01-02') as y, "
+        "localtimestamp as lt"
+    ).collect()[0]
+    assert row.dw == 4 and row.sun == 7
+    assert row.dy == 32 and row.wk == 1 and row.yw == 2020 and row.y == 2020
+    assert row.lt.year >= 2026

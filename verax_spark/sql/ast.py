@@ -723,7 +723,26 @@ class Extract(Expr):
     operand: Expr
 
     def sql(self) -> str:
-        return f"extract({self.unit} from {self.operand.sql()})"
+        u = self.unit.lower()
+        x = self.operand.sql()
+        if u in ("dow", "day_of_week"):
+            # Presto: ISO day of week, Monday = 1 .. Sunday = 7; Spark's
+            # extract/dayofweek is Sunday-based
+            return f"((dayofweek({x}) + 5) % 7 + 1)"
+        if u in ("doy", "day_of_year"):
+            return f"dayofyear({x})"
+        if u in ("week", "week_of_year"):
+            return f"weekofyear({x})"
+        if u in ("yow", "year_of_week"):
+            # ISO week-numbering year = calendar year of the week's Thursday
+            return (
+                f"year(date_add({x}, "
+                f"cast(4 - ((dayofweek({x}) + 5) % 7 + 1) as int)))"
+            )
+        if u in ("timezone_hour", "timezone_minute"):
+            # session-zone offset components (registered compat functions)
+            return f"{u}({x})"
+        return f"extract({self.unit} from {x})"
 
 
 @dataclass

@@ -918,7 +918,8 @@ class Parser:
             "localtimestamp",
         ) and not self.at_op("(", ahead=1):
             self.next()
-            return ast.Raw(low)
+            # Spark resolves current_* bare, but LOCALTIMESTAMP needs parens
+            return ast.Raw("localtimestamp()" if low == "localtimestamp" else low)
         return self._name_or_call()
 
     def _name_or_call(self) -> ast.Expr:
