@@ -396,3 +396,21 @@ def test_dimension_stats_matches_numpy(spark, sf_dir):
         assert abs(got[d].mean - mat[:, d].mean()) < 1e-9
         assert abs(got[d].variance - mat[:, d].var()) < 1e-9
         assert got[d].mn == mat[:, d].min() and got[d].mx == mat[:, d].max()
+
+
+def test_wav_roundtrip_exact():
+    """The synthesized WAV is a spec-conformant RIFF file the stdlib codec
+    reads back bit-exactly (sample count, rate, width)."""
+    import io
+    import wave
+
+    from verax_spark.operators.multimodal import synthesize_wav, wav_params
+
+    for mid in (0, 1, 7, 19, 23):
+        freq, n = wav_params(mid)
+        payload = synthesize_wav(mid)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            assert w.getframerate() == 16000
+            assert w.getnframes() == n
+            assert w.getsampwidth() == 2 and w.getnchannels() == 1

@@ -190,3 +190,112 @@ def sample_frames(
                 yield pd.DataFrame(out).astype("int64")
 
     return df.mapInPandas(frame_batches, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL audio modality: RIFF/WAV synthesis + decode with the stdlib `wave`
+# module — no external codecs required, so this path is NOT a stub: real
+# container format, real codec parse, real DSP features.
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", LongType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+_WAV_SR = 16000
+_WAV_AMP = 0.5
+
+
+def wav_params(media_id: int) -> tuple[int, int]:
+    """Deterministic per-id synthesis parameters: (freq Hz, n_frames).
+    Integer arithmetic throughout so any engine reproduces the counts
+    exactly (50–125 ms at 16 kHz)."""
+    return 200 + (media_id % 20) * 50, 800 + (media_id % 4) * 400
+
+
+def synthesize_wav(media_id: int) -> bytes:
+    """A genuine 16-bit PCM mono RIFF/WAV file: sine at wav_params(id)."""
+    import io
+    import math
+    import struct
+    import wave
+
+    freq, n = wav_params(media_id)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(_WAV_SR)
+        frames = b"".join(
+            struct.pack(
+                "<h",
+                int(_WAV_AMP * 32767 * math.sin(2 * math.pi * freq * i / _WAV_SR)),
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """id column → (media_id, payload) with real WAV bytes (Arrow-batched)."""
+    import pandas as pd
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(synthesize_wav)}
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def decode_wav_features(df: DataFrame, *, batch_rows: int = 1024) -> DataFrame:
+    """WAV payloads → audio features via the stdlib codec: sample rate and
+    frame count from the RIFF header, RMS / peak / zero-crossing count from
+    the PCM samples. Same distributed contract as decode_media (bounded
+    Arrow batches, map-only)."""
+    import io
+    import wave
+
+    import numpy as np
+    import pandas as pd
+
+    def one(mid: int, payload: bytes) -> dict:
+        with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            raw = w.readframes(n)
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+        zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0
+        return {
+            "media_id": mid,
+            "sample_rate": sr,
+            "n_frames": n,
+            "duration_ms": round(1000 * n / sr),
+            "rms": float(np.sqrt(np.mean(x * x))) if n else 0.0,
+            "peak": int(np.max(np.abs(x))) if n else 0,
+            "zero_crossings": zc,
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [one(m, p) for m, p in zip(chunk["media_id"], chunk["payload"])]
+                )
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
