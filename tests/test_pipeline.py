@@ -414,3 +414,26 @@ def test_wav_roundtrip_exact():
             assert w.getframerate() == 16000
             assert w.getnframes() == n
             assert w.getsampwidth() == 2 and w.getnchannels() == 1
+
+
+def test_bmp_roundtrip_exact():
+    """Synthesized BMPs are spec-conformant and the decoder returns the
+    exact closed-form pixels; resize maps indices exactly (even dims)."""
+    import numpy as np
+
+    from verax_spark.operators.multimodal import (
+        _bmp_pixel,
+        _decode_bmp,
+        bmp_params,
+        synthesize_bmp,
+    )
+
+    for mid in (0, 3, 7, 11, 14):
+        w, h = bmp_params(mid)
+        payload = synthesize_bmp(mid)
+        assert payload[:2] == b"BM"
+        dw, dh, px = _decode_bmp(payload)
+        assert (dw, dh) == (w, h)
+        for x, y in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
+            assert tuple(px[y, x]) == _bmp_pixel(mid, x, y)
+        assert px.shape == (h, w, 3) and px.dtype == np.uint8

@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The container has no image/audio codecs, so the decode kernels are STUBS
-(deterministic fakes clearly marked below) — but the Spark-side plumbing is
-real and tested: schema contracts, Arrow-batched mapInPandas with bounded
-batch sizes, partition-preserving metadata extraction. Swapping the stub
-body for PIL/torchaudio is a one-function change; the distributed shape
-(binary column → mapInPandas → feature columns) is what a 100 TB pipeline
-needs to get right.
+Two tiers:
+
+- **Real codecs** (bottom of this file): RIFF/WAV audio (stdlib wave) and
+  uncompressed 24bpp BMP images (stdlib struct + numpy) — genuine container
+  formats synthesized, decoded, and resized end-to-end with no external
+  libraries. These prove the plumbing carries real kernels.
+- **Stubs** (clearly marked below): generic decode/resize/frame-sample over
+  arbitrary payloads, where a compressed codec (JPEG/H.264) would need
+  PIL/ffmpeg the container lacks. The Spark-side contract — schema, Arrow
+  batching with bounded sizes, map-only execution — is identical to the
+  real tier, so swapping a stub body for PIL/torchaudio is a one-function
+  change.
 """
 
 from __future__ import annotations
@@ -299,3 +304,164 @@ def decode_wav_features(df: DataFrame, *, batch_rows: int = 1024) -> DataFrame:
                 )
 
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image modality: uncompressed 24-bit BMP synthesis / decode / resize
+# with stdlib struct + numpy — like the WAV path, NOT a stub: real container
+# format (BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte row padding, BGR,
+# bottom-up rows), real pixel math.
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def bmp_params(media_id: int) -> tuple[int, int]:
+    """Deterministic (width, height) per id."""
+    return 8 + (media_id % 5) * 4, 6 + (media_id % 3) * 4
+
+
+def _bmp_pixel(media_id: int, x: int, y: int) -> tuple[int, int, int]:
+    """Deterministic closed-form pixel so any engine can recompute channel
+    statistics: r depends on x, g on y, b on x+y."""
+    return (x * 37 + media_id) % 256, (y * 53) % 256, ((x + y) * 29) % 256
+
+
+def synthesize_bmp(media_id: int) -> bytes:
+    """A genuine uncompressed 24bpp BMP (bottom-up, padded rows)."""
+    import struct
+
+    w, h = bmp_params(media_id)
+    row_len = (w * 3 + 3) & ~3
+    img_size = row_len * h
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = []
+    for y in range(h - 1, -1, -1):  # bottom-up storage
+        row = bytearray()
+        for x in range(w):
+            r, g, b = _bmp_pixel(media_id, x, y)
+            row += bytes((b, g, r))  # BGR order
+        row += b"\x00" * (row_len - len(row))
+        rows.append(bytes(row))
+    return header + b"".join(rows)
+
+
+def _decode_bmp(payload: bytes):
+    """BMP bytes → (width, height, HxWx3 RGB ndarray)."""
+    import struct
+
+    import numpy as np
+
+    assert payload[:2] == b"BM", "not a BMP payload"
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    assert bpp == 24, f"only 24bpp supported, got {bpp}"
+    row_len = (w * 3 + 3) & ~3
+    data = np.frombuffer(payload, dtype=np.uint8, count=row_len * abs(h), offset=offset)
+    rows = data.reshape(abs(h), row_len)[:, : w * 3].reshape(abs(h), w, 3)
+    if h > 0:  # bottom-up → top-down
+        rows = rows[::-1]
+    return w, abs(h), rows[:, :, ::-1]  # BGR → RGB
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    import pandas as pd
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(synthesize_bmp)}
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def decode_bmp_features(df: DataFrame, *, batch_rows: int = 1024) -> DataFrame:
+    """BMP payloads → (dims, per-channel means) via the real decoder."""
+    import pandas as pd
+
+    def one(mid: int, payload: bytes) -> dict:
+        w, h, px = _decode_bmp(bytes(payload))
+        means = px.reshape(-1, 3).mean(axis=0)
+        return {
+            "media_id": mid,
+            "width": w,
+            "height": h,
+            "mean_r": float(means[0]),
+            "mean_g": float(means[1]),
+            "mean_b": float(means[2]),
+        }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    [one(m, p) for m, p in zip(chunk["media_id"], chunk["payload"])]
+                )
+
+    return df.mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+def resize_bmp(
+    df: DataFrame, *, scale: float = 0.5, batch_rows: int = 1024
+) -> DataFrame:
+    """REAL nearest-neighbor resize: decode → index-map → re-encode a valid
+    BMP. Binary→binary through Arrow both ways (the resize_media contract
+    with an actual kernel)."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def one(payload: bytes) -> bytes:
+        w, h, px = _decode_bmp(bytes(payload))
+        ow, oh = max(1, int(w * scale)), max(1, int(h * scale))
+        xs = (np.arange(ow) * (w / ow)).astype(int).clip(0, w - 1)
+        ys = (np.arange(oh) * (h / oh)).astype(int).clip(0, h - 1)
+        out = px[ys][:, xs]  # nearest neighbor
+        row_len = (ow * 3 + 3) & ~3
+        img_size = row_len * oh
+        header = struct.pack(
+            "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54
+        ) + struct.pack(
+            "<IiiHHIIiiII", 40, ow, oh, 1, 24, 0, img_size, 2835, 2835, 0, 0
+        )
+        body = bytearray()
+        for y in range(oh - 1, -1, -1):
+            row = out[y, :, ::-1].tobytes()  # RGB → BGR
+            body += row + b"\x00" * (row_len - len(row))
+        return header + bytes(body)
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].astype("int64"),
+                        "payload": chunk["payload"].map(one),
+                    }
+                )
+
+    return df.mapInPandas(run, schema)

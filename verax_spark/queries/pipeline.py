@@ -1399,3 +1399,55 @@ def pl_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("zero_crossings") - exp_zc) <= exp_zc * 0.1 + F.lit(3.0)
         ).alias("zcr_ok"),
     ).orderBy("media_id")
+
+
+@_register(
+    "pl_multimodal_image",
+    """
+    with t as (select doc_id,
+        8 + doc_id % 5 * 4 as w, 6 + doc_id % 3 * 4 as h
+      from documents where doc_id < 40)
+    select doc_id as media_id,
+      cast(w as bigint) as width, cast(h as bigint) as height,
+      list_aggregate(list_transform(range(0, w),
+        x -> cast((x * 37 + doc_id) % 256 as double)), 'avg') as mean_r,
+      list_aggregate(list_transform(range(0, h),
+        y -> cast(y * 53 % 256 as double)), 'avg') as mean_g,
+      list_aggregate(flatten(list_transform(range(0, w),
+        x -> list_transform(range(0, h),
+          y -> cast((x + y) * 29 % 256 as double)))), 'avg') as mean_b,
+      cast(w // 2 as bigint) as rw, cast(h // 2 as bigint) as rh,
+      list_aggregate(list_transform(range(0, w // 2),
+        x -> cast((2 * x * 37 + doc_id) % 256 as double)), 'avg') as rmean_r
+    from t order by media_id
+    """,
+)
+def pl_multimodal_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image modality end-to-end: genuine uncompressed 24bpp BMPs
+    synthesized from a closed-form pixel function, decoded by the real
+    header/pixel parser, nearest-neighbor-resized into valid BMPs and
+    decoded again. Dims are exact; per-channel means (original AND resized
+    — even dims make the nearest-neighbor index exactly 2x) are recomputed
+    closed-form by DuckDB over integer ranges."""
+    from verax_spark.operators import multimodal as M
+
+    cat = Catalog(spark, sf_dir)
+    ids = cat.documents.filter(F.col("doc_id") < 40).select("doc_id")
+    payloads = M.attach_bmp_payload(ids, "doc_id")
+    feats = M.decode_bmp_features(payloads)
+    resized_feats = M.decode_bmp_features(
+        M.resize_bmp(payloads, scale=0.5)
+    ).select(
+        F.col("media_id").alias("r_id"),
+        F.col("width").alias("rw"),
+        F.col("height").alias("rh"),
+        F.col("mean_r").alias("rmean_r"),
+    )
+    return (
+        feats.join(resized_feats, feats.media_id == resized_feats.r_id)
+        .select(
+            "media_id", "width", "height", "mean_r", "mean_g", "mean_b",
+            "rw", "rh", "rmean_r",
+        )
+        .orderBy("media_id")
+    )
