@@ -437,3 +437,24 @@ def test_bmp_roundtrip_exact():
         for x, y in ((0, 0), (w - 1, h - 1), (w // 2, h // 3)):
             assert tuple(px[y, x]) == _bmp_pixel(mid, x, y)
         assert px.shape == (h, w, 3) and px.dtype == np.uint8
+
+
+def test_avi_demux_exact():
+    """Synthesized AVI parses as RIFF, demuxes into the exact frame count,
+    and every frame's pixels match the closed-form function."""
+    from verax_spark.operators.multimodal import (
+        _avi_frame_pixel,
+        _avi_frames,
+        avi_params,
+        synthesize_avi,
+    )
+
+    for mid in (0, 1, 5):
+        w, h, nf = avi_params(mid)
+        payload = synthesize_avi(mid)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        dw, dh, frames = _avi_frames(payload)
+        assert (dw, dh, len(frames)) == (w, h, nf)
+        for f in (0, nf - 1):
+            for x, y in ((0, 0), (w - 1, h - 1)):
+                assert tuple(frames[f][y, x]) == _avi_frame_pixel(mid, f, x, y)

@@ -2,10 +2,11 @@
 
 Two tiers:
 
-- **Real codecs** (bottom of this file): RIFF/WAV audio (stdlib wave) and
-  uncompressed 24bpp BMP images (stdlib struct + numpy) — genuine container
-  formats synthesized, decoded, and resized end-to-end with no external
-  libraries. These prove the plumbing carries real kernels.
+- **Real codecs** (bottom of this file): RIFF/WAV audio (stdlib wave),
+  uncompressed 24bpp BMP images, and RIFF/AVI video with DIB frames
+  (stdlib struct + numpy) — genuine container formats synthesized,
+  decoded/demuxed, and resized end-to-end with no external libraries.
+  These prove the plumbing carries real kernels.
 - **Stubs** (clearly marked below): generic decode/resize/frame-sample over
   arbitrary payloads, where a compressed codec (JPEG/H.264) would need
   PIL/ffmpeg the container lacks. The Spark-side contract — schema, Arrow
@@ -465,3 +466,172 @@ def resize_bmp(
                 )
 
     return df.mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# REAL video modality: RIFF/AVI container with uncompressed DIB ('00db')
+# frames — stdlib struct only. Synthesis writes a spec-conformant AVI
+# (hdrl/strl headers + movi chunk list); extraction walks the RIFF chunk
+# tree and decodes every sampled frame's pixels. This upgrades the
+# frame-sample path from byte-slicing stub to a real demuxer.
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_index", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("mean_r", DoubleType()),
+        StructField("mean_g", DoubleType()),
+        StructField("mean_b", DoubleType()),
+    ]
+)
+
+
+def avi_params(media_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) per id — small and even."""
+    return 8 + (media_id % 3) * 4, 6 + (media_id % 2) * 4, 4 + media_id % 3
+
+
+def _avi_frame_pixel(media_id: int, f: int, x: int, y: int) -> tuple[int, int, int]:
+    return (
+        (x * 37 + f * 11 + media_id) % 256,
+        (y * 53 + f * 7) % 256,
+        ((x + y) * 29 + f * 13) % 256,
+    )
+
+
+def synthesize_avi(media_id: int) -> bytes:
+    """A genuine RIFF/AVI file: 'vids'/'DIB ' stream of uncompressed
+    bottom-up BGR frames."""
+    import struct
+
+    w, h, n_frames = avi_params(media_id)
+    row_len = (w * 3 + 3) & ~3
+    frame_size = row_len * h
+
+    frames = []
+    for f in range(n_frames):
+        body = bytearray()
+        for y in range(h - 1, -1, -1):
+            row = bytearray()
+            for x in range(w):
+                r, g, b = _avi_frame_pixel(media_id, f, x, y)
+                row += bytes((b, g, r))
+            row += b"\x00" * (row_len - len(row))
+            body += row
+        frames.append(bytes(body))
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        66666, frame_size, 0, 0x10, n_frames, 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 15, 0, n_frames, frame_size, 0,
+        frame_size, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def list_chunk(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    strl = list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + strl)
+    movi = list_chunk(b"movi", b"".join(chunk(b"00db", fr) for fr in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(payload: bytes):
+    """RIFF walk: yields (width, height, frame_rgb ndarray) per 00db chunk."""
+    import struct
+
+    import numpy as np
+
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI ", "not an AVI"
+    w = h = None
+    pos = 12
+    end = 8 + struct.unpack_from("<I", payload, 4)[0]
+
+    def walk(pos: int, end: int):
+        nonlocal w, h
+        while pos + 8 <= end:
+            tag = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            data_start = pos + 8
+            if tag == b"LIST":
+                walk(data_start + 4, data_start + size)
+            elif tag == b"strf":
+                w, h = struct.unpack_from("<ii", payload, data_start + 4)
+            elif tag == b"00db":
+                row_len = (w * 3 + 3) & ~3
+                data = np.frombuffer(
+                    payload, dtype=np.uint8, count=row_len * h, offset=data_start
+                )
+                rows = data.reshape(h, row_len)[:, : w * 3].reshape(h, w, 3)
+                frames.append(rows[::-1, :, ::-1])  # bottom-up BGR → RGB
+            pos = data_start + size + (size % 2)
+
+    frames: list = []
+    walk(pos, end)
+    return w, h, frames
+
+
+def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
+    import pandas as pd
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("payload", BinaryType())]
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": ids.map(synthesize_avi)}
+            )
+
+    return df.mapInPandas(gen, schema)
+
+
+def extract_avi_frames(
+    df: DataFrame, *, every_k: int = 2, batch_rows: int = 256
+) -> DataFrame:
+    """Real demux + per-sampled-frame pixel stats: 1 payload → N frame rows
+    built inside the Arrow batch (same 1→N contract as sample_frames, with
+    an actual container parser)."""
+    import pandas as pd
+
+    def rows_for(mid: int, payload: bytes):
+        w, h, frames = _avi_frames(bytes(payload))
+        for fi in range(0, len(frames), every_k):
+            means = frames[fi].reshape(-1, 3).mean(axis=0)
+            yield {
+                "media_id": mid,
+                "frame_index": fi,
+                "width": w,
+                "height": h,
+                "mean_r": float(means[0]),
+                "mean_g": float(means[1]),
+                "mean_b": float(means[2]),
+            }
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                out = [
+                    row
+                    for m, p in zip(chunk["media_id"], chunk["payload"])
+                    for row in rows_for(m, p)
+                ]
+                yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, VIDEO_FRAME_SCHEMA)
