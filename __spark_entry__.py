@@ -60,6 +60,7 @@ _PRIORITY = [
     "op_fn_batch6", "op_fn_batch7", "op_fn_agg2",
     "pl_embed_ops", "pl_embed_stats", "st_session_windows",
     "pl_multimodal_audio", "pl_multimodal_image", "pl_multimodal_video",
+    "pl_decontaminate",
     "tpch_q1", "tpch_q9", "pl_dedup_exact", "st_windowed_counts",
     # -- position 51+: green in r02/r03 (or exercised indirectly by the
     # green TPC-H corpus), re-checked as budget allows --

@@ -458,3 +458,25 @@ def test_avi_demux_exact():
         for f in (0, nf - 1):
             for x, y in ((0, 0), (w - 1, h - 1)):
                 assert tuple(frames[f][y, x]) == _avi_frame_pixel(mid, f, x, y)
+
+
+def test_contamination_borrowed_texts_flagged(spark, sf_dir):
+    """Every train doc whose text the derived test corpus borrowed verbatim
+    (doc_id % 3 = 0, with >= 5 tokens) must be flagged contaminated."""
+    import pyspark.sql.functions as F
+
+    from verax_spark.queries import pipeline
+
+    df = pipeline.QUERIES["pl_decontaminate"](spark, sf_dir)
+    got = {r.train_id: r.contaminated for r in df.collect()}
+    docs = Catalog(spark, sf_dir).documents.filter(F.col("doc_id") < 30)
+    long_enough = {
+        r.doc_id
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.col("text"), r"\s+")).alias("n")
+        ).collect()
+        if r.n >= 5
+    }
+    for did in long_enough:
+        if did % 3 == 0:
+            assert got[did], f"borrowed doc {did} not flagged"

@@ -493,3 +493,49 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    broadcast_test: bool = True,
+) -> DataFrame:
+    """Train/test decontamination: flag every train document sharing at
+    least one n-word shingle with ANY test document (the GPT-3 / Pile
+    style benchmark-overlap check).
+
+    Scale design: the test corpus's distinct shingles are usually tiny
+    (benchmark suites), so they broadcast and the train side streams map-
+    only through a broadcast-hash semi-ish join — no shuffle of the 100 TB
+    side. With ``broadcast_test=False`` it degrades to a shuffle equi-join
+    on the shingle (the banded inverted-index pattern used by
+    ngram_jaccard_pairs). Output: (train_id, n_shared, contaminated) for
+    every train row, zeros preserved.
+    """
+    t_sh = train.select(
+        F.col(id_col).alias("train_id"),
+        F.explode(word_shingles(F.lower(F.col(text_col)), n)).alias("sh"),
+    )
+    s_sh = test.select(
+        F.explode(word_shingles(F.lower(F.col(text_col)), n)).alias("sh")
+    ).distinct()
+    if broadcast_test:
+        s_sh = F.broadcast(s_sh)
+    hits = (
+        t_sh.join(s_sh, "sh")
+        .groupBy("train_id")
+        .agg(F.countDistinct("sh").alias("n_shared"))
+    )
+    return (
+        train.select(F.col(id_col).alias("train_id"))
+        .join(hits, "train_id", "left")
+        .select(
+            "train_id",
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+            (F.coalesce(F.col("n_shared"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

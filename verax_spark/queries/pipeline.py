@@ -1489,3 +1489,55 @@ def pl_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
         M.extract_avi_frames(M.attach_avi_payload(ids, "doc_id"), every_k=2)
         .orderBy("media_id", "frame_index")
     )
+
+
+@_register(
+    "pl_decontaminate",
+    """
+    with train as (select doc_id, text from documents where doc_id < 60),
+    test as (select doc_id + 1000 as tid,
+        case when doc_id % 3 = 0 then text else reverse(text) end as text
+      from documents where doc_id < 30),
+    tsh as (select doc_id as train_id,
+        unnest(list_distinct(list_transform(
+          range(len(string_split_regex(lower(text), '\\s+')) - 4),
+          i -> array_to_string(
+            string_split_regex(lower(text), '\\s+')[i + 1 : i + 5], ' '))))
+          as sh
+      from train),
+    ssh as (select distinct unnest(list_distinct(list_transform(
+          range(len(string_split_regex(lower(text), '\\s+')) - 4),
+          i -> array_to_string(
+            string_split_regex(lower(text), '\\s+')[i + 1 : i + 5], ' '))))
+          as sh
+      from test),
+    hits as (select train_id, count(distinct tsh.sh) as n_shared
+      from tsh join ssh on tsh.sh = ssh.sh group by train_id)
+    select t.doc_id as train_id,
+      cast(coalesce(h.n_shared, 0) as bigint) as n_shared,
+      coalesce(h.n_shared, 0) > 0 as contaminated
+    from train t left join hits h on h.train_id = t.doc_id
+    order by train_id
+    """,
+)
+def pl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (train/test n-gram overlap, the GPT-3 /
+    Pile check): the derived test corpus borrows every 3rd train document's
+    text (reversing the rest), and the operator flags each train doc
+    sharing any 5-word shingle with any test doc. The oracle recomputes
+    the identical shingle join in DuckDB — no planted assumption, the
+    ground truth IS the same set algebra."""
+    from verax_spark.operators.dedup import ngram_contamination
+
+    cat = Catalog(spark, sf_dir)
+    train = cat.documents.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    test = (
+        cat.documents.filter(F.col("doc_id") < 30)
+        .select(
+            (F.col("doc_id") + 1000).alias("doc_id"),
+            F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+            .otherwise(F.reverse(F.col("text")))
+            .alias("text"),
+        )
+    )
+    return ngram_contamination(train, test, n=5).orderBy("train_id")
