@@ -6,6 +6,24 @@ are DataFrame-in → DataFrame-out, shuffle-conscious, and deterministic
 (integer/decimal arithmetic where results feed differential checks).
 """
 
-from verax_spark.operators import dedup, multimodal, similarity, text
+from verax_spark.operators import (
+    dedup,
+    embeddings,
+    multimodal,
+    packing,
+    similarity,
+    temporal,
+    text,
+    windows,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "dedup",
+    "embeddings",
+    "multimodal",
+    "packing",
+    "similarity",
+    "temporal",
+    "text",
+    "windows",
+]
