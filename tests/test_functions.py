@@ -724,3 +724,16 @@ def test_quantile_sketch_pipeline(spark):
     assert 49 <= row.med <= 51
     with pytest.raises(ValueError, match="qdigest_agg"):
         presto_call("value_at_quantile", F.col("x"), 0.5)
+
+
+def test_min_by_max_by_n_ary(spark):
+    df = spark.createDataFrame(
+        [("a", 3), ("b", 1), ("c", 2), ("d", None)], "x string, y int"
+    )
+    row = df.select(
+        presto_call("min_by", F.col("x"), F.col("y")).alias("m1"),
+        presto_call("min_by", F.col("x"), F.col("y"), 2).alias("m2"),
+        presto_call("max_by", F.col("x"), F.col("y"), 2).alias("m3"),
+    ).collect()[0]
+    assert row.m1 == "b"
+    assert row.m2 == ["b", "c"] and row.m3 == ["a", "c"]

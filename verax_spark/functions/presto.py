@@ -309,8 +309,14 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "contains": F.array_contains,
     "map": F.map_from_arrays,
     "split_part": F.split_part,
-    "min_by": F.min_by,
-    "max_by": F.max_by,
+    # presto min_by/max_by have an n-ary form returning the x values for
+    # the n smallest/largest y (2-arg form is the Spark builtin)
+    "min_by": lambda x, y, n=None: (
+        F.min_by(x, y) if n is None else _n_by(x, y, int(n), asc=True)
+    ),
+    "max_by": lambda x, y, n=None: (
+        F.max_by(x, y) if n is None else _n_by(x, y, int(n), asc=False)
+    ),
     # presto repeat(element, count) builds an ARRAY; spark repeat is
     # string repetition — silent wrong answers if passed through
     "repeat": lambda e, n: F.array_repeat(_col(e), n),
@@ -577,6 +583,23 @@ def _presto_json_size(x, p) -> Column:
         .when(j.startswith("["), F.json_array_length(j).cast("bigint"))
         .otherwise(F.lit(0).cast("bigint"))
     )
+
+
+def _n_by(x, y, n: int, *, asc: bool) -> Column:
+    """n-ary min_by/max_by: x values for the n smallest/largest y (NULL
+    keys excluded, Presto semantics)."""
+    pairs = F.filter(
+        F.collect_list(F.struct(_col(y).alias("k"), _col(x).alias("v"))),
+        lambda e: e["k"].isNotNull(),
+    )
+    lt, gt = (-1, 1) if asc else (1, -1)
+    ranked = F.array_sort(
+        pairs,
+        lambda a, b: F.when(a["k"] < b["k"], lt)
+        .when(a["k"] > b["k"], gt)
+        .otherwise(0),
+    )
+    return F.transform(F.slice(ranked, 1, n), lambda e: e["v"])
 
 
 class _QuantileSketch:
