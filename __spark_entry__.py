@@ -37,8 +37,7 @@ _PRIORITY = [
     "pl_curate",
     # -- new this round --
     "sql_insert", "sql_delete", "sql_update", "sql_ctas", "sql_txn",
-    "op_fn_decimal",
-    "op_connector_tpch", "op_fn_collections", "op_fn_hll", "st_dedup",
+    "op_fn_decimal", "op_connector_tpch", "st_dedup",
     # -- not driver-checked since r01 (position 51+ in the r03 rotation) --
     "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",
     "op_fn_array_map", "op_fn_conv", "op_fn_percentile",
@@ -53,9 +52,10 @@ _PRIORITY = [
     "st_enrich_join", "st_stream_join", "pl_range_join", "pl_time_rollup",
     "op_join_theta", "op_setop_except", "op_agg_filter",
     "op_window_range_frame", "op_unnest_map",
-    # -- position 51+: new-but-selfchecked r04 text ops (SELFCHECK.json
+    # -- position 51+: new-but-selfchecked r04 ops (SELFCHECK.json
     # green; rotate into the checked window next round) and regression
     # anchors whose families were re-checked green in r02/r03 --
+    "op_fn_collections", "op_fn_hll",
     "pl_text_pii_scrub", "pl_text_repetition", "pl_sample_stratified",
     "op_fn_batch6", "op_fn_batch7", "op_fn_agg2",
     "pl_embed_ops", "pl_embed_stats", "st_session_windows",
