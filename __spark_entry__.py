@@ -55,7 +55,7 @@ _PRIORITY = [
     # -- position 51+: new-but-selfchecked r04 ops (SELFCHECK.json
     # green; rotate into the checked window next round) and regression
     # anchors whose families were re-checked green in r02/r03 --
-    "op_fn_collections", "op_fn_hll",
+    "op_fn_collections", "op_fn_hll", "op_fn_batch8",
     "pl_text_pii_scrub", "pl_text_repetition", "pl_sample_stratified",
     "op_fn_batch6", "op_fn_batch7", "op_fn_agg2",
     "pl_embed_ops", "pl_embed_stats", "st_session_windows",

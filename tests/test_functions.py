@@ -557,6 +557,119 @@ def _cases():
             [2.5, 2.5],
         ),
     ],
+    # --- batch 8 ---
+    "combinations": [
+        (
+            _c("combinations", F.col("xs"), 2),
+            [[1, 2], [1, 3], [2, 3]],
+        ),
+        (_c("combinations", F.col("xs"), 3), [[1, 2, 3]]),
+        (_c("combinations", F.array(F.lit(9)), 2), []),
+    ],
+    "array_has_duplicates": [
+        (_c("array_has_duplicates", F.col("xs")), False),
+        (_c("array_has_duplicates", F.array(F.lit(1), F.lit(1))), True),
+    ],
+    "array_duplicates": [
+        (
+            _c("array_duplicates", F.array(F.lit(1), F.lit(2), F.lit(1), F.lit(2), F.lit(3))),
+            [1, 2],
+        ),
+    ],
+    "array_frequency": [
+        (
+            _c("array_frequency", F.array(F.lit("a"), F.lit("b"), F.lit("a"))),
+            {"a": 2, "b": 1},
+        ),
+    ],
+    "array_cum_sum": [
+        (_c("array_cum_sum", F.col("xs")), [1.0, 3.0, 6.0]),
+    ],
+    "trim_array": [
+        (_c("trim_array", F.col("xs"), 1), [1, 2]),
+        (_c("trim_array", F.col("xs"), 5), []),
+    ],
+    "any_match": [
+        (_c("any_match", F.col("xs"), lambda e: e > 2), True),
+        (_c("any_match", F.col("xs"), lambda e: e > 9), False),
+    ],
+    "all_match": [
+        (_c("all_match", F.col("xs"), lambda e: e > 0), True),
+        (_c("all_match", F.col("xs"), lambda e: e > 1), False),
+    ],
+    "none_match": [
+        (_c("none_match", F.col("xs"), lambda e: e > 9), True),
+    ],
+    "map_subset": [
+        (
+            _c(
+                "map_subset",
+                F.map_concat(F.col("m1"), F.col("m2")),
+                F.array(F.lit("a"), F.lit("z")),
+            ),
+            {"a": 1},
+        ),
+    ],
+    "map_remove_null_values": [
+        (
+            _c(
+                "map_remove_null_values",
+                F.map_from_arrays(
+                    F.array(F.lit("a"), F.lit("b")),
+                    F.array(F.lit(1), F.lit(None).cast("int")),
+                ),
+            ),
+            {"a": 1},
+        ),
+    ],
+    "map_top_n": [
+        (
+            _c("map_top_n", F.map_concat(F.col("m1"), F.col("m2")), 1),
+            {"b": 2},
+        ),
+    ],
+    "map_top_n_keys": [
+        (_c("map_top_n_keys", F.map_concat(F.col("m1"), F.col("m2")), 2), ["b", "a"]),
+    ],
+    "map_top_n_values": [
+        (_c("map_top_n_values", F.map_concat(F.col("m1"), F.col("m2")), 1), [2]),
+    ],
+    "normal_cdf": [
+        (_c("normal_cdf", F.lit(0), F.lit(1), F.lit(0.0)), lambda v: abs(v - 0.5) < 1e-7),
+        (
+            _c("normal_cdf", F.lit(0), F.lit(1), F.lit(1.96)),
+            lambda v: abs(v - 0.9750021048517795) < 1e-6,
+        ),
+        (
+            _c("normal_cdf", F.lit(10), F.lit(2), F.lit(8.0)),
+            lambda v: abs(v - 0.15865525393145707) < 1e-6,
+        ),
+    ],
+    "entropy": [
+        # single row with count 5: a one-outcome distribution has H = 0
+        (_c("entropy", F.col("i")), 0.0),
+    ],
+    "split_to_multimap": [
+        (
+            _c("split_to_multimap", F.lit("a=1,b=2,a=3"), ",", "="),
+            {"a": ["1", "3"], "b": ["2"]},
+        ),
+    ],
+    "regexp_position": [
+        (_c("regexp_position", F.col("s"), "wor"), 7),
+        (_c("regexp_position", F.col("s"), "zz+"), -1),
+    ],
+    "human_readable_seconds": [
+        (_c("human_readable_seconds", F.lit(96)), "1 minute, 36 seconds"),
+        (_c("human_readable_seconds", F.lit(0)), "0 seconds"),
+        (
+            _c("human_readable_seconds", F.lit(694861.0)),
+            "1 week, 1 day, 1 hour, 1 minute, 1 second",
+        ),
+    ],
+    "format": [
+        (_c("format", F.lit("%s=%d"), F.lit("x"), F.col("i")), "x=5"),
+    ],
     "every": [(_c("every", F.col("b")), True)],
     "bitwise_and_agg": [(_c("bitwise_and_agg", F.col("i")), 5)],
     "bitwise_or_agg": [(_c("bitwise_or_agg", F.col("i")), 5)],

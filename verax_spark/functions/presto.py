@@ -95,6 +95,8 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "every": "bool_and",
     "bitwise_and_agg": "bit_and",
     "bitwise_or_agg": "bit_or",
+    # batch 8 renames
+    "format": "format_string",
 }
 
 # Seconds per fixed-width unit for date_add/date_diff arithmetic.
@@ -527,6 +529,62 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "values_at_quantiles": lambda d, qs: F.percentile_approx(
         _sketch_input(d, "values_at_quantiles"), _col(qs), F.lit(10000)
     ),
+    # --- batch 8: array combinatorics / matches ---
+    "combinations": lambda arr, n: _combinations(_col(arr), int(n)),
+    "array_has_duplicates": lambda arr: (
+        F.size(_col(arr)) != F.size(F.array_distinct(_col(arr)))
+    ),
+    "array_duplicates": lambda arr: _array_duplicates(_col(arr)),
+    # value -> occurrence count over NON-NULL elements (Presto semantics)
+    "array_frequency": lambda arr: _presto_histogram(
+        F.filter(_col(arr), lambda e: e.isNotNull())
+    ),
+    "array_cum_sum": lambda arr: F.transform(
+        F.sequence(F.lit(1), F.size(_col(arr))),
+        lambda i: F.aggregate(
+            F.slice(_col(arr), 1, i),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double"),
+        ),
+    ),
+    "trim_array": lambda arr, n: F.slice(
+        _col(arr), 1, F.greatest(F.size(_col(arr)) - int(n), F.lit(0))
+    ),
+    # Spark exists/forall share Presto's 3-valued NULL semantics
+    "any_match": lambda arr, fn: F.exists(_col(arr), fn),
+    "all_match": lambda arr, fn: F.forall(_col(arr), fn),
+    "none_match": lambda arr, fn: ~F.exists(_col(arr), fn),
+    # --- batch 8: map utilities ---
+    "map_subset": lambda m, keys: F.map_filter(
+        _col(m), lambda k, _v: F.array_contains(_col(keys), k)
+    ),
+    "map_remove_null_values": lambda m: F.map_filter(
+        _col(m), lambda _k, v: v.isNotNull()
+    ),
+    "map_top_n": lambda m, n: F.map_from_entries(
+        F.slice(_map_entries_by_value_desc(_col(m)), 1, int(n))
+    ),
+    "map_top_n_keys": lambda m, n: F.transform(
+        F.slice(_map_entries_by_value_desc(_col(m)), 1, int(n)),
+        lambda e: e["key"],
+    ),
+    "map_top_n_values": lambda m, n: F.transform(
+        F.slice(_map_entries_by_value_desc(_col(m)), 1, int(n)),
+        lambda e: e["value"],
+    ),
+    # --- batch 8: math / stats / text ---
+    # Φ((x-mean)/sd) via the Abramowitz-Stegun 7.1.26 erf approximation
+    # (|err| < 1.5e-7), pure Column arithmetic — JVM-side
+    "normal_cdf": lambda mean, sd, x: _normal_cdf(mean, sd, x),
+    # Presto entropy(c) aggregate over per-row counts:
+    # H = log2(S) - Σ c·log2(c) / S, exact aggregate algebra
+    "entropy": lambda c: _presto_entropy(_col(c)),
+    "split_to_multimap": lambda s, ed, kd: _split_to_multimap(s, ed, kd),
+    # Presto regexp_position: 1-based first match position, -1 if none
+    "regexp_position": lambda s, p: F.when(
+        F.regexp_instr(_col(s), _lit_or_col(p)) == 0, F.lit(-1)
+    ).otherwise(F.regexp_instr(_col(s), _lit_or_col(p))).cast("bigint"),
+    "human_readable_seconds": lambda x: _human_readable_seconds(_col(x)),
     # --- batch 7: IPv4 network functions (IPv6 inputs yield NULL) ---
     "ip_prefix": lambda ip, bits: _ip_prefix(ip, bits),
     "ip_subnet_min": lambda p: _int_to_ip(_subnet_bounds(p)[0]),
@@ -583,6 +641,137 @@ def _presto_json_size(x, p) -> Column:
         .when(j.startswith("["), F.json_array_length(j).cast("bigint"))
         .otherwise(F.lit(0).cast("bigint"))
     )
+
+
+def _lit_or_col(x) -> Column:
+    return x if isinstance(x, Column) else F.lit(x)
+
+
+def _combinations(arr: Column, n: int) -> Column:
+    """Presto combinations(arr, n): all n-element subsequences (order
+    preserved). n is capped at 5 like Presto; built as nested index
+    transforms — no UDF."""
+    if not 1 <= n <= 5:
+        raise ValueError("combinations: n must be between 1 and 5")
+    size = F.size(arr)
+
+    def build(depth: int, start, picked):
+        # picked: list of index Columns chosen so far
+        if depth == n:
+            return F.array(*[F.element_at(arr, i) for i in picked])
+        return F.flatten(
+            F.transform(
+                F.sequence(start, size - F.lit(n - 1 - depth)),
+                lambda i: _wrap(depth + 1 == n)(
+                    build(depth + 1, i + 1, picked + [i])
+                ),
+            )
+        )
+
+    def _wrap(is_leaf: bool):
+        # leaves produce array<T> elements; inner levels produce
+        # array<array<T>> that flatten unnests one level
+        return (lambda c: F.array(c)) if is_leaf else (lambda c: c)
+
+    out = build(0, F.lit(1), [])
+    # short-input guard: Spark's sequence(1, 0) runs DESCENDING and would
+    # index 0. CaseWhen evaluates only the taken branch, so gate `out`
+    # behind size >= n and build a typed empty for the short case
+    # (element_at(arr, 1) is a safe NULL on an empty array).
+    proto = F.array(*[F.element_at(arr, F.lit(1))] * n)
+    empty = F.slice(F.array(proto), 1, 0)
+    return F.when(size >= F.lit(n), out).otherwise(empty)
+
+
+def _array_duplicates(arr: Column) -> Column:
+    """Values (incl. NULL) appearing more than once, in first-seen order."""
+    return F.filter(
+        F.array_distinct(arr),
+        lambda v: F.size(F.filter(arr, lambda e: e.eqNullSafe(v))) > 1,
+    )
+
+
+def _map_entries_by_value_desc(m: Column) -> Column:
+    return F.array_sort(
+        F.map_entries(m),
+        lambda a, b: F.when(a["value"] > b["value"], -1)
+        .when(a["value"] < b["value"], 1)
+        .when(a["key"] > b["key"], -1)
+        .when(a["key"] < b["key"], 1)
+        .otherwise(0),
+    )
+
+
+def _erf(z: Column) -> Column:
+    """Abramowitz & Stegun 7.1.26 rational approximation, |err| < 1.5e-7."""
+    sign = F.when(z < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    za = F.abs(z)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.3275911) * za)
+    poly = (
+        F.lit(0.254829592) * t
+        - F.lit(0.284496736) * t * t
+        + F.lit(1.421413741) * t * t * t
+        - F.lit(1.453152027) * t * t * t * t
+        + F.lit(1.061405429) * t * t * t * t * t
+    )
+    return sign * (F.lit(1.0) - poly * F.exp(-za * za))
+
+
+def _normal_cdf(mean, sd, x) -> Column:
+    z = (_col(x).cast("double") - _col(mean).cast("double")) / (
+        _col(sd).cast("double") * F.lit(2.0 ** 0.5)
+    )
+    return F.lit(0.5) * (F.lit(1.0) + _erf(z))
+
+
+def _presto_entropy(c: Column) -> Column:
+    c = c.cast("double")
+    total = F.sum(c)
+    plogp = F.sum(
+        F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))
+    )
+    return F.when(total > 0, F.log2(total) - plogp / total).otherwise(F.lit(0.0))
+
+
+def _split_to_multimap(s, entry_delim, kv_delim) -> Column:
+    ed = regex_quote(str(entry_delim)) if not isinstance(entry_delim, Column) else None
+    kd = regex_quote(str(kv_delim)) if not isinstance(kv_delim, Column) else None
+    if ed is None or kd is None:
+        raise ValueError("split_to_multimap: delimiters must be literals")
+    ents = F.transform(
+        F.split(_col(s), ed),
+        lambda e: F.struct(
+            F.split(e, kd, 2)[0].alias("key"),
+            F.split(e, kd, 2)[1].alias("value"),
+        ),
+    )
+    return _group_entries(ents)
+
+
+def _human_readable_seconds(x: Column) -> Column:
+    """Presto human_readable_seconds(double): '1 week, 2 days, ...' with
+    singular/plural unit names, rounding to whole seconds."""
+    total = F.round(x.cast("double"), 0).cast("long")
+    parts = []
+    remain = total
+    for unit, secs in (
+        ("week", 604800), ("day", 86400), ("hour", 3600),
+        ("minute", 60), ("second", 1),
+    ):
+        v = (remain / F.lit(secs)).cast("long")
+        remain = remain - v * secs
+        parts.append(
+            F.when(
+                v > 0,
+                F.concat(
+                    v.cast("string"),
+                    F.lit(f" {unit}"),
+                    F.when(v > 1, F.lit("s")).otherwise(F.lit("")),
+                ),
+            )
+        )
+    joined = F.concat_ws(", ", *parts)  # concat_ws skips the NULL parts
+    return F.when(joined == "", F.lit("0 seconds")).otherwise(joined)
 
 
 def _n_by(x, y, n: int, *, asc: bool) -> Column:

@@ -2401,6 +2401,95 @@ def op_fn_agg2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NCDF = {
+    -3: 0.0013498980316301035, -2: 0.02275013194817921,
+    -1: 0.15865525393145707, 0: 0.5, 1: 0.8413447460685429,
+    2: 0.9772498680518208, 3: 0.9986501019683699,
+}
+
+
+@_register(
+    "op_fn_batch8",
+    f"""
+    with t as (select doc_id as d from documents where doc_id < 32)
+    select d,
+      cast(case when d % 2 = 0 then 4 * 3 / 2 else 3 * 2 / 2 end as integer)
+        as n_combos,
+      (d % 2 = 0) as has_dup,
+      cast(case when d % 2 = 0 then 3 else 3 end as integer) as freq_card,
+      cast(2 as bigint) as freq_of_d,
+      cast(3 * d + 3 as double) as cum_last,
+      cast(2 as integer) as trimmed,
+      true as any_gt, false as all_gt, true as none_gt,
+      'k2' as top_key,
+      true as ncdf_exact,
+      cast(5.0 as double) as ent,
+      cast(2 as bigint) as mm_card,
+      case d % 4 when 0 then '0 seconds'
+        when 1 then '1 hour, 1 minute, 40 seconds'
+        when 2 then '2 hours, 3 minutes, 20 seconds'
+        else '3 hours, 5 minutes' end as hrs,
+      printf('%03d', d) as fmt
+    from t order by d
+    """,
+)
+def op_fn_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function batch 8 decision-level checks: array combinatorics
+    (C(L,2) counts, planted duplicates, frequency cardinality, cumulative
+    sums, trim sizes, any/all/none_match), map_top_n keys, normal_cdf vs
+    exact spec values (A&S erf approx, |err| < 1.5e-7, asserted within
+    1e-6), the entropy aggregate's exact log2 identity on uniform counts,
+    split_to_multimap cardinality, human_readable_seconds strings, and
+    format. Ref: FunctionRegistry.h registers the full Presto library."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    d = F.col("d")
+    t = cat.documents.filter(F.col("doc_id") < 32).select(
+        F.col("doc_id").alias("d")
+    )
+    # even ids get a duplicated element (4 elems), odd ids 3 distinct
+    arr = F.when(
+        d % 2 == 0, F.array(d, d + 1, d + 2, d)
+    ).otherwise(F.array(d, d + 1, d + 2))
+    arr3 = F.array(d, d + 1, d + 2)
+    m = F.create_map(
+        F.lit("k1"), d.cast("int"), F.lit("k2"), (d + 1).cast("int")
+    )
+    ncdf = pc("normal_cdf", F.lit(0), F.lit(1), (d % 7 - 3).cast("double"))
+    planted = F.lit(None).cast("double")
+    for z, v in _NCDF.items():
+        planted = F.when((d % 7 - 3) == z, F.lit(v)).otherwise(planted)
+    ent = (
+        t.select(F.lit(4).alias("c"))
+        .agg(pc("entropy", F.col("c")).alias("ent"))
+        .collect()[0]
+        .ent
+    )
+    return t.select(
+        "d",
+        F.size(pc("combinations", arr, 2)).alias("n_combos"),
+        pc("array_has_duplicates", arr).alias("has_dup"),
+        F.size(F.map_keys(pc("array_frequency", arr))).alias("freq_card"),
+        F.element_at(pc("array_frequency", F.array(d, d)), d).alias("freq_of_d"),
+        F.element_at(pc("array_cum_sum", arr3), 3).alias("cum_last"),
+        F.size(pc("trim_array", arr3, 1)).alias("trimmed"),
+        pc("any_match", arr3, lambda e: e > d + 1).alias("any_gt"),
+        pc("all_match", arr3, lambda e: e > d).alias("all_gt"),
+        pc("none_match", arr3, lambda e: e > d + 2).alias("none_gt"),
+        pc("map_top_n_keys", m, 1)[0].alias("top_key"),
+        (F.abs(ncdf - planted) < 1e-6).alias("ncdf_exact"),
+        F.lit(float(ent)).alias("ent"),
+        F.size(
+            F.map_keys(
+                pc("split_to_multimap", F.lit("a=1,b=2,a=3"), ",", "=")
+            )
+        ).cast("long").alias("mm_card"),
+        pc("human_readable_seconds", (d % 4) * 3700).alias("hrs"),
+        pc("format", F.lit("%03d"), d.cast("int")).alias("fmt"),
+    ).orderBy("d")
+
+
 # ---------------------------------------------------------------------------
 # Subfield pushdown (map-as-struct rewrite, optimizer/subfields.py; ref
 # axiom/optimizer/Subfields.cpp, OptimizerOptions.h:38-46 allMapsAsStruct):
