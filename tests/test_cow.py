@@ -130,3 +130,80 @@ def test_transaction_rollback_and_commit(spark, sf_dir):
         sess.sql("start transaction")
     sess.sql("rollback")
     assert state() == after
+
+
+def test_transaction_fuzz_against_model(spark, sf_dir):
+    """Model-based transaction fuzz: a random sequence of INSERT / DELETE /
+    UPDATE / BEGIN / COMMIT / ROLLBACK against the COW table must agree
+    with a pure-Python list-of-rows model after every statement."""
+    import os
+    import random
+    import tempfile
+    import uuid
+
+    import pyspark.sql.functions as F
+
+    from verax_spark.catalog import Catalog
+    from verax_spark.sql import PrestoSession
+
+    rng = random.Random(20260814)
+    cat = Catalog(spark, sf_dir)
+    path = os.path.join(tempfile.gettempdir(), f"verax_txnfz_{uuid.uuid4().hex[:8]}")
+    (
+        cat.nation.select("n_nationkey", "n_regionkey")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    sess = PrestoSession(spark, sf_dir)
+    sess.register_table("fz", path)
+
+    model = sorted(
+        (r.n_nationkey, r.n_regionkey)
+        for r in spark.read.parquet(path).collect()
+    )
+    saved = None  # model snapshot at BEGIN
+    next_id = 1000
+
+    def real():
+        return sorted(
+            (r.n_nationkey, r.n_regionkey)
+            for r in sess.sql("select * from fz").collect()
+        )
+
+    for step in range(40):
+        op = rng.choice(["ins", "del", "upd", "begin", "commit", "rollback"])
+        if op == "ins":
+            sess.sql(f"insert into fz select {next_id}, {next_id % 5}")
+            model = sorted(model + [(next_id, next_id % 5)])
+            next_id += 1
+        elif op == "del":
+            k = rng.randint(0, 4)
+            sess.sql(f"delete from fz where n_regionkey = {k}")
+            model = [t for t in model if t[1] != k]
+        elif op == "upd":
+            k = rng.randint(0, 4)
+            sess.sql(
+                f"update fz set n_nationkey = n_nationkey + 100 "
+                f"where n_regionkey = {k}"
+            )
+            model = sorted(
+                (a + 100, b) if b == k else (a, b) for a, b in model
+            )
+        elif op == "begin":
+            if saved is None:
+                sess.sql("begin")
+                saved = list(model)
+        elif op == "commit":
+            if saved is not None:
+                sess.sql("commit")
+                saved = None
+        else:  # rollback
+            if saved is not None:
+                sess.sql("rollback")
+                model, saved = saved, None
+        assert real() == sorted(model), f"divergence after step {step} ({op})"
+    if saved is not None:
+        sess.sql("rollback")
+        model = saved
+        assert real() == sorted(model)

@@ -1,0 +1,136 @@
+"""Widened-grammar differential SQL fuzz: random Presto text through the
+full front door (parse -> reorder -> Catalyst) vs DuckDB executing the
+same text. Complements tests/test_parser_fuzz.py's hypothesis strategies
+with simple high-volume generation across aggregates (FILTER/DISTINCT/
+HAVING), grouping sets, set ops, subqueries, joins, windows, limits, CTEs.
+
+Usage: python tools/sql_fuzz.py [N=300] [seed=20260814]
+"""
+import random
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from verax_spark.session import get_spark
+from verax_spark.sql import PrestoSession
+from verax_spark.testing import assert_frames_match, duckdb_connection
+
+SF = "/root/testdata/sf0.001"
+spark = get_spark()
+sess = PrestoSession(spark, SF)
+con = duckdb_connection(SF)
+rng = random.Random(int(sys.argv[2]) if len(sys.argv) > 2 else 20260814)
+
+IC = ["n_nationkey", "n_regionkey"]
+SC = ["n_name"]
+
+def ie(d=2):
+    if d == 0:
+        return rng.choice(IC + [str(rng.randint(-9, 20)), f"length({rng.choice(SC)})"])
+    a, b = ie(d-1), ie(d-1)
+    k = rng.randrange(9)
+    if k == 0: return f"({a} + {b})"
+    if k == 1: return f"({a} - {b})"
+    if k == 2: return f"({a} * {rng.randint(0,3)})"
+    if k == 3: return f"abs({a})"
+    if k == 4: return f"coalesce(nullif({a}, {rng.randint(0,5)}), {b})"
+    if k == 5: return f"(case when {be(0)} then {a} else {b} end)"
+    if k == 6: return f"greatest({a}, {b})"
+    if k == 7: return f"least({a}, {b})"
+    return ie(0)
+
+def se():
+    c = rng.choice(SC)
+    return rng.choice([
+        c, f"upper({c})", f"lower({c})", f"substr({c}, {rng.randint(1,4)}, {rng.randint(1,6)})",
+        f"trim({c})", f"replace({c}, '_', '-')", f"({c} || '{rng.choice(['x','_y'])}')",
+        f"reverse({c})",
+    ])
+
+def be(d=1):
+    k = rng.randrange(6)
+    if k == 0: base = f"{ie(0)} {rng.choice(['<','<=','>','>=','=','<>'])} {ie(0)}"
+    elif k == 1: base = f"{rng.choice(IC)} between {rng.randint(0,5)} and {rng.randint(6,20)}"
+    elif k == 2: base = f"{rng.choice(IC)} is not null"
+    elif k == 3: base = f"nullif({rng.choice(IC)}, 3) is null"
+    elif k == 4: base = f"{rng.choice(SC)} like 'NATION_1%'"
+    else: base = f"{rng.choice(IC)} in ({', '.join(str(rng.randint(0,24)) for _ in range(rng.randint(1,4)))})"
+    if d == 0: return base
+    k = rng.randrange(3)
+    if k == 0: return base
+    if k == 1: return f"({be(0)} {rng.choice(['and','or'])} {be(0)})"
+    return f"(not {be(0)})"
+
+def q_simple():
+    return (f"select n_nationkey, {ie()} as v1, {se()} as v2 from nation "
+            f"where {be()} order by n_nationkey")
+
+def q_agg():
+    g = rng.choice(IC)
+    fil = f" filter (where {be(0)})" if rng.random() < 0.5 else ""
+    dist = "distinct " if rng.random() < 0.3 else ""
+    having = f" having count(*) > {rng.randint(0,2)}" if rng.random() < 0.5 else ""
+    return (f"select {g} as k, count({dist}{rng.choice(IC)}){fil} as c, "
+            f"sum({ie(1)}) as s, max({se()}) as m "
+            f"from nation where {be(0)} group by {g}{having} order by k")
+
+def q_grouping():
+    form = rng.choice(["rollup (n_regionkey)", "cube (n_regionkey)",
+                       "grouping sets ((n_regionkey), ())"])
+    return (f"select n_regionkey as k, count(*) as c, sum(n_nationkey) as s "
+            f"from nation group by {form} order by k nulls last, c")
+
+def q_setop():
+    op = rng.choice(["union", "union all", "intersect", "except"])
+    return (f"select n_regionkey as k from nation where {be(0)} {op} "
+            f"select n_regionkey as k from nation where {be(0)} order by k")
+
+def q_sub():
+    return rng.choice([
+        (f"select n_nationkey as k from nation where n_regionkey in "
+         f"(select r_regionkey from region where {rng.choice(['r_regionkey < 3','r_regionkey > 1'])}) "
+         f"order by k"),
+        (f"select n_nationkey as k from nation n where exists "
+         f"(select 1 from region r where r.r_regionkey = n.n_regionkey and r.r_regionkey < {rng.randint(1,4)}) "
+         f"order by k"),
+        (f"select n_nationkey as k, (select max(r_regionkey) from region) as m "
+         f"from nation where {be(0)} order by k"),
+    ])
+
+def q_join():
+    return (f"select n.n_nationkey as k, r.r_name as rn from nation n "
+            f"join region r on n.n_regionkey = r.r_regionkey "
+            f"where {be(0)} order by k")
+
+def q_window():
+    fn = rng.choice(["row_number()", "rank()", "dense_rank()",
+                     "sum(n_nationkey)", "count(*)", "min(n_nationkey)"])
+    frame = ""
+    if fn not in ("row_number()", "rank()", "dense_rank()") and rng.random() < 0.5:
+        frame = " rows between unbounded preceding and current row"
+    return (f"select n_nationkey as k, {fn} over "
+            f"(partition by n_regionkey order by n_nationkey{frame}) as w "
+            f"from nation order by k")
+
+def q_limit():
+    return (f"select n_nationkey as k from nation where {be(0)} "
+            f"order by k {rng.choice(['asc','desc'])} "
+            f"limit {rng.randint(1,10)} offset {rng.randint(0,5)}")
+
+def q_cte():
+    return (f"with t as (select n_regionkey as k, count(*) as c from nation "
+            f"where {be(0)} group by n_regionkey) "
+            f"select k, c from t where c > {rng.randint(0,2)} order by k")
+
+GENS = [q_simple, q_agg, q_grouping, q_setop, q_sub, q_join, q_window, q_limit, q_cte]
+fails = []
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 300
+for i in range(N):
+    sql = rng.choice(GENS)()
+    try:
+        got = sess.sql(sql).toPandas()
+        want = con.execute(sql).df()
+        assert_frames_match(got, want, context=sql[:80])
+    except Exception as e:
+        fails.append((sql, repr(e)[:300]))
+        print(f"FAIL[{len(fails)}]: {sql}\n  -> {repr(e)[:300]}\n", flush=True)
+print(f"{N - len(fails)}/{N} ok, {len(fails)} failures")
