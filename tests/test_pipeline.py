@@ -480,3 +480,21 @@ def test_contamination_borrowed_texts_flagged(spark, sf_dir):
     for did in long_enough:
         if did % 3 == 0:
             assert got[did], f"borrowed doc {did} not flagged"
+
+
+def test_grouped_histogram_matches_expression_form(spark, sf_dir):
+    from verax_spark.functions.presto import presto_call as pc
+    from verax_spark.operators.text import grouped_histogram
+
+    li = Catalog(spark, sf_dir).lineitem.limit(5000)
+    plan_form = {
+        r[0]: r[1]
+        for r in grouped_histogram(li, "l_returnflag", "l_linenumber").collect()
+    }
+    expr_form = {
+        r[0]: r[1]
+        for r in li.groupBy("l_returnflag")
+        .agg(pc("histogram", F.col("l_linenumber")).alias("h"))
+        .collect()
+    }
+    assert plan_form == expr_form

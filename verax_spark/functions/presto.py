@@ -495,7 +495,12 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "set_union": lambda arr: F.array_distinct(
         F.flatten(F.collect_list(_col(arr)))
     ),
-    # presto histogram(x): value -> count map
+    # presto histogram(x): value -> count map. NOTE: like every
+    # expression-level map aggregate here, the intermediate collect_list
+    # is GROUP-sized before dedup — correct Presto semantics, but for
+    # high-row-count groups at scale use the plan-level two-phase form
+    # (operators.text.grouped_histogram), whose shuffle carries only
+    # (group, value) partial counts.
     "histogram": lambda x: _presto_histogram(F.collect_list(_col(x))),
     # presto checksum: order-insensitive aggregate checksum. Engine-local
     # constant (Presto's exact bytes are xxhash64-based too but not

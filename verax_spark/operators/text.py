@@ -201,3 +201,27 @@ def token_vocabulary(df, text_col: str, *, k: int = 100, group_col: str | None =
         survivors.withColumn("rank", F.row_number().over(w_final).cast("bigint"))
         .filter(F.col("rank") <= k)
     )
+
+
+def grouped_histogram(
+    df: "DataFrame", group_col: str, value_col: str
+) -> "DataFrame":
+    """Plan-level scale path for Presto ``histogram(x) GROUP BY g``.
+
+    The expression-level adapter (functions/presto.py) collects the whole
+    group before dedup — correct but group-sized. This two-phase form
+    pre-aggregates (group, value) counts (map-side combined, shuffle
+    carries distinct pairs only) and folds them into the map afterward:
+    memory is bounded by the RESULT map's cardinality, never the group's
+    row count.
+
+    Output: (group_col, histogram map<value, count>).
+    """
+    counted = df.groupBy(group_col, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return counted.groupBy(group_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(value_col), F.col("__c")))
+        ).alias("histogram")
+    )
