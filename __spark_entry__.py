@@ -25,20 +25,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates queries in dict order and (empirically) stops after 50
-# entries.  Order matters.  Round-4 rotation per the round-3 judge (#9):
-# positions 1-5 are the five reshaped no-oracle→oracled queries, then this
-# round's new queries, then the ~41 position-51+ families whose last driver
-# row is r01 — so after r04 every query has a green row within the last two
-# rounds. The r02/r03-green families rotate to 51+.
+# entries.  Order matters.  Round-5 rotation per the round-4 judge (#2):
+# positions 1-16 are the sixteen queries that have never had a driver row
+# (r04's position-51+ additions), then this round's new queries, then the
+# r04-green families that are due a re-check, so that after r05 every
+# registered query has a green driver row within r04∪r05.
 _PRIORITY = [
-    # -- positions 1-5: reshaped this round (were rows-only; now oracled
-    # via planted ground truth / decision-level output) --
+    # -- positions 1-16: never driver-checked (added at 51+ in r04) --
+    "op_fn_collections", "op_fn_hll", "op_fn_batch6", "op_fn_batch7",
+    "op_fn_batch8", "op_fn_agg2",
+    "pl_text_pii_scrub", "pl_text_repetition", "pl_sample_stratified",
+    "pl_embed_ops", "pl_embed_stats", "st_session_windows",
+    "pl_multimodal_audio", "pl_multimodal_image", "pl_multimodal_video",
+    "pl_decontaminate",
+    # -- new this round (r05) --
+    "op_builder_reorder", "op_fn_sketch_merge", "sql_mview", "sql_schema",
+    # -- r01-green families longest without a re-check --
+    "op_values", "op_join_semi", "op_join_anti",
+    "op_setop_intersect", "op_setop_union_all", "op_agg_distinct",
+    "op_subquery_scalar", "op_distinct",
+    "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_json",
+    "op_hof_transform_filter", "op_special_forms",
+    "op_table_delete", "op_table_update",
+    "op_join_mark", "op_join_lookup", "op_unnest_structs",
+    "op_window_groups_frame", "op_sessionize",
+    "sql_quantified", "sql_lateral", "sql_window_clause",
+    "pl_dedup_embedding", "pl_knn_brute",
+    "pl_asof_join", "pl_pack_sequences",
+    "tpch_q2", "tpch_q6",
+    # -- position 51+: green within r03/r04, re-checked as budget allows --
+    "tpch_q18", "tpch_q1", "tpch_q9", "pl_dedup_exact",
+    "st_windowed_counts",
+    "op_join_left", "op_join_full", "op_limit_offset", "op_setop_union",
+    "op_subquery_in",
+    "sql_join_reorder", "pl_asof_join_salted", "op_fn_extra",
+    "op_subfield_pushdown",
+    "op_distinct", "pl_token_vocab", "sql_subscript", "sql_try",
+    "tpch_q15", "tpch_q20", "tpch_q21",
     "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
     "pl_curate",
-    # -- new this round --
     "sql_insert", "sql_delete", "sql_update", "sql_ctas", "sql_txn",
     "op_fn_decimal", "op_connector_tpch", "st_dedup",
-    # -- not driver-checked since r01 (position 51+ in the r03 rotation) --
     "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",
     "op_fn_array_map", "op_fn_conv", "op_fn_percentile",
     "op_fn_null_semantics", "op_fn_map_agg",
@@ -52,36 +79,6 @@ _PRIORITY = [
     "st_enrich_join", "st_stream_join", "pl_range_join", "pl_time_rollup",
     "op_join_theta", "op_setop_except", "op_agg_filter",
     "op_window_range_frame", "op_unnest_map",
-    # -- position 51+: new-but-selfchecked r04 ops (SELFCHECK.json
-    # green; rotate into the checked window next round) and regression
-    # anchors whose families were re-checked green in r02/r03 --
-    "op_fn_collections", "op_fn_hll", "op_fn_batch8",
-    "pl_text_pii_scrub", "pl_text_repetition", "pl_sample_stratified",
-    "op_fn_batch6", "op_fn_batch7", "op_fn_agg2",
-    "pl_embed_ops", "pl_embed_stats", "st_session_windows",
-    "pl_multimodal_audio", "pl_multimodal_image", "pl_multimodal_video",
-    "pl_decontaminate",
-    "tpch_q1", "tpch_q9", "pl_dedup_exact", "st_windowed_counts",
-    # -- position 51+: green in r02/r03 (or exercised indirectly by the
-    # green TPC-H corpus), re-checked as budget allows --
-    "op_join_left", "op_join_full", "op_limit_offset", "op_setop_union",
-    "op_subquery_in",
-    "sql_join_reorder", "pl_asof_join_salted", "op_fn_extra",
-    "op_subfield_pushdown",
-    "op_distinct", "pl_token_vocab", "sql_subscript", "sql_try",
-    "tpch_q15", "tpch_q20", "tpch_q21",
-    "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_json",
-    "op_hof_transform_filter", "op_special_forms",
-    "op_table_delete", "op_table_update",
-    "op_join_mark", "op_join_lookup", "op_unnest_structs",
-    "op_window_groups_frame", "op_sessionize",
-    "sql_quantified", "sql_lateral", "sql_window_clause",
-    "pl_dedup_embedding", "pl_knn_brute",
-    "pl_asof_join", "pl_pack_sequences",
-    "tpch_q2", "tpch_q6", "tpch_q18",
-    "op_values", "op_join_semi", "op_join_anti",
-    "op_setop_intersect", "op_setop_union_all", "op_agg_distinct",
-    "op_subquery_scalar",
 ]
 
 

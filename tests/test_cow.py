@@ -207,3 +207,81 @@ def test_transaction_fuzz_against_model(spark, sf_dir):
         sess.sql("rollback")
         model = saved
         assert real() == sorted(model)
+
+
+def test_orphaned_transaction_recovery(spark, sf_dir):
+    """A process dying between BEGIN and COMMIT must not silently commit:
+    register_table() rolls back leftover _txn_undo_* state (added files
+    deleted via the on-disk manifest, superseded files restored)."""
+    import os
+    import tempfile
+    import uuid
+
+    from verax_spark.catalog import Catalog
+    from verax_spark.sql import PrestoSession
+
+    cat = Catalog(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"verax_orph_{uuid.uuid4().hex[:8]}"
+    )
+    (
+        cat.nation.select("n_nationkey", "n_name", "n_regionkey")
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    sess = PrestoSession(spark, sf_dir)
+    sess.register_table("orph_t", path)
+    original = sorted(
+        (r.n_nationkey, r.n_regionkey)
+        for r in sess.sql("select n_nationkey, n_regionkey from orph_t").collect()
+    )
+    sess.sql("start transaction")
+    sess.sql("insert into orph_t select 990, 'X', 9")
+    sess.sql("delete from orph_t where n_regionkey = 2")
+    # simulate a crash: drop the session without COMMIT/ROLLBACK; the undo
+    # dirs (with the added-file manifest) stay on disk
+    undo_dirs = [n for n in os.listdir(path) if n.startswith("_txn_undo_")]
+    assert undo_dirs, "transaction should have left undo state"
+    del sess
+
+    sess2 = PrestoSession(spark, sf_dir)
+    sess2.register_table("orph_t", path)  # recovery happens here
+    assert not any(n.startswith("_txn_undo_") for n in os.listdir(path))
+    recovered = sorted(
+        (r.n_nationkey, r.n_regionkey)
+        for r in sess2.sql(
+            "select n_nationkey, n_regionkey from orph_t"
+        ).collect()
+    )
+    assert recovered == original
+
+
+def test_drop_table_inside_transaction_forbidden(spark, sf_dir):
+    """DROP TABLE of a table mutated in the open transaction is rejected
+    (its directory holds the undo files a later ROLLBACK needs)."""
+    import os
+    import tempfile
+    import uuid
+
+    import pytest as _pytest
+
+    from verax_spark.catalog import Catalog
+    from verax_spark.sql import PrestoSession
+
+    cat = Catalog(spark, sf_dir)
+    path = os.path.join(
+        tempfile.gettempdir(), f"verax_droptxn_{uuid.uuid4().hex[:8]}"
+    )
+    cat.nation.select("n_nationkey", "n_regionkey").write.mode(
+        "overwrite"
+    ).parquet(path)
+    sess = PrestoSession(spark, sf_dir)
+    sess.register_table("droptxn_t", path)
+    sess.sql("start transaction")
+    sess.sql("delete from droptxn_t where n_regionkey = 1")
+    with _pytest.raises(ValueError, match="open transaction"):
+        sess.sql("drop table droptxn_t")
+    sess.sql("rollback")  # still consistent: rollback works after the refusal
+    assert sess.sql("select count(*) as c from droptxn_t").collect()[0].c == 25
+    sess.sql("drop table droptxn_t")  # allowed once the txn is closed

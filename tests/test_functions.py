@@ -447,7 +447,7 @@ def _cases():
     "timezone_minute": [(_c("timezone_minute", F.col("ts")), 0)],
     "parse_datetime": [
         (
-            _c("parse_datetime", F.lit("2020-01-02 03:04:05"), "YYYY-MM-dd HH:mm:ss"),
+            _c("parse_datetime", F.lit("2020-01-02 03:04:05"), "yyyy-MM-dd HH:mm:ss"),
             datetime.datetime(2020, 1, 2, 3, 4, 5),
         ),
     ],
@@ -850,3 +850,42 @@ def test_min_by_max_by_n_ary(spark):
     ).collect()[0]
     assert row.m1 == "b"
     assert row.m2 == ["b", "c"] and row.m3 == ["a", "c"]
+
+
+def test_joda_pattern_quote_aware():
+    """Joda→Java translation must not rewrite Z/Y inside quoted literals,
+    and weekyear ('Y') raises instead of silently meaning calendar year."""
+    from verax_spark.functions.presto import _joda_pattern
+
+    # quoted 'Z' survives; unquoted Z becomes Java offset pattern
+    assert _joda_pattern("yyyy-MM-dd'T'HH:mm:ss'Z'") == "yyyy-MM-dd'T'HH:mm:ss'Z'"
+    assert _joda_pattern("yyyy-MM-dd HH:mm:ss Z") == "yyyy-MM-dd HH:mm:ss xx"
+    assert _joda_pattern("yyyy ZZ") == "yyyy XXX"
+    # doubled-quote escape inside a literal stays intact
+    assert _joda_pattern("hh 'o''clock' Z") == "hh 'o''clock' xx"
+    with pytest.raises(NotImplementedError, match="weekyear"):
+        _joda_pattern("YYYY-MM-dd")
+
+
+def test_ip_octet_range_validation(spark):
+    """Out-of-range octets ('999.0.0.1') yield NULL, not garbage — in both
+    the Column adapter and the SQL-compat UDF."""
+    df = spark.createDataFrame(
+        [("999.0.0.1",), ("10.0.0.256",), ("10.0.0.255",), ("1.2.3.4",)],
+        "ip string",
+    )
+    rows = df.select(
+        presto_call("ip_prefix", F.col("ip"), 24).alias("p")
+    ).collect()
+    assert [r.p for r in rows] == [None, None, "10.0.0.0/24", "1.2.3.0/24"]
+    from verax_spark.functions.presto import register_sql_compat
+
+    register_sql_compat(spark)
+    sql_rows = df.createOrReplaceTempView("ip_range_t")
+    got = spark.sql(
+        "select ip4_to_int(ip) as v from ip_range_t"
+    ).collect()
+    assert got[0].v is None and got[1].v is None
+    assert got[2].v == 10 * 16777216 + 255 and got[3].v == (
+        1 * 16777216 + 2 * 65536 + 3 * 256 + 4
+    )

@@ -87,3 +87,26 @@ def test_nanos_timestamp_roundtrip(tmp_path, cache_root):
     got = pq.read_table(os.path.join(out, "data.parquet"))
     assert got.schema.field("ts").type == pa.timestamp("ns")
     assert got.sort_by("k").equals(t.sort_by("k"))
+
+
+def test_foreign_owned_cache_root_refused(tmp_path, cache_root, monkeypatch):
+    """A cache root owned by another uid must not be served from (a local
+    attacker could pre-plant substituted data under a predictable key)."""
+    src = str(tmp_path / "t.parquet")
+    _write_one_rg(src, 60_000)
+    monkeypatch.setattr(sc.os, "geteuid", lambda: os.geteuid() + 1)
+    out = sc.ensure_parallel_layout(src, cores=16)
+    assert out == src  # refused: original path served untouched
+
+
+def test_fingerprint_uses_mtime_ns(tmp_path):
+    """Same-second regeneration must change the fingerprint (st_mtime_ns,
+    not whole-second mtime)."""
+    src = tmp_path / "t.parquet"
+    _write_one_rg(str(src), 1000)
+    fp1 = sc._fingerprint([str(src)])
+    st = os.stat(src)
+    # same size, same whole-second mtime, different nanoseconds
+    os.utime(src, ns=(st.st_atime_ns, st.st_mtime_ns + 1))
+    fp2 = sc._fingerprint([str(src)])
+    assert fp1 != fp2

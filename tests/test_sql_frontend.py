@@ -142,7 +142,7 @@ def test_sql_compat_batch7(presto):
         "json_array_contains('[1, 2, 3]', 2) as jac, "
         "word_stem('running') as stem, "
         "normalize('é') as norm, "
-        "parse_datetime('2020-01-02 03:04', 'YYYY-MM-dd HH:mm') as pd, "
+        "parse_datetime('2020-01-02 03:04', 'yyyy-MM-dd HH:mm') as pd, "
         "ip_prefix('10.1.2.3', 24) as ipp, "
         "ip_subnet_min('10.1.2.0/24') as smin, "
         "is_subnet_of('10.1.0.0/16', '10.1.2.3') as sof"
@@ -763,3 +763,66 @@ def test_extract_presto_units(presto):
     assert row.dw == 4 and row.sun == 7
     assert row.dy == 32 and row.wk == 1 and row.yw == 2020 and row.y == 2020
     assert row.lt.year >= 2026
+
+
+def test_create_schema_namespace_lifecycle(spark, sf_dir):
+    """CREATE SCHEMA (ref AstStatements.h:237): schema-qualified tables
+    resolve in DML and queries; RESTRICT refuses non-empty; CASCADE drops
+    members."""
+    import pytest as _pytest
+
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    sess.sql("create schema s1")
+    with _pytest.raises(ValueError, match="already exists"):
+        sess.sql("create schema s1")
+    sess.sql("create schema if not exists s1")  # idempotent spelling
+    with _pytest.raises(ValueError, match="does not exist"):
+        sess.sql("create table nosuch.t (a integer)")
+    sess.sql("create table s1.t as select r_regionkey, r_name from region")
+    sess.sql("insert into s1.t select 99, 'X'")
+    assert (
+        sess.sql("select count(*) as c from s1.t").collect()[0].c == 6
+    )
+    sess.sql("update s1.t set r_name = 'Y' where r_regionkey = 99")
+    got = sess.sql(
+        "select r_name from s1.t where r_regionkey = 99"
+    ).collect()
+    assert [r.r_name for r in got] == ["Y"]
+    with _pytest.raises(ValueError, match="not empty"):
+        sess.sql("drop schema s1")
+    sess.sql("drop schema s1 cascade")
+    assert "s1" not in {
+        r.schema for r in sess.sql("show schemas").collect()
+    }
+
+
+def test_materialized_view_refresh_semantics(spark, sf_dir):
+    """CREATE MATERIALIZED VIEW (ref AstStatements.h:191): stale until
+    REFRESH; refresh matches recomputation; DROP removes it."""
+    import pytest as _pytest
+
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    sess.sql("drop table if exists mvt_base")
+    sess.sql("create table mvt_base as select n_nationkey, n_regionkey from nation")
+    sess.sql(
+        "create materialized view mvt as "
+        "select n_regionkey, count(*) as n from mvt_base group by n_regionkey"
+    )
+    assert sess.sql("select sum(n) as s from mvt").collect()[0].s == 25
+    sess.sql("delete from mvt_base where n_regionkey = 0")
+    # stale read
+    assert sess.sql("select sum(n) as s from mvt").collect()[0].s == 25
+    sess.sql("refresh materialized view mvt")
+    fresh = sess.sql("select sum(n) as s from mvt").collect()[0].s
+    recomputed = (
+        sess.sql("select count(*) as c from mvt_base").collect()[0].c
+    )
+    assert fresh == recomputed == 20
+    sess.sql("drop materialized view mvt")
+    with _pytest.raises(ValueError, match="does not exist"):
+        sess.sql("refresh materialized view mvt")
+    sess.sql("drop materialized view if exists mvt")  # tolerated

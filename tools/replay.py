@@ -58,13 +58,24 @@ def record(sql: str, *, name: str | None = None, oracle: str | None = None,
 
 
 def replay_one(spark, sf_dir: str, entry: dict) -> int:
-    """Run one corpus entry both ways; assert equality; return row count."""
+    """Run one corpus entry both ways; assert equality; return row count.
+
+    Entries may carry ``setup`` (a list of Presto DDL/DML/txn statements
+    run through the SAME session before the final ``sql``) and
+    ``oracle_setup`` (DuckDB statements before the oracle query) — the
+    statement-surface shapes (CTAS, INSERT/DELETE/UPDATE, transactions,
+    schemas, materialized views) replay end-to-end, not just SELECTs."""
     from verax_spark.sql import PrestoSession
     from verax_spark.testing import assert_frames_match, duckdb_connection
 
-    got = PrestoSession(spark, sf_dir).sql(entry["sql"]).toPandas()
+    sess = PrestoSession(spark, sf_dir)
+    for stmt in entry.get("setup") or []:
+        sess.sql(stmt)
+    got = sess.sql(entry["sql"]).toPandas()
     con = duckdb_connection(sf_dir)
     try:
+        for stmt in entry.get("oracle_setup") or []:
+            con.execute(stmt)
         want = con.execute(entry.get("oracle") or entry["sql"]).df()
     finally:
         con.close()

@@ -866,22 +866,55 @@ def _tz_offset_part(ts, part: str) -> Column:
 
 
 _JODA_TO_JAVA = [
-    # Joda weekyear/era tokens that Java-time (Spark) spells differently or
+    # Joda zone tokens that Java-time (Spark) spells differently or
     # rejects; common field tokens (y M d H m s S E) are identical.
-    ("YYYY", "yyyy"),
-    ("YY", "yy"),
     ("ZZ", "XXX"),
     ("Z", "xx"),
 ]
 
 
 def _joda_pattern(fmt) -> str:
+    """Translate a Joda-Time pattern to Spark's Java-time dialect.
+
+    Quote-aware (ADVICE r04): replacements must not rewrite Y/Z characters
+    inside ``'...'`` literal sections, and Joda ``Y`` is WEEKYEAR — mapping
+    it to calendar year silently misparsed ISO-week-boundary dates, so it
+    raises instead (Spark's parser has no week-based date fields)."""
     if isinstance(fmt, Column):
         raise ValueError("parse_datetime: pattern must be a literal string")
-    out = str(fmt)
-    for joda, java in _JODA_TO_JAVA:
-        out = out.replace(joda, java)
-    return out
+    src = str(fmt)
+    out = []
+    i = 0
+    while i < len(src):
+        ch = src[i]
+        if ch == "'":
+            # copy the quoted literal verbatim (including '' escapes)
+            j = i + 1
+            while j < len(src):
+                if src[j] == "'":
+                    if j + 1 < len(src) and src[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(src[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "Y":
+            raise NotImplementedError(
+                "parse_datetime: Joda 'Y' is weekyear, which Spark's "
+                "java.time formatter cannot express; use 'y' (calendar "
+                "year) or 'x' (ISO weekyear via a custom pipeline)"
+            )
+        for joda, java in _JODA_TO_JAVA:
+            if src.startswith(joda, i):
+                out.append(java)
+                i += len(joda)
+                break
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _presto_json_array_contains(x, v) -> Column:
@@ -1007,7 +1040,10 @@ def _ip_to_int(ip) -> Column:
     """Dotted-quad IPv4 → bigint; NULL for anything else (IPv6 unsupported,
     documented)."""
     s = _col(ip)
-    valid = s.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
+    # shape AND per-octet range (ADVICE r04: '999.0.0.1' must be NULL, not
+    # a garbage integer); 25[0-5]|2[0-4]\d|1?\d?\d covers 0-255 exactly
+    octet = r"(25[0-5]|2[0-4]\d|1?\d?\d)"
+    valid = s.rlike(rf"^{octet}\.{octet}\.{octet}\.{octet}$")
     parts = F.split(s, r"\.")
     val = (
         parts[0].cast("bigint") * F.lit(16777216)
@@ -1185,7 +1221,7 @@ _SQL_COMPAT = [
     # IPv4 network helpers (documented: IPv6 inputs yield NULL)
     "CREATE OR REPLACE TEMPORARY FUNCTION ip4_to_int(ip STRING) "
     "RETURNS BIGINT RETURN case when ip rlike "
-    r"'^\\d{1,3}\.\\d{1,3}\.\\d{1,3}\.\\d{1,3}$' then "
+    r"'^((25[0-5]|2[0-4]\\d|1?\\d?\\d)\.){3}(25[0-5]|2[0-4]\\d|1?\\d?\\d)$' then "
     r"cast(split(ip, '\\.')[0] as bigint) * 16777216 "
     r"+ cast(split(ip, '\\.')[1] as bigint) * 65536 "
     r"+ cast(split(ip, '\\.')[2] as bigint) * 256 "

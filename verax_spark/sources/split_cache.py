@@ -42,7 +42,31 @@ MIN_REWRITE_ROWS = 50_000
 # Aim for ~2 splits per core so stragglers overlap.
 _SPLITS_PER_CORE = 2
 
-_CACHE_ROOT = os.environ.get("VERAX_LAYOUT_CACHE", "/tmp/verax-layout-cache")
+def _default_cache_root() -> str:
+    # Per-user location (ADVICE r04): a world-shared /tmp path keyed by a
+    # computable fingerprint lets any local user pre-plant substituted data.
+    base = os.environ.get("XDG_CACHE_HOME") or os.path.join(
+        os.path.expanduser("~"), ".cache"
+    )
+    return os.path.join(base, "verax-layout-cache")
+
+
+_CACHE_ROOT = os.environ.get("VERAX_LAYOUT_CACHE") or _default_cache_root()
+
+
+def _cache_root_usable(root: str) -> bool:
+    """Refuse to serve from a cache root owned by another uid."""
+    try:
+        st = os.stat(root)
+    except FileNotFoundError:
+        try:
+            os.makedirs(root, mode=0o700, exist_ok=True)
+            st = os.stat(root)
+        except OSError:
+            return False
+    if hasattr(os, "geteuid") and st.st_uid != os.geteuid():
+        return False
+    return True
 
 
 def _dataset_files(path: str) -> list[str]:
@@ -60,7 +84,9 @@ def _fingerprint(files: list[str]) -> str:
     h = hashlib.sha256()
     for f in files:
         st = os.stat(f)
-        h.update(f"{os.path.abspath(f)}|{st.st_size}|{int(st.st_mtime)};".encode())
+        # st_mtime_ns: whole-second mtimes could alias a same-second
+        # regeneration of the source file to a stale cached layout.
+        h.update(f"{os.path.abspath(f)}|{st.st_size}|{st.st_mtime_ns};".encode())
     return h.hexdigest()[:24]
 
 
@@ -98,6 +124,8 @@ def ensure_parallel_layout(path: str, cores: int | None = None) -> str:
         ):
             return path
 
+        if not _cache_root_usable(_CACHE_ROOT):
+            return path
         key = _fingerprint(files)
         dst = os.path.join(_CACHE_ROOT, key)
         final = os.path.join(dst, "data.parquet")

@@ -31,6 +31,46 @@ def _local(p: str) -> str:
     return p.removeprefix("file://").removeprefix("file:")
 
 
+# Name of the added-files manifest inside each undo dir (crash recovery).
+_MANIFEST = "_added.manifest"
+
+
+def recover_orphans(table_path: str, active_id: str | None = None) -> int:
+    """Roll back orphaned transactions left by a crashed process.
+
+    Without this, a process dying between BEGIN and COMMIT leaves its
+    uncommitted DML permanently visible (the superseded files sit hidden in
+    ``_txn_undo_*`` forever) — an aborted transaction would silently
+    commit. Called on table registration (PrestoSession.register_table);
+    recovery semantics are ROLLBACK: uncommitted added files are deleted
+    and superseded files are restored. Returns #orphans recovered.
+    ``active_id`` protects the current session's live transaction."""
+    path = _local(table_path)
+    if not os.path.isdir(path):
+        return 0
+    n = 0
+    for name in os.listdir(path):
+        if not name.startswith("_txn_undo_"):
+            continue
+        if active_id is not None and name == f"_txn_undo_{active_id}":
+            continue
+        d = os.path.join(path, name)
+        manifest = os.path.join(d, _MANIFEST)
+        if os.path.exists(manifest):
+            with open(manifest) as m:
+                for added in m.read().splitlines():
+                    f = os.path.join(path, added)
+                    if os.path.exists(f):
+                        os.remove(f)
+        for entry in os.listdir(d):
+            if entry == _MANIFEST:
+                continue
+            os.rename(os.path.join(d, entry), os.path.join(path, entry))
+        shutil.rmtree(d, ignore_errors=True)
+        n += 1
+    return n
+
+
 class Transaction:
     """Undo log for one BEGIN..COMMIT/ROLLBACK span."""
 
@@ -63,7 +103,17 @@ class Transaction:
         os.rename(f, os.path.join(self.undo_dir(table_path), os.path.basename(f)))
 
     def record_added(self, file_path: str) -> None:
-        self._added.add(_local(file_path))
+        f = _local(file_path)
+        self._added.add(f)
+        # Persist for crash recovery: a process that dies between BEGIN and
+        # COMMIT leaves its undo dirs behind; recover_orphans() needs the
+        # added-file list on disk to delete the uncommitted files (the
+        # in-memory set dies with the process). The added file always lives
+        # in the table directory, so its parent locates the undo dir.
+        with open(
+            os.path.join(self.undo_dir(os.path.dirname(f)), _MANIFEST), "a"
+        ) as m:
+            m.write(os.path.basename(f) + "\n")
 
     def commit(self) -> None:
         """Make the transaction permanent: drop the undo state."""
@@ -79,6 +129,8 @@ class Transaction:
                 os.remove(f)
         for table, d in self._undo.items():
             for name in os.listdir(d):
+                if name == _MANIFEST:
+                    continue
                 os.rename(os.path.join(d, name), os.path.join(table, name))
             shutil.rmtree(d, ignore_errors=True)
         self._undo.clear()

@@ -1260,3 +1260,82 @@ class AnalyzeStmt:
 
     def sql(self) -> str:
         return f"analyze {self.table}"
+
+
+@dataclass
+class CreateSchemaStmt:
+    """CREATE SCHEMA [IF NOT EXISTS] s — reference AstStatements.h:237
+    CreateSchema; executed as a namespace in the writable scratch: tables
+    created as ``s.t`` resolve schema-qualified in later statements."""
+
+    name: str
+    if_not_exists: bool = False
+
+    def sql(self) -> str:
+        ine = "if not exists " if self.if_not_exists else ""
+        return f"create schema {ine}{self.name}"
+
+
+@dataclass
+class DropSchemaStmt:
+    """DROP SCHEMA [IF EXISTS] s [CASCADE|RESTRICT] — reference
+    AstStatements.h:449 DropSchema. RESTRICT (the default) refuses when
+    the schema still holds tables; CASCADE drops them."""
+
+    name: str
+    if_exists: bool = False
+    cascade: bool = False
+
+    def sql(self) -> str:
+        ie = "if exists " if self.if_exists else ""
+        tail = " cascade" if self.cascade else ""
+        return f"drop schema {ie}{self.name}{tail}"
+
+
+@dataclass
+class ShowSchemasStmt:
+    """SHOW SCHEMAS — schema names as a Values relation."""
+
+    def sql(self) -> str:
+        return "show schemas"
+
+
+@dataclass
+class CreateMViewStmt:
+    """CREATE [OR REPLACE] MATERIALIZED VIEW m AS query — reference
+    AstStatements.h:191 CreateMaterializedView; executed as CTAS into the
+    scratch dir with the defining query retained for REFRESH."""
+
+    name: str
+    query: Query
+    or_replace: bool = False
+
+    def sql(self) -> str:
+        orr = "or replace " if self.or_replace else ""
+        return f"create {orr}materialized view {self.name} as {self.query.sql()}"
+
+
+@dataclass
+class RefreshMViewStmt:
+    """REFRESH MATERIALIZED VIEW m — Presto statement surface companion to
+    CreateMaterializedView (AstStatements.h:191; the reference AST stops at
+    creation/drop — refresh re-runs the stored defining query and swaps
+    the materialization)."""
+
+    name: str
+
+    def sql(self) -> str:
+        return f"refresh materialized view {self.name}"
+
+
+@dataclass
+class DropMViewStmt:
+    """DROP MATERIALIZED VIEW [IF EXISTS] m — reference
+    AstStatements.h:424."""
+
+    name: str
+    if_exists: bool = False
+
+    def sql(self) -> str:
+        ie = "if exists " if self.if_exists else ""
+        return f"drop materialized view {ie}{self.name}"

@@ -144,12 +144,20 @@ class Parser:
             return self.next().text[1:-1].replace('""', '"')
         raise ParseError(f"expected identifier at {t.pos}, got {t.text!r}")
 
+    def qname(self) -> str:
+        """Possibly schema-qualified name (``s.t``) joined with dots —
+        DML/DDL targets after CREATE SCHEMA namespaces landed."""
+        parts = [self.ident()]
+        while self.accept_op("."):
+            parts.append(self.ident())
+        return ".".join(parts)
+
     # -- statements ----------------------------------------------------------
     def parse_statement(self):
         """Query | ExplainStmt | DescribeStmt | InsertStmt | DeleteStmt |
         UpdateStmt (DML surface: reference sql/presto/ast/AstStatements.h)."""
         if self.accept_kw("describe") or self.accept_kw("desc"):
-            stmt = ast.DescribeStmt(self.ident())
+            stmt = ast.DescribeStmt(self.qname())
         elif self.at_kw("show") and self.at_kw("columns", ahead=1):
             self.next(), self.next()
             self.expect_kw("from")
@@ -157,13 +165,32 @@ class Parser:
         elif self.at_kw("show") and self.at_kw("tables", ahead=1):
             self.next(), self.next()
             stmt = ast.ShowTablesStmt()
+        elif self.at_kw("show") and self.at_kw("schemas", ahead=1):
+            self.next(), self.next()
+            stmt = ast.ShowSchemasStmt()
+        elif self.accept_kw("refresh"):
+            self.expect_kw("materialized"), self.expect_kw("view")
+            stmt = ast.RefreshMViewStmt(self.qname())
         elif self.accept_kw("create"):
             or_replace = False
             if self.accept_kw("or"):
                 self.expect_kw("replace")
                 or_replace = True
-            if self.accept_kw("view"):
-                name = self.ident()
+            if self.accept_kw("schema"):
+                if or_replace:
+                    raise ParseError("CREATE OR REPLACE SCHEMA is not Presto syntax")
+                ine = False
+                if self.accept_kw("if"):
+                    self.expect_kw("not"), self.expect_kw("exists")
+                    ine = True
+                stmt = ast.CreateSchemaStmt(self.ident(), ine)
+            elif self.accept_kw("materialized"):
+                self.expect_kw("view")
+                name = self.qname()
+                self.expect_kw("as")
+                stmt = ast.CreateMViewStmt(name, self.parse_query(), or_replace)
+            elif self.accept_kw("view"):
+                name = self.qname()
                 self.expect_kw("as")
                 stmt = ast.CreateViewStmt(name, self.parse_query(), or_replace)
             else:
@@ -174,7 +201,7 @@ class Parser:
                 if self.accept_kw("if"):
                     self.expect_kw("not"), self.expect_kw("exists")
                     ine = True
-                name = self.ident()
+                name = self.qname()
                 if self.accept_kw("as"):
                     stmt = ast.CreateTableAsStmt(name, self.parse_query(), ine)
                     if self.accept_kw("with"):
@@ -202,19 +229,34 @@ class Parser:
             self.accept_kw("work")
             stmt = ast.RollbackStmt()
         elif self.accept_kw("drop"):
-            is_view = bool(self.accept_kw("view"))
-            if not is_view:
-                self.expect_kw("table")
-            ie = False
-            if self.accept_kw("if"):
-                self.expect_kw("exists")
-                ie = True
-            name = self.ident()
-            stmt = (
-                ast.DropViewStmt(name, ie)
-                if is_view
-                else ast.DropTableStmt(name, ie)
-            )
+            if self.accept_kw("schema"):
+                ie = False
+                if self.accept_kw("if"):
+                    self.expect_kw("exists")
+                    ie = True
+                name = self.ident()
+                cascade = bool(self.accept_kw("cascade"))
+                if not cascade:
+                    self.accept_kw("restrict")
+                stmt = ast.DropSchemaStmt(name, ie, cascade)
+            else:
+                is_mview = bool(self.accept_kw("materialized"))
+                is_view = bool(self.accept_kw("view"))
+                if is_mview and not is_view:
+                    raise ParseError("expected VIEW after MATERIALIZED")
+                if not is_view:
+                    self.expect_kw("table")
+                ie = False
+                if self.accept_kw("if"):
+                    self.expect_kw("exists")
+                    ie = True
+                name = self.qname()
+                if is_mview:
+                    stmt = ast.DropMViewStmt(name, ie)
+                elif is_view:
+                    stmt = ast.DropViewStmt(name, ie)
+                else:
+                    stmt = ast.DropTableStmt(name, ie)
         elif self.accept_kw("explain"):
             analyze = bool(self.accept_kw("analyze"))
             stmt = ast.ExplainStmt(self.parse_query(), analyze)
@@ -222,7 +264,7 @@ class Parser:
             stmt = ast.AnalyzeStmt(self.ident())
         elif self.accept_kw("insert"):
             self.expect_kw("into")
-            table = self.ident()
+            table = self.qname()
             columns: list[str] = []
             if self.at_op("(") and not self.at_kw("select", ahead=1) and not self.at_kw(
                 "values", ahead=1
@@ -235,11 +277,11 @@ class Parser:
             stmt = ast.InsertStmt(table, self.parse_query(), columns)
         elif self.accept_kw("delete"):
             self.expect_kw("from")
-            table = self.ident()
+            table = self.qname()
             where = self.parse_expr() if self.accept_kw("where") else None
             stmt = ast.DeleteStmt(table, where)
         elif self.accept_kw("update"):
-            table = self.ident()
+            table = self.qname()
             self.expect_kw("set")
             assignments: list[tuple[str, "ast.Expr"]] = []
             while True:

@@ -166,6 +166,11 @@ class PrestoSession:
         # active transaction (sources/txn.py undo log) + tables it touched
         self._txn = None
         self._txn_tables: set[str] = set()
+        # CREATE SCHEMA namespaces in the writable scratch (ref
+        # AstStatements.h:237) and materialized views: name → (defining
+        # query AST, materialization path) (ref AstStatements.h:191)
+        self.schemas: set[str] = set()
+        self.mviews: dict[str, tuple] = {}
         # attached connectors (ConnectorMetadata registry analog): catalog
         # name → Connector; SQL text reaches their tables as <catalog>.<table>
         self.connectors: dict[str, "Connector"] = {}
@@ -189,20 +194,22 @@ class PrestoSession:
         session temp views (registered lazily from the connector's
         DataFrame). The original table name becomes the alias, so qualified
         column references keep resolving."""
-        if not self.connectors:
+        if not self.connectors and not self.schemas:
             return
         for node in _walk_expr(stmt):
-            if (
-                isinstance(node, ast.Table)
-                and len(node.name) == 2
-                and node.name[0].lower() in self.connectors
-            ):
+            if isinstance(node, ast.Table) and len(node.name) == 2:
                 cat, tbl = node.name[0].lower(), node.name[1]
-                view = f"{cat}__{tbl}"
-                handle = self.connectors[cat].table(tbl)
-                handle.df.createOrReplaceTempView(view)
-                node.alias = node.alias or tbl
-                node.name = [view]
+                if cat in self.connectors:
+                    view = f"{cat}__{tbl}"
+                    handle = self.connectors[cat].table(tbl)
+                    handle.df.createOrReplaceTempView(view)
+                    node.alias = node.alias or tbl
+                    node.name = [view]
+                elif cat in self.schemas:
+                    # schema-qualified writable/materialized table: the
+                    # backing temp view is the dot-free spelling
+                    node.alias = node.alias or tbl
+                    node.name = [f"{cat}__{tbl}"]
 
     def sql(self, text: str) -> DataFrame:
         stmt = parse(text.strip())
@@ -213,7 +220,7 @@ class PrestoSession:
             # (PrestoParserTest.cpp `describe` expects a Values node)
             from verax_spark.plans.builder import local_values
 
-            schema = self.spark.table(stmt.table).schema
+            schema = self.spark.table(self._view_name(stmt.table)).schema
             rows = [
                 (f.name, _presto_type(f.dataType.simpleString()), "", "")
                 for f in schema.fields
@@ -263,6 +270,12 @@ class PrestoSession:
                 ast.CreateViewStmt,
                 ast.DropViewStmt,
                 ast.ShowTablesStmt,
+                ast.CreateSchemaStmt,
+                ast.DropSchemaStmt,
+                ast.ShowSchemasStmt,
+                ast.CreateMViewStmt,
+                ast.RefreshMViewStmt,
+                ast.DropMViewStmt,
             ),
         ):
             return self._execute_ddl(stmt)
@@ -285,11 +298,27 @@ class PrestoSession:
     def register_table(self, name: str, path: str) -> None:
         """Register a writable parquet directory as table ``name`` — the
         target surface for SQL DML (and readable like any view)."""
+        from verax_spark.sources.txn import recover_orphans
+
+        # Roll back any orphaned transaction a crashed process left behind
+        # (its undo dirs would otherwise hide superseded files forever,
+        # silently committing the aborted DML).
+        recover_orphans(
+            path, active_id=self._txn.id if self._txn is not None else None
+        )
         self.writable[name] = path
         self._refresh(name)
 
+    def _view_name(self, name: str) -> str:
+        """Spark temp-view spelling of a possibly schema-qualified table
+        name (temp views cannot contain dots; queries referencing ``s.t``
+        are rewritten to the same spelling in _resolve_connector_tables)."""
+        return name.replace(".", "__")
+
     def _refresh(self, name: str) -> None:
-        self.spark.read.parquet(self.writable[name]).createOrReplaceTempView(name)
+        self.spark.read.parquet(self.writable[name]).createOrReplaceTempView(
+            self._view_name(name)
+        )
 
     def _writable_path(self, table: str) -> str:
         path = self.writable.get(table)
@@ -451,7 +480,13 @@ class PrestoSession:
         touched, self._txn = self._txn_tables, None
         self._txn_tables = set()
         for name in touched:
-            self.spark.catalog.refreshByPath(self.writable[name])
+            # A table dropped mid-transaction (DDL auto-commits) is gone
+            # from self.writable; skip its refresh instead of KeyError-ing
+            # after the undo log has already been applied (ADVICE r04).
+            path = self.writable.get(name)
+            if path is None:
+                continue
+            self.spark.catalog.refreshByPath(path)
             self._refresh(name)
         return local_values(self.spark, [(True,)], out)
 
@@ -490,8 +525,96 @@ class PrestoSession:
         if isinstance(stmt, ast.ShowTablesStmt):
             from verax_spark.catalog import ALL_TABLES
 
-            names = sorted(set(ALL_TABLES) | set(self.writable) | self.views)
+            names = sorted(
+                set(ALL_TABLES)
+                | set(self.writable)
+                | self.views
+                | set(self.mviews)
+            )
             return local_values(self.spark, [(n,) for n in names], "table string")
+        if isinstance(stmt, ast.ShowSchemasStmt):
+            return local_values(
+                self.spark,
+                [(n,) for n in sorted(self.schemas)],
+                "schema string",
+            )
+        if isinstance(stmt, ast.CreateSchemaStmt):
+            if stmt.name in self.schemas:
+                if stmt.if_not_exists:
+                    return local_values(self.spark, [(False,)], "created boolean")
+                raise ValueError(f"schema {stmt.name!r} already exists")
+            self.schemas.add(stmt.name)
+            return local_values(self.spark, [(True,)], "created boolean")
+        if isinstance(stmt, ast.DropSchemaStmt):
+            if stmt.name not in self.schemas:
+                if stmt.if_exists:
+                    return local_values(self.spark, [(False,)], "dropped boolean")
+                raise ValueError(f"schema {stmt.name!r} does not exist")
+            members = [
+                t for t in self.writable if t.startswith(stmt.name + ".")
+            ]
+            if members and not stmt.cascade:
+                raise ValueError(
+                    f"schema {stmt.name!r} is not empty ({len(members)} "
+                    "tables); use DROP SCHEMA ... CASCADE"
+                )
+            for t in members:
+                self._execute_ddl(ast.DropTableStmt(t))
+            self.schemas.discard(stmt.name)
+            return local_values(self.spark, [(True,)], "dropped boolean")
+        if isinstance(stmt, ast.CreateMViewStmt):
+            if stmt.name in self.mviews and not stmt.or_replace:
+                raise ValueError(
+                    f"materialized view {stmt.name!r} already exists"
+                )
+            query = self._optimize(stmt.query)
+            path = self._ddl_path(f"mview_{self._view_name(stmt.name)}")
+            self.spark.sql(query.sql()).write.mode("overwrite").parquet(path)
+            self.mviews[stmt.name] = (stmt.query, path)
+            self.spark.read.parquet(path).createOrReplaceTempView(
+                self._view_name(stmt.name)
+            )
+            return local_values(self.spark, [(True,)], "created boolean")
+        if isinstance(stmt, ast.RefreshMViewStmt):
+            if stmt.name not in self.mviews:
+                raise ValueError(
+                    f"materialized view {stmt.name!r} does not exist"
+                )
+            query, path = self.mviews[stmt.name]
+            # recompute into a staging dir, then swap — a failed refresh
+            # leaves the previous materialization intact
+            staging = path + ".staging"
+            self.spark.sql(self._optimize(query).sql()).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            shutil.rmtree(path, ignore_errors=True)
+            import os as _os
+
+            _os.rename(staging, path)
+            self.spark.catalog.refreshByPath(path)
+            self.spark.read.parquet(path).createOrReplaceTempView(
+                self._view_name(stmt.name)
+            )
+            return local_values(self.spark, [(True,)], "refreshed boolean")
+        if isinstance(stmt, ast.DropMViewStmt):
+            entry = self.mviews.pop(stmt.name, None)
+            if entry is None:
+                if stmt.if_exists:
+                    return local_values(self.spark, [(False,)], "dropped boolean")
+                raise ValueError(
+                    f"materialized view {stmt.name!r} does not exist"
+                )
+            self.spark.catalog.dropTempView(self._view_name(stmt.name))
+            shutil.rmtree(entry[1], ignore_errors=True)
+            return local_values(self.spark, [(True,)], "dropped boolean")
+        if isinstance(stmt, (ast.CreateTableStmt, ast.CreateTableAsStmt)):
+            if "." in stmt.table:
+                schema_name = stmt.table.split(".", 1)[0]
+                if schema_name not in self.schemas:
+                    raise ValueError(
+                        f"schema {schema_name!r} does not exist; CREATE "
+                        "SCHEMA first (AstStatements.h:237)"
+                    )
         if isinstance(stmt, ast.CreateTableStmt):
             if stmt.table in self.writable:
                 if stmt.if_not_exists:
@@ -524,12 +647,21 @@ class PrestoSession:
                 self.spark, [(int(obs.get["rows"]),)], "rows bigint"
             )
         if isinstance(stmt, ast.DropTableStmt):
+            if self._txn is not None and stmt.table in self._txn_tables:
+                # The open transaction holds undo files inside this table's
+                # directory; dropping it would make a later ROLLBACK rename
+                # into an rmtree'd dir (ADVICE r04). Presto likewise forbids
+                # mixing DDL over transactional state.
+                raise ValueError(
+                    f"cannot DROP TABLE {stmt.table!r}: it was modified in "
+                    "the open transaction (COMMIT or ROLLBACK first)"
+                )
             path = self.writable.pop(stmt.table, None)
             if path is None:
                 if stmt.if_exists:
                     return local_values(self.spark, [(False,)], "dropped boolean")
                 raise ValueError(f"table {stmt.table!r} does not exist")
-            self.spark.catalog.dropTempView(stmt.table)
+            self.spark.catalog.dropTempView(self._view_name(stmt.table))
             if path.startswith(getattr(self, "_ddl_dir", "\0")):
                 shutil.rmtree(path, ignore_errors=True)
             return local_values(self.spark, [(True,)], "dropped boolean")

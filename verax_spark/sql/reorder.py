@@ -360,19 +360,9 @@ def _bucket_spec(spark, table_name: str) -> tuple[tuple[str, ...], int] | None:
     """(bucket columns, bucket count) for a catalog table written with
     bucketBy (TableLayout bucketing) — feeds the cost model's
     co-partitioning credit. None for plain views/paths."""
-    try:
-        rows = spark.sql(f"describe extended {table_name}").collect()
-    except Exception:
-        return None
-    n = cols = None
-    for r in rows:
-        if r.col_name == "Num Buckets":
-            n = int(r.data_type)
-        elif r.col_name == "Bucket Columns":
-            cols = tuple(
-                c.strip(" `") for c in r.data_type.strip("[]").split(",")
-            )
-    return (cols, n) if n and cols else None
+    from verax_spark.sources.layout import bucket_layout_of
+
+    return bucket_layout_of(spark, table_name)
 
 
 def _bare_column(e: ast.Expr, by_alias, by_col) -> tuple[str, str] | None:
