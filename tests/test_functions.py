@@ -525,10 +525,102 @@ def _cases():
     "ip_prefix": [
         (_c("ip_prefix", F.lit("10.1.2.3"), 24), "10.1.2.0/24"),
         (_c("ip_prefix", F.lit("10.1.2.3"), 32), "10.1.2.3/32"),
-        (_c("ip_prefix", F.lit("2001:db8::1"), 48), None),  # IPv6 → NULL
+        # IPv6 now routes through the stdlib-ipaddress Arrow fallback
+        (_c("ip_prefix", F.lit("2001:db8::1"), 48), "2001:db8::/48"),
     ],
     "ip_subnet_min": [
         (_c("ip_subnet_min", F.lit("10.1.2.0/24")), "10.1.2.0"),
+    ],
+    # --- geospatial core (functions/geo.py) ---
+    "st_point": [
+        (
+            _c("st_point", F.lit(1.5), F.lit(2.5)),
+            lambda v: v.kind == "POINT" and v.xs == [1.5] and v.ys == [2.5],
+        ),
+    ],
+    "st_geometryfromtext": [
+        (
+            _c("st_geometryfromtext", F.lit("LINESTRING (0 0, 3 4)")),
+            lambda v: v.kind == "LINESTRING"
+            and v.xs == [0.0, 3.0]
+            and v.ys == [0.0, 4.0],
+        ),
+    ],
+    "st_astext": [
+        (
+            _c("st_astext", _c("st_geometryfromtext",
+                               F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))),
+            "POLYGON ((0.0 0.0, 1.0 0.0, 1.0 1.0, 0.0 1.0, 0.0 0.0))",
+        ),
+    ],
+    "st_x": [(_c("st_x", _c("st_point", F.lit(7.0), F.lit(8.0))), 7.0)],
+    "st_y": [(_c("st_y", _c("st_point", F.lit(7.0), F.lit(8.0))), 8.0)],
+    "st_distance": [
+        (
+            _c("st_distance", _c("st_point", F.lit(0.0), F.lit(0.0)),
+               _c("st_point", F.lit(3.0), F.lit(4.0))),
+            5.0,
+        ),
+    ],
+    "st_area": [
+        (
+            _c("st_area", _c("st_geometryfromtext",
+                             F.lit("POLYGON ((0 0, 2 0, 2 3, 0 3, 0 0))"))),
+            6.0,
+        ),
+    ],
+    "st_length": [
+        (
+            _c("st_length", _c("st_geometryfromtext",
+                               F.lit("LINESTRING (0 0, 3 4, 3 10)"))),
+            11.0,
+        ),
+    ],
+    "st_centroid": [
+        (
+            _c("st_centroid", _c("st_geometryfromtext",
+                                 F.lit("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))),
+            lambda v: abs(v.xs[0] - 0.5) < 1e-12 and abs(v.ys[0] - 0.5) < 1e-12,
+        ),
+    ],
+    "st_envelope": [
+        (
+            _c("st_envelope", _c("st_geometryfromtext",
+                                 F.lit("LINESTRING (0 1, 4 0, 2 5)"))),
+            lambda v: v.kind == "POLYGON"
+            and v.xs == [0.0, 4.0, 4.0, 0.0, 0.0]
+            and v.ys == [0.0, 0.0, 5.0, 5.0, 0.0],
+        ),
+    ],
+    "st_contains": [
+        (
+            _c("st_contains",
+               _c("st_geometryfromtext", F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")),
+               _c("st_point", F.lit(2.0), F.lit(2.0))),
+            True,
+        ),
+        (
+            _c("st_contains",
+               _c("st_geometryfromtext", F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")),
+               _c("st_point", F.lit(5.0), F.lit(2.0))),
+            False,
+        ),
+    ],
+    "st_within": [
+        (
+            _c("st_within",
+               _c("st_point", F.lit(1.0), F.lit(1.0)),
+               _c("st_geometryfromtext", F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))),
+            True,
+        ),
+    ],
+    "great_circle_distance": [
+        (
+            # Presto docs example: Nashville -> LA ≈ 2886.449 km
+            _c("great_circle_distance", F.lit(36.12), F.lit(-86.67),
+               F.lit(33.94), F.lit(-118.40)),
+            lambda v: abs(v - 2886.449) < 0.5,
+        ),
     ],
     "ip_subnet_max": [
         (_c("ip_subnet_max", F.lit("10.1.2.0/24")), "10.1.2.255"),
@@ -889,3 +981,33 @@ def test_ip_octet_range_validation(spark):
     assert got[2].v == 10 * 16777216 + 255 and got[3].v == (
         1 * 16777216 + 2 * 65536 + 3 * 256 + 4
     )
+
+
+def test_ipv6_fallback(spark):
+    """IPv6 inputs route through the stdlib-ipaddress Arrow UDF (the r04
+    'IPv6 yields NULL' gap); IPv4 stays on the Column fast path."""
+    df = spark.createDataFrame(
+        [("2001:db8::8a2e:370:7334",), ("10.1.2.3",)], "ip string"
+    )
+    rows = df.select(
+        presto_call("ip_prefix", F.col("ip"), 24).alias("p24"),
+    ).collect()
+    assert rows[0].p24 == "2001:d00::/24"  # stdlib-canonical v6 network
+    assert rows[1].p24 == "10.1.2.0/24"  # v4 stays on the Column path
+    one = spark.range(1)
+    r = one.select(
+        presto_call("ip_subnet_min", F.lit("2001:db8::/32")).alias("mn"),
+        presto_call("ip_subnet_max", F.lit("2001:db8::/126")).alias("mx"),
+        presto_call(
+            "is_subnet_of", F.lit("2001:db8::/32"), F.lit("2001:db8:1::/48")
+        ).alias("sub"),
+        presto_call(
+            "is_subnet_of", F.lit("2001:db8::/32"), F.lit("2001:db9::1")
+        ).alias("not_sub"),
+        presto_call(
+            "is_subnet_of", F.lit("10.0.0.0/8"), F.lit("10.1.0.0/16")
+        ).alias("v4_sub"),
+    ).collect()[0]
+    assert r.mn == "2001:db8::"
+    assert r.mx == "2001:db8::3"
+    assert r.sub is True and r.not_sub is False and r.v4_sub is True

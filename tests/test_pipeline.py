@@ -498,3 +498,30 @@ def test_grouped_histogram_matches_expression_form(spark, sf_dir):
         .collect()
     }
     assert plan_form == expr_form
+
+
+def test_chunk_documents_windows(spark, sf_dir):
+    """Sliding-window chunking: stride-spaced starts, window-capped chunk
+    sizes, trailing partial kept, full coverage without token loss."""
+    from verax_spark.catalog import Catalog
+    from verax_spark.operators.text import chunk_documents
+
+    cat = Catalog(spark, sf_dir)
+    docs = cat.documents.filter(F.col("doc_id") < 50)
+    out = chunk_documents(docs, window=16, stride=12).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    src = {r.doc_id: r.text for r in docs.collect()}
+    for did, rows in by_doc.items():
+        toks = src[did].split(" ")
+        rows.sort(key=lambda r: r.chunk_id)
+        for i, r in enumerate(rows):
+            assert r.chunk_id == i
+            start = i * 12
+            expect = toks[start : start + 16]
+            assert r.chunk_text == " ".join(expect)
+            assert r.n_tokens == len(expect)
+        # coverage: last chunk reaches the end of the document
+        last = rows[-1]
+        assert last.chunk_id * 12 + last.n_tokens == len(toks)

@@ -826,3 +826,50 @@ def test_materialized_view_refresh_semantics(spark, sf_dir):
     with _pytest.raises(ValueError, match="does not exist"):
         sess.sql("refresh materialized view mvt")
     sess.sql("drop materialized view if exists mvt")  # tolerated
+
+
+def test_create_function_sql_udf(spark, sf_dir):
+    """CREATE FUNCTION (ref AstStatements.h:269): SQL-language routine
+    executed as a Catalyst-inlined SQL UDF; Presto types map; DROP
+    removes; TYPE/ROLE/CALL fail loudly (parse-only in the reference)."""
+    import pytest as _pytest
+
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    sess.sql(
+        "create function tax_price(p double, rate double) returns double "
+        "deterministic return p * (1 + rate)"
+    )
+    got = sess.sql(
+        "select tax_price(o_totalprice, 0.1) as t from orders "
+        "order by o_orderkey limit 1"
+    ).collect()[0].t
+    base = sess.sql(
+        "select o_totalprice as p from orders order by o_orderkey limit 1"
+    ).collect()[0].p
+    assert abs(got - base * 1.1) < 1e-9
+    with _pytest.raises(ValueError, match="already exists"):
+        sess.sql(
+            "create function tax_price(p double) returns double return p"
+        )
+    sess.sql(
+        "create or replace function tax_price(p varchar) returns varchar "
+        "return upper(p)"
+    )
+    assert (
+        sess.sql("select tax_price('ab') as u").collect()[0].u == "AB"
+    )
+    sess.sql("drop function tax_price")
+    with _pytest.raises(ValueError, match="does not exist"):
+        sess.sql("drop function tax_price")
+    sess.sql("drop function if exists tax_price")
+    with _pytest.raises(NotImplementedError, match="CREATE TYPE"):
+        sess.sql("create type mytype as (a integer)")
+    with _pytest.raises(NotImplementedError, match="CALL"):
+        sess.sql("call some_proc(1)")
+    with _pytest.raises(NotImplementedError, match="LANGUAGE"):
+        sess.sql(
+            "create function j(x integer) returns integer language java "
+            "return x"
+        )

@@ -162,9 +162,17 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, DST).collect()
         cold[name] = round(time.perf_counter() - t0, 4)
-        t0 = time.perf_counter()
-        fn(spark, DST).collect()
-        steady[name] = round(time.perf_counter() - t0, 4)
+        # steady = best of two post-cold runs: the 2nd execution of a
+        # heavy codegen query can still be paying C2 JIT compilation
+        # (observed: q18 run2 = 15.7s, run3 = 6.2s in a fresh session),
+        # which made "steady" depend on each query's position in the
+        # run order. min-of-two is order-insensitive.
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, DST).collect()
+            best = min(best, time.perf_counter() - t0)
+        steady[name] = round(best, 4)
 
     spark_total = round(sum(steady.values()), 4)
     duck_total = round(sum(duck.values()), 4)

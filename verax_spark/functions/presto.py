@@ -266,6 +266,12 @@ def _presto_split(s, delim, limit=None) -> Column:
 
 
 # Tier 3: signature adapters (arg order / semantics differ).
+def _geo():
+    from verax_spark.functions import geo
+
+    return geo
+
+
 _ADAPTERS: dict[str, Callable[..., Column]] = {
     # presto geometric_mean aggregate: exp(mean(ln x)) — no Spark builtin
     "geometric_mean": lambda x: F.exp(F.avg(F.log(_col(x)))),
@@ -520,12 +526,31 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "numeric_histogram": lambda b, x: _numeric_histogram(
         F.collect_list(_col(x).cast("double")), int(b)
     ),
-    # --- batch 7: quantile sketches. Spark exposes no reusable
-    # quantile-sketch value (its percentile_approx folds sketch build +
-    # query into one aggregate), so qdigest_agg/tdigest_agg return a
-    # pipeline marker that value_at_quantile consumes — mirroring the
-    # cardinality(approx_set(..)) HLL rewrite. A marker escaping its
-    # pipeline fails loudly at the call site.
+    # --- batch 7: quantile sketches. In EXPRESSION context
+    # qdigest_agg/tdigest_agg return a pipeline marker that
+    # value_at_quantile consumes (one-shot percentile_approx) — mirroring
+    # the cardinality(approx_set(..)) HLL rewrite; a marker escaping its
+    # pipeline fails loudly. For STORABLE, MERGEABLE digest state (build →
+    # parquet → merge later) use functions/sketches.py: a real t-digest
+    # (tdigest_partials / tdigest_merge / tdigest_quantile), r05.
+    # --- r05: geospatial core (functions/geo.py; planar ST_* subset —
+    # Presto's ST_* is planar as well). great_circle_distance is Presto's
+    # haversine, exact.
+    "st_point": lambda x, y: _geo().st_point(_col(x), _col(y)),
+    "st_geometryfromtext": lambda w: _geo().st_geometry_from_text(_col(w)),
+    "st_astext": lambda g: _geo().st_as_text(_col(g)),
+    "st_x": lambda g: _geo().st_x(_col(g)),
+    "st_y": lambda g: _geo().st_y(_col(g)),
+    "st_distance": lambda a, b: _geo().st_distance(_col(a), _col(b)),
+    "st_area": lambda g: _geo().st_area(_col(g)),
+    "st_length": lambda g: _geo().st_length(_col(g)),
+    "st_centroid": lambda g: _geo().st_centroid(_col(g)),
+    "st_envelope": lambda g: _geo().st_envelope(_col(g)),
+    "st_contains": lambda p, q: _geo().st_contains(_col(p), _col(q)),
+    "st_within": lambda p, q: _geo().st_within(_col(p), _col(q)),
+    "great_circle_distance": lambda a, b, c, d: _geo().great_circle_distance(
+        _col(a), _col(b), _col(c), _col(d)
+    ),
     "qdigest_agg": lambda x: _QuantileSketch(_col(x)),
     "tdigest_agg": lambda x: _QuantileSketch(_col(x)),
     "value_at_quantile": lambda d, q: F.percentile_approx(
@@ -591,13 +616,14 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     ).otherwise(F.regexp_instr(_col(s), _lit_or_col(p))).cast("bigint"),
     "human_readable_seconds": lambda x: _human_readable_seconds(_col(x)),
     # --- batch 7: IPv4 network functions (IPv6 inputs yield NULL) ---
-    "ip_prefix": lambda ip, bits: _ip_prefix(ip, bits),
-    "ip_subnet_min": lambda p: _int_to_ip(_subnet_bounds(p)[0]),
-    "ip_subnet_max": lambda p: _int_to_ip(_subnet_bounds(p)[1]),
+    "ip_prefix": lambda ip, bits: _ip_prefix_any(ip, bits),
+    "ip_subnet_min": lambda p: _ip_subnet_bound_any(p, "subnet_min"),
+    "ip_subnet_max": lambda p: _ip_subnet_bound_any(p, "subnet_max"),
     "ip_subnet_range": lambda p: F.array(
-        _int_to_ip(_subnet_bounds(p)[0]), _int_to_ip(_subnet_bounds(p)[1])
+        _ip_subnet_bound_any(p, "subnet_min"),
+        _ip_subnet_bound_any(p, "subnet_max"),
     ),
-    "is_subnet_of": lambda p, ip: _is_subnet_of(p, ip),
+    "is_subnet_of": lambda p, ip: _is_subnet_of_any(p, ip),
 }
 
 
@@ -1102,6 +1128,96 @@ def _is_subnet_of(p, x) -> Column:
     xlo = F.when(is_prefix, _subnet_bounds(x_s)[0]).otherwise(_ip_to_int(x_s))
     xhi = F.when(is_prefix, _subnet_bounds(x_s)[1]).otherwise(_ip_to_int(x_s))
     return (xlo >= lo) & (xhi <= hi)
+
+
+# ---------------------------------------------------------------------------
+# IPv6 fallback (closes the r04 "IPv6 documented as NULL" gap): the pure
+# Column expressions above handle IPv4 at codegen speed; for inputs
+# containing ':' the functions fall back to an Arrow-batched pandas UDF on
+# Python's stdlib ``ipaddress`` (128-bit arithmetic has no Column-expression
+# spelling). The v4 hot path stays JVM-side — the UDF output is only
+# selected where the v4 result is NULL and the input looks like IPv6.
+def _ipaddress_udf(fn_name: str):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _kernel(a, b=None):
+        import ipaddress
+
+        def one(x, y=None):
+            try:
+                if fn_name == "prefix":
+                    net = ipaddress.ip_network(f"{x}/{int(y)}", strict=False)
+                    return str(net.network_address) + f"/{int(y)}"
+                if fn_name == "subnet_min":
+                    return str(ipaddress.ip_network(x, strict=False).network_address)
+                if fn_name == "subnet_max":
+                    return str(
+                        ipaddress.ip_network(x, strict=False).broadcast_address
+                    )
+                if fn_name == "is_subnet_of":
+                    outer = ipaddress.ip_network(x, strict=False)
+                    if "/" in str(y):
+                        return ipaddress.ip_network(
+                            y, strict=False
+                        ).subnet_of(outer)
+                    return ipaddress.ip_address(y) in outer
+            except (ValueError, TypeError):
+                return None
+            return None
+
+        if b is None:
+            vals = [None if x is None else one(x) for x in a]
+        else:
+            vals = [
+                None if (x is None or y is None) else one(x, y)
+                for x, y in zip(a, b)
+            ]
+        rt = "boolean" if fn_name == "is_subnet_of" else "object"
+        return pd.Series(vals, dtype=rt if rt == "boolean" else None)
+
+    rtype = "boolean" if fn_name == "is_subnet_of" else "string"
+    if fn_name in ("prefix", "is_subnet_of"):
+        def _two(a, b):
+            return _kernel(a, b)
+
+        _two.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+        return pandas_udf(_two, rtype)
+    def _one_arg(a):
+        return _kernel(a)
+
+    _one_arg.__annotations__ = {"a": pd.Series, "return": pd.Series}
+    return pandas_udf(_one_arg, rtype)
+
+
+def _looks_v6(c: Column) -> Column:
+    return c.cast("string").contains(":")
+
+
+def _ip_prefix_any(ip, bits) -> Column:
+    b = _col(bits).cast("int") if isinstance(bits, Column) else F.lit(int(bits))
+    v4 = _ip_prefix(ip, bits)
+    return F.when(
+        _looks_v6(_col(ip)),
+        _ipaddress_udf("prefix")(_col(ip).cast("string"), b),
+    ).otherwise(v4)
+
+
+def _ip_subnet_bound_any(p, which: str) -> Column:
+    v4 = _int_to_ip(_subnet_bounds(p)[0 if which == "subnet_min" else 1])
+    return F.when(
+        _looks_v6(_col(p)), _ipaddress_udf(which)(_col(p).cast("string"))
+    ).otherwise(v4)
+
+
+def _is_subnet_of_any(p, x) -> Column:
+    v4 = _is_subnet_of(p, x)
+    return F.when(
+        _looks_v6(_col(p)) | _looks_v6(_col(x)),
+        _ipaddress_udf("is_subnet_of")(
+            _col(p).cast("string"), _col(x).cast("string")
+        ),
+    ).otherwise(v4)
 
 
 def _presto_json_array_get(x, i) -> Column:

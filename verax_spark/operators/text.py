@@ -225,3 +225,44 @@ def grouped_histogram(
             F.collect_list(F.struct(F.col(value_col), F.col("__c")))
         ).alias("histogram")
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 64,
+    stride: int = 48,
+):
+    """Sliding-window document chunking — the standard training-data prep
+    step (context-window packing input; each document becomes overlapping
+    ``window``-token chunks every ``stride`` tokens, the GPT-2/Pile recipe).
+
+    Pure Column expressions, map-only, zero shuffles: tokenize (single-space
+    split, deterministic across engines), generate chunk start offsets with
+    ``sequence(0, n-1, stride)``, explode, slice. At 100 TB the only cost
+    is the output fanout (~n_tokens/stride rows per doc), which is the
+    operator's contract; no state, no skew (fanout bounded by the longest
+    document, independent of key distribution).
+
+    Output: (id, chunk_id, chunk_text, n_tokens) — trailing partial chunks
+    kept (standard; they pack against other documents downstream).
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, window)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+    )

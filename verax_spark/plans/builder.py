@@ -454,6 +454,10 @@ class PlanBuilder:
         self._df = self._req().join(right._req(), _to_col(on), how)
         self._node = LogicalNode(f"Join({how})", _detail(on), [self._node, right._node])
         rc = right._chain
+        # detach right's chain: a later filter() on the right builder must
+        # not mutate leaves this (already-joined) chain now owns — the
+        # eager df would diverge from the replanned one
+        right._chain = None
         self._chain.leaves.update(rc.leaves)
         self._chain.edges.extend(rc.edges)
         self._chain.edges.extend(edges)

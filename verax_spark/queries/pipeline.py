@@ -1541,3 +1541,34 @@ def pl_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ngram_contamination(train, test, n=5).orderBy("train_id")
+
+
+# ---------------------------------------------------------------------------
+# Document chunking (r05): the sliding-window context-prep step (GPT-2/Pile
+# recipe). The oracle recomputes the identical windows in DuckDB with
+# range() + list slicing — token arrays from the same single-space split.
+@_register(
+    "pl_chunk_documents",
+    """
+    with toks as (
+      select doc_id, string_split(text, ' ') as t
+      from documents where doc_id < 500
+    ), starts as (
+      select doc_id, t, unnest(range(0, greatest(len(t), 1), 48)) as s
+      from toks
+    )
+    select doc_id,
+      cast(s / 48 as bigint) as chunk_id,
+      array_to_string(t[s + 1 : s + 64], ' ') as chunk_text,
+      cast(least(64, len(t) - s) as bigint) as n_tokens
+    from starts
+    order by doc_id, chunk_id
+    """,
+)
+def pl_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return text.chunk_documents(
+        cat.documents.filter(F.col("doc_id") < 500),
+        window=64,
+        stride=48,
+    ).orderBy("doc_id", "chunk_id")

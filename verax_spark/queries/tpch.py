@@ -390,12 +390,14 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
-            _revenue_expr().alias("volume"),
+            _rev_units().alias("volume_u"),
         )
     )
     return (
         shipping.groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum("volume").cast("double").alias("revenue"))
+        .agg(F.sum("volume_u").alias("__v"))
+        .withColumn("revenue", _descale(F.col("__v"), 4))
+        .drop("__v")
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -441,18 +443,20 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n2, F.col("s_nationkey") == F.col("n2_key"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
-            _revenue_expr().alias("volume"),
+            _rev_units().alias("volume_u"),
             "nation",
         )
     )
-    brazil = F.sum(F.when(F.col("nation") == "NATION_6", F.col("volume")))
+    brazil = F.sum(F.when(F.col("nation") == "NATION_6", F.col("volume_u")))
     return (
         all_nations.groupBy("o_year")
-        .agg(
+        .agg(brazil.alias("__b"), F.sum("volume_u").alias("__t"))
+        .select(
+            "o_year",
             (
-                F.coalesce(brazil.cast("double"), F.lit(0.0))
-                / F.sum("volume").cast("double")
-            ).alias("mkt_share")
+                F.coalesce(_descale(F.col("__b"), 4), F.lit(0.0))
+                / _descale(F.col("__t"), 4)
+            ).alias("mkt_share"),
         )
         .orderBy("o_year")
     )
@@ -485,8 +489,11 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     part = cat.part.filter(F.col("p_name").like("%red%"))
     nation = F.broadcast(cat.nation)
-    amount = _revenue_expr() - (
-        _price("p_retailprice") * _dec("l_quantity", QTY) * F.lit(0.05).cast(RATE)
+    # amount in 10^-5 integer units (rev is 10^-4 → x10; cost =
+    # retail_cents x qty_tenths x 5 is natively 10^-5): per-row |amount|
+    # ≲ 1e10 units, post-LIKE-filter global sum ≲ 1e18 — int64-safe.
+    amount = _rev_units() * F.lit(10) - (
+        _unit("p_retailprice", 2) * _unit("l_quantity", 1) * F.lit(5)
     )
     profit = (
         part.join(cat.lineitem, F.col("p_partkey") == F.col("l_partkey"))
@@ -501,7 +508,9 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         profit.groupBy("nation", "o_year")
-        .agg(F.sum("amount").cast("double").alias("sum_profit"))
+        .agg(F.sum("amount").alias("__a"))
+        .withColumn("sum_profit", _descale(F.col("__a"), 5))
+        .drop("__a")
         .orderBy("nation", F.col("o_year").desc())
     )
 
@@ -573,18 +582,25 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     stock = (
         cat.lineitem.join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select("l_partkey", (_price("l_extendedprice") * _dec("l_quantity", QTY)).alias("v"))
+        .select(
+            "l_partkey",
+            # value in 10^-3 integer units (price 10^-2 x qty 10^-1);
+            # global-total bound ~2e16 units at sf100 — int64-safe
+            (_unit("l_extendedprice", 2) * _unit("l_quantity", 1)).alias("v"),
+        )
     )
     # single pass: the global threshold comes from a window over the
     # POST-AGGREGATE relation (one row per part — bounded), so the
     # lineitem⋈supplier⋈nation subtree executes once instead of twice
     # (scalar-subquery decorrelation scanned it for the threshold too)
-    grouped = stock.groupBy("l_partkey").agg(F.sum("v").alias("__value_dec"))
-    total = F.sum("__value_dec").over(Window.partitionBy(F.lit(1)))
+    grouped = stock.groupBy("l_partkey").agg(F.sum("v").alias("__value_u"))
+    total = F.sum("__value_u").over(Window.partitionBy(F.lit(1)))
     return (
-        grouped.withColumn("__threshold", total.cast("double") * 0.0001)
-        .filter(F.col("__value_dec").cast("double") > F.col("__threshold"))
-        .select("l_partkey", F.col("__value_dec").cast("double").alias("value"))
+        grouped.withColumn("__threshold", _descale(total, 3) * 0.0001)
+        .filter(_descale(F.col("__value_u"), 3) > F.col("__threshold"))
+        .select(
+            "l_partkey", _descale(F.col("__value_u"), 3).alias("value")
+        )
         .orderBy(F.col("value").desc(), "l_partkey")
     )
 
@@ -673,15 +689,18 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _ts("1996-09-01")) & (F.col("l_shipdate") < _ts("1996-10-01"))
     )
     joined = line.join(cat.part, F.col("l_partkey") == F.col("p_partkey")).select(
-        F.col("p_type"), _revenue_expr().alias("volume")
+        F.col("p_type"), _rev_units().alias("volume_u")
     )
-    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), F.col("volume")))
-    return joined.agg(
-        (
-            F.lit(100.0)
-            * F.coalesce(promo.cast("double"), F.lit(0.0))
-            / F.sum("volume").cast("double")
-        ).alias("promo_revenue")
+    promo = F.sum(F.when(F.col("p_type").like("PROMO%"), F.col("volume_u")))
+    return (
+        joined.agg(promo.alias("__p"), F.sum("volume_u").alias("__t"))
+        .select(
+            (
+                F.lit(100.0)
+                * F.coalesce(_descale(F.col("__p"), 4), F.lit(0.0))
+                / _descale(F.col("__t"), 4)
+            ).alias("promo_revenue")
+        )
     )
 
 
@@ -750,7 +769,8 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("__qty_threshold", thresh)
         .filter(F.col("l_quantity") < F.col("__qty_threshold"))
-        .agg((F.sum(_price("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly"))
+        .agg(F.sum(_unit("l_extendedprice", 2)).alias("__s"))
+        .select((_descale(F.col("__s"), 2) / 7.0).alias("avg_yearly"))
     )
 
 
@@ -986,17 +1006,17 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < _ts("1996-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_revenue_expr()).alias("__rev"))  # exact decimal sum
+        .agg(F.sum(_rev_units()).alias("__rev"))  # exact long unit sum
     )
     top = rev.withColumn(
         "__mx", F.max("__rev").over(Window.partitionBy(F.lit(1)))
-    ).filter(F.col("__rev") == F.col("__mx"))  # decimal equality: exact
+    ).filter(F.col("__rev") == F.col("__mx"))  # long equality: exact
     return (
         cat.supplier.join(top, F.col("s_suppkey") == F.col("l_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
-            F.col("__rev").cast("double").alias("total_revenue"),
+            _descale(F.col("__rev"), 4).alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -1035,8 +1055,8 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_quantity", QTY)).alias("__qty"))
-        .filter(F.col("__qty") > 150)
+        .agg(F.sum(_unit("l_quantity", 1)).alias("__qty"))
+        .filter(F.col("__qty") > 1500)  # 150 in 10^-1 units, exact
     )
     return (
         cat.supplier.join(

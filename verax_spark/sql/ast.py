@@ -1339,3 +1339,42 @@ class DropMViewStmt:
     def sql(self) -> str:
         ie = "if exists " if self.if_exists else ""
         return f"drop materialized view {ie}{self.name}"
+
+
+@dataclass
+class CreateFunctionStmt:
+    """CREATE [OR REPLACE] FUNCTION f(p type, ...) RETURNS type RETURN expr
+    — reference AstStatements.h:269 CreateFunction (SqlParameterDeclaration
+    + RoutineBody). Executed as a Catalyst-inlined SQL UDF (Spark CREATE
+    TEMPORARY FUNCTION ... RETURN), so the body participates in codegen —
+    the same inlining treatment as the compat shims. Characteristics
+    (LANGUAGE SQL, [NOT] DETERMINISTIC, null-call behavior) are parsed;
+    only SQL-language deterministic bodies are executable."""
+
+    name: str
+    parameters: list[tuple[str, str]]  # (name, presto type)
+    return_type: str
+    body: Expr
+    or_replace: bool = False
+    deterministic: bool = True
+
+    def sql(self) -> str:
+        orr = "or replace " if self.or_replace else ""
+        ps = ", ".join(f"{n} {t}" for n, t in self.parameters)
+        return (
+            f"create {orr}function {self.name}({ps}) "
+            f"returns {self.return_type} return {self.body.sql()}"
+        )
+
+
+@dataclass
+class DropFunctionStmt:
+    """DROP FUNCTION [IF EXISTS] f — statement-surface companion to
+    CreateFunction (AstStatements.h:269)."""
+
+    name: str
+    if_exists: bool = False
+
+    def sql(self) -> str:
+        ie = "if exists " if self.if_exists else ""
+        return f"drop function {ie}{self.name}"

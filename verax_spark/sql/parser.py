@@ -168,6 +168,12 @@ class Parser:
         elif self.at_kw("show") and self.at_kw("schemas", ahead=1):
             self.next(), self.next()
             stmt = ast.ShowSchemasStmt()
+        elif self.at_kw("call"):
+            raise NotImplementedError(
+                "CALL procedure(...) is parse-only in the reference "
+                "(AstStatements.h:661; no procedures are registered) and "
+                "not supported here"
+            )
         elif self.accept_kw("refresh"):
             self.expect_kw("materialized"), self.expect_kw("view")
             stmt = ast.RefreshMViewStmt(self.qname())
@@ -189,6 +195,58 @@ class Parser:
                 name = self.qname()
                 self.expect_kw("as")
                 stmt = ast.CreateMViewStmt(name, self.parse_query(), or_replace)
+            elif self.accept_kw("function"):
+                name = self.qname()
+                self.expect_op("(")
+                params: list[tuple[str, str]] = []
+                if not self.at_op(")"):
+                    while True:
+                        params.append((self.ident(), self._type_text()))
+                        if not self.accept_op(","):
+                            break
+                self.expect_op(")")
+                self.expect_kw("returns")
+                rtype = self._type_text()
+                deterministic = True
+                # RoutineCharacteristics (ref AstStatements.h:269):
+                # LANGUAGE SQL / [NOT] DETERMINISTIC / null-call behavior
+                while True:
+                    if self.accept_kw("language"):
+                        lang = self.ident()
+                        if lang.lower() != "sql":
+                            raise NotImplementedError(
+                                f"CREATE FUNCTION LANGUAGE {lang}: only "
+                                "SQL-language bodies are executable (the "
+                                "reference parses but does not execute "
+                                "external routines)"
+                            )
+                    elif self.at_kw("not") and self.at_kw("deterministic", ahead=1):
+                        self.next(), self.next()
+                        deterministic = False
+                    elif self.accept_kw("deterministic"):
+                        deterministic = True
+                    elif self.at_kw("returns") and self.at_kw("null", ahead=1):
+                        self.next(), self.next()
+                        self.expect_kw("on"), self.expect_kw("null")
+                        self.expect_kw("input")
+                    elif self.at_kw("called"):
+                        self.next()
+                        self.expect_kw("on"), self.expect_kw("null")
+                        self.expect_kw("input")
+                    else:
+                        break
+                self.expect_kw("return")
+                stmt = ast.CreateFunctionStmt(
+                    name, params, rtype, self.parse_expr(), or_replace,
+                    deterministic,
+                )
+            elif self.at_kw("type") or self.at_kw("role"):
+                kind = self.next().text.upper()
+                raise NotImplementedError(
+                    f"CREATE {kind} is parse-only in the reference "
+                    "(AstStatements.h:323-373; no execution path, "
+                    "SqlStatement.h:23-79) and not supported here"
+                )
             elif self.accept_kw("view"):
                 name = self.qname()
                 self.expect_kw("as")
@@ -229,7 +287,13 @@ class Parser:
             self.accept_kw("work")
             stmt = ast.RollbackStmt()
         elif self.accept_kw("drop"):
-            if self.accept_kw("schema"):
+            if self.accept_kw("function"):
+                ie = False
+                if self.accept_kw("if"):
+                    self.expect_kw("exists")
+                    ie = True
+                stmt = ast.DropFunctionStmt(self.qname(), ie)
+            elif self.accept_kw("schema"):
                 ie = False
                 if self.accept_kw("if"):
                     self.expect_kw("exists")

@@ -276,6 +276,8 @@ class PrestoSession:
                 ast.CreateMViewStmt,
                 ast.RefreshMViewStmt,
                 ast.DropMViewStmt,
+                ast.CreateFunctionStmt,
+                ast.DropFunctionStmt,
             ),
         ):
             return self._execute_ddl(stmt)
@@ -606,6 +608,42 @@ class PrestoSession:
                 )
             self.spark.catalog.dropTempView(self._view_name(stmt.name))
             shutil.rmtree(entry[1], ignore_errors=True)
+            return local_values(self.spark, [(True,)], "dropped boolean")
+        if isinstance(stmt, ast.CreateFunctionStmt):
+            # Catalyst-inlined SQL UDF (CREATE TEMPORARY FUNCTION ... RETURN)
+            # — the body joins whole-stage codegen like the compat shims.
+            # Presto type spellings map word-level (varchar→string etc.).
+            if not hasattr(self, "functions"):
+                self.functions: set[str] = set()
+            fname = self._view_name(stmt.name)
+            if fname in self.functions and not stmt.or_replace:
+                raise ValueError(f"function {stmt.name!r} already exists")
+
+            def _sp_type(t: str) -> str:
+                base = t.lower().split("(")[0].strip()
+                mapped = self._TYPE_MAP.get(base)
+                return mapped if mapped and "(" not in t else t
+
+            params = ", ".join(
+                f"{n} {_sp_type(t)}" for n, t in stmt.parameters
+            )
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION {fname}({params}) "
+                f"RETURNS {_sp_type(stmt.return_type)} "
+                f"RETURN {stmt.body.sql()}"
+            )
+            self.functions.add(fname)
+            return local_values(self.spark, [(True,)], "created boolean")
+        if isinstance(stmt, ast.DropFunctionStmt):
+            if not hasattr(self, "functions"):
+                self.functions: set[str] = set()
+            fname = self._view_name(stmt.name)
+            if fname not in self.functions:
+                if stmt.if_exists:
+                    return local_values(self.spark, [(False,)], "dropped boolean")
+                raise ValueError(f"function {stmt.name!r} does not exist")
+            self.spark.sql(f"DROP TEMPORARY FUNCTION {fname}")
+            self.functions.discard(fname)
             return local_values(self.spark, [(True,)], "dropped boolean")
         if isinstance(stmt, (ast.CreateTableStmt, ast.CreateTableAsStmt)):
             if "." in stmt.table:
