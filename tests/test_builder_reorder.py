@@ -127,8 +127,8 @@ def test_builder_physical_plan_broadcasts_dimensions(spark, sf_dir):
 
 
 def test_outer_join_breaks_chain_without_error(spark, sf_dir):
-    """LEFT JOIN is not reorderable here — the chain finalizes and the
-    join applies as written."""
+    """A LEFT JOIN over a 2-leaf core becomes an attachment but leaves
+    nothing to reorder — the plan applies as written, no error."""
     b = (
         PlanBuilder(spark, sf_dir)
         .table_scan("nation", ["n_nationkey", "n_name", "n_regionkey"])
@@ -191,3 +191,62 @@ def test_theta_conjunct_stays_textual(spark, sf_dir):
     df = b.build()
     assert b.last_cbo is None
     assert df.count() > 0
+
+
+def test_left_attachment_hoist_preserves_semantics(spark, sf_dir):
+    """A LEFT JOIN attachment no longer breaks the chain (the SQL front
+    door's l-asscom hoist): the inner core around it still replans, the
+    attachment re-applies above in its original position, and left-join
+    row preservation survives — verified against the as-written plan."""
+    def build(reorder):
+        return (
+            PlanBuilder(spark, sf_dir, reorder=reorder)
+            .table_scan("lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice"])
+            .join(
+                PlanBuilder(spark, sf_dir).table_scan(
+                    "orders", ["o_orderkey", "o_custkey"]
+                ),
+                Col("l_orderkey") == Col("o_orderkey"),
+            )
+            .join(
+                PlanBuilder(spark, sf_dir).table_scan(
+                    "customer", ["c_custkey", "c_nationkey"]
+                ),
+                Col("o_custkey") == Col("c_custkey"),
+            )
+            # LEFT attachment: supplier rows may be missing for a line's
+            # suppkey after the filter below — nulls must be preserved
+            .join(
+                PlanBuilder(spark, sf_dir)
+                .table_scan("supplier", ["s_suppkey", "s_acctbal"])
+                .filter(Col("s_acctbal") > 5000),
+                Col("l_suppkey") == Col("s_suppkey"),
+                how="left",
+            )
+            # inner join AFTER the attachment keeps extending the core
+            .join(
+                PlanBuilder(spark, sf_dir).table_scan(
+                    "nation", ["n_nationkey", "n_name"]
+                ),
+                Col("c_nationkey") == Col("n_nationkey"),
+            )
+            .aggregate(
+                ["n_name"],
+                {
+                    "n": Agg("count"),
+                    "matched": Agg("count", Col("s_suppkey")),
+                },
+            )
+            .sort("n_name")
+        )
+
+    opt = build(True)
+    got = opt.build().collect()
+    assert opt.last_cbo is not None, "core should replan around the attachment"
+    assert set(opt.last_cbo["order"]) == {
+        "lineitem", "orders", "customer", "nation"
+    }
+    want = build(False).build().collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    # left-join semantics held: some rows have no matched supplier
+    assert any(r.matched < r.n for r in got)

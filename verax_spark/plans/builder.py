@@ -133,7 +133,13 @@ class _Chain:
     # leaf name → {"df": DataFrame, "pred": Expr|Column|None, "cols": set}
     leaves: dict[str, dict] = field(default_factory=dict)
     edges: list[tuple[str, str, str, str]] = field(default_factory=list)
-    post: list = field(default_factory=list)  # Columns applied above joins
+    # ordered tail re-applied above the replanned core, preserving the
+    # as-written interleaving: ("filter", Column) entries and
+    # ("attach", DataFrame, Column, how) LEFT JOIN attachments — the SQL
+    # front door's l-asscom hoist (sql/reorder.py: inner joins commute
+    # with a left join whose ON references only relations below it, which
+    # the builder guarantees by eager resolution)
+    tail: list[tuple] = field(default_factory=list)
 
 
 def _expr_cols(e) -> set[str] | None:
@@ -260,6 +266,9 @@ class PlanBuilder:
             owner = self._chain_owner_of()
             owners = {owner[c] for c in cols if c in owner}
             if len(owners) == 1 and all(c in owner for c in cols):
+                # single-core-leaf predicate: push into the leaf (valid
+                # below any LEFT attachment — σ_c(X) ⟕ A ≡ σ_c(X ⟕ A)
+                # when c references only X)
                 leaf = ch.leaves[owners.pop()]
                 prev = leaf["pred"]
                 if prev is None:
@@ -269,7 +278,7 @@ class PlanBuilder:
                 else:
                     leaf["pred"] = _to_col(prev) & _to_col(predicate)
                 return
-        ch.post.append(_to_col(predicate))
+        ch.tail.append(("filter", _to_col(predicate)))
 
     def _finalize_chain(self) -> None:
         """Replan the accumulated inner-join region through the CBO and
@@ -297,8 +306,11 @@ class PlanBuilder:
             g.edge(l, lk, r, rk)
         try:
             planned = g.plan()
-            for c in ch.post:
-                planned = planned.filter(c)
+            for op in ch.tail:
+                if op[0] == "filter":
+                    planned = planned.filter(op[1])
+                else:  # ("attach", df, on, how): hoisted LEFT JOIN
+                    planned = planned.join(op[1], op[2], op[3])
             planned = planned.select(*self._df.columns)
         except Exception:  # noqa: BLE001 — fall back to the textual order
             self.last_cbo = None
@@ -435,11 +447,30 @@ class PlanBuilder:
         region first (replanning it if eligible) and joins as written."""
         if on is None:
             return self.cross_join(right)
+        if how == "left" and self._chain is not None:
+            # LEFT JOIN attachment (l-asscom hoist, the sql/reorder.py
+            # rewrite): the attachment re-applies above the replanned
+            # inner core in its original position. Eager resolution
+            # guarantees the ON references only relations below it.
+            # Finalize the RIGHT side first (replanning its interior if
+            # it is itself an eligible chain).
+            right._finalize_chain()
+            att_df = right._req()
+            cond = _to_col(on)
+            self._df = self._req().join(att_df, cond, how)
+            self._node = LogicalNode(
+                f"Join({how})", _detail(on), [self._node, right._node]
+            )
+            self._chain.tail.append(("attach", att_df, cond, how))
+            return self
         edges = None
         if how == "inner" and self._chain is not None and right._chain is not None:
             if set(self._chain.leaves) & set(right._chain.leaves):
                 edges = None  # self-join: ambiguous ownership, stay textual
             else:
+                # the owner map holds CORE leaves only, so an inner ON
+                # referencing an attachment column fails to resolve and the
+                # chain falls back textually — exactly the safe behavior
                 edges = _parse_equi_edges(
                     on, self._chain_owner_of(right._chain)
                 )
@@ -461,7 +492,7 @@ class PlanBuilder:
         self._chain.leaves.update(rc.leaves)
         self._chain.edges.extend(rc.edges)
         self._chain.edges.extend(edges)
-        self._chain.post.extend(rc.post)
+        self._chain.tail.extend(rc.tail)
         return self
 
     def cross_join(self, right: "PlanBuilder") -> "PlanBuilder":
