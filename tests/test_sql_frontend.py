@@ -873,3 +873,44 @@ def test_create_function_sql_udf(spark, sf_dir):
             "create function j(x integer) returns integer language java "
             "return x"
         )
+
+
+def test_quantified_comparison_edge_semantics(spark, sf_dir):
+    """SQL-standard 8.9 edges the min/max rewrite alone gets wrong
+    (caught by the replay corpus at sf0.001 where the subquery came back
+    empty): x > ALL(empty) is TRUE, x > ANY(empty) is FALSE, a NULL
+    element forces UNKNOWN unless a definite witness/counterexample
+    exists, and a NULL operand yields UNKNOWN against non-empty sets."""
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+
+    def rows(sql):
+        return [tuple(r) for r in sess.sql(sql).collect()]
+
+    # empty set: ALL keeps every row, ANY drops every row
+    assert (
+        rows(
+            "select count(*) as n from region where r_regionkey > all "
+            "(select r_regionkey from region where r_regionkey > 99)"
+        )[0][0]
+        == 5
+    )
+    assert (
+        rows(
+            "select count(*) as n from region where r_regionkey > any "
+            "(select r_regionkey from region where r_regionkey > 99)"
+        )[0][0]
+        == 0
+    )
+    # NULL element: 3 > ALL(1, NULL) is UNKNOWN (row dropped);
+    # 0 > ALL(1, NULL) is FALSE either way; 3 > ANY(1, NULL) is TRUE
+    sess.sql("drop table if exists qc_t")
+    sess.sql("create table qc_t (v integer)")
+    sess.sql("insert into qc_t select 1")
+    sess.sql("insert into qc_t select cast(null as integer)")
+    assert rows("select 1 as x where 3 > all (select v from qc_t)") == []
+    assert rows("select 1 as x where 0 > all (select v from qc_t)") == []
+    assert rows("select 1 as x where 3 > any (select v from qc_t)") == [(1,)]
+    assert rows("select 1 as x where 0 > any (select v from qc_t)") == []
+    sess.sql("drop table qc_t")

@@ -2704,7 +2704,7 @@ def op_fn_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     "op_builder_reorder",
     """
     select n_name, cast(count(*) as bigint) as n_items,
-      sum(cast(l_extendedprice as decimal(18,2))) as total
+      cast(sum(cast(l_extendedprice as decimal(18,2))) as double) as total
     from lineitem, orders, customer, nation, region
     where l_orderkey = o_orderkey
       and o_custkey = c_custkey
@@ -2752,7 +2752,8 @@ def op_builder_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "n_items": Agg("count"),
                 "total": Sql(
-                    "sum(cast(l_extendedprice as decimal(18,2)))"
+                    "cast(sum(cast(l_extendedprice as decimal(18,2))) "
+                    "as double)"
                 ),
             },
         )

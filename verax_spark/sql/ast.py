@@ -258,10 +258,14 @@ class InSubquery(Expr):
 class Quantified(Expr):
     """Quantified comparison (AstExpressions.h QuantifiedComparison).
 
-    Lowering: ``= ANY`` ⇔ IN; ``<> ALL`` ⇔ NOT IN; ordered quantifiers
-    reduce to a min/max scalar subquery (x > ANY(S) ⇔ x > min(S), x > ALL(S)
-    ⇔ x > max(S); empty/NULL sets degrade to NULL comparisons, which agree
-    with Presto in WHERE context — both drop the row).
+    Lowering: ``= ANY`` ⇔ IN; ``<> ALL`` ⇔ NOT IN (both natively carry the
+    standard empty-set/NULL semantics). Ordered quantifiers reduce to
+    min/max scalar subqueries wrapped in the full three-valued truth
+    table — the bare min/max comparison alone is WRONG at the edges
+    (``x > ALL(∅)`` is TRUE, not NULL; a NULL element must force UNKNOWN
+    unless some comparison is already FALSE). Spec per SQL standard
+    8.9 <quantified comparison predicate>; verified row-for-row against
+    DuckDB in the replay corpus.
     """
 
     op: str
@@ -288,9 +292,26 @@ class Quantified(Expr):
                 f"quantified comparison {self.op} {self.quantifier.upper()}(...)"
                 " has no clean Spark lowering; rewrite as EXISTS"
             )
+        s = self.operand.sql()
+        n_all = f"(select count(*) from ({sub}) as __q(__v))"
+        n_nn = f"(select count(__q.__v) from ({sub}) as __q(__v))"
+        cmp_ = f"({s} {self.op} (select {agg}(__q.__v) from ({sub}) as __q(__v)))"
+        if self.quantifier == "all":
+            # empty→TRUE; definite counterexample→FALSE; NULL element→NULL;
+            # else the extremum comparison (TRUE, or NULL when s is NULL)
+            return (
+                f"(case when {n_all} = 0 then true "
+                f"when not {cmp_} then false "
+                f"when {n_all} <> {n_nn} then cast(null as boolean) "
+                f"else {cmp_} end)"
+            )
+        # ANY: empty→FALSE; definite witness→TRUE; NULL element→NULL;
+        # else the extremum comparison (FALSE, or NULL when s is NULL)
         return (
-            f"({self.operand.sql()} {self.op} "
-            f"(select {agg}(__q.__v) from ({sub}) as __q(__v)))"
+            f"(case when {n_all} = 0 then false "
+            f"when {cmp_} then true "
+            f"when {n_all} <> {n_nn} then cast(null as boolean) "
+            f"else {cmp_} end)"
         )
 
 
