@@ -914,3 +914,32 @@ def test_quantified_comparison_edge_semantics(spark, sf_dir):
     assert rows("select 1 as x where 3 > any (select v from qc_t)") == [(1,)]
     assert rows("select 1 as x where 0 > any (select v from qc_t)") == []
     sess.sql("drop table qc_t")
+
+
+def test_quantified_truth_table_differential(spark, sf_dir):
+    """Exhaustive mini-domain differential: every ordered op x quantifier
+    over subquery sets {empty, with-NULL, without-NULL} x operand
+    {NULL, low, mid, high} must match DuckDB row-for-row."""
+    import duckdb
+
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    con = duckdb.connect()
+    sets = {
+        "empty": "select 5 as v where false",
+        "nonull": "select * from (values (2), (5)) as t(v)",
+        "withnull": "select * from (values (2), (5), (cast(null as integer))) as t(v)",
+    }
+    operands = ["cast(null as integer)", "1", "3", "9"]
+    for sname, ssql in sets.items():
+        for op in (">", ">=", "<", "<="):
+            for quant in ("any", "all"):
+                for x in operands:
+                    q = (
+                        f"select 1 as hit where {x} {op} {quant} ({ssql})"
+                    )
+                    got = len(sess.sql(q).collect())
+                    want = len(con.execute(q).fetchall())
+                    assert got == want, (sname, op, quant, x, got, want)
+    con.close()

@@ -121,7 +121,24 @@ def q_cte():
             f"where {be(0)} group by n_regionkey) "
             f"select k, c from t where c > {rng.randint(0,2)} order by k")
 
-GENS = [q_simple, q_agg, q_grouping, q_setop, q_sub, q_join, q_window, q_limit, q_cte]
+def q_quantified():
+    # r05: the replay corpus caught the > ALL(empty) bug — fuzz the whole
+    # ordered-quantifier surface incl. empty and NULL-bearing subqueries
+    op = rng.choice([">", ">=", "<", "<=", "=", "<>"])
+    quant = rng.choice(["any", "all", "some"])
+    if (op, quant if quant != "some" else "any") in (("=", "all"), ("<>", "any")):
+        op = ">"  # no clean lowering — keep to the supported surface
+    sub = rng.choice([
+        "select r_regionkey from region where r_regionkey > 99",  # empty
+        "select r_regionkey from region where r_regionkey < 3",
+        ("select case when r_regionkey = 2 then cast(null as integer) "
+         "else r_regionkey end from region"),  # NULL-bearing
+    ])
+    return (f"select n_nationkey as k from nation where n_regionkey {op} "
+            f"{quant} ({sub}) order by k")
+
+
+GENS = [q_simple, q_agg, q_grouping, q_setop, q_sub, q_join, q_window, q_limit, q_cte, q_quantified]
 fails = []
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 for i in range(N):
