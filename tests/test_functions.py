@@ -531,6 +531,27 @@ def _cases():
     "ip_subnet_min": [
         (_c("ip_subnet_min", F.lit("10.1.2.0/24")), "10.1.2.0"),
     ],
+    # --- color family ---
+    "rgb": [(_c("rgb", F.lit(255), F.lit(0), F.lit(128)), 0xFF0080)],
+    "color": [
+        (_c("color", F.lit("#ff0080")), 0xFF0080),
+        (_c("color", F.lit("#f08")), 0xFF0088),
+        (_c("color", F.lit("red")), 0xFF0000),
+        (_c("color", F.lit("not-a-color")), None),
+    ],
+    "render": [
+        (_c("render", F.lit(True)),
+         "\x1b[38;2;0;255;0m\u2713\x1b[0m"),
+        (_c("render", F.lit("hi"), F.lit(0x0000FF)),
+         "\x1b[38;2;0;0;255mhi\x1b[0m"),
+    ],
+    "bar": [
+        # half-filled width-4 bar: 2 colored blocks + reset + 2 spaces
+        (_c("bar", F.lit(0.5), F.lit(4)),
+         lambda v: v.count("\u2588") == 2 and v.endswith("  ")
+         and v.startswith("\x1b[38;2;255;0;0m")),
+        (_c("bar", F.lit(0.0), F.lit(3)), "   "),
+    ],
     # --- geospatial core (functions/geo.py) ---
     "st_point": [
         (

@@ -533,6 +533,19 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     # pipeline fails loudly. For STORABLE, MERGEABLE digest state (build →
     # parquet → merge later) use functions/sketches.py: a real t-digest
     # (tdigest_partials / tdigest_merge / tdigest_quantile), r05.
+    # --- r05: color family (Presto color.h: color/rgb/render/bar —
+    # terminal-visualization helpers). Colors are the RGB int Presto uses;
+    # render/bar emit ANSI truecolor escapes (documented deviation: Presto
+    # downsamples to its 256-color palette; block counts and hex parsing
+    # are identical, so the VISIBLE content matches).
+    "rgb": lambda r, g, b: (
+        _col(r).cast("bigint") * 65536
+        + _col(g).cast("bigint") * 256
+        + _col(b).cast("bigint")
+    ),
+    "color": lambda s_: _presto_color(s_),
+    "render": lambda x, c=None: _presto_render(x, c),
+    "bar": lambda x, w, lo=None, hi=None: _presto_bar(x, w, lo, hi),
     # --- r05: geospatial core (functions/geo.py; planar ST_* subset —
     # Presto's ST_* is planar as well). great_circle_distance is Presto's
     # haversine, exact.
@@ -1188,6 +1201,99 @@ def _ipaddress_udf(fn_name: str):
 
     _one_arg.__annotations__ = {"a": pd.Series, "return": pd.Series}
     return pandas_udf(_one_arg, rtype)
+
+
+_ANSI_NAMED = {
+    "black": 0x000000, "red": 0xFF0000, "green": 0x00FF00,
+    "yellow": 0xFFFF00, "blue": 0x0000FF, "magenta": 0xFF00FF,
+    "cyan": 0x00FFFF, "white": 0xFFFFFF,
+}
+
+
+def _presto_color(v) -> Column:
+    """Presto color('#rgb'|'#rrggbb'|name) → RGB int; invalid → NULL
+    (Presto raises; NULL is this engine's documented error-shape for
+    scalar helpers)."""
+    c = _col(v)
+    full = F.when(
+        c.rlike("^#[0-9a-fA-F]{6}$"), F.conv(c.substr(2, 6), 16, 10).cast("bigint")
+    )
+    short = F.when(
+        c.rlike("^#[0-9a-fA-F]{3}$"),
+        F.conv(
+            F.concat(
+                c.substr(2, 1), c.substr(2, 1),
+                c.substr(3, 1), c.substr(3, 1),
+                c.substr(4, 1), c.substr(4, 1),
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+    )
+    named = F.lit(None).cast("bigint")
+    for name, val in _ANSI_NAMED.items():
+        named = F.when(F.lower(c) == name, F.lit(val)).otherwise(named)
+    return F.coalesce(full, short, named)
+
+
+def _ansi_fg(rgb: Column) -> Column:
+    r = (rgb / 65536).cast("bigint") % 256
+    g = (rgb / 256).cast("bigint") % 256
+    b = rgb % 256
+    return F.concat(
+        F.lit("\u001b[38;2;"),
+        r.cast("string"), F.lit(";"),
+        g.cast("string"), F.lit(";"),
+        b.cast("string"), F.lit("m"),
+    )
+
+
+def _presto_render(x, c) -> Column:
+    v = _col(x)
+    if c is None:
+        # render(boolean): Presto's ✓ green / ✗ red
+        return F.when(
+            v.cast("boolean"),
+            F.concat(_ansi_fg(F.lit(0x00FF00)), F.lit("\u2713\u001b[0m")),
+        ).otherwise(
+            F.concat(_ansi_fg(F.lit(0xFF0000)), F.lit("\u2717\u001b[0m"))
+        )
+    return F.concat(_ansi_fg(_col(c)), v.cast("string"), F.lit("\u001b[0m"))
+
+
+def _presto_bar(x, w, lo, hi) -> Column:
+    """bar(fraction, width[, low_color, high_color]): width-char bar,
+    round(x*width) colored full blocks interpolated low→high (Presto
+    defaults red→green), space-padded."""
+    frac = F.greatest(F.least(_col(x).cast("double"), F.lit(1.0)), F.lit(0.0))
+    width = _col(w).cast("int") if isinstance(w, Column) else F.lit(int(w))
+    lo_c = _col(lo) if lo is not None else F.lit(0xFF0000)
+    hi_c = _col(hi) if hi is not None else F.lit(0x00FF00)
+    n = F.round(frac * width).cast("int")
+
+    def chan(c, shift):
+        return (c / F.lit(shift)).cast("bigint") % 256
+
+    def interp(i):
+        t = (i.cast("double") - 1) / F.greatest(width - 1, F.lit(1))
+        mix = lambda a, b: F.round(a + (b - a) * t).cast("bigint")  # noqa: E731
+        return (
+            mix(chan(lo_c, 65536), chan(hi_c, 65536)) * 65536
+            + mix(chan(lo_c, 256), chan(hi_c, 256)) * 256
+            + mix(lo_c % 256, hi_c % 256)
+        )
+
+    blocks = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(_ansi_fg(interp(i)), F.lit("\u2588")),
+        ),
+        "",
+    )
+    pad = F.repeat(F.lit(" "), F.greatest(width - n, F.lit(0)))
+    return F.when(n == 0, pad).otherwise(
+        F.concat(blocks, F.lit("\u001b[0m"), pad)
+    )
 
 
 def _looks_v6(c: Column) -> Column:
