@@ -299,11 +299,27 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = cat.orders.filter(
         (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
     )
+    # implied-predicate pushdown (r05): the final join requires
+    # c_nationkey = s_nationkey AND s_nationkey ∈ ASIA, so customers are
+    # pre-reduced to Asian nations with a broadcast semi-join (map-only;
+    # nation is a bounded dimension). This shrinks the build side and the
+    # fact-join output ~5x BEFORE any shuffle — the reference optimizer's
+    # derived-filter placement (implied edges + existences import).
+    asian = nation.select(F.col("n_nationkey").alias("__ank"))
+    cust_asia = cat.customer.join(
+        F.broadcast(asian), F.col("c_nationkey") == F.col("__ank"), "left_semi"
+    )
+    date_est = _ts_range_est(
+        cat, "orders", "o_orderdate", "1996-01-01", "1997-01-01"
+    )
     # see q10: the filtered (customer ⋈ orders) build side is footer-sized
-    # and broadcast when it fits, so lineitem streams without a shuffle
+    # and broadcast when it fits, so lineitem streams without a shuffle.
+    # The region semi-filter keeps 1/5 of customers under the generator's
+    # uniform nation->region mapping (same uniformity the footer
+    # selectivity model assumes).
     cust_orders = _bcast_if_small(
-        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey")),
-        _ts_range_est(cat, "orders", "o_orderdate", "1996-01-01", "1997-01-01"),
+        cust_asia.join(orders, F.col("c_custkey") == F.col("o_custkey")),
+        None if date_est is None else date_est * 0.2,
         width=24.0,  # projected build row: c_custkey, c_nationkey, o_orderkey
     )
     return (
@@ -373,18 +389,33 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
     n2 = F.broadcast(cat.nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    # implied-predicate pushdown (r05): the disjunctive cross-nation
+    # condition implies s_nationkey ∈ {12,13} and c_nationkey ∈ {12,13};
+    # pre-reducing supplier makes it broadcastable (2/25 of suppliers), so
+    # lineitem joins it map-side with NO fact shuffle, and the surviving
+    # fact stream is ~12x smaller before orders/customer join it. The
+    # full disjunction still applies at the end — results identical.
+    two_nations = cat.nation.filter(
+        F.col("n_name").isin("NATION_12", "NATION_13")
+    ).select(F.col("n_nationkey").alias("__nk"))
+    supp_2n = cat.supplier.join(
+        F.broadcast(two_nations), F.col("s_nationkey") == F.col("__nk"), "left_semi"
+    )
+    cust_2n = cat.customer.join(
+        F.broadcast(two_nations), F.col("c_nationkey") == F.col("__nk"), "left_semi"
+    )
     shipping = (
-        cat.supplier.join(cat.lineitem, F.col("s_suppkey") == F.col("l_suppkey"))
+        cat.lineitem.filter(
+            F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+        )
+        .join(F.broadcast(supp_2n), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust_2n, F.col("c_custkey") == F.col("o_custkey"))
         .join(n1, F.col("s_nationkey") == F.col("n1_key"))
         .join(n2, F.col("c_nationkey") == F.col("n2_key"))
         .filter(
-            (
-                ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_13"))
-                | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_12"))
-            )
-            & F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+            ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_13"))
+            | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_12"))
         )
         .select(
             "supp_nation",
