@@ -120,6 +120,30 @@ def _ts_range_est(cat: Catalog, table: str, col: str, lo: str, hi: str) -> float
     return None if sel is None else stats.num_rows * sel
 
 
+def _fact_rows(cat: Catalog, table: str = "lineitem") -> float | None:
+    """Footer row count of a fact table (zero jobs) — gates the
+    scale-adaptive rewrites below."""
+    stats = cat.stats(table)
+    return None if stats is None else float(stats.num_rows)
+
+
+# implied-predicate semi-reduction fires only past this fact size: below
+# it the extra broadcast-semi stages cost more than the shuffle they save
+# (measured: +0.1-0.2s per query at sf0.1, neutral-to-positive at sf100)
+SEMI_REDUCE_MIN_FACT_ROWS = 50_000_000
+
+
+def _semi_if_big(df: DataFrame, keys: DataFrame, cond, fact_rows: float | None) -> DataFrame:
+    """Broadcast-semi-reduce ``df`` by ``keys`` when the plan's fact side
+    is big enough for shuffle savings to dominate (the reference's
+    existences import, JoinCandidate::existences Plan.h:134-151 — applied
+    here at build time with the same footer-stats gate the broadcast
+    decisions use)."""
+    if fact_rows is not None and fact_rows >= SEMI_REDUCE_MIN_FACT_ROWS:
+        return df.join(F.broadcast(keys), cond, "left_semi")
+    return df
+
+
 def _bcast_if_small(df: DataFrame, est_rows: float | None, width: float = 24.0) -> DataFrame:
     """Explicit broadcast when the footer ESTIMATE clears the byte-aware
     gate (Distribution::broadcast analog — the decision Catalyst cannot
@@ -305,9 +329,10 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nation is a bounded dimension). This shrinks the build side and the
     # fact-join output ~5x BEFORE any shuffle — the reference optimizer's
     # derived-filter placement (implied edges + existences import).
+    fact_n = _fact_rows(cat)
     asian = nation.select(F.col("n_nationkey").alias("__ank"))
-    cust_asia = cat.customer.join(
-        F.broadcast(asian), F.col("c_nationkey") == F.col("__ank"), "left_semi"
+    cust_asia = _semi_if_big(
+        cat.customer, asian, F.col("c_nationkey") == F.col("__ank"), fact_n
     )
     date_est = _ts_range_est(
         cat, "orders", "o_orderdate", "1996-01-01", "1997-01-01"
@@ -317,9 +342,10 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The region semi-filter keeps 1/5 of customers under the generator's
     # uniform nation->region mapping (same uniformity the footer
     # selectivity model assumes).
+    reduced = fact_n is not None and fact_n >= SEMI_REDUCE_MIN_FACT_ROWS
     cust_orders = _bcast_if_small(
         cust_asia.join(orders, F.col("c_custkey") == F.col("o_custkey")),
-        None if date_est is None else date_est * 0.2,
+        None if date_est is None else date_est * (0.2 if reduced else 1.0),
         width=24.0,  # projected build row: c_custkey, c_nationkey, o_orderkey
     )
     return (
@@ -395,20 +421,26 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem joins it map-side with NO fact shuffle, and the surviving
     # fact stream is ~12x smaller before orders/customer join it. The
     # full disjunction still applies at the end — results identical.
+    fact_n = _fact_rows(cat)
     two_nations = cat.nation.filter(
         F.col("n_name").isin("NATION_12", "NATION_13")
     ).select(F.col("n_nationkey").alias("__nk"))
-    supp_2n = cat.supplier.join(
-        F.broadcast(two_nations), F.col("s_nationkey") == F.col("__nk"), "left_semi"
+    supp_2n = _semi_if_big(
+        cat.supplier, two_nations, F.col("s_nationkey") == F.col("__nk"), fact_n
     )
-    cust_2n = cat.customer.join(
-        F.broadcast(two_nations), F.col("c_nationkey") == F.col("__nk"), "left_semi"
+    cust_2n = _semi_if_big(
+        cat.customer, two_nations, F.col("c_nationkey") == F.col("__nk"), fact_n
     )
     shipping = (
         cat.lineitem.filter(
             F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
         )
-        .join(F.broadcast(supp_2n), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            F.broadcast(supp_2n)
+            if fact_n is not None and fact_n >= SEMI_REDUCE_MIN_FACT_ROWS
+            else supp_2n,
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
         .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(cust_2n, F.col("c_custkey") == F.col("o_custkey"))
         .join(n1, F.col("s_nationkey") == F.col("n1_key"))
