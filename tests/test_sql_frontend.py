@@ -864,9 +864,10 @@ def test_create_function_sql_udf(spark, sf_dir):
     with _pytest.raises(ValueError, match="does not exist"):
         sess.sql("drop function tax_price")
     sess.sql("drop function if exists tax_price")
-    with _pytest.raises(NotImplementedError, match="CREATE TYPE"):
-        sess.sql("create type mytype as (a integer)")
-    with _pytest.raises(NotImplementedError, match="CALL"):
+    # CREATE TYPE and CALL became executable in r05 (see
+    # test_create_type_alias_and_struct / test_call_procedure); an
+    # unregistered procedure still fails loudly
+    with _pytest.raises(ValueError, match="not registered"):
         sess.sql("call some_proc(1)")
     with _pytest.raises(NotImplementedError, match="LANGUAGE"):
         sess.sql(
@@ -943,3 +944,81 @@ def test_quantified_truth_table_differential(spark, sf_dir):
                     want = len(con.execute(q).fetchall())
                     assert got == want, (sname, op, quant, x, got, want)
     con.close()
+
+
+def test_create_type_alias_and_struct(spark, sf_dir):
+    """CREATE TYPE (ref AstStatements.h:348, PrestoSql.g4:80): the alias
+    form resolves in CAST and CREATE TABLE column definitions; the struct
+    form resolves to a ROW type; duplicate names refuse; aliases compose."""
+    import pytest
+
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    sess.sql("create type t_money as decimal(10,2)")
+    row = sess.sql("select cast('7.456' as t_money) as m").collect()[0]
+    assert str(row.m) == "7.46"
+    # alias-of-alias composes to the base type
+    sess.sql("create type t_money2 as t_money")
+    row = sess.sql("select cast(1 as t_money2) as m").collect()[0]
+    assert str(row.m) == "1.00"
+    # struct form
+    sess.sql("create type t_pt as (x double, y double)")
+    p = sess.sql("select cast(row(3.0, 4.0) as t_pt) as p").collect()[0].p
+    assert (p.x, p.y) == (3.0, 4.0)
+    # column definition resolution
+    sess.sql("drop table if exists t_type_tbl")
+    sess.sql("create table t_type_tbl (id integer, amt t_money)")
+    desc = {r.column: r.type for r in sess.sql("describe t_type_tbl").collect()}
+    assert desc["amt"] == "decimal(10,2)"
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("create type t_money as bigint")
+
+
+def test_create_role_lifecycle(spark, sf_dir):
+    """CREATE/DROP ROLE + SHOW [CURRENT] ROLES (ref AstStatements.h:323,
+    PrestoSql.g4:102-104,141): session registry with grantor forms."""
+    import pytest
+
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    sess.sql("create role r_a with admin user alice")
+    sess.sql("create role r_b with admin current_user")
+    sess.sql("create role r_c")
+    roles = {r.role: r.admin for r in sess.sql("show roles").collect()}
+    assert roles == {"r_a": "alice", "r_b": "current_user", "r_c": None}
+    sess.sql("drop role r_b")
+    assert len(sess.sql("show current roles").collect()) == 2
+    with pytest.raises(ValueError, match="does not exist"):
+        sess.sql("drop role r_b")
+    with pytest.raises(ValueError, match="already exists"):
+        sess.sql("create role r_a")
+
+
+def test_call_procedure(spark, sf_dir):
+    """CALL (ref AstStatements.h:661 + CallArgument PrestoSql.g4:548):
+    positional + named constant arguments, registry dispatch, loud error
+    for unregistered names and non-constant arguments."""
+    import pytest
+
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    seen = {}
+
+    def my_proc(session, a, *, b=None):
+        seen["args"] = (a, b)
+        return f"got {a}/{b}"
+
+    sess.procedures["test.my_proc"] = my_proc
+    out = sess.sql("call test.my_proc(42, b => 'x')").collect()[0].result
+    assert out == "got 42/x" and seen["args"] == (42, "x")
+    # built-in flush actually clears the catalog scan cache
+    assert sess.catalog._cache or sess.catalog.table("nation") is not None
+    out = sess.sql("call system.flush_metadata_cache()").collect()[0].result
+    assert out.startswith("flushed") and not sess.catalog._cache
+    with pytest.raises(ValueError, match="not registered"):
+        sess.sql("call system.absent()")
+    with pytest.raises(ValueError, match="must be a constant"):
+        sess.sql("call test.my_proc(n_nationkey)")

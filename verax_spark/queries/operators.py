@@ -2962,6 +2962,49 @@ def sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Statement-surface tail (r05; ref AstStatements.h:323-373,661): CREATE
+# TYPE registers a session type alias resolved in every later type
+# spelling; CREATE/DROP ROLE + SHOW ROLES is a session registry (the
+# reference likewise only parses these — SqlStatement.h:23-79); CALL
+# dispatches a procedure registry whose built-in flushes the scan-layout
+# and footer-stats caches. The returned frame exercises the alias inside
+# a real aggregation so the oracle checks actual CAST semantics.
+@_register(
+    "sql_statement_tail",
+    """
+    select o_orderstatus as st,
+      cast(count(*) as bigint) as n,
+      cast(sum(cast(o_totalprice as decimal(12,2))) as double) as total
+    from orders where o_orderkey % 7 = 0
+    group by o_orderstatus order by st
+    """,
+)
+def sql_statement_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    sess.sql("create type money as decimal(12,2)")
+    sess.sql("create type point as (x double, y double)")
+    sess.sql("create role analyst with admin user alice")
+    sess.sql("create role etl")
+    roles = {r.role: r.admin for r in sess.sql("show roles").collect()}
+    assert roles == {"analyst": "alice", "etl": None}, roles
+    sess.sql("drop role etl")
+    assert len(sess.sql("show roles").collect()) == 1
+    flushed = sess.sql("call system.flush_metadata_cache()").collect()
+    assert "flushed" in flushed[0].result
+    # struct-form type in a CAST
+    p = sess.sql("select cast(row(1.5, 2.5) as point) as p").collect()[0].p
+    assert (p.x, p.y) == (1.5, 2.5)
+    return sess.sql(
+        "select o_orderstatus as st, cast(count(*) as bigint) as n, "
+        "cast(sum(cast(o_totalprice as money)) as double) as total "
+        "from orders where o_orderkey % 7 = 0 "
+        "group by o_orderstatus order by st"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Geospatial core (r05; the reference registers Velox's Presto library
 # wholesale incl. ST_* — AxiomSql.cpp:149; judge r04 listed geometry as
 # absent). Planar 2D subset in pure Column expressions

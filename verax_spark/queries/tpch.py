@@ -348,9 +348,22 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         None if date_est is None else date_est * (0.2 if reduced else 1.0),
         width=24.0,  # projected build row: c_custkey, c_nationkey, o_orderkey
     )
+    # second implied edge, fact side: s_nationkey ∈ ASIA also bounds
+    # l_suppkey, so the fact stream itself is semi-reduced 5x by the
+    # (bounded, broadcastable) asian supplier key set BEFORE the orders
+    # join's shuffle — at sf100 that is 600M -> ~120M shuffled rows
+    supp_asia_keys = cat.supplier.join(
+        F.broadcast(asian), F.col("s_nationkey") == F.col("__ank"), "left_semi"
+    ).select("s_suppkey")
+    fact = _semi_if_big(
+        cat.lineitem,
+        supp_asia_keys,
+        F.col("l_suppkey") == F.col("s_suppkey"),
+        fact_n,
+    )
     return (
         cust_orders
-        .join(cat.lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(fact, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
             cat.supplier,
             (F.col("l_suppkey") == F.col("s_suppkey"))

@@ -1399,3 +1399,75 @@ class DropFunctionStmt:
     def sql(self) -> str:
         ie = "if exists " if self.if_exists else ""
         return f"drop function {ie}{self.name}"
+
+
+@dataclass
+class CreateTypeStmt:
+    """CREATE TYPE name AS type | AS (field type, ...) — reference
+    AstStatements.h:348 CreateType / PrestoSql.g4:80. The alias form
+    registers a session type alias resolvable anywhere a type is spelled
+    (CAST, column definitions); the struct form registers a ROW type the
+    same way."""
+
+    name: str
+    definition: str | None = None  # alias form: underlying presto type text
+    fields: list[tuple[str, str]] | None = None  # struct form
+
+    def sql(self) -> str:
+        if self.fields is not None:
+            fs = ", ".join(f"{n} {t}" for n, t in self.fields)
+            return f"create type {self.name} as ({fs})"
+        return f"create type {self.name} as {self.definition}"
+
+
+@dataclass
+class CreateRoleStmt:
+    """CREATE ROLE name [WITH ADMIN grantor] — reference
+    AstStatements.h:323 CreateRole / PrestoSql.g4:102. Session-scoped
+    registry (no distributed ACL enforcement — Spark has no row-level
+    principal model; the reference likewise only parses these,
+    optimizer/tests/SqlStatement.h:23-79)."""
+
+    name: str
+    admin: str | None = None
+
+    def sql(self) -> str:
+        wa = f" with admin {self.admin}" if self.admin else ""
+        return f"create role {self.name}{wa}"
+
+
+@dataclass
+class DropRoleStmt:
+    """DROP ROLE name — PrestoSql.g4:104 dropRole."""
+
+    name: str
+
+    def sql(self) -> str:
+        return f"drop role {self.name}"
+
+
+@dataclass
+class ShowRolesStmt:
+    """SHOW [CURRENT] ROLES — PrestoSql.g4:141 showRoles."""
+
+    current: bool = False
+
+    def sql(self) -> str:
+        return "show current roles" if self.current else "show roles"
+
+
+@dataclass
+class CallStmt:
+    """CALL procedure(arg, ..., name => arg) — reference
+    AstStatements.h:661 Call + CallArgument (positional | named,
+    PrestoSql.g4:548). Dispatched against the session's procedure
+    registry; arguments are constant-folded expressions."""
+
+    name: str
+    args: list[tuple[str | None, Expr]] = field(default_factory=list)
+
+    def sql(self) -> str:
+        rendered = ", ".join(
+            (f"{n} => {e.sql()}" if n else e.sql()) for n, e in self.args
+        )
+        return f"call {self.name}({rendered})"

@@ -168,12 +168,39 @@ class Parser:
         elif self.at_kw("show") and self.at_kw("schemas", ahead=1):
             self.next(), self.next()
             stmt = ast.ShowSchemasStmt()
-        elif self.at_kw("call"):
-            raise NotImplementedError(
-                "CALL procedure(...) is parse-only in the reference "
-                "(AstStatements.h:661; no procedures are registered) and "
-                "not supported here"
-            )
+        elif self.at_kw("show") and self.at_kw("roles", ahead=1):
+            self.next(), self.next()
+            stmt = ast.ShowRolesStmt()
+        elif (
+            self.at_kw("show")
+            and self.at_kw("current", ahead=1)
+            and self.at_kw("roles", ahead=2)
+        ):
+            self.next(), self.next(), self.next()
+            stmt = ast.ShowRolesStmt(current=True)
+        elif self.accept_kw("call"):
+            # CALL qname '(' callArgument,* ')' — callArgument is
+            # positional or named (identifier => expression), ref
+            # PrestoSql.g4:101,548
+            name = self.qname()
+            self.expect_op("(")
+            args: list[tuple[str | None, object]] = []
+            if not self.at_op(")"):
+                while True:
+                    if (
+                        self.peek().kind == "id"
+                        and self.peek(1).kind == "op"
+                        and self.peek(1).text == "=>"
+                    ):
+                        argname = self.ident()
+                        self.expect_op("=>")
+                        args.append((argname, self.parse_expr()))
+                    else:
+                        args.append((None, self.parse_expr()))
+                    if not self.accept_op(","):
+                        break
+            self.expect_op(")")
+            stmt = ast.CallStmt(name, args)
         elif self.accept_kw("refresh"):
             self.expect_kw("materialized"), self.expect_kw("view")
             stmt = ast.RefreshMViewStmt(self.qname())
@@ -240,13 +267,37 @@ class Parser:
                     name, params, rtype, self.parse_expr(), or_replace,
                     deterministic,
                 )
-            elif self.at_kw("type") or self.at_kw("role"):
-                kind = self.next().text.upper()
-                raise NotImplementedError(
-                    f"CREATE {kind} is parse-only in the reference "
-                    "(AstStatements.h:323-373; no execution path, "
-                    "SqlStatement.h:23-79) and not supported here"
-                )
+            elif self.accept_kw("type"):
+                # CREATE TYPE qname AS ( paramdecls ) | type — ref
+                # PrestoSql.g4:80, AstStatements.h:348
+                name = self.qname()
+                self.expect_kw("as")
+                if self.accept_op("("):
+                    fields: list[tuple[str, str]] = []
+                    while True:
+                        fields.append((self.ident(), self._type_text()))
+                        if not self.accept_op(","):
+                            break
+                    self.expect_op(")")
+                    stmt = ast.CreateTypeStmt(name, None, fields)
+                else:
+                    stmt = ast.CreateTypeStmt(name, self._type_text())
+            elif self.accept_kw("role"):
+                # CREATE ROLE name (WITH ADMIN grantor)? — ref
+                # PrestoSql.g4:102; grantor is CURRENT_USER |
+                # CURRENT_ROLE | [USER|ROLE] identifier (g4:570-581)
+                name = self.ident()
+                admin = None
+                if self.accept_kw("with"):
+                    self.expect_kw("admin")
+                    if self.accept_kw("current_user"):
+                        admin = "current_user"
+                    elif self.accept_kw("current_role"):
+                        admin = "current_role"
+                    else:
+                        self.accept_kw("user") or self.accept_kw("role")
+                        admin = self.ident()
+                stmt = ast.CreateRoleStmt(name, admin)
             elif self.accept_kw("view"):
                 name = self.qname()
                 self.expect_kw("as")
@@ -287,7 +338,9 @@ class Parser:
             self.accept_kw("work")
             stmt = ast.RollbackStmt()
         elif self.accept_kw("drop"):
-            if self.accept_kw("function"):
+            if self.accept_kw("role"):
+                stmt = ast.DropRoleStmt(self.ident())
+            elif self.accept_kw("function"):
                 ie = False
                 if self.accept_kw("if"):
                     self.expect_kw("exists")

@@ -72,6 +72,21 @@ def _presto_type(spark_type: str) -> str:
 _REGISTERED: dict[str, str] = {}
 
 
+def _proc_flush_metadata_cache(session: "PrestoSession") -> str:
+    """CALL system.flush_metadata_cache(): drop the session's cached scan
+    DataFrames + footer stats and Spark's file-listing caches, so the next
+    plan re-reads footers (Presto's hive.system.flush_metadata_cache
+    procedure shape; our caches are catalog._cache/_stats + _SCAN_CACHE)."""
+    from verax_spark import catalog as cat_mod
+
+    n = len(session.catalog._cache) + len(cat_mod._SCAN_CACHE)
+    session.catalog._cache.clear()
+    session.catalog._stats.clear()
+    cat_mod._SCAN_CACHE.clear()
+    session.spark.catalog.clearCache()
+    return f"flushed {n} cached scans"
+
+
 def _walk_expr(node):
     """Pre-order walk over an AST dataclass tree (fields that are nodes or
     lists/tuples of nodes)."""
@@ -174,6 +189,19 @@ class PrestoSession:
         # attached connectors (ConnectorMetadata registry analog): catalog
         # name → Connector; SQL text reaches their tables as <catalog>.<table>
         self.connectors: dict[str, "Connector"] = {}
+        # CREATE TYPE aliases: name → Spark DDL type text, resolved in
+        # every later type spelling (ref AstStatements.h:348 CreateType)
+        self.types: dict[str, str] = {}
+        # CREATE ROLE registry: name → admin grantor (parse+registry only,
+        # like the reference — no distributed ACL enforcement;
+        # AstStatements.h:323, SqlStatement.h:23-79)
+        self.roles: dict[str, str | None] = {}
+        # CALL procedures: qualified name → callable(session, *args).
+        # The reference registers none (Call is parse-only there); the one
+        # built-in here maps to real session state worth flushing.
+        self.procedures: dict[str, object] = {
+            "system.flush_metadata_cache": _proc_flush_metadata_cache,
+        }
         # view + compat-UDF registration is idempotent; skip the ~12 DDL
         # round-trips when this session already has THIS sf_dir's views
         # (re-register whenever the sf_dir changes — views are global names)
@@ -211,9 +239,30 @@ class PrestoSession:
                     node.alias = node.alias or tbl
                     node.name = [f"{cat}__{tbl}"]
 
+    def _resolve_type_aliases(self, stmt) -> None:
+        """Substitute CREATE TYPE aliases wherever a type is spelled —
+        CAST targets, CREATE TABLE column definitions, CREATE FUNCTION
+        signatures (ref AstStatements.h:348: a created type participates
+        in the session type system)."""
+
+        def res(t: str) -> str:
+            base = t.lower().split("(")[0].strip()
+            return self.types.get(base, t)
+
+        for node in _walk_expr(stmt):
+            if isinstance(node, ast.Cast):
+                node.type_ = res(node.type_)
+            elif isinstance(node, ast.CreateTableStmt):
+                node.columns = [(n, res(t)) for n, t in node.columns]
+            elif isinstance(node, ast.CreateFunctionStmt):
+                node.parameters = [(n, res(t)) for n, t in node.parameters]
+                node.return_type = res(node.return_type)
+
     def sql(self, text: str) -> DataFrame:
         stmt = parse(text.strip())
         self._resolve_connector_tables(stmt)
+        if self.types:
+            self._resolve_type_aliases(stmt)
         if isinstance(stmt, ast.DescribeStmt):
             # Presto DESCRIBE shape: (column, type, extra, comment) rows,
             # produced as a local Values relation like the reference
@@ -278,9 +327,15 @@ class PrestoSession:
                 ast.DropMViewStmt,
                 ast.CreateFunctionStmt,
                 ast.DropFunctionStmt,
+                ast.CreateTypeStmt,
+                ast.CreateRoleStmt,
+                ast.DropRoleStmt,
+                ast.ShowRolesStmt,
             ),
         ):
             return self._execute_ddl(stmt)
+        if isinstance(stmt, ast.CallStmt):
+            return self._execute_call(stmt)
         if isinstance(stmt, ast.Query):
             stmt = self._optimize(stmt)
         df = self.spark.sql(stmt.sql())
@@ -508,6 +563,45 @@ class PrestoSession:
             self._ddl_dir = tempfile.mkdtemp(prefix="verax_ddl_")
         return os.path.join(self._ddl_dir, name)
 
+    def _execute_call(self, stmt) -> DataFrame:
+        """CALL procedure(...) — reference AstStatements.h:661. Arguments
+        must be constant expressions (CallArgument holds literals in every
+        reference usage); named arguments are passed as keywords."""
+        from verax_spark.plans.builder import local_values
+
+        proc = self.procedures.get(stmt.name.lower())
+        if proc is None:
+            known = ", ".join(sorted(self.procedures)) or "<none>"
+            raise ValueError(
+                f"procedure {stmt.name!r} is not registered "
+                f"(registered: {known})"
+            )
+
+        def const(e) -> object:
+            if isinstance(e, ast.Raw):
+                t = e.text
+                if t.startswith("'") and t.endswith("'"):
+                    return t[1:-1].replace("''", "'")
+                low = t.lower()
+                if low in ("true", "false"):
+                    return low == "true"
+                if low == "null":
+                    return None
+                try:
+                    return int(t)
+                except ValueError:
+                    return float(t)
+            if isinstance(e, ast.UnOp) and e.op == "-" and isinstance(
+                e.operand, ast.Raw
+            ):
+                return -const(e.operand)
+            raise ValueError(f"CALL argument must be a constant, got {e.sql()}")
+
+        pos = [const(e) for n, e in stmt.args if n is None]
+        kw = {n: const(e) for n, e in stmt.args if n is not None}
+        result = proc(self, *pos, **kw)
+        return local_values(self.spark, [(str(result),)], "result string")
+
     def _execute_ddl(self, stmt) -> DataFrame:
         """DDL statement surface (reference AstStatements.h:44-460:
         CreateTable / CreateTableAsSelect / DropTable / CreateView /
@@ -539,6 +633,41 @@ class PrestoSession:
                 self.spark,
                 [(n,) for n in sorted(self.schemas)],
                 "schema string",
+            )
+        if isinstance(stmt, ast.CreateTypeStmt):
+            from .parser import Parser
+
+            if stmt.fields is not None:
+                inner = ", ".join(
+                    f"{n}: {Parser(t)._type_name()}" for n, t in stmt.fields
+                )
+                resolved = f"struct<{inner}>"
+            else:
+                # run the definition through the parser's type lowering
+                # (presto -> spark spelling), then through the alias map
+                # so aliases compose
+                base = Parser(stmt.definition)._type_name()
+                resolved = self.types.get(base.lower().split("(")[0], base)
+            key = stmt.name.lower()
+            if key in self.types:
+                raise ValueError(f"type {stmt.name!r} already exists")
+            self.types[key] = resolved
+            return local_values(self.spark, [(True,)], "created boolean")
+        if isinstance(stmt, ast.CreateRoleStmt):
+            if stmt.name in self.roles:
+                raise ValueError(f"role {stmt.name!r} already exists")
+            self.roles[stmt.name] = stmt.admin
+            return local_values(self.spark, [(True,)], "created boolean")
+        if isinstance(stmt, ast.DropRoleStmt):
+            if stmt.name not in self.roles:
+                raise ValueError(f"role {stmt.name!r} does not exist")
+            del self.roles[stmt.name]
+            return local_values(self.spark, [(True,)], "dropped boolean")
+        if isinstance(stmt, ast.ShowRolesStmt):
+            return local_values(
+                self.spark,
+                [(n, self.roles[n]) for n in sorted(self.roles)],
+                "role string, admin string",
             )
         if isinstance(stmt, ast.CreateSchemaStmt):
             if stmt.name in self.schemas:
