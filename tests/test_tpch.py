@@ -17,3 +17,14 @@ def test_tpch_query_matches_oracle(spark, sf_dir, name):
     rows = run_differential(spark, sf_dir, name, tpch.QUERIES[name], tpch.ORACLE[name])
     # every corpus query should produce rows at smoke scale
     assert rows > 0, f"{name}: empty result — filters too tight for testdata"
+
+
+@pytest.mark.parametrize("name", ["tpch_q2", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q16"])
+def test_semi_reduction_forced_on_matches_oracle(spark, sf_dir, name, monkeypatch):
+    """The scale-adaptive implied-edge semi-reductions (q2/q5/q7/q10/q16)
+    are gated off at test scale; force the gate open so the REDUCED plan
+    shape is the one differentially pinned against DuckDB — results must
+    be identical with or without the reduction."""
+    monkeypatch.setattr(tpch, "SEMI_REDUCE_MIN_FACT_ROWS", 0)
+    rows = run_differential(spark, sf_dir, name, tpch.QUERIES[name], tpch.ORACLE[name])
+    assert rows > 0

@@ -120,6 +120,19 @@ def _ts_range_est(cat: Catalog, table: str, col: str, lo: str, hi: str) -> float
     return None if sel is None else stats.num_rows * sel
 
 
+def _filter_est(cat: Catalog, table: str, expr) -> float | None:
+    """Footer-estimated surviving rows of ``table`` under a DSL filter
+    expression (sources/stats.selectivity; zero Spark jobs). None when
+    the footers can't answer."""
+    from verax_spark.sources.stats import selectivity
+
+    stats = cat.stats(table)
+    if stats is None:
+        return None
+    sel = selectivity(stats, expr)
+    return None if sel is None else stats.num_rows * sel
+
+
 def _fact_rows(cat: Catalog, table: str = "lineitem") -> float | None:
     """Footer row count of a fact table (zero jobs) — gates the
     scale-adaptive rewrites below."""
@@ -140,6 +153,33 @@ def _semi_if_big(df: DataFrame, keys: DataFrame, cond, fact_rows: float | None) 
     here at build time with the same footer-stats gate the broadcast
     decisions use)."""
     if fact_rows is not None and fact_rows >= SEMI_REDUCE_MIN_FACT_ROWS:
+        return df.join(F.broadcast(keys), cond, "left_semi")
+    return df
+
+
+def _semi_if_bcast(
+    df: DataFrame,
+    keys: DataFrame,
+    cond,
+    fact_rows: float | None,
+    key_est: float | None,
+) -> DataFrame:
+    """Broadcast-semi-reduce ``df`` by a single-column key set when the
+    fact side is big enough for the saved shuffle volume to dominate AND
+    the key set's footer estimate fits the broadcast byte budget. Unlike
+    the general gate, a bare int64 key set has no row-width risk, so only
+    the byte cap applies (8 B/key -> up to ~8M keys under the 64 MB
+    budget). Scale-adaptive at both ends: small sf skips the extra
+    stage; extreme sf declines the too-big broadcast and keeps the plain
+    join."""
+    from verax_spark.optimizer.query_graph import DEFAULT_BROADCAST_BYTES
+
+    if (
+        fact_rows is not None
+        and fact_rows >= SEMI_REDUCE_MIN_FACT_ROWS
+        and key_est is not None
+        and key_est * 8.0 <= DEFAULT_BROADCAST_BYTES
+    ):
         return df.join(F.broadcast(keys), cond, "left_semi")
     return df
 
@@ -254,6 +294,24 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         supp_eur, F.col("l_suppkey") == F.col("s_suppkey")
     )
     part = cat.part.filter((F.col("p_size") <= 25) & F.col("p_type").isin("ECONOMY", "STANDARD"))
+    # the part filter keeps ~17% of parts: semi-reduce the offers stream
+    # by the surviving part keys BEFORE its join shuffle + window sort
+    # (footer-gated, same implied-edge import as q5/q10/q16)
+    from verax_spark.plans.expr import Call, Col, Lit
+
+    part_est = _filter_est(
+        cat,
+        "part",
+        (Col("p_size") <= Lit(25))
+        & Call("in", Col("p_type"), Lit("ECONOMY"), Lit("STANDARD")),
+    )
+    offers = _semi_if_bcast(
+        offers,
+        part.select(F.col("p_partkey").alias("__sr_pk")),
+        F.col("l_partkey") == F.col("__sr_pk"),
+        _fact_rows(cat),
+        part_est,
+    )
     # inner-join part first (shrinks the window input to surviving partkeys;
     # per-partkey offer rows are unaffected, so the window min is unchanged)
     w = Window.partitionBy("l_partkey")
@@ -618,10 +676,24 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invisible (Filter keeps the child's size estimate): broadcast it from
     # the footer estimate so the big probe never shuffles (rows ≈ filtered
     # orders: o_custkey joins the customer PK 1:1)
+    date_est = _ts_range_est(
+        cat, "orders", "o_orderdate", "1996-10-01", "1997-01-01"
+    )
     cust_orders = _bcast_if_small(
         cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey")),
-        _ts_range_est(cat, "orders", "o_orderdate", "1996-10-01", "1997-01-01"),
+        date_est,
         width=64.0,  # c_custkey,c_name,c_nationkey,c_acctbal + o keys
+    )
+    # one quarter of orders survives (~5M keys at sf100, ~40 MB as bare
+    # int64s): semi-reduce the R-flagged fact stream by those keys BEFORE
+    # its join shuffle — 150M -> ~5M shuffled rows (implied-edge import,
+    # same shape as q5/q16)
+    line = _semi_if_bcast(
+        line,
+        orders.select(F.col("o_orderkey").alias("__sr_ok")),
+        F.col("l_orderkey") == F.col("__sr_ok"),
+        _fact_rows(cat),
+        date_est,
     )
     return (
         cust_orders
@@ -803,8 +875,19 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
     )
     bad_supp = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    # the part filter keeps ~13% of parts (8/50 sizes x brand/type), so
+    # the fact stream is broadcast-semi-reduced by the surviving part
+    # keys BEFORE the join shuffle (same implied-edge import as q5):
+    # at sf100 that is 600M -> ~78M shuffled rows for a ~20 MB key
+    # broadcast (N_part x 0.13 x 8B)
+    fact = _semi_if_big(
+        cat.lineitem.select("l_partkey", "l_suppkey"),
+        part.select("p_partkey"),
+        F.col("l_partkey") == F.col("p_partkey"),
+        _fact_rows(cat),
+    )
     return (
-        cat.lineitem.select("l_partkey", "l_suppkey")
+        fact
         .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")

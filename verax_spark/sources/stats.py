@@ -250,6 +250,11 @@ def _range_fraction(cs: ColumnStats, lo: float | None, hi: float | None) -> floa
 
 _CMP = {"lt", "lte", "gt", "gte", "eq", "between"}
 
+# per-item equality selectivity when neither value range nor NDV is in the
+# footers (System R's classic 1/10; the reference's "default selectivity"
+# fallback when filter sampling is disabled, OptimizerOptions.h:52-57)
+_DEFAULT_EQ_SELECTIVITY = 0.1
+
 
 def _as_col_range(e) -> tuple[str, float | None, float | None] | None:
     """(column, lo, hi) when ``e`` is a one-sided/two-sided range over a
@@ -346,6 +351,28 @@ def selectivity(stats: TableStats, expr) -> float | None:
         if fn == "not":
             inner = est(e.args[0])
             return None if inner is None else 1.0 - inner
+        if fn == "in" and isinstance(e.args[0], Col) and all(
+            isinstance(a, Lit) for a in e.args[1:]
+        ):
+            # IN-list: n/(value range) for integer domains, n/NDV when the
+            # footer reports distinct counts, else the classic default
+            # equality selectivity per item (the "default selectivity"
+            # fallback the reference uses when filter sampling is off,
+            # OptimizerOptions.h:52-57)
+            cs = stats.path_stats(e.args[0].name)
+            n = len(e.args) - 1
+            if cs is not None:
+                mn, mx = _as_number(cs.min), _as_number(cs.max)
+                if (
+                    mn is not None
+                    and mx is not None
+                    and isinstance(cs.min, int)
+                    and mx > mn
+                ):
+                    return min(1.0, n * (1.0 - cs.null_fraction) / (mx - mn + 1))
+                if cs.distinct_count:
+                    return min(1.0, n / cs.distinct_count)
+            return min(1.0, n * _DEFAULT_EQ_SELECTIVITY)
         if fn not in _CMP:
             return None
         if not (isinstance(e.args[0], Col) and all(
