@@ -1,0 +1,189 @@
+"""Pipeline-operator scale bench: dedup/ANN/text throughput at 1x and Kx.
+
+The TPC-H scaling legs (BENCH_SF{1,10,100}.json) demonstrate query-engine
+convergence; this tool does the same for the LLM-data-pipeline operators —
+the 100 TB claim for MinHash/SimHash/ngram dedup, LSH/IVF kNN, and the
+text-quality column stack rests on near-linear row scaling, which this
+measures directly instead of asserting.
+
+Dataset derivation (testdata is read-only): K structure-preserving copies
+of sf0.1's documents/embeddings.
+- documents: every token of copy i is suffixed with ``_i``, so intra-copy
+  shingle structure (the planted duplicate clusters) is EXACTLY the
+  original while cross-copy Jaccard is 0 — duplicate-cluster geometry
+  scales linearly, candidate pairs scale linearly, no cross-copy
+  quadratic blowup.
+- embeddings: copy i's vectors are multiplied elementwise by a
+  deterministic per-copy ±1 sign pattern. Sign patterns cancel inside a
+  copy (s_d^2 = 1), so intra-copy dot products — hence the kNN structure —
+  are EXACTLY the original, while cross-copy cosines are scrambled.
+
+Usage:  python tools/bench_pipeline_scale.py [--copies=K] [--regen]
+Writes: BENCH_PIPELINE.json at the repo root:
+  {"sf_base": 0.1, "copies": K, "ops": {name: {"rows_1x": .., "sec_1x": ..,
+   "rows_kx": .., "sec_kx": .., "throughput_1x": .., "throughput_kx": ..,
+   "scaling_efficiency": throughput_kx / throughput_1x}}}
+
+scaling_efficiency ~ 1.0 means the operator's cost is linear in rows
+(per-row work constant as the corpus grows); > 1 means fixed overheads
+amortize; << 1 flags superlinear behavior (a pair explosion or a shuffle
+that stopped fitting).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = "/root/testdata/sf0.1"
+COPIES = int(
+    next((a.split("=", 1)[1] for a in sys.argv if a.startswith("--copies=")), "100")
+)
+DST = os.environ.get("SPARK_GRAFT_PIPE_DIR", f"/tmp/pipe_x{COPIES}")
+OUT = os.path.join(REPO, "BENCH_PIPELINE.json")
+
+
+def generate(spark) -> None:
+    import pyspark.sql.functions as F
+
+    os.makedirs(DST, exist_ok=True)
+    copies = F.broadcast(spark.range(COPIES).select(F.col("id").alias("__i")))
+
+    docs = spark.read.parquet(f"{SRC}/documents.parquet").repartition(32)
+    max_doc = 10_000_000  # doc_id domain stride per copy (sf0.1 max is 5k)
+    scaled_docs = docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("__i") * F.lit(max_doc)).alias("doc_id"),
+        # token-level salt: suffix every token with the copy index
+        F.array_join(
+            F.transform(
+                F.split(F.col("text"), r"\s+"),
+                lambda w: F.concat(w, F.lit("_"), F.col("__i").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    scaled_docs.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet").repartition(8)
+    max_vec = 10_000_000
+    # per-copy deterministic sign pattern: sign(d, i) = +1 iff
+    # (d*2654435761 + i*40503) has even parity in bit 7 — elementwise
+    # multiply preserves intra-copy dot products exactly
+    def signed(vec):
+        return F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda v, d: v
+            * F.when(
+                (
+                    F.shiftright(
+                        d * F.lit(2654435761) + F.col("__i") * F.lit(40503), 7
+                    )
+                    % 2
+                )
+                == 0,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)).cast("float"),
+        )
+
+    scaled_emb = emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("__i") * F.lit(max_vec)).alias("vec_id"),
+        signed(F.col("embedding")).alias("embedding"),
+        "label",
+    )
+    scaled_emb.write.mode("overwrite").parquet(f"{DST}/embeddings.parquet")
+
+
+def _ops(spark, sf_dir: str) -> dict:
+    """name -> zero-arg callable returning a DataFrame over the FULL
+    corpus at sf_dir (not the planted driver subsets)."""
+    import pyspark.sql.functions as F
+
+    from verax_spark.operators import dedup, similarity, text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    queries = emb.filter(F.col("vec_id") % 1000 == 7).limit(32)
+
+    return {
+        "dedup_exact": lambda: dedup.exact_dedup(docs, "text", "doc_id"),
+        "dedup_minhash": lambda: dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", n=3, num_perm=64, bands=32, threshold=0.8
+        ),
+        "dedup_simhash": lambda: dedup.simhash_pairs(
+            docs, "text", "doc_id", max_hamming=3
+        ),
+        "text_stack": lambda: docs.select(
+            "doc_id",
+            text.token_count(F.col("text")).alias("n_tok"),
+            text.stopword_ratio(F.col("text")).alias("sw"),
+            text.avg_word_len(F.col("text")).alias("awl"),
+        ).agg(
+            F.sum("n_tok").alias("toks"),
+            F.avg("sw").alias("sw"),
+            F.avg("awl").alias("awl"),
+        ),
+        "knn_lsh": lambda: similarity.lsh_topk(
+            emb, queries, vec_col="embedding", id_col="vec_id", k=10
+        ),
+        "knn_ivf": lambda: similarity.ivf_topk(
+            emb, queries, vec_col="embedding", id_col="vec_id", k=10,
+            n_clusters=16, nprobe=4
+        ),
+    }
+
+
+def main() -> None:
+    from verax_spark.session import get_spark
+
+    spark = get_spark("verax-pipe-scale")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if "--regen" in sys.argv or not os.path.exists(f"{DST}/documents.parquet"):
+        print(f"generating {DST} ({COPIES}x {SRC} documents/embeddings)...", flush=True)
+        t0 = time.perf_counter()
+        generate(spark)
+        print(f"generated in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    result = {"sf_base": 0.1, "copies": COPIES, "ops": {}}
+    for name in _ops(spark, SRC):
+        rec = {}
+        for tag, sf_dir, scale in (("1x", SRC, 1), ("kx", DST, COPIES)):
+            fn = _ops(spark, sf_dir)[name]
+            fn().count()  # cold: JIT + file listing
+            t0 = time.perf_counter()
+            out_rows = fn().count()
+            sec = time.perf_counter() - t0
+            in_rows = (2000 if name.startswith("knn") else 5000) * scale
+            rec[f"rows_{tag}"] = in_rows
+            rec[f"out_rows_{tag}"] = out_rows
+            rec[f"sec_{tag}"] = round(sec, 3)
+            rec[f"throughput_{tag}"] = round(in_rows / sec, 1)
+            print(
+                f"{name} {tag}: {sec:.2f}s in={in_rows} out={out_rows}",
+                flush=True,
+            )
+        rec["scaling_efficiency"] = round(
+            rec["throughput_kx"] / rec["throughput_1x"], 3
+        )
+        result["ops"][name] = rec
+
+    with open(OUT, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v["scaling_efficiency"] for k, v in result["ops"].items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -727,9 +727,15 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join in the reference, axiom/optimizer/Optimization.cpp:1280)."""
     cat = Catalog(spark, sf_dir)
     nation = F.broadcast(cat.nation.filter(F.col("n_name") == "NATION_12"))
+    # filter supplier by nation FIRST (1/25 of suppliers — a bounded
+    # dimension fraction, always broadcastable), so the fact stream joins
+    # map-only against the already-reduced build instead of the full
+    # supplier table (derived-filter placement, same as q7's two_nations)
+    supp_n = cat.supplier.join(
+        nation, F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
     stock = (
-        cat.lineitem.join(cat.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        cat.lineitem.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "l_partkey",
             # value in 10^-3 integer units (price 10^-2 x qty 10^-1);
@@ -771,16 +777,21 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     no l_shipmode/l_commitdate/l_receiptdate in testdata → group by
     l_linestatus, window the shipdate. Shape kept: join + conditional sums."""
     cat = Catalog(spark, sf_dir)
+    # evaluate the priority predicate BEFORE the join so the shuffle
+    # carries a 1-byte boolean instead of the 12-byte priority string
+    # (expression pushdown under the exchange — ~1.7 GB less shuffle I/O
+    # on 150M orders at sf100)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    orders = cat.orders.select("o_orderkey", high.alias("__high"))
     line = cat.lineitem.filter(
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
     )
     return (
-        cat.orders.join(line, F.col("o_orderkey") == F.col("l_orderkey"))
+        orders.join(line, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("l_linestatus")
         .agg(
-            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
-            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+            F.sum(F.when(F.col("__high"), 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~F.col("__high"), 1).otherwise(0)).cast("bigint").alias("low_line_count"),
         )
         .orderBy("l_linestatus")
     )
