@@ -116,6 +116,12 @@ def generate(con, spark) -> None:
 def main() -> None:
     import duckdb
 
+    # sf100's heaviest aggregation states OOM the 8g default: local-mode's
+    # single driver heap serves all 32 task threads (measured; see
+    # COVERAGE.md round-5 notes). Self-contained here so a bare
+    # `python tools/bench_sf1.py --copies=1000` is the full recipe.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     import __spark_entry__ as entrymod
     from verax_spark.session import get_spark
 
