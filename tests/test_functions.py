@@ -786,6 +786,53 @@ def _cases():
     "every": [(_c("every", F.col("b")), True)],
     "bitwise_and_agg": [(_c("bitwise_and_agg", F.col("i")), 5)],
     "bitwise_or_agg": [(_c("bitwise_or_agg", F.col("i")), 5)],
+    # batch 9
+    "inverse_normal_cdf": [
+        (_c("inverse_normal_cdf", F.lit(0.0), F.lit(1.0), F.lit(0.5)),
+         lambda v: abs(v) < 1e-9),
+    ],
+    "cauchy_cdf": [
+        (_c("cauchy_cdf", F.lit(0.0), F.lit(1.0), F.lit(0.0)), 0.5),
+    ],
+    "laplace_cdf": [
+        (_c("laplace_cdf", F.lit(0.0), F.lit(1.0), F.lit(0.0)), 0.5),
+    ],
+    "weibull_cdf": [
+        (_c("weibull_cdf", F.lit(1.0), F.lit(1.0), F.lit(1.0)),
+         lambda v: abs(v - (1 - math.exp(-1.0))) < 1e-12),
+    ],
+    "binomial_cdf": [
+        (_c("binomial_cdf", F.lit(2), F.lit(0.5), F.lit(1)), 0.75),
+    ],
+    "poisson_cdf": [
+        (_c("poisson_cdf", F.lit(1.0), F.lit(0)),
+         lambda v: abs(v - math.exp(-1.0)) < 1e-12),
+    ],
+    "jaccard_index": [
+        (_c("jaccard_index", F.array(F.lit(1), F.lit(2)),
+            F.array(F.lit(2), F.lit(3))),
+         lambda v: abs(v - 1 / 3) < 1e-12),
+    ],
+    "array_sort_desc": [
+        (_c("array_sort_desc", F.array(F.lit(1), F.lit(3), F.lit(2))),
+         [3, 2, 1]),
+    ],
+    "map_normalize": [
+        (_c("map_normalize",
+            F.create_map(F.lit("a"), F.lit(1.0), F.lit("b"), F.lit(3.0))),
+         {"a": 0.25, "b": 0.75}),
+    ],
+    "reduce_agg": [
+        (_c("reduce_agg", F.col("i"), F.lit(0).cast("bigint"),
+            lambda s, x: s + x), 5),
+    ],
+    "parse_duration": [
+        (_c("parse_duration", F.lit("2s")),
+         lambda v: v == datetime.timedelta(seconds=2)),
+    ],
+    "to_milliseconds": [
+        (_c("to_milliseconds", _c("parse_duration", F.lit("1.5s"))), 1500),
+    ],
     }
 
 
@@ -1032,3 +1079,99 @@ def test_ipv6_fallback(spark):
     assert r.mn == "2001:db8::"
     assert r.mx == "2001:db8::3"
     assert r.sub is True and r.not_sub is False and r.v4_sub is True
+
+
+def test_batch9_statistical_cdfs(spark):
+    """Batch 9 closed-form CDF family vs scipy-free ground truth: Acklam
+    inverse normal round-trips through normal_cdf at 1e-8 including BOTH
+    tail branches; binomial/poisson folds equal exact finite sums;
+    cauchy/laplace/weibull match closed forms."""
+    import math as m
+
+    import pyspark.sql.functions as F
+
+    from verax_spark.functions.presto import presto_call as pc
+
+    df = spark.range(1).select(
+        *[
+            pc(
+                "normal_cdf",
+                F.lit(0.0),
+                F.lit(1.0),
+                pc("inverse_normal_cdf", F.lit(0.0), F.lit(1.0), F.lit(p)),
+            ).alias(f"rt_{i}")
+            for i, p in enumerate([0.001, 0.02, 0.5, 0.975, 0.999])
+        ],
+        pc("binomial_cdf", F.lit(10), F.lit(0.4), F.lit(3)).alias("b"),
+        pc("poisson_cdf", F.lit(2.5), F.lit(4)).alias("p"),
+        pc("cauchy_cdf", F.lit(1.0), F.lit(2.0), F.lit(3.0)).alias("c"),
+        pc("laplace_cdf", F.lit(0.0), F.lit(1.0), F.lit(-1.0)).alias("l"),
+        pc("weibull_cdf", F.lit(2.0), F.lit(1.0), F.lit(1.0)).alias("w"),
+    )
+    r = df.collect()[0]
+    for i, p in enumerate([0.001, 0.02, 0.5, 0.975, 0.999]):
+        # A&S-7.1.26 erf is the looser link (|err| ~1.5e-7); Acklam itself
+        # is 1.15e-9
+        assert abs(getattr(r, f"rt_{i}") - p) < 1e-6, (p, getattr(r, f"rt_{i}"))
+    b_exact = sum(
+        m.comb(10, i) * 0.4**i * 0.6 ** (10 - i) for i in range(4)
+    )
+    p_exact = sum(m.exp(-2.5) * 2.5**i / m.factorial(i) for i in range(5))
+    assert abs(r.b - b_exact) < 1e-12
+    assert abs(r.p - p_exact) < 1e-12
+    assert abs(r.c - (0.5 + m.atan(1.0) / m.pi)) < 1e-12
+    assert abs(r.l - 0.5 * m.exp(-1.0)) < 1e-12
+    assert abs(r.w - (1 - m.exp(-1.0))) < 1e-12
+
+
+def test_batch9_collections_and_duration(spark):
+    """jaccard_index / array_sort_desc (nulls last) / map_normalize /
+    reduce_agg / parse_duration -> to_milliseconds."""
+    import pyspark.sql.functions as F
+
+    from verax_spark.functions.presto import presto_call as pc
+
+    r = spark.range(1).select(
+        pc(
+            "jaccard_index",
+            F.array(F.lit(1), F.lit(2), F.lit(3)),
+            F.array(F.lit(3), F.lit(4)),
+        ).alias("j"),
+        pc(
+            "array_sort_desc",
+            F.array(F.lit(2), F.lit(None).cast("int"), F.lit(5)),
+        ).alias("sd"),
+        pc(
+            "map_normalize",
+            F.create_map(F.lit("a"), F.lit(1.0), F.lit("b"), F.lit(3.0)),
+        ).alias("mn"),
+        pc(
+            "to_milliseconds", pc("parse_duration", F.lit("2.5m"))
+        ).alias("ms"),
+        pc("to_milliseconds", pc("parse_duration", F.lit("750ms"))).alias(
+            "ms2"
+        ),
+        pc("parse_duration", F.lit("oops")).alias("bad"),
+    ).collect()[0]
+    assert r.j == 0.25
+    assert r.sd == [5, 2, None]
+    assert r.mn == {"a": 0.25, "b": 0.75}
+    assert r.ms == 150000 and r.ms2 == 750
+    assert r.bad is None
+
+    agg = (
+        spark.range(6)
+        .select((F.col("id") + 1).alias("v"), (F.col("id") % 2).alias("g"))
+        .groupBy("g")
+        .agg(
+            pc(
+                "reduce_agg",
+                F.col("v"),
+                F.lit(0).cast("bigint"),
+                lambda s, x: s + x,
+            ).alias("ra"),
+            F.sum("v").alias("s"),
+        )
+        .collect()
+    )
+    assert all(row.ra == row.s for row in agg)

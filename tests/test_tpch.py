@@ -19,7 +19,9 @@ def test_tpch_query_matches_oracle(spark, sf_dir, name):
     assert rows > 0, f"{name}: empty result — filters too tight for testdata"
 
 
-@pytest.mark.parametrize("name", ["tpch_q2", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q16"])
+@pytest.mark.parametrize(
+    "name", ["tpch_q2", "tpch_q5", "tpch_q7", "tpch_q10", "tpch_q16"]
+)
 def test_semi_reduction_forced_on_matches_oracle(spark, sf_dir, name, monkeypatch):
     """The scale-adaptive implied-edge semi-reductions (q2/q5/q7/q10/q16)
     are gated off at test scale; force the gate open so the REDUCED plan

@@ -18,6 +18,7 @@ plan time.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import pyspark.sql.functions as F
@@ -637,6 +638,50 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
         _ip_subnet_bound_any(p, "subnet_max"),
     ),
     "is_subnet_of": lambda p, ip: _is_subnet_of_any(p, ip),
+    # --- batch 9: statistical CDF family (closed-form members; the
+    # incomplete-gamma/beta members — gamma/beta/chi_squared/t — have no
+    # Column-expression spelling and are not registered), plus collection
+    # and duration tail ---
+    "inverse_normal_cdf": lambda mean, sd, p: _inverse_normal_cdf(mean, sd, p),
+    "cauchy_cdf": lambda median, scale, x: F.lit(0.5)
+    + F.atan(
+        (_col(x).cast("double") - _col(median).cast("double"))
+        / _col(scale).cast("double")
+    )
+    / F.lit(math.pi),
+    "laplace_cdf": lambda mean, scale, x: _laplace_cdf(mean, scale, x),
+    "weibull_cdf": lambda a, b, x: F.when(
+        _col(x).cast("double") <= 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0)
+        - F.exp(
+            -F.pow(
+                _col(x).cast("double") / _col(b).cast("double"),
+                _col(a).cast("double"),
+            )
+        )
+    ),
+    "binomial_cdf": lambda n, p, k: _binomial_cdf(n, p, k),
+    "poisson_cdf": lambda lam, k: _poisson_cdf(lam, k),
+    # Presto jaccard_index(array, array): |a ∩ b| / |a ∪ b| over distinct
+    # elements
+    "jaccard_index": lambda a, b: (
+        F.size(F.array_intersect(_col(a), _col(b))).cast("double")
+        / F.size(F.array_union(_col(a), _col(b))).cast("double")
+    ),
+    "array_sort_desc": lambda a: F.sort_array(_col(a), asc=False),
+    # Presto map_normalize: each value divided by the sum of all values
+    "map_normalize": lambda m: _map_normalize(_col(m)),
+    # Presto reduce_agg(input, init, input_fn, combine_fn): Spark has no
+    # user-lambda UDAF; the exact algebra is aggregate(collect_list(v),
+    # init, input_fn) — combine_fn is subsumed because the fold is a
+    # single sequential pass. Group size bounds memory (documented; same
+    # bound as Presto's own single-node state)
+    "reduce_agg": lambda v, init, fn: F.aggregate(
+        F.collect_list(_col(v)), init, fn
+    ),
+    "parse_duration": lambda s: _parse_duration(_col(s)),
+    "to_milliseconds": lambda i: _to_milliseconds(_col(i)),
 }
 
 
@@ -766,6 +811,148 @@ def _normal_cdf(mean, sd, x) -> Column:
         _col(sd).cast("double") * F.lit(2.0 ** 0.5)
     )
     return F.lit(0.5) * (F.lit(1.0) + _erf(z))
+
+
+def _inverse_normal_cdf(mean, sd, p) -> Column:
+    """Φ⁻¹(p) scaled to (mean, sd) via Acklam's rational approximation
+    (|rel err| < 1.15e-9 — published algorithm, pure Column arithmetic).
+    Three regions: lower tail, central, upper tail."""
+    pp = _col(p).cast("double")
+
+    a = [-3.969683028665376e+01, 2.209460984245205e+02, -2.759285104469687e+02,
+         1.383577518672690e+02, -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02, -1.556989798598866e+02,
+         6.680131188771972e+01, -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01, -2.400758277161838e+00,
+         -2.549732539343734e+00, 4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01, 2.445134137142996e+00,
+         3.754408661907416e+00]
+
+    def poly(coefs, x):
+        out = F.lit(coefs[0])
+        for k in coefs[1:]:
+            out = out * x + F.lit(k)
+        return out
+
+    p_low, p_high = 0.02425, 1 - 0.02425
+    q_c = pp - F.lit(0.5)
+    r_c = q_c * q_c
+    central = (poly(a, r_c) * q_c) / (poly(b + [1.0], r_c))
+    q_l = F.sqrt(F.lit(-2.0) * F.log(pp))
+    lower = poly(c, q_l) / poly(d + [1.0], q_l)
+    q_u = F.sqrt(F.lit(-2.0) * F.log(F.lit(1.0) - pp))
+    upper = -poly(c, q_u) / poly(d + [1.0], q_u)
+    z = (
+        F.when(pp < F.lit(p_low), lower)
+        .when(pp > F.lit(p_high), upper)
+        .otherwise(central)
+    )
+    return _col(mean).cast("double") + _col(sd).cast("double") * z
+
+
+def _laplace_cdf(mean, scale, x) -> Column:
+    xd = _col(x).cast("double")
+    md = _col(mean).cast("double")
+    sd = _col(scale).cast("double")
+    return F.when(
+        xd < md, F.lit(0.5) * F.exp((xd - md) / sd)
+    ).otherwise(F.lit(1.0) - F.lit(0.5) * F.exp(-(xd - md) / sd))
+
+
+def _binomial_cdf(n, p, k) -> Column:
+    """P(X <= k), X ~ Binomial(n, p): finite sum via the multiplicative
+    term recurrence t_i = t_{i-1} * (n-i+1)/i * p/(1-p), folded with
+    aggregate() over sequence(1, k) — pure Column arithmetic, no UDF."""
+    nd = _col(n).cast("double")
+    pd_ = _col(p).cast("double")
+    kk = F.greatest(F.lit(0), F.least(_col(k).cast("int"), _col(n).cast("int")))
+    t0 = F.pow(F.lit(1.0) - pd_, nd)
+    folded = F.aggregate(
+        F.sequence(F.lit(1), kk),
+        F.struct(t0.alias("term"), t0.alias("acc")),
+        lambda st, i: F.struct(
+            (
+                st["term"]
+                * (nd - i.cast("double") + F.lit(1.0))
+                / i.cast("double")
+                * pd_
+                / (F.lit(1.0) - pd_)
+            ).alias("term"),
+            (
+                st["acc"]
+                + st["term"]
+                * (nd - i.cast("double") + F.lit(1.0))
+                / i.cast("double")
+                * pd_
+                / (F.lit(1.0) - pd_)
+            ).alias("acc"),
+        ),
+    )["acc"]
+    # k < 1 means the fold ran over an empty/descending sequence: P = t0
+    return F.when(kk < 1, t0).otherwise(F.least(folded, F.lit(1.0)))
+
+
+def _poisson_cdf(lam, k) -> Column:
+    """P(X <= k), X ~ Poisson(λ): e^-λ Σ λ^i / i! with the same
+    term-recurrence fold as binomial_cdf."""
+    ld = _col(lam).cast("double")
+    kk = F.greatest(F.lit(0), _col(k).cast("int"))
+    t0 = F.exp(-ld)
+    folded = F.aggregate(
+        F.sequence(F.lit(1), kk),
+        F.struct(t0.alias("term"), t0.alias("acc")),
+        lambda st, i: F.struct(
+            (st["term"] * ld / i.cast("double")).alias("term"),
+            (st["acc"] + st["term"] * ld / i.cast("double")).alias("acc"),
+        ),
+    )["acc"]
+    return F.when(kk < 1, t0).otherwise(F.least(folded, F.lit(1.0)))
+
+
+def _map_normalize(m: Column) -> Column:
+    entries = F.map_entries(m)
+    total = F.aggregate(
+        entries, F.lit(0.0), lambda acc, e: acc + e["value"].cast("double")
+    )
+    return F.map_from_entries(
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                e["key"].alias("key"),
+                (e["value"].cast("double") / total).alias("value"),
+            ),
+        )
+    )
+
+
+# Presto parse_duration units → seconds
+_DURATION_UNIT_SECONDS = {
+    "ns": 1e-9, "us": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0,
+    "h": 3600.0, "d": 86400.0,
+}
+
+
+def _parse_duration(s: Column) -> Column:
+    """Presto parse_duration('2.5m') → day-time interval. The unit table
+    is the engine's own (ns..d); invalid text yields NULL (TRY-compatible
+    rather than an opaque JVM error)."""
+    num = F.regexp_extract(s, r"^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$", 1)
+    unit = F.regexp_extract(s, r"^\s*([0-9]*\.?[0-9]+)\s*([a-z]+)\s*$", 2)
+    mapping = F.create_map(
+        *[x for u, k in _DURATION_UNIT_SECONDS.items() for x in (F.lit(u), F.lit(k))]
+    )
+    secs = F.when(
+        (num != "") & F.element_at(mapping, unit).isNotNull(),
+        num.cast("double") * F.element_at(mapping, unit),
+    )
+    return F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs)
+
+
+def _to_milliseconds(i: Column) -> Column:
+    """Presto to_milliseconds(interval day to second) → bigint ms. A
+    bigint cast truncates to whole seconds, but the DECIMAL cast keeps
+    the interval's microsecond precision as fractional seconds."""
+    return F.round(i.cast("decimal(19,6)") * 1000).cast("bigint")
 
 
 def _presto_entropy(c: Column) -> Column:

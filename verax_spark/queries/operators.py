@@ -3061,3 +3061,103 @@ def op_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(36.12), F.lit(-86.67), py, px,
         ).alias("gc_km"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Function batch 9 (r05): the closed-form statistical CDF family
+# (inverse_normal_cdf via Acklam's published rational approximation;
+# cauchy/laplace/weibull closed forms; binomial/poisson as finite
+# term-recurrence folds — pure Column arithmetic, no UDFs), plus the
+# collection/duration tail (jaccard_index, array_sort_desc, map_normalize,
+# parse_duration -> to_milliseconds). The oracle recomputes every value
+# in DuckDB arithmetic: the central-branch Acklam polynomial inline (all
+# probe p land in the central region), list comprehensions + factorial
+# for the binomial/poisson sums. Ref: the reference registers the full
+# Presto scalar library wholesale (AxiomSql.cpp:149).
+@_register(
+    "op_fn_batch9",
+    """
+    with t as (select doc_id as d from documents where doc_id < 24)
+    select d,
+      ((((((-3.969683028665376e+01)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          + 2.209460984245205e+02)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          - 2.759285104469687e+02)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          + 1.383577518672690e+02)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          - 3.066479806614716e+01)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          + 2.506628277459239e+00) * ((d+1)/25.0-0.5)
+      / ((((((-5.447609879822406e+01)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          + 1.615858368580409e+02)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          - 1.556989798598866e+02)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          + 6.680131188771972e+01)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5)
+          - 1.328068155288572e+01)*((d+1)/25.0-0.5)*((d+1)/25.0-0.5) + 1.0)
+        as icdf,
+      0.5 + atan((d - 12) / 3.0) / pi() as ccdf,
+      case when d - 12 < 0 then 0.5 * exp((d - 12) / 2.0)
+           else 1.0 - 0.5 * exp(-(d - 12) / 2.0) end as lcdf,
+      case when d <= 0 then 0.0
+           else 1.0 - exp(-pow(d / 4.0 / 2.0, 1.5)) end as wcdf,
+      least(1.0, list_sum([pow(0.3, i) * pow(0.7, 20 - i)
+          * cast(factorial(cast(20 as integer)) as double)
+          / (cast(factorial(cast(i as integer)) as double) * cast(factorial(cast(20 - i as integer)) as double))
+          for i in range(0, (d % 21) + 1)])) as bcdf,
+      least(1.0, list_sum([exp(-3.0) * pow(3.0, i)
+          / cast(factorial(cast(i as integer)) as double)
+          for i in range(0, (d % 10) + 1)])) as pcdf,
+      case when d % 2 = 0 then 0.25 else 2.0/3.0 end as jac,
+      (d + 1.0) / (d + 4.0) as mnorm_a,
+      list_sort([d % 3, 2, 0], 'DESC') as sorted_desc,
+      cast(round((d + 0.5) * 60000) as bigint) as dur_ms
+    from t order by d
+    """,
+)
+def op_fn_batch9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    d = F.col("d")
+    t = cat.documents.filter(F.col("doc_id") < 24).select(
+        F.col("doc_id").alias("d")
+    )
+    arr_a = F.when(d % 2 == 0, F.array(d, d + 1, d + 2)).otherwise(
+        F.array(d, d + 1)
+    )
+    arr_b = F.when(d % 2 == 0, F.array(d + 2, d + 3)).otherwise(
+        F.array(d, d + 1, d + 2)
+    )
+    return t.select(
+        "d",
+        pc(
+            "inverse_normal_cdf", F.lit(0.0), F.lit(1.0), (d + 1) / F.lit(25.0)
+        ).alias("icdf"),
+        pc("cauchy_cdf", F.lit(0.0), F.lit(3.0), (d - 12).cast("double")).alias(
+            "ccdf"
+        ),
+        pc("laplace_cdf", F.lit(0.0), F.lit(2.0), (d - 12).cast("double")).alias(
+            "lcdf"
+        ),
+        pc("weibull_cdf", F.lit(1.5), F.lit(2.0), d / F.lit(4.0)).alias("wcdf"),
+        pc("binomial_cdf", F.lit(20), F.lit(0.3), (d % 21).cast("int")).alias(
+            "bcdf"
+        ),
+        pc("poisson_cdf", F.lit(3.0), (d % 10).cast("int")).alias("pcdf"),
+        pc("jaccard_index", arr_a, arr_b).alias("jac"),
+        F.element_at(
+            pc(
+                "map_normalize",
+                F.create_map(
+                    F.lit("a"), (d + 1).cast("double"), F.lit("b"), F.lit(3.0)
+                ),
+            ),
+            "a",
+        ).alias("mnorm_a"),
+        pc("array_sort_desc", F.array(d % 3, F.lit(2), F.lit(0))).alias(
+            "sorted_desc"
+        ),
+        pc(
+            "to_milliseconds",
+            pc(
+                "parse_duration",
+                F.concat(d.cast("string"), F.lit(".5m")),
+            ),
+        ).alias("dur_ms"),
+    ).orderBy("d")

