@@ -114,3 +114,40 @@ def test_presto_session_attach_qualified_names(spark, sf_dir):
         "select n.n_name from tpch.nation n where n.n_nationkey = 3"
     ).collect()
     assert one[0].n_name == "NATION_3"
+
+
+def test_files_connector_mixed_formats(spark, sf_dir, tmp_path):
+    """FilesConnector dispatches parquet/ORC/CSV/JSON by extension from
+    one directory; text formats honor explicit schemas (no inference
+    scan); ambiguous basenames refuse; unknown tables KeyError."""
+    import pytest
+
+    from verax_spark.catalog import Catalog
+    from verax_spark.connectors import FilesConnector
+
+    cat = Catalog(spark, sf_dir)
+    root = str(tmp_path)
+    cat.nation.coalesce(1).write.option("header", True).csv(f"{root}/nation.csv")
+    cat.region.coalesce(1).write.json(f"{root}/region.json")
+    cat.region.write.orc(f"{root}/region2.orc")
+    cat.nation.limit(3).write.parquet(f"{root}/nation3.parquet")
+
+    fc = FilesConnector(
+        spark,
+        root,
+        schemas={"nation": "n_nationkey bigint, n_name string, n_regionkey bigint"},
+    )
+    assert fc.list_tables() == ["nation", "nation3", "region", "region2"]
+    n = fc.table("nation")
+    assert n.extra["format"] == "csv"
+    assert n.df.count() == cat.nation.count()
+    assert dict(n.df.dtypes)["n_nationkey"] == "bigint"  # explicit schema
+    assert fc.table("region").extra["format"] == "json"
+    assert fc.table("region2").df.count() == 5
+    assert fc.table("nation3").path is not None  # parquet keeps stats path
+    assert fc.stats("nation3").num_rows == 3
+    with pytest.raises(KeyError):
+        fc.table("absent")
+    cat.nation.limit(1).write.parquet(f"{root}/region.parquet")
+    with pytest.raises(ValueError, match="ambiguous"):
+        fc.list_tables()

@@ -14,12 +14,16 @@ package is the Spark-first analog:
   the same rows are reproducible in ANSI SQL by any engine (oracle-able —
   no engine-specific hashing).
 - :class:`MemoryConnector` — named in-session DataFrames (test analog).
+- :class:`FilesConnector` — one directory, mixed formats by extension
+  (parquet/ORC/CSV/JSON): the Hive connector's multi-format catalog,
+  re-expressed over Spark's native DataSources.
 
 ``PrestoSession.attach(connector)`` exposes a connector's tables to SQL
 text under ``<catalog>.<table>`` qualified names.
 """
 
 from verax_spark.connectors.base import Connector, ConnectorTable
+from verax_spark.connectors.files import FilesConnector
 from verax_spark.connectors.memory import MemoryConnector
 from verax_spark.connectors.parquet import ParquetConnector
 from verax_spark.connectors.tpch import TpchConnector
@@ -27,6 +31,7 @@ from verax_spark.connectors.tpch import TpchConnector
 __all__ = [
     "Connector",
     "ConnectorTable",
+    "FilesConnector",
     "MemoryConnector",
     "ParquetConnector",
     "TpchConnector",

@@ -3161,3 +3161,60 @@ def op_fn_batch9(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("dur_ms"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Multi-format file catalog (r05): the Hive connector serves more than one
+# format from one catalog (DWRF + parquet, connectors/hive/README.md);
+# the Spark-first analog dispatches parquet/ORC/CSV/JSON by extension over
+# the same ConnectorTable metadata (connectors/files.py). The query writes
+# nation as headered CSV, region as JSON-lines, and supplier as ORC into a
+# scratch catalog, then joins all three formats in one SQL statement; the
+# oracle recomputes from the parquet originals, so a mis-read in ANY
+# format (schema drift, header slip, type coercion) hash-mismatches.
+@_register(
+    "op_connector_formats",
+    """
+    select n.n_name as nation, r.r_name as region,
+      cast(count(s.s_suppkey) as bigint) as suppliers,
+      cast(sum(cast(s.s_acctbal as decimal(12,2))) as double) as total_bal
+    from nation n
+    join region r on n.n_regionkey = r.r_regionkey
+    join supplier s on s.s_nationkey = n.n_nationkey
+    where n.n_nationkey < 10
+    group by n.n_name, r.r_name
+    order by nation
+    """,
+)
+def op_connector_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from verax_spark.connectors import FilesConnector
+    from verax_spark.sql import PrestoSession
+
+    cat = Catalog(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="verax_files_")
+    cat.nation.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        os.path.join(root, "nation.csv")
+    )
+    cat.region.coalesce(1).write.mode("overwrite").json(
+        os.path.join(root, "region.json")
+    )
+    cat.supplier.select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    ).write.mode("overwrite").orc(os.path.join(root, "supplier.orc"))
+
+    ps = PrestoSession(spark, sf_dir)
+    ps.attach(FilesConnector(spark, root, name="files"))
+    return ps.sql(
+        "select n.n_name as nation, r.r_name as region, "
+        "cast(count(s.s_suppkey) as bigint) as suppliers, "
+        "cast(sum(cast(s.s_acctbal as decimal(12,2))) as double) as total_bal "
+        "from files.nation n "
+        "join files.region r on n.n_regionkey = r.r_regionkey "
+        "join files.supplier s on s.s_nationkey = n.n_nationkey "
+        "where n.n_nationkey < 10 "
+        "group by n.n_name, r.r_name "
+        "order by nation"
+    )
