@@ -2296,13 +2296,20 @@ def op_fn_batch7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 7 + 1).alias("hits"),
         F.concat(F.lit("m"), (F.col("doc_id") % 3).cast("string")).alias("msg"),
     )
-    prefix = pc("ip_prefix", F.col("ip"), F.col("bits"))
+    # materialize the prefix behind an exchange so ip_subnet_max operates
+    # on the computed column instead of re-inlining the whole ip-parse
+    # expression tree — ProjectCollapse otherwise duplicates it per use
+    # site and Catalyst analysis dominated this query's wall clock
+    # (5.1s -> the data itself is 40 rows)
+    t = t.withColumn(
+        "ipp", pc("ip_prefix", F.col("ip"), F.col("bits"))
+    ).repartition(4)
     return t.select(
         "doc_id",
         pc("wilson_interval_lower", F.col("hits"), F.lit(10), F.lit(1.96)).alias("wl"),
         pc("wilson_interval_upper", F.col("hits"), F.lit(10), F.lit(1.96)).alias("wu"),
-        prefix.alias("ipp"),
-        pc("ip_subnet_max", prefix).alias("smax"),
+        "ipp",
+        pc("ip_subnet_max", F.col("ipp")).alias("smax"),
         pc("is_subnet_of", F.lit("10.0.0.0/8"), F.col("ip")).alias("sof"),
         pc(
             "url_extract_port",

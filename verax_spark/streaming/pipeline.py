@@ -150,7 +150,11 @@ def user_running_stats(events: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str, *, mode: str | None = None
+    stream_df: DataFrame,
+    query_name: str,
+    *,
+    mode: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the whole source with Trigger.AvailableNow into a memory sink
     and return the materialized result — deterministic harness for tests
@@ -159,20 +163,36 @@ def run_available_now(
     Each call gets a fresh checkpoint (uuid component): the memory-sink drain
     is always a full recomputation, and a reused checkpoint would replay
     committed offsets and return an empty/stale table on the second call.
+
+    ``state_partitions`` pins the stateful operator's partition count for
+    THIS query (captured at first batch from spark.sql.shuffle.partitions
+    and baked into the checkpoint forever — the same knob as Flink's max
+    parallelism). Stateful ops pay per-partition state-store setup every
+    micro-batch, so a small drain with the session's 32 shuffle partitions
+    spends its wall clock opening 32 stores per side; a production stream
+    sizes this to its key cardinality instead. None = session default.
     """
     import uuid
 
     spark = stream_df.sparkSession
     ckpt = f"/tmp/verax_ckpt/{query_name}_{os.getpid()}_{uuid.uuid4().hex[:12]}"
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(mode or _output_mode(stream_df))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    conf = spark.conf
+    saved = conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(mode or _output_mode(stream_df))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            conf.set("spark.sql.shuffle.partitions", saved)
     return spark.table(query_name)
 
 
