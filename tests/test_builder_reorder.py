@@ -250,3 +250,98 @@ def test_left_attachment_hoist_preserves_semantics(spark, sf_dir):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     # left-join semantics held: some rows have no matched supplier
     assert any(r.matched < r.n for r in got)
+
+
+# ---------------------------------------------------------------------------
+# Randomized chain fuzz (r05): the CBO path must be semantics-preserving
+# for EVERY eligible chain, not just the hand-written cases above. Seeded
+# generator builds random star-join chains (random table order, random
+# single-table filters, random grouped aggregate) and compares CBO-on vs
+# CBO-off row-for-row. 20 shapes per run, deterministic seed.
+_FUZZ_TABLES = {
+    "lineitem": (["l_orderkey", "l_suppkey", "l_quantity"], None),
+    "orders": (["o_orderkey", "o_custkey", "o_totalprice"], None),
+    "customer": (["c_custkey", "c_nationkey"], None),
+    "supplier": (["s_suppkey", "s_nationkey"], None),
+    "nation": (["n_nationkey", "n_regionkey", "n_name"], None),
+    "region": (["r_regionkey", "r_name"], None),
+}
+_FUZZ_EDGES = [
+    ("lineitem", "orders", "l_orderkey", "o_orderkey"),
+    ("orders", "customer", "o_custkey", "c_custkey"),
+    ("customer", "nation", "c_nationkey", "n_nationkey"),
+    ("nation", "region", "n_regionkey", "r_regionkey"),
+    ("lineitem", "supplier", "l_suppkey", "s_suppkey"),
+]
+_FUZZ_FILTERS = {
+    "orders": Col("o_totalprice") > Lit(100.0),
+    "customer": Col("c_nationkey") < Lit(20),
+    "nation": Col("n_regionkey") < Lit(4),
+    "region": Col("r_name") != Lit("AFRICA"),
+    "lineitem": Col("l_quantity") > Lit(5.0),
+}
+
+
+def _random_chain(spark, sf_dir, rng, reorder):
+    import random as _r
+
+    n_tables = rng.randint(3, 6)
+    # connected subgraph: grow from a random seed table along edges
+    tables = {rng.choice(list(_FUZZ_TABLES))}
+    edges = []
+    while len(tables) < n_tables:
+        cands = [
+            e for e in _FUZZ_EDGES
+            if (e[0] in tables) != (e[1] in tables)
+        ]
+        if not cands:
+            break
+        e = rng.choice(cands)
+        edges.append(e)
+        tables |= {e[0], e[1]}
+    order = list(tables)
+    rng.shuffle(order)
+    used = {order[0]}
+    b = PlanBuilder(spark, sf_dir, reorder=reorder).table_scan(
+        order[0], _FUZZ_TABLES[order[0]][0]
+    )
+    if rng.random() < 0.7 and order[0] in _FUZZ_FILTERS:
+        b = b.filter(_FUZZ_FILTERS[order[0]])
+    pending = [t for t in order[1:]]
+    while pending:
+        # join the next table that has an edge into the used set (keeps the
+        # chain valid while the textual order stays shuffled)
+        for i, t in enumerate(pending):
+            edge = next(
+                (e for e in edges if {e[0], e[1]} <= used | {t} and t in (e[0], e[1])),
+                None,
+            )
+            if edge is not None:
+                pending.pop(i)
+                break
+        else:
+            break
+        side = PlanBuilder(spark, sf_dir).table_scan(t, _FUZZ_TABLES[t][0])
+        if rng.random() < 0.7 and t in _FUZZ_FILTERS:
+            side = side.filter(_FUZZ_FILTERS[t])
+        lk, rk = (edge[2], edge[3]) if edge[1] == t else (edge[3], edge[2])
+        b = b.join(side, Col(lk) == Col(rk))
+        used.add(t)
+    # grouped aggregate over a key that exists in the accumulated schema
+    group_candidates = [
+        c for t in used for c in _FUZZ_TABLES[t][0] if c.endswith("key")
+    ]
+    g = rng.choice(group_candidates)
+    return b.aggregate([g], {"n": Agg("count")}).sort(g).build()
+
+
+def test_random_chain_cbo_semantics_preserving(spark, sf_dir):
+    import random
+
+    rng = random.Random(20260815)
+    for trial in range(20):
+        state = rng.getstate()
+        on = _random_chain(spark, sf_dir, rng, True).toPandas()
+        rng.setstate(state)
+        off = _random_chain(spark, sf_dir, rng, False).toPandas()
+        assert_frames_match(on, off, context=f"builder-fuzz trial {trial}")
