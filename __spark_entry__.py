@@ -42,6 +42,7 @@ _PRIORITY = [
     "op_builder_reorder", "op_fn_sketch_merge", "sql_mview", "sql_schema",
     "sql_function", "pl_chunk_documents", "op_fn_geo", "sql_statement_tail",
     "op_fn_batch9", "op_connector_formats",
+    "sql_time_travel", "sql_natural_join",
     # -- r01-green families longest without a re-check --
     "op_values", "op_join_semi", "op_join_anti",
     "op_setop_intersect", "op_setop_union_all", "op_agg_distinct",

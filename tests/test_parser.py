@@ -296,3 +296,38 @@ def test_adapter_fn_sql_rewrites():
     assert "nullif(size(" in out
     out = transpile("select json_array_get(j, 1) from t")
     assert "variant_get(parse_json(j)" in out
+
+
+def test_natural_join_grammar():
+    """NATURAL [kind] JOIN (ref NaturalJoin, AstRelations.h:477) parses,
+    renders to Spark's native natural join, and never invents an ON."""
+    from verax_spark.sql.parser import parse
+
+    for text, want in [
+        ("select * from a natural join b", "natural inner join"),
+        ("select * from a natural left outer join b", "natural left join"),
+        ("select * from a natural full join b", "natural full join"),
+    ]:
+        assert want in parse(text).sql(), text
+    j = parse("select * from a natural join b").body.from_
+    assert j.natural and j.on is None and not j.using
+
+
+def test_table_version_grammar():
+    """FOR (TIMESTAMP|VERSION) (AS OF|BEFORE) expr (ref
+    TableVersionExpression AstFunctions.h:535, PrestoSql.g4:561-567)."""
+    from verax_spark.sql.parser import parse
+
+    t = parse("select * from t for version as of 3").body.from_
+    assert (t.version_kind, t.version_before) == ("version", False)
+    t = parse("select * from t for system_version before 7").body.from_
+    assert (t.version_kind, t.version_before) == ("version", True)
+    t = parse(
+        "select * from t for timestamp as of timestamp '2026-01-01 00:00:00'"
+    ).body.from_
+    assert t.version_kind == "timestamp"
+    # the spec composes with aliasing and joins
+    q = parse(
+        "select * from t for version as of 1 x join u on x.a = u.a"
+    ).body.from_
+    assert q.left.version_kind == "version" and q.left.alias == "x"

@@ -259,6 +259,30 @@ def test_sql_filter_clause(presto, sf_dir):
     assert_frames_match(got, want, context="sql_filter_clause")
 
 
+@pytest.mark.parametrize("kind", ["", "inner ", "left ", "full outer "])
+def test_sql_natural_join(presto, sf_dir, kind):
+    # NATURAL JOIN (ref NaturalJoin, axiom/sql/presto/ast/AstRelations.h:477):
+    # implicit equi-join on all same-named columns. TPC-H base tables share
+    # no column names, so the interesting case is derived tables; the LEFT/
+    # FULL legs exercise null-supplying sides (suppliers span fewer nations
+    # than the full nation list once filtered).
+    sql = f"""
+    select nationkey, n_name, n_supp
+    from (select n_nationkey as nationkey, n_name from nation) a
+    natural {kind}join (select s_nationkey as nationkey, count(*) as n_supp
+                        from supplier where s_acctbal > 5000
+                        group by s_nationkey) b
+    order by nationkey
+    """
+    got = presto.sql(sql).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context=f"sql_natural_{kind.strip() or 'join'}")
+
+
 def test_quantified_comparisons(presto):
     # = ANY → IN ; <> ALL → NOT IN ; > ALL → max ; < ANY → max
     row = presto.sql(
@@ -1022,3 +1046,27 @@ def test_call_procedure(spark, sf_dir):
         sess.sql("call system.absent()")
     with pytest.raises(ValueError, match="must be a constant"):
         sess.sql("call test.my_proc(n_nationkey)")
+
+
+def test_prepared_statement_parameters(presto, sf_dir):
+    """Positional `?` parameters (ref Parameter, AstExpressions.h:133)
+    bound by parse order; DuckDB binds the same placeholders natively."""
+    import datetime
+
+    sql = (
+        "select o_orderstatus as st, count(*) as n from orders "
+        "where o_totalprice > ? and o_orderdate >= ? "
+        "group by o_orderstatus order by st"
+    )
+    params = [150000, datetime.datetime(1997, 1, 1)]
+    got = presto.sql(sql, params=params).toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        want = con.execute(sql, params).df()
+    finally:
+        con.close()
+    assert_frames_match(got, want, context="sql_params")
+    with pytest.raises(ValueError, match="parameter"):
+        presto.sql("select ? as a")
+    with pytest.raises(ValueError, match="parameter"):
+        presto.sql("select 1 as a", params=[2])

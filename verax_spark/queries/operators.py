@@ -1883,6 +1883,78 @@ def sql_txn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "sql_time_travel",
+    """
+    -- recompute each snapshot from the base table: v0 = as created,
+    -- v1 = after the delete, v2 = after the update
+    with v0 as (
+      select l_returnflag, l_quantity from lineitem where l_quantity >= 45),
+    v1 as (select * from v0 where l_quantity >= 48),
+    v2 as (
+      select l_returnflag,
+        case when l_returnflag = 'R' then l_quantity * 2 else l_quantity end
+          as l_quantity
+      from v1),
+    tagged as (
+      select 0 as v, l_returnflag, l_quantity from v0
+      union all select 1, l_returnflag, l_quantity from v1
+      union all select 2, l_returnflag, l_quantity from v2)
+    select v, coalesce(l_returnflag, '?') as flag, count(*) as n,
+      cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty
+    from tagged group by v, l_returnflag order by v, flag
+    """,
+)
+def sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel — FOR VERSION AS OF (ref TableVersionExpression,
+    axiom/sql/presto/ast/AstFunctions.h:535, grammar PrestoSql.g4:561-567)
+    over the writable COW table's version log (sources/versions.py):
+    DELETE then UPDATE produce snapshots v1/v2, and one query reads all
+    three versions side by side. The oracle recomputes each state from the
+    base table."""
+    sess, _ = _dml_target(spark, sf_dir, "tt")
+    sess.sql("delete from dml_target where l_quantity < 48")
+    sess.sql(
+        "update dml_target set l_quantity = l_quantity * 2 "
+        "where l_returnflag = 'R'"
+    )
+    leg = (
+        "select {v} as v, coalesce(l_returnflag, '?') as flag, count(*) as n,"
+        " cast(sum(cast(l_quantity as decimal(8,1))) as double) as qty"
+        " from dml_target for version as of {v} group by l_returnflag"
+    )
+    return sess.sql(
+        " union all ".join(leg.format(v=v) for v in range(3))
+        + " order by v, flag"
+    )
+
+
+@_register(
+    "sql_natural_join",
+    """
+    select nationkey, n_name, n_cust, n_supp
+    from (select n_nationkey as nationkey, n_name from nation) a
+    natural join (select c_nationkey as nationkey, count(*) as n_cust
+                  from customer group by c_nationkey) b
+    natural left join (select s_nationkey as nationkey, count(*) as n_supp
+                       from supplier where s_acctbal > 5000
+                       group by s_nationkey) c
+    order by nationkey
+    """,
+)
+def sql_natural_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL [LEFT] JOIN (ref NaturalJoin,
+    axiom/sql/presto/ast/AstRelations.h:477): implicit equi-join on all
+    same-named columns, declarative through Spark SQL's native NATURAL
+    JOIN; the cost-based reorderer declines natural joins (no explicit ON
+    to flatten) so the as-written shape reaches Catalyst. Identical text
+    runs in DuckDB as the oracle."""
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    return sess.sql(ORACLE["sql_natural_join"])
+
+
+@_register(
     "sql_ctas",
     """
     with t as (

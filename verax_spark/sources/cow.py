@@ -30,6 +30,8 @@ import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from verax_spark.sources import versions
+
 
 def _affected_files(spark: SparkSession, path: str, predicate: Column) -> list[str]:
     """Files containing ≥1 matching row (driver-side list, bounded by file
@@ -79,7 +81,11 @@ def _rewrite(
         if txn is not None:
             txn.retire(path, f)
         else:
-            os.remove(_local(f))
+            # versioned tables keep superseded files readable for time
+            # travel (falls back to delete when no version log exists)
+            versions.retire_file(path, f)
+    if txn is None and versions.enabled(path):
+        versions.record(path)
     return len(affected)
 
 

@@ -116,8 +116,21 @@ class Transaction:
             m.write(os.path.basename(f) + "\n")
 
     def commit(self) -> None:
-        """Make the transaction permanent: drop the undo state."""
-        for d in self._undo.values():
+        """Make the transaction permanent: drop the undo state. On a
+        versioned table (sources/versions.py) the undo dir's superseded
+        files move to the retired store and ONE version is recorded for
+        the whole transaction — intermediate DML states were never
+        snapshotted, so the log shows the txn as a single atomic commit."""
+        from verax_spark.sources import versions
+
+        for table, d in self._undo.items():
+            if versions.enabled(table):
+                for name in os.listdir(d):
+                    if name != _MANIFEST:
+                        versions.retire_file(
+                            table, os.path.join(d, name)
+                        )
+                versions.record(table)
             shutil.rmtree(d, ignore_errors=True)
         self._undo.clear()
         self._added.clear()

@@ -78,6 +78,25 @@ class Raw(Expr):
 
 
 @dataclass
+class Parameter(Expr):
+    """Positional prepared-statement parameter ``?`` (ref Parameter,
+    axiom/sql/presto/ast/AstExpressions.h:133). ``index`` is 0-based parse
+    order; PrestoSession.sql(text, params=[...]) binds each to a rendered
+    constant before the statement reaches Spark."""
+
+    index: int
+    bound: str | None = None
+
+    def sql(self) -> str:
+        if self.bound is None:
+            raise ValueError(
+                f"unbound parameter ?{self.index + 1}: pass "
+                "params=[...] to PrestoSession.sql"
+            )
+        return self.bound
+
+
+@dataclass
 class TypedLit(Expr):
     """``double '1.5'`` — Presto typed literal (AstExpressions.h GenericLiteral)."""
 
@@ -796,8 +815,23 @@ class Table(Relation):
     name: list[str]
     alias: str | None = None
     col_aliases: list[str] = field(default_factory=list)
+    # time travel: FOR (TIMESTAMP|VERSION) (AS OF|BEFORE) expr — ref
+    # TableVersionExpression (axiom/sql/presto/ast/AstFunctions.h:535,
+    # grammar PrestoSql.g4:561-567). Resolved by PrestoSession against the
+    # table's version log (sources/versions.py) BEFORE rendering; a spec
+    # surviving to sql() means no session resolved it.
+    version_kind: str | None = None  # "timestamp" | "version"
+    version_before: bool = False  # BEFORE instead of AS OF
+    version_expr: "Expr | None" = None
 
     def sql(self) -> str:
+        if self.version_kind is not None:
+            raise NotImplementedError(
+                f"FOR {self.version_kind.upper()} "
+                f"{'BEFORE' if self.version_before else 'AS OF'} requires a "
+                "PrestoSession with a version log (register_table); plain "
+                "transpile cannot resolve table history"
+            )
         s = ".".join(self.name)
         if self.alias:
             s += f" as {self.alias}"
@@ -939,6 +973,10 @@ class Join(Relation):
     right: Relation
     on: Expr | None = None
     using: list[str] = field(default_factory=list)
+    # implicit equi-join on all same-named columns (ref NaturalJoin,
+    # axiom/sql/presto/ast/AstRelations.h:477); Spark SQL supports the
+    # form natively, so rendering keeps it declarative
+    natural: bool = False
 
     def sql(self) -> str:
         if isinstance(self.right, Unnest):
@@ -960,6 +998,8 @@ class Join(Relation):
             right = f"({right})"
         if self.kind == "cross":
             return f"{self.left.sql()} cross join {right}"
+        if self.natural:
+            return f"{self.left.sql()} natural {self.kind} join {right}"
         if self.using:
             return (
                 f"{self.left.sql()} {self.kind} join {right} "

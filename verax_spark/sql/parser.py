@@ -98,6 +98,8 @@ class Parser:
     def __init__(self, sql: str):
         self.toks = _tokenize(sql)
         self.i = 0
+        # count of `?` prepared-statement parameters seen, in parse order
+        self.param_count = 0
 
     # -- token helpers -------------------------------------------------------
     def peek(self, ahead: int = 0) -> _Tok:
@@ -671,6 +673,10 @@ class Parser:
                 continue
             kind = None
             save = self.i
+            # NATURAL [INNER|LEFT|RIGHT|FULL [OUTER]] JOIN — implicit
+            # equi-join on all same-named columns (ref NaturalJoin,
+            # axiom/sql/presto/ast/AstRelations.h:477)
+            natural = self.accept_kw("natural")
             if self.at_kw(*_JOIN_TYPES):
                 kind = self.next().lower
                 self.accept_kw("outer")
@@ -679,8 +685,14 @@ class Parser:
                     break
             elif self.accept_kw("join"):
                 kind = "inner"
+            elif natural:
+                raise ParseError(f"NATURAL requires a JOIN at {self.peek().pos}")
             else:
                 break
+            if natural:
+                right = self._sampled_relation()
+                rel = ast.Join(kind, rel, right, natural=True)
+                continue
             if self.accept_kw("lateral"):
                 raise NotImplementedError(
                     "JOIN LATERAL: use the comma/cross-join lateral subquery form"
@@ -789,7 +801,27 @@ class Parser:
         while self.at_op(".") and self.peek(1).kind in ("id", "qid"):
             self.next()
             parts.append(self.ident())
-        return ast.Table(parts)
+        tbl = ast.Table(parts)
+        # FOR (TIMESTAMP|VERSION) (AS OF|BEFORE) expr — time travel (ref
+        # TableVersionExpression, grammar PrestoSql.g4:561-567; the
+        # SYSTEM_TIME/SYSTEM_VERSION spellings map to the same two kinds)
+        if self.at_kw("for") and self.at_kw(
+            "timestamp", "version", "system_time", "system_version", ahead=1
+        ):
+            self.next()
+            kw = self.next().lower
+            tbl.version_kind = (
+                "timestamp" if kw in ("timestamp", "system_time") else "version"
+            )
+            if self.accept_kw("before"):
+                tbl.version_before = True
+            else:
+                if not (self.accept_kw("as") and self.accept_kw("of")):
+                    raise ParseError(
+                        f"expected AS OF or BEFORE at {self.peek().pos}"
+                    )
+            tbl.version_expr = self.parse_expr()
+        return tbl
 
     # -- expressions ---------------------------------------------------------
     def parse_expr(self) -> ast.Expr:
@@ -988,6 +1020,14 @@ class Parser:
                 return ast.RowCtor(items)
             self.expect_op(")")
             return e
+        if t.kind == "op" and t.text == "?":
+            # positional prepared-statement parameter (ref Parameter,
+            # axiom/sql/presto/ast/AstExpressions.h:133); bound by
+            # PrestoSession.sql(text, params=[...]) in parse order
+            self.next()
+            p = ast.Parameter(self.param_count)
+            self.param_count += 1
+            return p
         if t.kind == "qid":
             return self._name_or_call()
         if t.kind != "id":

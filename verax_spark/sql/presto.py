@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from verax_spark.sources import versions
 from verax_spark.sql import ast
 from verax_spark.sql.parser import parse
 
@@ -85,6 +86,63 @@ def _proc_flush_metadata_cache(session: "PrestoSession") -> str:
     cat_mod._SCAN_CACHE.clear()
     session.spark.catalog.clearCache()
     return f"flushed {n} cached scans"
+
+
+def _proc_vacuum(session: "PrestoSession", table: str, keep: int = 1) -> str:
+    """CALL system.vacuum(table, keep): drop all but the newest ``keep``
+    time-travel snapshots of a writable table and delete retired files no
+    surviving snapshot references (the lakehouse VACUUM shape; bounds the
+    storage the FOR VERSION AS OF history holds)."""
+    path = session._writable_path(table)
+    n = versions.vacuum(path, keep=int(keep))
+    return f"vacuumed {n} files, kept {keep} versions"
+
+
+def _sql_literal(v) -> str:
+    """Render a Python value as a SQL constant (parameter binding)."""
+    import datetime
+
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return f"timestamp '{v}'"
+    if isinstance(v, datetime.date):
+        return f"date '{v}'"
+    raise TypeError(f"cannot bind parameter of type {type(v).__name__}")
+
+
+def _const_scalar(e) -> float:
+    """Python value of a constant numeric AST expression (version bounds)."""
+    if isinstance(e, ast.Raw):
+        try:
+            return int(e.text)
+        except ValueError:
+            return float(e.text)
+    if isinstance(e, ast.UnOp) and e.op == "-":
+        return -_const_scalar(e.operand)
+    raise ValueError(f"constant version bound required, got {e.sql()}")
+
+
+def _const_epoch(e) -> float:
+    """Epoch seconds of a constant timestamp bound: TIMESTAMP '...' / a
+    bare ISO string / a numeric epoch. Naive literals are interpreted in
+    the session's local timezone (datetime.fromisoformat semantics)."""
+    from datetime import datetime
+
+    if isinstance(e, ast.TypedLit) and e.type_.lower() == "timestamp":
+        return datetime.fromisoformat(e.value.strip("'")).timestamp()
+    if isinstance(e, ast.Raw):
+        t = e.text
+        if t.startswith("'") and t.endswith("'"):
+            return datetime.fromisoformat(t[1:-1]).timestamp()
+        return float(t)
+    raise ValueError(f"constant timestamp bound required, got {e.sql()}")
 
 
 def _walk_expr(node):
@@ -201,6 +259,7 @@ class PrestoSession:
         # built-in here maps to real session state worth flushing.
         self.procedures: dict[str, object] = {
             "system.flush_metadata_cache": _proc_flush_metadata_cache,
+            "system.vacuum": _proc_vacuum,
         }
         # view + compat-UDF registration is idempotent; skip the ~12 DDL
         # round-trips when this session already has THIS sf_dir's views
@@ -239,6 +298,65 @@ class PrestoSession:
                     node.alias = node.alias or tbl
                     node.name = [f"{cat}__{tbl}"]
 
+    def _bind_parameters(self, stmt, params) -> None:
+        """Bind ``?`` placeholders (ref Parameter, AstExpressions.h:133) to
+        constants, by parse order — the EXECUTE ... USING shape folded into
+        one call. Unbound or surplus parameters error loudly."""
+        found = sorted(
+            (n for n in _walk_expr(stmt) if isinstance(n, ast.Parameter)),
+            key=lambda n: n.index,
+        )
+        if not found and not params:
+            return
+        if len(found) != len(params or ()):
+            raise ValueError(
+                f"statement has {len(found)} parameter(s) but "
+                f"{len(params or ())} value(s) were bound"
+            )
+        for node, value in zip(found, params):
+            node.bound = _sql_literal(value)
+
+    def _resolve_table_versions(self, stmt) -> None:
+        """Resolve ``FOR (TIMESTAMP|VERSION) (AS OF|BEFORE)`` table specs
+        (ref TableVersionExpression, AstFunctions.h:535) against the
+        writable tables' version logs: the snapshot's file list becomes a
+        temp view (a plain multi-file parquet scan — pushdown and pruning
+        intact) and the reference is rewritten to it, original name kept
+        as the alias. Bounds are constants, evaluated in Python — no Spark
+        job at plan time."""
+        import hashlib
+
+        for node in _walk_expr(stmt):
+            if not (isinstance(node, ast.Table) and node.version_kind):
+                continue
+            name = ".".join(node.name)
+            path = self.writable.get(name)
+            if path is None:
+                raise ValueError(
+                    f"FOR {node.version_kind.upper()} requires a writable "
+                    f"table with a version log; {name!r} is not registered "
+                    "via register_table/CREATE TABLE"
+                )
+            if node.version_kind == "version":
+                v = int(_const_scalar(node.version_expr))
+                files = versions.files_at(
+                    path, version=v, before=node.version_before
+                )
+                tag = f"v{v}{'b' if node.version_before else ''}"
+            else:
+                ts = _const_epoch(node.version_expr)
+                files = versions.files_at(
+                    path, timestamp=ts, before=node.version_before
+                )
+                tag = "t" + hashlib.md5(
+                    f"{ts}{node.version_before}".encode()
+                ).hexdigest()[:10]
+            view = f"{self._view_name(name)}__asof_{tag}"
+            self.spark.read.parquet(*files).createOrReplaceTempView(view)
+            node.alias = node.alias or node.name[-1]
+            node.name = [view]
+            node.version_kind, node.version_expr = None, None
+
     def _resolve_type_aliases(self, stmt) -> None:
         """Substitute CREATE TYPE aliases wherever a type is spelled —
         CAST targets, CREATE TABLE column definitions, CREATE FUNCTION
@@ -258,9 +376,11 @@ class PrestoSession:
                 node.parameters = [(n, res(t)) for n, t in node.parameters]
                 node.return_type = res(node.return_type)
 
-    def sql(self, text: str) -> DataFrame:
+    def sql(self, text: str, params: "list | tuple | None" = None) -> DataFrame:
         stmt = parse(text.strip())
+        self._bind_parameters(stmt, params)
         self._resolve_connector_tables(stmt)
+        self._resolve_table_versions(stmt)
         if self.types:
             self._resolve_type_aliases(stmt)
         if isinstance(stmt, ast.DescribeStmt):
@@ -363,6 +483,10 @@ class PrestoSession:
         recover_orphans(
             path, active_id=self._txn.id if self._txn is not None else None
         )
+        # start the version log (v0 = as registered): every committed DML
+        # on a writable table becomes a time-travel snapshot
+        # (FOR VERSION/TIMESTAMP AS OF, sources/versions.py)
+        versions.ensure_initial(path)
         self.writable[name] = path
         self._refresh(name)
 
@@ -454,6 +578,8 @@ class PrestoSession:
                 for name in snapshot_names(path) - before:
                     self._txn.record_added(_os.path.join(_local(path), name))
                 self._txn_tables.add(stmt.table)
+            elif versions.enabled(path):
+                versions.record(path)
             self._refresh(stmt.table)
             return local_values(
                 self.spark, [(int(obs.get["rows"]),)], "rows_inserted bigint"

@@ -164,6 +164,9 @@ def _flatten_from(
     if isinstance(rel, ast.Join):
         if rel.using:
             raise _NotEligible("USING join")
+        if rel.natural:
+            # no explicit ON: flattening would mis-read it as a cross join
+            raise _NotEligible("NATURAL join")
         if isinstance(rel.right, ast.Unnest) or isinstance(rel.left, ast.Unnest):
             raise _NotEligible("unnest relation")
         if rel.kind == "left":
