@@ -95,6 +95,11 @@ ANNOTATED: dict[tuple[str, str], str] = {
     ("tpch_q22", "nested-loop"): (
         "1-row scalar-subquery (global avg) broadcast cross join"
     ),
+    ("tpch_q11", "nested-loop"): (
+        "1-row scalar-subquery (global value threshold) broadcast cross "
+        "join — replaced the Window.partitionBy(lit(1)) that funneled one "
+        "row PER PART (20M at sf100) through a single task"
+    ),
 }
 
 

@@ -346,25 +346,43 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shipping priority (ref tpch.queries/q3.sql; o_shippriority absent in
     testdata): customer⋈orders⋈lineitem, grouped revenue, top-10."""
     cat = Catalog(spark, sf_dir)
-    cust = cat.customer.filter(F.col("c_mktsegment") == "BUILDING")
-    orders = cat.orders.filter(F.col("o_orderdate") < _ts("1997-03-15"))
-    # No semi-reduction here: the dominant shuffle is the ~360M-row
-    # lineitem side, whose surviving order-key set (~10M) exceeds the
-    # broadcast budget — and A/B at sf100 showed reducing only the orders
-    # side costs more than it saves (24.5s vs 21.1s). What does pay: the
-    # fact shuffle carries (l_orderkey, rev-units) only — the revenue
-    # expression is evaluated UNDER the exchange, one long instead of two
-    # doubles + shipdate.
-    line = cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15")).select(
-        "l_orderkey", _rev_units().alias("__ru")
+    from verax_spark.plans import expr as dsl
+
+    # customer contributes only its PK under a segment filter, so the
+    # inner join IS a semi join on the filtered key set — broadcast it
+    # when the footer estimate clears the byte gate (1/5 of customer keys,
+    # 8 B each: ~24 MB at sf100; declines and falls back to a shuffle semi
+    # join at extreme sf)
+    cust_keys = _bcast_if_small(
+        cat.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+        _filter_est(
+            cat, "customer", dsl.Call("eq", dsl.Col("c_mktsegment"), dsl.Lit("BUILDING"))
+        ),
+        width=8.0,
+    )
+    orders = cat.orders.filter(F.col("o_orderdate") < _ts("1997-03-15")).join(
+        cust_keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    )
+    # pre-aggregate the fact BEFORE the order join: o_orderdate is
+    # functionally dependent on the join key, so grouping by l_orderkey
+    # alone is exact — partial agg collapses the ~4 lines/order inside the
+    # map side (orderkey-clustered files), and the join then moves
+    # per-order rows, not per-line rows. The shuffle carries
+    # (l_orderkey, rev-units) only: revenue is evaluated UNDER the
+    # exchange, one long instead of two doubles + shipdate.
+    line_agg = (
+        cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15"))
+        .select("l_orderkey", _rev_units().alias("__ru"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("__ru")).alias("__rev_u"))
     )
     return (
-        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"))
-        .join(line, F.col("l_orderkey") == F.col("o_orderkey"))
-        .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(F.col("__ru")).alias("__rev_u"))
-        .withColumn("revenue", _descale(F.col("__rev_u"), 4))
-        .drop("__rev_u")
+        line_agg.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            _descale(F.col("__rev_u"), 4).alias("revenue"),
+            "o_orderdate",
+        )
         .orderBy(F.col("revenue").desc(), "l_orderkey")
         .limit(10)
     )
@@ -752,14 +770,19 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             (_unit("l_extendedprice", 2) * _unit("l_quantity", 1)).alias("v"),
         )
     )
-    # single pass: the global threshold comes from a window over the
-    # POST-AGGREGATE relation (one row per part — bounded), so the
-    # lineitem⋈supplier⋈nation subtree executes once instead of twice
-    # (scalar-subquery decorrelation scanned it for the threshold too)
+    # single pass over the fact subtree: the grouped relation is cached as
+    # a narrow localCheckpoint-free reuse via two aggregations on the SAME
+    # shuffle output — Spark reuses the exchange (ReusedExchange) because
+    # both consumers share the child plan. The global threshold is a 1-row
+    # aggregate broadcast-cross-joined back (the repo's scalar-subquery
+    # pattern) — the previous Window.partitionBy(lit(1)) funneled one row
+    # PER PART (20M at sf100, scales with SF) through a single task.
     grouped = stock.groupBy("l_partkey").agg(F.sum("v").alias("__value_u"))
-    total = F.sum("__value_u").over(Window.partitionBy(F.lit(1)))
+    total_row = grouped.agg(
+        (_descale(F.sum("__value_u"), 3) * 0.0001).alias("__threshold")
+    )
     return (
-        grouped.withColumn("__threshold", _descale(total, 3) * 0.0001)
+        grouped.join(F.broadcast(total_row))
         .filter(_descale(F.col("__value_u"), 3) > F.col("__threshold"))
         .select(
             "l_partkey", _descale(F.col("__value_u"), 3).alias("value")
@@ -1287,7 +1310,11 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("__late")
     lo = (
         cat.lineitem.join(
-            cat.orders.filter(F.col("o_orderstatus") == "F"),
+            # SHUFFLE_HASH: build a per-partition hash table on the orders
+            # side instead of sort-merge — skips sorting the 600M-row
+            # lineitem stream (the downstream groupBy is hash-based and
+            # reuses the join's hash partitioning either way)
+            cat.orders.filter(F.col("o_orderstatus") == "F").hint("SHUFFLE_HASH"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .withColumn(
@@ -1295,15 +1322,22 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("interval 90 days"),
         )
     )
+    # distinct-count predicates as min/max arithmetic (no per-group array
+    # state, unlike collect_set): >1 distinct suppliers ⇔ min ≠ max, and
+    # exactly-1 distinct late supplier ⇔ non-null ∧ min = max.
+    late_supp = F.when(late, F.col("l_suppkey"))
     per_order = lo.groupBy("l_orderkey").agg(
-        F.size(F.collect_set("l_suppkey")).alias("__n_supp"),
-        F.size(F.collect_set(F.when(late, F.col("l_suppkey")))).alias("__n_late"),
-        F.max(F.when(late, F.col("l_suppkey"))).alias("__late_supp"),
+        F.min("l_suppkey").alias("__s_min"),
+        F.max("l_suppkey").alias("__s_max"),
+        F.min(late_supp).alias("__l_min"),
+        F.max(late_supp).alias("__l_max"),
         F.sum(late.cast("long")).alias("__late_lines"),
     )
     waiting = per_order.filter(
-        (F.col("__n_supp") > 1) & (F.col("__n_late") == 1)
-    )
+        (F.col("__s_min") != F.col("__s_max"))
+        & F.col("__l_min").isNotNull()
+        & (F.col("__l_min") == F.col("__l_max"))
+    ).withColumn("__late_supp", F.col("__l_min"))
     return (
         waiting.join(cat.supplier, F.col("s_suppkey") == F.col("__late_supp"))
         .join(

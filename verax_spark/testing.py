@@ -28,12 +28,35 @@ def duckdb_connection(sf_dir: str):
     return con
 
 
+def _canon(v):
+    """Canonical comparable form of one cell: ndarray/list/tuple -> tuple
+    of canonical elements, numpy scalars -> python, floats rounded to 9
+    significant digits (nested values can't use the column-level isclose
+    path). Engines differ in container type (Spark toPandas gives
+    ndarray, DuckDB gives list) but not in element values."""
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, float):
+        if v != v:  # NaN
+            return "nan"
+        return float(f"{v:.9g}")
+    return v
+
+
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name and rows by all values (order-insensitive
-    compare, like the driver's sorted value-hash)."""
+    """Sort columns by name and rows by the stringified canonical value
+    tuple (order-insensitive compare, like the driver's sorted value-hash;
+    str-keyed so array/map cells — unhashable, unorderable — sort too)."""
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df) and len(df.columns):
-        df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+        key = df.apply(
+            lambda row: tuple((x is None, str(_canon(x))) for x in row), axis=1
+        )
+        df = df.iloc[np.argsort(key.to_numpy(), kind="stable")].reset_index(drop=True)
     return df
 
 
@@ -63,8 +86,10 @@ def assert_frames_match(
                 f"{np.nonzero(~ok)[0][:5]}: {av[~ok][:5]} vs {bv[~ok][:5]}"
             )
         else:
-            av = av.astype(str).to_numpy()
-            bv = bv.astype(str).to_numpy()
+            # map through _canon first: container types differ per engine
+            # (ndarray vs list) even when element values are identical
+            av = av.map(lambda x: str(_canon(x))).to_numpy()
+            bv = bv.map(lambda x: str(_canon(x))).to_numpy()
             bad = av != bv
             assert not bad.any(), (
                 f"{context}: column {col} differs at rows "
