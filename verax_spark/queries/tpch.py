@@ -360,24 +360,28 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         width=8.0,
     )
-    orders = cat.orders.filter(F.col("o_orderdate") < _ts("1997-03-15")).join(
-        cust_keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi"
+    orders = (
+        cat.orders.filter(F.col("o_orderdate") < _ts("1997-03-15"))
+        .join(cust_keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        # build a per-partition hash table on the reduced orders side
+        # instead of sort-merge: skips SORTING the ~360M-row fact stream
+        # (the groupBy after the join is hash-based and reuses the join's
+        # l_orderkey partitioning either way). Pre-aggregating the fact
+        # FIRST was measured WORSE at sf100 (53s vs 25s): ~150M distinct
+        # order keys make the pre-agg hash state spill, while the ~4
+        # lines/order reduction is too small to pay for it.
+        .hint("SHUFFLE_HASH")
     )
-    # pre-aggregate the fact BEFORE the order join: o_orderdate is
-    # functionally dependent on the join key, so grouping by l_orderkey
-    # alone is exact — partial agg collapses the ~4 lines/order inside the
-    # map side (orderkey-clustered files), and the join then moves
-    # per-order rows, not per-line rows. The shuffle carries
-    # (l_orderkey, rev-units) only: revenue is evaluated UNDER the
-    # exchange, one long instead of two doubles + shipdate.
-    line_agg = (
-        cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15"))
-        .select("l_orderkey", _rev_units().alias("__ru"))
-        .groupBy("l_orderkey")
-        .agg(F.sum(F.col("__ru")).alias("__rev_u"))
+    # the fact shuffle carries (l_orderkey, rev-units) only — revenue is
+    # evaluated UNDER the exchange, one long instead of two doubles +
+    # shipdate
+    line = cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15")).select(
+        "l_orderkey", _rev_units().alias("__ru")
     )
     return (
-        line_agg.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("__ru")).alias("__rev_u"))
         .select(
             "l_orderkey",
             _descale(F.col("__rev_u"), 4).alias("revenue"),
@@ -585,28 +589,57 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """National market share (ref tpch.queries/q8.sql): 8-way join, share =
     conditional-sum / sum (FILTER-style aggregate)."""
     cat = Catalog(spark, sf_dir)
+    from verax_spark.plans import expr as dsl
+
     region = F.broadcast(cat.region.filter(F.col("r_name") == "AMERICA"))
     n1 = F.broadcast(cat.nation.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")))
     n2 = F.broadcast(cat.nation.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")))
-    part = cat.part.filter(F.col("p_type") == "ECONOMY")
-    orders = cat.orders.filter(
-        F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+    # customer and part contribute ONLY filters through their PKs (region
+    # membership; p_type), so both inner joins ARE semi joins on filtered
+    # key sets — byte-gated broadcasts that fall back to shuffle semi
+    # joins at extreme sf. This cuts the 8-way join to TWO fact shuffles
+    # (orderkey, then suppkey), down from four.
+    cust_stats = cat.stats("customer")
+    amer_cust = _bcast_if_small(
+        cat.customer.join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(region, F.col("n1_region") == F.col("r_regionkey"))
+        .select("c_custkey"),
+        # nations are uniform over 5 regions -> 1/5 of customer keys
+        None if cust_stats is None else cust_stats.num_rows / 5.0,
+        width=8.0,
+    )
+    part_keys = _bcast_if_small(
+        cat.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey"),
+        _filter_est(
+            cat, "part", dsl.Call("eq", dsl.Col("p_type"), dsl.Lit("ECONOMY"))
+        ),
+        width=8.0,
+    )
+    # the date+region-reduced orders side (~6% of orders at any sf)
+    # carries (o_orderkey, o_year) only; joined FIRST because it is the
+    # most reducing join, so the supplier join shuffles ~6% of the fact
+    orders = (
+        cat.orders.filter(
+            F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+        )
+        .join(amer_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select(
+            "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+        )
+        .hint("SHUFFLE_HASH")
     )
     all_nations = (
-        part.join(cat.lineitem, F.col("p_partkey") == F.col("l_partkey"))
-        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
+        cat.lineitem.join(part_keys, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", _rev_units().alias("volume_u"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(cat.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
-        .join(region, F.col("n1_region") == F.col("r_regionkey"))
-        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
-        .select(
-            F.year("o_orderdate").cast("bigint").alias("o_year"),
-            _rev_units().alias("volume_u"),
-            "nation",
+        .join(
+            cat.supplier.select("s_suppkey", "s_nationkey").hint("SHUFFLE_HASH"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
         )
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .select("o_year", "volume_u", "nation")
     )
     brazil = F.sum(F.when(F.col("nation") == "NATION_6", F.col("volume_u")))
     return (
@@ -814,6 +847,12 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (expression pushdown under the exchange — ~1.7 GB less shuffle I/O
     # on 150M orders at sf100)
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # NO shuffle-hash hint here: orders is UNFILTERED (150M rows at
+    # sf100), and a shuffled-hash build cannot spill — measured "Can't
+    # acquire ... bytes to build hash relation" at sf100/local[32].
+    # Sort-merge is the right join for two unreduced fact-sized sides;
+    # the hint is reserved for joins whose build side a filter/semi has
+    # already cut (q3/q8/q21).
     orders = cat.orders.select("o_orderkey", high.alias("__high"))
     line = cat.lineitem.filter(
         (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
