@@ -886,10 +886,19 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a filtered build side + two-level aggregation."""
     cat = Catalog(spark, sf_dir)
     orders = cat.orders.filter(F.col("o_orderstatus") != "F")
+    # aggregate orders per customer BEFORE the outer join (count is
+    # decomposable; customers absent from orders coalesce to 0): the fact
+    # shuffle carries bare custkeys with map-side partial counts, and the
+    # join probes ~order-holding-customer rows instead of every order row
+    # — the old join-then-regroup shuffled the joined relation a second
+    # time
+    ord_counts = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
     c_orders = (
-        cat.customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("c_count"))
+        cat.customer.select("c_custkey")
+        .join(ord_counts, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("__n"), F.lit(0)).alias("c_count"))
     )
     return (
         c_orders.groupBy("c_count")
