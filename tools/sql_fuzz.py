@@ -138,14 +138,43 @@ def q_quantified():
             f"{quant} ({sub}) order by k")
 
 
-GENS = [q_simple, q_agg, q_grouping, q_setop, q_sub, q_join, q_window, q_limit, q_cte, q_quantified]
+def q_natural():
+    # r05: NATURAL [kind] JOIN over derived tables with engineered shared
+    # column names (base TPC-H tables share none); LEFT/FULL exercise
+    # null-supplying sides. DuckDB runs the identical text.
+    kind = rng.choice(["", "inner ", "left ", "full "])
+    lo = rng.randint(0, 20)
+    return (
+        f"select k, a_name, b_cnt from "
+        f"(select n_nationkey as k, n_name as a_name from nation) a "
+        f"natural {kind}join "
+        f"(select n_regionkey as k, count(*) as b_cnt from nation "
+        f" where n_nationkey >= {lo} group by n_regionkey) b "
+        f"order by k"
+    )
+
+
+def q_params():
+    # r05: positional ? parameters (ref Parameter, AstExpressions.h:133),
+    # bound by parse order on both engines
+    lo, pat = rng.randint(0, 10), rng.choice(["NATION_1%", "NATION_2%", "%_3"])
+    sql = (
+        "select n_nationkey as k, n_name from nation "
+        "where n_nationkey >= ? and n_name like ? order by k"
+    )
+    return sql, [lo, pat]
+
+
+GENS = [q_simple, q_agg, q_grouping, q_setop, q_sub, q_join, q_window,
+        q_limit, q_cte, q_quantified, q_natural, q_params]
 fails = []
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 for i in range(N):
-    sql = rng.choice(GENS)()
+    gen = rng.choice(GENS)()
+    sql, params = gen if isinstance(gen, tuple) else (gen, None)
     try:
-        got = sess.sql(sql).toPandas()
-        want = con.execute(sql).df()
+        got = sess.sql(sql, params=params).toPandas()
+        want = (con.execute(sql, params) if params else con.execute(sql)).df()
         assert_frames_match(got, want, context=sql[:80])
     except Exception as e:
         fails.append((sql, repr(e)[:300]))
