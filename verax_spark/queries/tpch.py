@@ -681,7 +681,6 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     5% of p_retailprice (no partsupp). Shape kept: 5-way join + LIKE filter +
     derived table + re-agg."""
     cat = Catalog(spark, sf_dir)
-    part = cat.part.filter(F.col("p_name").like("%red%"))
     nation = F.broadcast(cat.nation)
     # amount in 10^-5 integer units (rev is 10^-4 → x10; cost =
     # retail_cents x qty_tenths x 5 is natively 10^-5): per-row |amount|
@@ -689,16 +688,41 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     amount = _rev_units() * F.lit(10) - (
         _unit("p_retailprice", 2) * _unit("l_quantity", 1) * F.lit(5)
     )
+    # part carries only (PK, retailprice) under a LIKE filter — footer
+    # stats cannot estimate LIKE, so the gate uses the System-R default
+    # selectivity the reference also falls back to when filter sampling
+    # is off (0.1, OptimizerOptions.h:52-57): ~2M 16 B rows at sf100 fits
+    # the byte budget, and the fact then reduces MAP-ONLY before any
+    # shuffle; at extreme sf the estimate exceeds the gate and the plan
+    # falls back to the shuffle join
+    part_stats = cat.stats("part")
+    part_cols = _bcast_if_small(
+        cat.part.filter(F.col("p_name").like("%red%")).select(
+            "p_partkey", "p_retailprice"
+        ),
+        None if part_stats is None else part_stats.num_rows * 0.1,
+        width=16.0,
+    )
     profit = (
-        part.join(cat.lineitem, F.col("p_partkey") == F.col("l_partkey"))
-        .join(cat.supplier, F.col("s_suppkey") == F.col("l_suppkey"))
-        .join(cat.orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
-        .select(
-            F.col("n_name").alias("nation"),
-            F.year("o_orderdate").cast("bigint").alias("o_year"),
-            amount.alias("amount"),
+        cat.lineitem.join(part_cols, F.col("p_partkey") == F.col("l_partkey"))
+        .select("l_orderkey", "l_suppkey", amount.alias("amount"))
+        # build the hash on the LIKE-reduced fact side (~1/17 of lineitem
+        # split across the shuffle partitions, which scale with data):
+        # the unreduced orders probe then streams without the sort-merge
+        # sort over 150M rows
+        .hint("SHUFFLE_HASH")
+        .join(
+            cat.orders.select(
+                "o_orderkey", F.year("o_orderdate").cast("bigint").alias("o_year")
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
         )
+        .join(
+            cat.supplier.select("s_suppkey", "s_nationkey").hint("SHUFFLE_HASH"),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("n_name").alias("nation"), "o_year", "amount")
     )
     return (
         profit.groupBy("nation", "o_year")
