@@ -47,7 +47,11 @@ def test_q3_broadcast_fragments(spark, sf_dir):
             collect(i)
 
     collect(frag)
-    assert sum(1 for f in flat if f.kind == "broadcast") >= 2  # customer + orders dims
+    # r05 q3 shape: customer participates as a broadcast SEMI key set
+    # (PK-filter join); the orders side is a shuffled-hash build (hinted),
+    # so exactly the key-set broadcast remains
+    assert sum(1 for f in flat if f.kind == "broadcast") >= 1  # customer keys
+    assert sum(1 for f in flat if f.kind == "partitioned") >= 1  # fact exchange
     assert frag.width == 1  # TakeOrderedAndProject gathers to the driver
 
 

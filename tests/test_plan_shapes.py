@@ -137,7 +137,16 @@ def test_tpch_plans_have_no_duplicate_fact_scans(spark, sf_dir):
         ("tpch_q5", "nation"), ("tpch_q5", "region"),
     }
     for name, fn in sorted(tpch.QUERIES.items()):
-        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        df = fn(spark, sf_dir)
+        # execute first and inspect only the FINAL adaptive plan: AQE
+        # applies exchange/stage reuse at runtime, so a pre-execution
+        # plan (and the "Initial Plan" section of an executed one) shows
+        # a shared subtree as two scans even though it runs once —
+        # q11's broadcast-threshold branch is the canonical case
+        # (ReusedExchange over the groupBy's hash exchange).
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
         files = re.findall(r"Location: InMemoryFileIndex[^\n]*?(\w+)\.parquet", plan)
         for table, cnt in Counter(files).items():
             if cnt > 1 and (name, table) not in allowed:
