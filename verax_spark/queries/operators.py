@@ -3184,7 +3184,7 @@ def op_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
           for i in range(0, (d % 10) + 1)])) as pcdf,
       case when d % 2 = 0 then 0.25 else 2.0/3.0 end as jac,
       (d + 1.0) / (d + 4.0) as mnorm_a,
-      list_sort([d % 3, 2, 0], 'DESC') as sorted_desc,
+      array_to_string(list_sort([d % 3, 2, 0], 'DESC'), ',') as sorted_desc,
       cast(round((d + 0.5) * 60000) as bigint) as dur_ms
     from t order by d
     """,
@@ -3229,9 +3229,13 @@ def op_fn_batch9(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "a",
         ).alias("mnorm_a"),
-        pc("array_sort_desc", F.array(d % 3, F.lit(2), F.lit(0))).alias(
-            "sorted_desc"
-        ),
+        F.array_join(
+            F.transform(
+                pc("array_sort_desc", F.array(d % 3, F.lit(2), F.lit(0))),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("sorted_desc"),
         pc(
             "to_milliseconds",
             pc(
