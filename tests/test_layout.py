@@ -201,3 +201,107 @@ def test_lookup_join_bucketed_path_ignored_on_key_mismatch(
         build_table="b_orders",
     )
     assert out.count() > 0
+
+
+def test_planner_chooses_index_lookup_sql(spark, sf_dir, layout_tables):
+    """Round-6 directive #3: the cost-based enumeration itself must pick an
+    index-lookup plan when a small probe joins a bucketed table through the
+    SQL front door (joinByIndex analog, ref axiom/optimizer/
+    Optimization.cpp:817; lookupCost Schema.cpp:450) — probe key domain
+    pushed into the build scan as an IN filter, no build-side Exchange."""
+    from verax_spark.sql.presto import PrestoSession
+    from verax_spark.testing_plans import physical_plan
+
+    cat = Catalog(spark, sf_dir)
+    cat.orders.select(F.col("o_orderkey").alias("k")).limit(
+        5
+    ).createOrReplaceTempView("tiny_probe")
+    sess = PrestoSession(spark, sf_dir)
+    df = sess.sql(
+        """
+        SELECT count(*) AS n
+        FROM tiny_probe t, b_orders o, b_lineitem l
+        WHERE t.k = o.o_orderkey AND o.o_orderkey = l.l_orderkey
+        """
+    )
+    info = sess.last_reorder
+    assert info is not None and info.lookups, (
+        "planner did not choose an index lookup: "
+        f"{None if info is None else (info.order, info.tree)}"
+    )
+    rows = df.collect()
+    plan = physical_plan(df)
+    # the probe's key domain reached the build-side parquet scan
+    assert "In(o_orderkey" in plan or "In(l_orderkey" in plan, plan
+    # correctness: identical to the un-reordered spelling
+    expected = PrestoSession(spark, sf_dir, reorder=False).sql(
+        """
+        SELECT count(*) AS n
+        FROM tiny_probe t, b_orders o, b_lineitem l
+        WHERE t.k = o.o_orderkey AND o.o_orderkey = l.l_orderkey
+        """
+    ).collect()
+    assert rows == expected
+
+
+def test_dp_lookup_candidate_costing(spark, sf_dir, layout_tables):
+    """Unit test of the DP's lookup alternative (zero-job: estimates
+    pinned): a 10-row probe against a 1M-row bucketed build takes the
+    lookup; a probe bigger than the build does not."""
+    from verax_spark.optimizer.query_graph import QueryGraph
+
+    cat = Catalog(spark, sf_dir)
+    build = spark.table("b_orders")
+
+    def graph(probe_rows: float) -> QueryGraph:
+        g = QueryGraph()
+        g.table("p", cat.customer.select(F.col("c_custkey").alias("k")))
+        g.table("b", build)
+        g.edge("p", "k", "b", "o_orderkey")
+        g._est_memo = {}
+        est = {"p": probe_rows, "b": 1_000_000.0}
+        g._estimate_rows = lambda ref: est[ref.name]  # pin: no sampling
+        g._edge_fanout = lambda e, mod=None: (1.0, probe_rows / 1_000_000.0)
+        return g
+
+    tree, _ = graph(10.0).choose_tree()
+    assert tree[0] == "lookup", tree
+    assert graph(10.0).tables["b"].bucketed_by == (("o_orderkey",), 4)
+    tree_big, _ = graph(50_000_000.0).choose_tree()
+    assert tree_big[0] != "lookup", tree_big
+
+
+def test_catalog_layout_choice(spark, sf_dir, tmp_path):
+    """Per-query layout selection (ref per-candidate ColumnGroup choice,
+    Schema.h:238-264): default = take the registered bucketed layout;
+    an explicit layout_keys set takes it only when the bucket columns are
+    a subset (a copy the query can't exploit costs its worse compression);
+    rows identical either way."""
+    import shutil as _sh
+
+    from verax_spark.sources.layout import (
+        bucket_layout_of_df,
+        materialize_bucketed_layout,
+    )
+
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    _sh.copyfile(f"{sf_dir}/nation.parquet", src_dir / "nation.parquet")
+    materialize_bucketed_layout(
+        spark, str(src_dir / "nation.parquet"), "nation",
+        ["n_nationkey"], n_buckets=2,
+    )
+
+    def fresh():
+        return Catalog(spark, str(src_dir))
+
+    picked = fresh().table("nation")  # default: layout serves
+    assert bucket_layout_of_df(picked) is not None
+    flat = fresh().table("nation", ())  # scan-bound query: flat source
+    assert bucket_layout_of_df(flat) is None
+    matching = fresh().table("nation", ("n_nationkey", "n_regionkey"))
+    assert bucket_layout_of_df(matching) is not None
+    mismatched = fresh().table("nation", ("n_regionkey",))
+    assert bucket_layout_of_df(mismatched) is None
+    rows = sorted(map(tuple, picked.collect()))
+    assert rows == sorted(map(tuple, flat.collect()))

@@ -81,7 +81,28 @@ class Catalog:
             self._stats[name] = table_stats(self.table(name))
         return self._stats[name]
 
-    def table(self, name: str) -> DataFrame:
+    def table(
+        self, name: str, layout_keys: "frozenset[str] | set | tuple | None" = None
+    ) -> DataFrame:
+        """Resolve ``name`` to a DataFrame, choosing among the table's
+        physical layouts (ref TableLayout / per-query ColumnGroup choice,
+        ConnectorMetadata.h:176-353, Schema.h:238-264).
+
+        ``layout_keys`` is the set of columns THIS QUERY joins or
+        aggregates this table on. None (default) = take any registered
+        bucketed layout (SQL front door, generic callers — the planner
+        then exploits or ignores it). An explicit set = take the bucketed
+        layout only when its bucket columns are a subset of the declared
+        keys; otherwise serve the flat source scan — a bucketed copy the
+        query cannot exploit still costs its re-sorted files' worse
+        compression (~18% more bytes measured on lineitem at sf100), so a
+        scan-bound query declares ``layout_keys=()`` and keeps the flat
+        files."""
+        lk = (
+            None
+            if layout_keys is None
+            else frozenset(k.lower() for k in layout_keys)
+        )
         if name not in self._cache:
             # session-scoped scan cache: DataFrames are immutable logical
             # plans, so reusing one across Catalog instances is safe and
@@ -89,17 +110,35 @@ class Catalog:
             # spark.read.parquet — material when a harness builds a fresh
             # Catalog per query). Keyed by application id so a restarted
             # session never sees stale plans.
-            key = (self.spark.sparkContext.applicationId, self.sf_dir, name)
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            # layout choice: registry metadata only (no JVM on the miss path)
+            from verax_spark.sources.layout import (
+                attach_layout_entry,
+                registered_layout,
+            )
+
+            entry = registered_layout(path, name, lk)
+            use_layout = entry is not None
+            key = (
+                self.spark.sparkContext.applicationId,
+                self.sf_dir,
+                name,
+                entry["table"] if use_layout else None,
+            )
             shared = _SCAN_CACHE.get(key)
             if shared is not None:
                 self._cache[name] = shared
                 return shared
-            path = os.path.join(self.sf_dir, f"{name}.parquet")
-            # Physical-layout fixup (ref TableLayout ownership of storage,
-            # ConnectorMetadata.h:176-353): if the input is a small
-            # single-row-group file — Spark scans can't parallelize below
-            # row-group granularity — serve a re-chunked copy. No-op on
-            # well-split inputs (every real-scale dataset).
+            if use_layout:
+                bucketed = attach_layout_entry(self.spark, entry)
+                if bucketed is not None:
+                    self._cache[name] = bucketed
+                    _SCAN_CACHE[key] = bucketed
+                    return bucketed
+            # Split fixup: if the input is a small single-row-group file —
+            # Spark scans can't parallelize below row-group granularity —
+            # serve a re-chunked copy. No-op on well-split inputs (every
+            # real-scale dataset).
             from verax_spark.sources.split_cache import ensure_parallel_layout
 
             path = ensure_parallel_layout(

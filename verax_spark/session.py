@@ -69,6 +69,14 @@ def get_spark(
         # "existences" (optimizer/Plan.h:134-151).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+        # Use the per-bucket sort order of bucketed tables (layout registry,
+        # sources/layout.py writes exactly one file per bucket): sort-merge
+        # joins and sort-based ops over co-bucketed tables then skip the Sort
+        # as well as the Exchange. Safe despite the "legacy" name: verified
+        # empirically (and by the multi-file probe in tests/test_layout.py)
+        # that Spark 4 only claims the order when every selected bucket has
+        # at most one file — multi-file buckets still get explicit Sorts.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         # --- Shuffle / scan sizing
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.maxPartitionBytes", "128m")  # = reference split default

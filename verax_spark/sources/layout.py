@@ -25,7 +25,241 @@ bucketed sort-merge or broadcast joins are the documented approximation.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+# ---------------------------------------------------------------------------
+# Layout registry: connector metadata for bucketed copies of parquet sources.
+#
+# The reference's connector owns physical layout metadata — a table can have
+# several ColumnGroups (indexes) over the same logical rows, and the
+# optimizer picks among them (axiom/optimizer/Schema.h:238-264,
+# ConnectorMetadata.h:176-353). Spark's bucketing metadata normally lives in
+# a Hive metastore; this registry is the metastore-free analog: a JSON
+# sidecar per (source fingerprint, table) declaring where a bucketed+sorted
+# copy of the source lives and how it is bucketed. Any session can re-attach
+# the layout with CREATE TABLE ... CLUSTERED BY ... LOCATION — the bucketed
+# files (bucket id encoded in the file names by Spark's writer) are
+# self-describing once the spec is declared. Fingerprinting by (path, size,
+# mtime) of every source file means a regenerated source silently orphans
+# stale layouts — the pickup just misses and the plain scan serves.
+
+LAYOUT_REGISTRY_DIR = os.environ.get(
+    "SPARK_GRAFT_LAYOUT_DIR", "/tmp/verax-spark-warehouse/_vx_layouts"
+)
+
+
+def source_fingerprint(path: str) -> str:
+    """(path, size, mtime) digest of a parquet file or directory of parquet
+    parts — dies with the data it describes (same scheme as the planner's
+    history fingerprints, optimizer/query_graph.py)."""
+    files: list[str] = []
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            files.extend(
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet")
+            )
+    else:
+        files.append(path)
+    h = hashlib.md5()
+    for f in sorted(files):
+        try:
+            st = os.stat(f)
+            h.update(f"{f}|{st.st_size}|{int(st.st_mtime)};".encode())
+        except OSError:
+            h.update(f"{f};".encode())
+    return h.hexdigest()[:12]
+
+
+def _registry_file(fp: str, name: str, bucket_cols: list[str] | None = None) -> str:
+    # a table may carry SEVERAL layouts (the reference's multiple
+    # ColumnGroups per SchemaTable, Schema.h:238-264) — one registry file
+    # per (source, bucket-column set)
+    suffix = "" if not bucket_cols else "__" + "-".join(bucket_cols)
+    return os.path.join(LAYOUT_REGISTRY_DIR, f"{fp}_{name}{suffix}.json")
+
+
+def _registry_entries(fp: str, name: str) -> list[dict]:
+    import glob as _glob
+
+    out = []
+    for f in sorted(
+        _glob.glob(os.path.join(LAYOUT_REGISTRY_DIR, f"{fp}_{name}*.json"))
+    ):
+        try:
+            with open(f) as fh:
+                out.append(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return out
+
+
+def materialize_bucketed_layout(
+    spark: SparkSession,
+    source_path: str,
+    name: str,
+    bucket_cols: list[str],
+    *,
+    n_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    primary: bool = False,
+) -> str:
+    """Write a bucketed+sorted copy of ``source_path`` and register it in
+    the layout registry so ANY later session serving that source picks the
+    bucketed layout up (Catalog.table). One file per bucket (repartition on
+    the bucket key first) so Spark trusts the per-bucket sort order and
+    sort-merge joins skip both the Exchange and the Sort. Returns the
+    catalog table name. At 100 TB this is the write-once layout decision
+    the reference's TableLayout models: every repeated orderkey join/agg
+    afterwards is exchange-free."""
+    import shutil
+
+    sort_cols = sort_cols or bucket_cols
+    fp = source_fingerprint(source_path)
+    table = f"vx_bkt_{fp}_{name}_{'_'.join(bucket_cols)}"
+    df = spark.read.parquet(source_path)
+    # clear BOTH layers: the in-memory catalog entry (this session) and a
+    # previous session's orphaned managed-table directory
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    if warehouse:
+        shutil.rmtree(
+            os.path.join(warehouse.removeprefix("file:"), table),
+            ignore_errors=True,
+        )
+    (
+        df.repartition(n_buckets, *bucket_cols)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*sort_cols)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    location = next(
+        r.data_type
+        for r in spark.sql(f"describe extended {table}").collect()
+        if r.col_name == "Location"
+    )
+    os.makedirs(LAYOUT_REGISTRY_DIR, exist_ok=True)
+    entry = {
+        "source_fp": fp,
+        "source_path": os.path.abspath(source_path),
+        "table": table,
+        "location": location,
+        "schema_ddl": df._jdf.schema().toDDL(),
+        "bucket_cols": bucket_cols,
+        "n_buckets": n_buckets,
+        "sort_cols": sort_cols,
+        "primary": primary,
+    }
+    with open(_registry_file(fp, name, bucket_cols), "w") as f:
+        json.dump(entry, f, indent=1)
+    return table
+
+
+def registered_layout(
+    source_path: str,
+    name: str,
+    layout_keys: "frozenset[str] | None" = None,
+) -> dict | None:
+    """The best-matching layout-registry entry for ``source_path``, or
+    None. Pure os-level metadata read (one stat sweep + a few jsons), no
+    JVM call — this IS the per-query ColumnGroup choice (the reference
+    optimizer picks among a SchemaTable's indexes the same way,
+    Schema.h:238-264). ``layout_keys`` = the columns the query can exploit
+    clustering on; a layout qualifies when its bucket columns are a subset.
+    None = any layout qualifies (generic callers). Among qualifiers the
+    fewest-bucket-columns one wins (most broadly exploitable), ties by
+    column name for determinism."""
+    if not os.path.isdir(LAYOUT_REGISTRY_DIR):
+        return None
+    if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUTS"):
+        return None
+    entries = _registry_entries(source_fingerprint(source_path), name)
+    if layout_keys is not None:
+        entries = [
+            e
+            for e in entries
+            if {c.lower() for c in e["bucket_cols"]} <= layout_keys
+        ]
+    if not entries:
+        return None
+    # primary layout (the table's dominant join key, declared at
+    # materialize time) wins when several qualify; then fewest bucket
+    # columns, then name — all deterministic
+    return min(
+        entries,
+        key=lambda e: (
+            not e.get("primary", False),
+            len(e["bucket_cols"]),
+            e["bucket_cols"],
+        ),
+    )
+
+
+def attach_bucketed_layout(
+    spark: SparkSession, source_path: str, name: str
+) -> DataFrame | None:
+    """Serve the registered bucketed layout for ``source_path`` when one
+    exists and still matches the source files, else None. Cheap on the miss
+    path: one os.stat sweep + one file-existence check, no JVM call. On the
+    hit path the layout is re-declared in this session's catalog (external
+    bucketed table over the existing bucket files) the first time."""
+    entry = registered_layout(source_path, name)
+    if entry is None:
+        return None
+    return attach_layout_entry(spark, entry)
+
+
+def attach_layout_entry(spark: SparkSession, entry: dict) -> DataFrame | None:
+    table = entry["table"]
+    if not spark.catalog.tableExists(table):
+        loc = entry["location"]
+        if not os.path.isdir(loc.removeprefix("file:")):
+            return None  # bucketed files gone; registry entry is stale
+        sort = ""
+        if entry["sort_cols"]:
+            sort = f" SORTED BY ({', '.join(entry['sort_cols'])})"
+        spark.sql(
+            f"CREATE TABLE {table} ({entry['schema_ddl']}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(entry['bucket_cols'])}){sort} "
+            f"INTO {entry['n_buckets']} BUCKETS LOCATION '{loc}'"
+        )
+    return spark.table(table)
+
+
+def bucket_layout_of_df(df: DataFrame) -> tuple[tuple[str, ...], int, str] | None:
+    """(bucket columns, bucket count, catalog table name) when ``df`` is a
+    (possibly view-wrapped) scan of a single bucketed catalog table, else
+    None. This is how the cost-based planner discovers physical layouts
+    behind temp views / Catalog handles — the reference optimizer reads the
+    same from its ColumnGroups (axiom/optimizer/Schema.h:238-264). Driver-
+    side plan walk, no Spark job."""
+    try:
+        leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+        if leaves.size() != 1:
+            return None
+        leaf = leaves.apply(0)
+        ct = leaf.catalogTable()
+        if not ct.isDefined():
+            return None
+        t = ct.get()
+        spec = t.bucketSpec()
+        if not spec.isDefined():
+            return None
+        s = spec.get()
+        cols = tuple(
+            str(s.bucketColumnNames().apply(i))
+            for i in range(s.bucketColumnNames().size())
+        )
+        return cols, int(s.numBuckets()), str(t.identifier().table())
+    except Exception:
+        return None
 
 
 def write_partitioned(
