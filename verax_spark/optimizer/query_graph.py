@@ -54,6 +54,17 @@ BROADCAST_ROW_CAP = 4_000_000
 # between workers dominates, so the objective is byte-denominated) --------
 SHUFFLE_COST_PER_BYTE = 1.0  # both sides cross the wire once
 BROADCAST_REPLICATION = 8.0  # build side is copied to ~W workers
+# Scanning a leaf is cheaper per byte than shuffling it (columnar read vs
+# serialize+wire+deserialize; ref Cost.h:95-123 charges unit cost for local
+# reads vs ~12x for shuffles). Leaf scan cost is a CONSTANT across join
+# orders — every plan scans each leaf once — so adding it never changes the
+# relative order of ordinary plans; it exists so an INDEX-LOOKUP candidate
+# (which prunes the build scan) can be costed against them.
+SCAN_COST_PER_BYTE = 0.3
+# Per-probe-row key-compare charge of an index lookup, the reference's
+# lookupCost shape: kKeyCompareCost * log2(range + 2) (Schema.cpp:450,
+# Schema.h:241-264). Denominated here as bytes-touched-per-compare.
+LOOKUP_COMPARE_BYTES = 8.0
 _TYPE_WIDTH = {"string": 24.0, "binary": 24.0}  # est bytes; nested below
 
 
@@ -122,6 +133,9 @@ class TableRef:
     df: DataFrame
     predicate: object | None = None  # Column | Expr | None
     bucketed_by: tuple[tuple[str, ...], int] | None = None
+    # catalog table name behind the scan when known — lets the lookup-join
+    # path stream probes against the bucketed layout (sources/layout.py)
+    catalog_name: str | None = None
     # declared unique-key constraints beyond catalog.DECLARED_UNIQUE_COLUMNS
     # (trusted contract; footers can falsify but never prove uniqueness)
     unique_keys: frozenset = frozenset()
@@ -181,8 +195,20 @@ class QueryGraph:
         bucketed_by: tuple[tuple[str, ...], int] | None = None,
         unique_keys: frozenset | set | tuple = frozenset(),
     ) -> "QueryGraph":
+        catalog_name = None
+        if bucketed_by is None:
+            # discover the physical layout behind the scan (views over
+            # bucketed catalog tables included) — the reference optimizer
+            # reads its ColumnGroups the same way (Schema.h:238-264)
+            from verax_spark.sources.layout import bucket_layout_of_df
+
+            found = bucket_layout_of_df(df)
+            if found is not None:
+                bucketed_by = (found[0], found[1])
+                catalog_name = found[2]
         self.tables[name] = TableRef(
-            name, df, predicate, bucketed_by, frozenset(unique_keys)
+            name, df, predicate, bucketed_by, catalog_name,
+            frozenset(unique_keys),
         )
         return self
 
@@ -460,7 +486,23 @@ class QueryGraph:
 
     def _signature(self, ref: TableRef) -> str:
         pred = "" if ref.predicate is None else str(ref.predicate)
-        return f"scan:{ref.name}|{pred}|fp={self._fingerprint(ref)}"
+        sig = f"scan:{ref.name}|{pred}|fp={self._fingerprint(ref)}"
+        # A non-bare-scan relation (view with limits/projections/joins)
+        # shares its ALIAS and FILE fingerprint with the bare scan it reads
+        # — without a plan digest, a `LIMIT 5` view over orders would reuse
+        # history recorded for a full orders scan under the same alias
+        # (observed: est 1500 instead of 5, flipping a lookup-join choice).
+        # Bare scans keep the stable signature (ANALYZE feedback relies on
+        # it); everything else folds its analyzed plan in.
+        try:
+            plan = ref.df._jdf.queryExecution().analyzed().toString()
+        except Exception:
+            return sig
+        if any(op in plan for op in _NON_SCAN_OPS):
+            import hashlib
+
+            sig += f"|plan={hashlib.md5(plan.encode()).hexdigest()[:10]}"
+        return sig
 
     def _fingerprint(self, ref: TableRef) -> str:
         """Cheap identity of the underlying files (paths + sizes + mtimes)
@@ -731,6 +773,43 @@ class QueryGraph:
                     out.append((e, r2l))
             return out
 
+        def lookup_entry(probe_s, build_s, probe_e, build_e, edges, rows):
+            """(cost, tree) of an INDEX-LOOKUP join — the reference's
+            joinByIndex candidate (Optimization.cpp:817: single base table,
+            costed per probe with ColumnGroup::lookupCost, Schema.cpp:450).
+            Applicable when the build side is one base table whose bucketed
+            +sorted layout covers exactly the join key of ONE crossing
+            edge. Cost: ship the probe's keys (broadcast-style), one
+            log2-compare per probe row into the sorted layout, and a scan
+            PRUNED to the matching rows — replacing the build leaf's
+            full-scan cost. Wins precisely when the probe is small relative
+            to the build; a large probe loses on the compare+key-ship terms
+            and the ordinary join stands. None when not applicable."""
+            import math
+
+            if len(build_s) != 1 or len(edges) != 1:
+                return None
+            bname = next(iter(build_s))
+            ref = self.tables[bname]
+            if ref.bucketed_by is None or build_e[2][0] != "leaf":
+                return None
+            e = edges[0][0]
+            build_key = e.right_key if e.left in probe_s else e.left_key
+            if set(ref.bucketed_by[0]) != {build_key}:
+                return None
+            cp, rp, tp = probe_e
+            rb = est[bname]
+            wb = leaf_width[bname]
+            pruned_scan = min(rb, rows) * wb * SCAN_COST_PER_BYTE
+            cost = (
+                cp
+                + pruned_scan
+                + rows * width(probe_s | build_s)
+                + rp * 8.0 * BROADCAST_REPLICATION  # ship probe keys
+                + rp * LOOKUP_COMPARE_BYTES * math.log2(rb + 2.0)
+            )
+            return cost, ("lookup", tp, ("leaf", bname), [e])
+
         def join_step(s1, s2, entry1, entry2):
             """(cost, rows, tree, has_edges) of joining two planned
             disjoint subsets — the single shared costing step."""
@@ -750,7 +829,26 @@ class QueryGraph:
                 else transfer(r1, width(s1), r2, width(s2))
             )
             cost = c1 + c2 + rows * width(s1 | s2) + move
+            if edges:
+                # index-lookup alternative in BOTH directions (the
+                # reference tries joinByIndex for every candidate pair)
+                for probe_s, build_s, pe, be in (
+                    (s1, s2, entry1, entry2),
+                    (s2, s1, entry2, entry1),
+                ):
+                    alt = lookup_entry(probe_s, build_s, pe, be, edges, rows)
+                    if alt is not None and alt[0] < cost:
+                        cost, tree = alt
             return cost, rows, tree, bool(edges)
+
+        def leaf_entry(n: str) -> tuple[float, float, tuple]:
+            # leaf cost = its scan (constant across orders — see
+            # SCAN_COST_PER_BYTE — but the term an index lookup prunes)
+            return (
+                est[n] * leaf_width[n] * SCAN_COST_PER_BYTE,
+                est[n],
+                ("leaf", n),
+            )
 
         def greedy_entry() -> tuple[float, float, tuple] | None:
             """Complete plan from smallest-cost-step frontier expansion —
@@ -759,7 +857,7 @@ class QueryGraph:
                 return None
             start = min(names, key=lambda n: est[n])
             cur_set = frozenset([start])
-            cur = (0.0, est[start], ("leaf", start))
+            cur = leaf_entry(start)
             while len(cur_set) < len(names):
                 rest = [n for n in names if n not in cur_set]
                 cands = [n for n in rest if crossing(cur_set, frozenset([n]))]
@@ -772,7 +870,7 @@ class QueryGraph:
                         cur_set,
                         frozenset([n]),
                         cur,
-                        (0.0, est[n], ("leaf", n)),
+                        leaf_entry(n),
                     )
                     if step_best is None or step[0] < step_best[0]:
                         step_best, pick = step, n
@@ -786,7 +884,7 @@ class QueryGraph:
         # best[S] = (cost, rows, tree); tree = ("leaf", name) |
         # ("join", treeL, treeR, [edges]) | ("cross", treeL, treeR)
         best: dict[frozenset, tuple[float, float, tuple]] = {
-            frozenset([n]): (0.0, est[n], ("leaf", n)) for n in names
+            frozenset([n]): leaf_entry(n) for n in names
         }
         subsets_by_size: dict[int, list[frozenset]] = {1: list(best)}
         evals = 0
@@ -834,6 +932,27 @@ class QueryGraph:
         if kind == "leaf":
             self.last_order.append(tree[1])
             return self._side(tree[1], est)
+        if kind == "lookup":
+            # planner-chosen index-lookup join (joinByIndex analog): stream
+            # the small probe against the build table's bucketed layout,
+            # pushing the probe key domain into the build scan
+            probe = self._build_tree(tree[1], est)
+            bname = tree[2][1]
+            self.last_order.append(bname)
+            ref = self.tables[bname]
+            e = tree[3][0]
+            in_probe = e.left != bname
+            probe_key = e.left_key if in_probe else e.right_key
+            build_key = e.right_key if in_probe else e.left_key
+            from verax_spark.sources.layout import lookup_join
+
+            return lookup_join(
+                probe,
+                ref.filtered(),
+                probe_key,
+                build_key,
+                build_table=ref.catalog_name,
+            )
         left = self._build_tree(tree[1], est)
         right = self._build_tree(tree[2], est)
         if kind == "cross":

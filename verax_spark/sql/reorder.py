@@ -48,6 +48,12 @@ from dataclasses import dataclass, field
 
 from verax_spark.sql import ast
 
+# Probe-side key cap for inlining an index lookup's key domain into the
+# rendered SQL (ref LookupKeys ConnectorMetadata.h:392-418 ships probe keys
+# to storage at run time; plan-time literal inlining is the SQL-text analog
+# and only pays when the domain is point-lookup sized).
+_LOOKUP_INLINE_MAX_KEYS = 512
+
 # Process-wide estimate cache: repeated queries over the same tables/edges
 # skip the sampling jobs (VeloxHistory analog, optimizer/history.py).
 _SHARED_HISTORY = None
@@ -97,6 +103,9 @@ class ReorderInfo:
     # alias → (history signature, input file paths) for the core leaves —
     # consumed by the execution-feedback recorder (PrestoSession)
     signatures: dict[str, tuple[str, tuple[str, ...]]] = field(default_factory=dict)
+    # build-side aliases the planner chose an index lookup for AND whose
+    # probe key domain was inlined into the scan (joinByIndex analog)
+    lookups: list[str] = field(default_factory=list)
 
 
 class _NotEligible(Exception):
@@ -623,6 +632,11 @@ def _reorder_select(
         if t[0] == "leaf":
             order.append(t[1])
             return by_alias[t[1]].table
+        if t[0] == "lookup":
+            # planner-chosen index lookup (joinByIndex analog): rendered as
+            # the same inner join; the scan-pruning half is applied after
+            # rendering as an IN conjunct over the probe's key domain
+            lookups.append(t)
         left = render(t[1])
         right = render(t[2])
         if t[0] == "cross":
@@ -640,7 +654,59 @@ def _reorder_select(
         return ast.Join("inner", left, right, on=on)
 
     order: list[str] = []
+    lookups: list[tuple] = []
+    lookup_applied: list[str] = []
     new_from = render(tree)
+
+    # Index-lookup scan pruning (ref LookupKeys ConnectorMetadata.h:392-418:
+    # the probe key domain ships to the storage layer). SQL-renderable form:
+    # when the probe side is a single SMALL leaf, materialize its filtered
+    # key domain NOW (a planning-scale job, same budget class as the
+    # derived-leaf counts above) and add `build.key IN (literals)` — parquet
+    # row-group pruning over the build's bucketed+sorted layout then skips
+    # everything but the matching point ranges. Skipped (join stands,
+    # bucket-local) when the probe is too big or keys aren't literal-safe.
+    lookup_conjuncts: list[ast.Expr] = []
+    for t in lookups:
+        probe_t, build_t, e = t[1], t[2], t[3][0]
+        if probe_t[0] != "leaf":
+            continue
+        palias, balias = probe_t[1], build_t[1]
+        pkey = e.left_key if e.left == palias else e.right_key
+        bkey = e.right_key if e.left == palias else e.left_key
+        if est.get(palias, float("inf")) > _LOOKUP_INLINE_MAX_KEYS:
+            continue
+        try:
+            rows = (
+                g.tables[palias]
+                .filtered()
+                .select(pkey)
+                .distinct()
+                .limit(_LOOKUP_INLINE_MAX_KEYS + 1)
+                .collect()
+            )
+        except Exception:
+            continue
+        if len(rows) > _LOOKUP_INLINE_MAX_KEYS:
+            continue
+        lits: list[ast.Expr] = []
+        for r in rows:
+            v = r[0]
+            if v is None:
+                continue  # NULL keys never equi-match; safe to drop
+            if isinstance(v, bool) or not isinstance(v, (int, str)):
+                lits = []
+                break
+            if isinstance(v, str):
+                lits.append(ast.Raw("'" + v.replace("'", "''") + "'"))
+            else:
+                lits.append(ast.Raw(str(v)))
+        if not lits:
+            continue
+        lookup_conjuncts.append(
+            ast.InList(ast.Ident([balias, bkey]), lits)
+        )
+        lookup_applied.append(balias)
 
     # re-attach hoisted LEFT joins above the reordered core, in their
     # original left-to-right order (preserves inter-attachment scope)
@@ -653,8 +719,14 @@ def _reorder_select(
             est[att.alias.lower()] = float(rows)
 
     # WHERE = single-table predicates + residual (original spellings)
+    # + index-lookup IN conjuncts (pure restrictions of the join keys to the
+    # probe's actual domain — never change results, only prune the scan)
     new_where: ast.Expr | None = None
-    for c in [c for preds in single.values() for c in preds] + residual:
+    for c in (
+        [c for preds in single.values() for c in preds]
+        + residual
+        + lookup_conjuncts
+    ):
         new_where = c if new_where is None else ast.BinOp("and", new_where, c)
 
     from verax_spark.optimizer.query_graph import _row_width
@@ -705,4 +777,5 @@ def _reorder_select(
         est=est,
         attachments=[a.alias.lower() for a in attachments],
         signatures=signatures,
+        lookups=lookup_applied,
     )
