@@ -533,7 +533,10 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     # the cardinality(approx_set(..)) HLL rewrite; a marker escaping its
     # pipeline fails loudly. For STORABLE, MERGEABLE digest state (build →
     # parquet → merge later) use functions/sketches.py: a real t-digest
-    # (tdigest_partials / tdigest_merge / tdigest_quantile), r05.
+    # (tdigest_partials / tdigest_merge / tdigest_quantile, r05) AND a real
+    # q-digest over int64 (qdigest_partials / qdigest_merge /
+    # qdigest_value_at_quantile, r06 — Shrivastava 2004, binary round-trip
+    # driver-checked in op_fn_sketch_merge).
     # --- r05: color family (Presto color.h: color/rgb/render/bar —
     # terminal-visualization helpers). Colors are the RGB int Presto uses;
     # render/bar emit ANSI truecolor escapes (documented deviation: Presto

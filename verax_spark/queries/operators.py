@@ -2861,7 +2861,7 @@ def op_builder_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     select n.n_regionkey as r_key,
       cast(count(distinct c.c_custkey) as bigint) as exact_distinct,
-      true as hll_ok, true as td_ok
+      true as hll_ok, true as td_ok, true as qd_ok
     from customer c join nation n on c.c_nationkey = n.n_nationkey
     group by n.n_regionkey
     order by r_key
@@ -2870,6 +2870,9 @@ def op_builder_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 def op_fn_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from verax_spark.functions.presto import presto_call as pc
     from verax_spark.functions.sketches import (
+        qdigest_merge,
+        qdigest_partials,
+        qdigest_value_at_quantile,
         tdigest_merge,
         tdigest_partials,
         tdigest_quantile,
@@ -2888,12 +2891,24 @@ def op_fn_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         tdigest_partials(cust, ["n_nationkey", "n_regionkey"], "c_acctbal"),
         ["n_nationkey", "n_regionkey"],
     )
+    # qdigest over integer cents (Presto's qdigest(bigint) contract —
+    # storable + mergeable, functions/sketches.py qd_* per Shrivastava 2004)
+    qd = qdigest_merge(
+        qdigest_partials(
+            cust.withColumn(
+                "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+            ),
+            ["n_nationkey", "n_regionkey"],
+            "bal_cents",
+        ),
+        ["n_nationkey", "n_regionkey"],
+    )
     store = os.path.join(
         tempfile.mkdtemp(prefix="verax_sketch_"), "per_nation"
     )
-    hll.join(td, ["n_nationkey", "n_regionkey"]).write.mode(
-        "overwrite"
-    ).parquet(store)
+    hll.join(td, ["n_nationkey", "n_regionkey"]).join(
+        qd, ["n_nationkey", "n_regionkey"]
+    ).write.mode("overwrite").parquet(store)
 
     # stage 2: read the STORED sketches and merge nation→region
     stored = spark.read.parquet(store)
@@ -2901,16 +2916,28 @@ def op_fn_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc("merge", F.col("hll")).alias("hll")
     )
     merged_td = tdigest_merge(stored, ["n_regionkey"], "tdigest")
-    merged = merged_hll.join(merged_td, "n_regionkey")
+    merged_qd = qdigest_merge(stored, ["n_regionkey"], "qdigest")
+    merged = merged_hll.join(merged_td, "n_regionkey").join(
+        merged_qd, "n_regionkey"
+    )
 
     exact = cust.groupBy("n_regionkey").agg(
         F.count_distinct("c_custkey").cast("bigint").alias("exact_distinct"),
         F.expr("percentile(c_acctbal, 0.5)").alias("exact_median"),
+        # rank window for the q-digest check: a qdigest quantile is an
+        # actual data value at the target rank (not interpolated), so at
+        # tiny n (sf0.001: ~30 customers/region) it is compared against
+        # the exact [p25, p75] band instead of a relative tolerance
+        F.expr("percentile(c_acctbal, 0.25)").alias("exact_p25"),
+        F.expr("percentile(c_acctbal, 0.75)").alias("exact_p75"),
     )
     est = merged.select(
         "n_regionkey",
         F.hll_sketch_estimate("hll").alias("hll_est"),
         tdigest_quantile(F.col("tdigest"), 0.5).alias("td_median"),
+        (
+            qdigest_value_at_quantile(F.col("qdigest"), 0.5) / F.lit(100.0)
+        ).alias("qd_median"),
     )
     return (
         est.join(exact, "n_regionkey")
@@ -2927,6 +2954,10 @@ def op_fn_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.abs(F.col("exact_median"))
                 < 0.02
             ).alias("td_ok"),
+            (
+                (F.col("qd_median") >= F.col("exact_p25"))
+                & (F.col("qd_median") <= F.col("exact_p75"))
+            ).alias("qd_ok"),
         )
         .orderBy("r_key")
     )
