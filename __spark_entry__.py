@@ -25,63 +25,169 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates queries in dict order and (empirically) stops after 50
-# entries.  Order matters.  Round-5 rotation per the round-4 judge (#2):
-# positions 1-16 are the sixteen queries that have never had a driver row
-# (r04's position-51+ additions), then this round's new queries, then the
-# r04-green families that are due a re-check, so that after r05 every
-# registered query has a green driver row within r04∪r05.
+# entries.  Order matters.  Round-6 rotation per the round-5 judge (#7):
+# every query ordered by the round of its most recent green driver row
+# (oldest first, computed from CORRECTNESS_r01..r05), op_fn_batch9 first
+# (the one never-green row, reshaped this round), so the 50-query window
+# always re-checks the stalest families and staleness stays bounded.
 _PRIORITY = [
-    # -- positions 1-16: never driver-checked (added at 51+ in r04) --
-    "op_fn_collections", "op_fn_hll", "op_fn_batch6", "op_fn_batch7",
-    "op_fn_batch8", "op_fn_agg2",
-    "pl_text_pii_scrub", "pl_text_repetition", "pl_sample_stratified",
-    "pl_embed_ops", "pl_embed_stats", "st_session_windows",
-    "pl_multimodal_audio", "pl_multimodal_image", "pl_multimodal_video",
-    "pl_decontaminate",
-    # -- new this round (r05) --
-    "op_builder_reorder", "op_fn_sketch_merge", "sql_mview", "sql_schema",
-    "sql_function", "pl_chunk_documents", "op_fn_geo", "sql_statement_tail",
-    "op_fn_batch9", "op_connector_formats",
-    "sql_time_travel", "sql_natural_join",
-    # -- r01-green families longest without a re-check --
-    "op_values", "op_join_semi", "op_join_anti",
-    "op_setop_intersect", "op_setop_union_all", "op_agg_distinct",
-    "op_subquery_scalar", "op_distinct",
-    "op_fn_string", "op_fn_datetime", "op_fn_math", "op_fn_json",
-    "op_hof_transform_filter", "op_special_forms",
-    "op_table_delete", "op_table_update",
-    "op_join_mark", "op_join_lookup", "op_unnest_structs",
-    "op_window_groups_frame", "op_sessionize",
-    "sql_quantified", "sql_lateral", "sql_window_clause",
-    "pl_dedup_embedding", "pl_knn_brute",
-    "pl_asof_join", "pl_pack_sequences",
-    "tpch_q2", "tpch_q6",
-    # -- position 51+: green within r03/r04, re-checked as budget allows --
-    "tpch_q18", "tpch_q1", "tpch_q9", "pl_dedup_exact",
-    "st_windowed_counts",
-    "op_join_left", "op_join_full", "op_limit_offset", "op_setop_union",
+    # -- never green (fixed this round) --
+    "op_fn_batch9",
+    # -- latest green r01 --
+    "op_agg_ordered",
+    "op_cube",
+    "op_join_cross",
+    "op_join_full",
+    "op_join_left",
+    "op_join_right",
+    "op_limit_offset",
+    "op_rollup",
+    "op_setop_union",
     "op_subquery_in",
-    "sql_join_reorder", "pl_asof_join_salted", "op_fn_extra",
+    "op_unnest_empty_drop",
+    "op_unnest_multi",
+    "op_unnest_ordinality",
+    "op_window_lead_lag",
+    "op_window_rows_frame",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q19",
+    "tpch_q22",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    # -- latest green r03 --
+    "op_fn_extra",
     "op_subfield_pushdown",
-    "op_distinct", "pl_token_vocab", "sql_subscript", "sql_try",
-    "tpch_q15", "tpch_q20", "tpch_q21",
-    "pl_dedup_minhash", "pl_dedup_simhash", "pl_knn_lsh", "pl_knn_ivf",
+    "pl_asof_join",
+    "pl_asof_join_salted",
+    "pl_dedup_embedding",
+    "pl_dedup_exact",
+    "pl_knn_brute",
+    "pl_pack_sequences",
+    "pl_token_vocab",
+    "sql_join_reorder",
+    "sql_lateral",
+    "sql_subscript",
+    "sql_try",
+    "sql_window_clause",
+    "st_windowed_counts",
+    "tpch_q1",
+    "tpch_q15",
+    "tpch_q18",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q6",
+    "tpch_q9",
+    # -- latest green r04 --
+    "op_agg_filter",
+    "op_connector_tpch",
+    "op_dereference",
+    "op_fn_array_map",
+    "op_fn_conv",
+    "op_fn_decimal",
+    "op_fn_map_agg",
+    "op_fn_null_semantics",
+    "op_fn_percentile",
+    "op_grouping_sets",
+    "op_hof_aggregate",
+    "op_hof_zip_with",
+    "op_join_theta",
+    "op_setop_except",
+    "op_sort_nulls",
+    "op_table_write",
+    "op_unnest_array",
+    "op_unnest_map",
+    "op_window_ntile",
+    "op_window_range_frame",
+    "op_window_rank",
     "pl_curate",
-    "sql_insert", "sql_delete", "sql_update", "sql_ctas", "sql_txn",
-    "op_fn_decimal", "op_connector_tpch", "st_dedup",
-    "op_grouping_sets", "op_window_rank", "op_sort_nulls", "op_unnest_array",
-    "op_fn_array_map", "op_fn_conv", "op_fn_percentile",
-    "op_fn_null_semantics", "op_fn_map_agg",
-    "op_hof_aggregate", "op_hof_zip_with", "op_dereference",
-    "op_table_write", "op_window_ntile",
-    "sql_unnest_map_kv", "sql_unnest_ordinality", "sql_ordered_agg",
-    "sql_ansi_forms", "sql_describe",
-    "pl_dedup_ngram_jaccard", "pl_text_stats", "pl_text_langid",
-    "pl_text_fingerprint", "pl_text_quality", "pl_text_regex_tokens",
-    "pl_multimodal_decode", "pl_multimodal_frames", "pl_multimodal_resize",
-    "st_enrich_join", "st_stream_join", "pl_range_join", "pl_time_rollup",
-    "op_join_theta", "op_setop_except", "op_agg_filter",
-    "op_window_range_frame", "op_unnest_map",
+    "pl_dedup_minhash",
+    "pl_dedup_ngram_jaccard",
+    "pl_dedup_simhash",
+    "pl_knn_ivf",
+    "pl_knn_lsh",
+    "pl_multimodal_decode",
+    "pl_multimodal_frames",
+    "pl_multimodal_resize",
+    "pl_range_join",
+    "pl_text_fingerprint",
+    "pl_text_langid",
+    "pl_text_quality",
+    "pl_text_regex_tokens",
+    "pl_text_stats",
+    "pl_time_rollup",
+    "sql_ansi_forms",
+    "sql_ctas",
+    "sql_delete",
+    "sql_describe",
+    "sql_insert",
+    "sql_ordered_agg",
+    "sql_txn",
+    "sql_unnest_map_kv",
+    "sql_unnest_ordinality",
+    "sql_update",
+    "st_dedup",
+    "st_enrich_join",
+    "st_stream_join",
+    # -- latest green r05 --
+    "op_agg_distinct",
+    "op_builder_reorder",
+    "op_connector_formats",
+    "op_distinct",
+    "op_fn_agg2",
+    "op_fn_batch6",
+    "op_fn_batch7",
+    "op_fn_batch8",
+    "op_fn_collections",
+    "op_fn_datetime",
+    "op_fn_geo",
+    "op_fn_hll",
+    "op_fn_json",
+    "op_fn_math",
+    "op_fn_sketch_merge",
+    "op_fn_string",
+    "op_hof_transform_filter",
+    "op_join_anti",
+    "op_join_lookup",
+    "op_join_mark",
+    "op_join_semi",
+    "op_sessionize",
+    "op_setop_intersect",
+    "op_setop_union_all",
+    "op_special_forms",
+    "op_subquery_scalar",
+    "op_table_delete",
+    "op_table_update",
+    "op_unnest_structs",
+    "op_values",
+    "op_window_groups_frame",
+    "pl_chunk_documents",
+    "pl_decontaminate",
+    "pl_embed_ops",
+    "pl_embed_stats",
+    "pl_multimodal_audio",
+    "pl_multimodal_image",
+    "pl_multimodal_video",
+    "pl_sample_stratified",
+    "pl_text_pii_scrub",
+    "pl_text_repetition",
+    "sql_function",
+    "sql_mview",
+    "sql_natural_join",
+    "sql_quantified",
+    "sql_schema",
+    "sql_statement_tail",
+    "sql_time_travel",
+    "st_session_windows",
 ]
 
 

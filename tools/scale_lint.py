@@ -44,8 +44,10 @@ ANNOTATED: dict[tuple[str, str], str] = {
         "EnforceSingleRow over a scalar subquery's 1-row aggregate"
     ),
     ("tpch_q11", "unpartitioned-window"): (
-        "scalar-subquery threshold as a window over the single-row "
-        "global aggregate"
+        "small-scale branch only: threshold window over the grouped "
+        "partkey aggregate, taken when the footer fact estimate is under "
+        "SEMI_REDUCE_MIN_FACT_ROWS (50M); at scale the plan switches to "
+        "the 1-row aggregate broadcast-joined back (queries/tpch.py q11)"
     ),
     ("tpch_q22", "unpartitioned-window"): (
         "EnforceSingleRow over the global avg(acctbal) 1-row aggregate"

@@ -111,6 +111,93 @@ def q_window():
             f"(partition by n_regionkey order by n_nationkey{frame}) as w "
             f"from nation order by k")
 
+def q_window2():
+    # r06 (judge #8): widened window surface — explicit ROWS/RANGE frames
+    # with preceding/following offsets, lead/lag with defaults, ntile,
+    # first/last_value, named WINDOW clause reuse, multiple windows per
+    # select. DuckDB runs the identical text.
+    k = rng.randrange(5)
+    if k == 0:
+        a = rng.randint(0, 3)
+        b = rng.randint(0, 3)
+        return (
+            f"select n_nationkey as k, sum(n_nationkey) over "
+            f"(partition by n_regionkey order by n_nationkey "
+            f"rows between {a} preceding and {b} following) as w "
+            f"from nation order by k"
+        )
+    if k == 1:
+        a = rng.randint(1, 4)
+        return (
+            f"select n_nationkey as k, count(*) over "
+            f"(order by n_regionkey range between {a} preceding and "
+            f"current row) as w from nation order by k, w"
+        )
+    if k == 2:
+        off = rng.randint(1, 3)
+        fn = rng.choice(
+            [f"lag(n_nationkey, {off}, -1)", f"lead(n_nationkey, {off}, 99)"]
+        )
+        return (
+            f"select n_nationkey as k, {fn} over "
+            f"(partition by n_regionkey order by n_nationkey) as w "
+            f"from nation order by k"
+        )
+    if k == 3:
+        fn = rng.choice(
+            [f"ntile({rng.randint(2, 5)})", "first_value(n_name)",
+             "last_value(n_name)", "percent_rank()", "cume_dist()"]
+        )
+        return (
+            f"select n_nationkey as k, {fn} over "
+            f"(partition by n_regionkey order by n_nationkey "
+            f"rows between unbounded preceding and unbounded following) as w "
+            f"from nation order by k"
+        )
+    return (
+        "select n_nationkey as k, rank() over w as r, "
+        "sum(n_nationkey) over w as s, row_number() over "
+        "(order by n_nationkey desc) as rn from nation "
+        "window w as (partition by n_regionkey order by n_nationkey) "
+        "order by k"
+    )
+
+
+def q_setop2():
+    # r06 (judge #8): set-op surface — ALL variants, three-way chains with
+    # the INTERSECT-binds-tighter precedence, mixed projections, top-level
+    # order/limit over the set result.
+    k = rng.randrange(4)
+    w1, w2, w3 = be(0), be(0), be(0)
+    if k == 0:
+        op = rng.choice(["intersect all", "except all", "union all"])
+        return (
+            f"select n_regionkey as k from nation where {w1} {op} "
+            f"select n_regionkey as k from nation where {w2} "
+            f"order by k"
+        )
+    if k == 1:  # precedence: union <chain> intersect binds right
+        return (
+            f"select n_regionkey as k from nation where {w1} union "
+            f"select n_regionkey as k from nation where {w2} intersect "
+            f"select n_regionkey as k from nation where {w3} "
+            f"order by k"
+        )
+    if k == 2:
+        return (
+            f"select n_regionkey as k from nation where {w1} except "
+            f"select n_regionkey as k from nation where {w2} union all "
+            f"select r_regionkey as k from region where {rng.choice(['r_regionkey < 2', 'r_regionkey >= 3'])} "
+            f"order by k"
+        )
+    return (
+        f"select abs(n_regionkey - {rng.randint(0, 3)}) as k from nation "
+        f"where {w1} union "
+        f"select n_nationkey % {rng.randint(2, 6)} as k from nation "
+        f"where {w2} order by k limit {rng.randint(2, 8)}"
+    )
+
+
 def q_limit():
     return (f"select n_nationkey as k from nation where {be(0)} "
             f"order by k {rng.choice(['asc','desc'])} "
@@ -166,7 +253,8 @@ def q_params():
 
 
 GENS = [q_simple, q_agg, q_grouping, q_setop, q_sub, q_join, q_window,
-        q_limit, q_cte, q_quantified, q_natural, q_params]
+        q_limit, q_cte, q_quantified, q_natural, q_params,
+        q_window2, q_window2, q_setop2, q_setop2]  # r06: weight new shapes
 fails = []
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 for i in range(N):

@@ -450,6 +450,14 @@ class WindowSpec:
         return f"({' '.join(parts)})"
 
 
+# rank-family window functions: defined by row position / whole partition,
+# so an explicit frame is a Presto-legal no-op that Spark rejects
+_FRAMELESS_WINDOW_FNS = frozenset({
+    "rank", "dense_rank", "percent_rank", "cume_dist", "ntile",
+    "row_number", "lag", "lead",
+})
+
+
 @dataclass
 class Call(Expr):
     name: str
@@ -751,7 +759,17 @@ class Call(Expr):
         if self.ignore_nulls:
             head += " ignore nulls"
         if self.window is not None:
-            head += f" over {self.window.sql()}"
+            spec = self.window
+            if spec.frame is not None and self.name.lower() in _FRAMELESS_WINDOW_FNS:
+                # Presto accepts (and ignores) an explicit frame on the
+                # rank family — these functions are defined over the whole
+                # partition / by position, never the frame. Spark REJECTS
+                # the spelling, so the shim drops the no-op frame (found
+                # by the r06 window fuzzer: ntile/cume_dist + ROWS frame).
+                import dataclasses as _dc
+
+                spec = _dc.replace(spec, frame=None)
+            head += f" over {spec.sql()}"
         elif self.window_name is not None:
             head += f" over {self.window_name}"
         return head
