@@ -995,8 +995,23 @@ def test_quantile_sketch_pipeline(spark):
         ).alias("med")
     ).collect()[0]
     assert 49 <= row.med <= 51
+    # r06: a plain BINARY column is now the legitimate stored-qdigest path
+    # for value_at_quantile (functions/sketches.py) — the marker-escape
+    # guard still protects the marker-only pipelines
     with pytest.raises(ValueError, match="qdigest_agg"):
-        presto_call("value_at_quantile", F.col("x"), 0.5)
+        presto_call(
+            "values_at_quantiles", F.col("x"), F.array(F.lit(0.5))
+        )
+    import numpy as np
+
+    from verax_spark.functions.sketches import qd_build
+
+    blob = qd_build(np.arange(1, 101, dtype=np.int64))
+    df2 = spark.createDataFrame([(blob,)], "qd binary")
+    got = df2.select(
+        presto_call("value_at_quantile", F.col("qd"), 0.5).alias("m")
+    ).collect()[0]
+    assert 49 <= got.m <= 51
 
 
 def test_min_by_max_by_n_ary(spark):

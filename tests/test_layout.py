@@ -305,3 +305,28 @@ def test_catalog_layout_choice(spark, sf_dir, tmp_path):
     assert bucket_layout_of_df(mismatched) is None
     rows = sorted(map(tuple, picked.collect()))
     assert rows == sorted(map(tuple, flat.collect()))
+
+
+def test_dp_lookup_plan_builds_and_executes(spark, sf_dir, layout_tables):
+    """The DataFrame path of a planner-chosen lookup: QueryGraph.plan()
+    must build the ("lookup", ...) tree through sources/layout.lookup_join
+    (IN-pushdown) and return correct rows."""
+    from verax_spark.optimizer.query_graph import QueryGraph
+    from verax_spark.testing_plans import physical_plan
+
+    cat = Catalog(spark, sf_dir)
+    probe = cat.orders.select(F.col("o_orderkey").alias("k")).limit(7)
+    build = spark.table("b_lineitem")
+    g = QueryGraph()
+    g.table("p", probe)
+    g.table("b", build)
+    g.edge("p", "k", "b", "l_orderkey")
+    planned = g.plan()
+    assert g.last_tree[0] == "lookup", g.last_tree
+    got = planned.collect()
+    expected = probe.join(
+        build, F.col("k") == F.col("l_orderkey")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    plan = physical_plan(planned)
+    assert "In(l_orderkey" in plan, plan

@@ -201,3 +201,31 @@ def test_qdigest_spark_store_merge_lifecycle(spark, sf_dir, tmp_path):
     assert rows
     for r in rows:
         assert r.lo <= r.qd_median <= r.hi, r
+
+
+def test_value_at_quantile_over_stored_bytes(spark, sf_dir, tmp_path):
+    """Presto's value_at_quantile(qdigest, q) over a STORED binary column —
+    the r06 shim path (previously only the qdigest_agg pipeline marker)."""
+    import pyspark.sql.functions as F
+
+    from verax_spark.catalog import Catalog
+    from verax_spark.functions.presto import presto_call as pc
+    from verax_spark.functions.sketches import qdigest_merge, qdigest_partials
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    store = str(tmp_path / "qd2")
+    qdigest_merge(
+        qdigest_partials(cust, ["c_nationkey"], "bal_cents"), ["c_nationkey"]
+    ).write.parquet(store)
+    stored = spark.read.parquet(store)
+    got = stored.select(
+        "c_nationkey",
+        pc("value_at_quantile", F.col("qdigest"), 0.5).alias("med_cents"),
+    ).collect()
+    assert got and all(r.med_cents is not None for r in got)
+    lo = cust.agg(F.min("bal_cents")).collect()[0][0]
+    hi = cust.agg(F.max("bal_cents")).collect()[0][0]
+    assert all(lo <= r.med_cents <= hi for r in got)

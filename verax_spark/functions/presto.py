@@ -570,8 +570,19 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     ),
     "qdigest_agg": lambda x: _QuantileSketch(_col(x)),
     "tdigest_agg": lambda x: _QuantileSketch(_col(x)),
-    "value_at_quantile": lambda d, q: F.percentile_approx(
-        _sketch_input(d, "value_at_quantile"), _col(q), F.lit(10000)
+    # value_at_quantile accepts EITHER the qdigest_agg/tdigest_agg pipeline
+    # marker (lowered onto percentile_approx) OR a BINARY column of stored
+    # q-digest state (functions/sketches.py qd_* — built by
+    # qdigest_partials/qdigest_merge, read per Presto's
+    # value_at_quantile(qdigest, q) contract, r06)
+    "value_at_quantile": lambda d, q: (
+        __import__(
+            "verax_spark.functions.sketches", fromlist=["x"]
+        ).qdigest_value_at_quantile(d, float(q))
+        if isinstance(d, Column) and not isinstance(q, Column)
+        else F.percentile_approx(
+            _sketch_input(d, "value_at_quantile"), _col(q), F.lit(10000)
+        )
     ),
     "values_at_quantiles": lambda d, qs: F.percentile_approx(
         _sketch_input(d, "values_at_quantiles"), _col(qs), F.lit(10000)
