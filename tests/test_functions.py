@@ -89,7 +89,12 @@ def _c(name, *args):
 # dedicated test below (context-dependent: grouping needs CUBE, reduce needs
 # a SQL lambda). Built lazily: Columns need an active SparkContext.
 # merge needs a sketch input; qdigest/tdigest_agg return pipeline markers
-_NO_DIRECT_CASE = {"grouping", "reduce", "merge", "qdigest_agg", "tdigest_agg"}
+_NO_DIRECT_CASE = {
+    "grouping", "reduce", "merge", "qdigest_agg", "tdigest_agg",
+    # operates on stored q-digest BYTES (no fixture column); covered by
+    # test_sketches.test_qdigest_scalar_family_over_stored_bytes
+    "quantile_at_value",
+}
 
 
 def _cases():

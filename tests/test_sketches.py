@@ -229,3 +229,22 @@ def test_value_at_quantile_over_stored_bytes(spark, sf_dir, tmp_path):
     lo = cust.agg(F.min("bal_cents")).collect()[0][0]
     hi = cust.agg(F.max("bal_cents")).collect()[0][0]
     assert all(lo <= r.med_cents <= hi for r in got)
+
+
+def test_qdigest_scalar_family_over_stored_bytes(spark):
+    """quantile_at_value / values_at_quantiles over stored q-digest bytes
+    (Presto's qdigest scalar family, r06)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from verax_spark.functions.presto import presto_call as pc
+    from verax_spark.functions.sketches import qd_build
+
+    blob = qd_build(np.arange(1, 1001, dtype=np.int64))
+    df = spark.createDataFrame([(blob,)], "qd binary")
+    row = df.select(
+        pc("quantile_at_value", F.col("qd"), 500).alias("r"),
+        pc("values_at_quantiles", F.col("qd"), [0.1, 0.9]).alias("vs"),
+    ).collect()[0]
+    assert abs(row.r - 0.5) < 0.02
+    assert len(row.vs) == 2 and 80 <= row.vs[0] <= 120 and 880 <= row.vs[1] <= 920

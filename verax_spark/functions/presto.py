@@ -584,9 +584,20 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
             _sketch_input(d, "value_at_quantile"), _col(q), F.lit(10000)
         )
     ),
-    "values_at_quantiles": lambda d, qs: F.percentile_approx(
-        _sketch_input(d, "values_at_quantiles"), _col(qs), F.lit(10000)
+    "values_at_quantiles": lambda d, qs: (
+        __import__(
+            "verax_spark.functions.sketches", fromlist=["x"]
+        ).qdigest_values_at_quantiles(d, [float(x) for x in qs])
+        if isinstance(d, Column) and isinstance(qs, (list, tuple))
+        else F.percentile_approx(
+            _sketch_input(d, "values_at_quantiles"), _col(qs), F.lit(10000)
+        )
     ),
+    # quantile_at_value exists only for REAL digest state (Presto qdigest
+    # scalar; no marker-pipeline lowering onto percentile_approx is exact)
+    "quantile_at_value": lambda d, v: __import__(
+        "verax_spark.functions.sketches", fromlist=["x"]
+    ).qdigest_quantile_at_value(_col(d), int(v)),
     # --- batch 8: array combinatorics / matches ---
     "combinations": lambda arr, n: _combinations(_col(arr), int(n)),
     "array_has_duplicates": lambda arr: (

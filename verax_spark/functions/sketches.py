@@ -383,6 +383,64 @@ def qdigest_merge(df, keys: list[str], digest_col: str = "qdigest"):
     return df.groupBy(*keys).applyInPandas(fn, schema)
 
 
+def qd_quantile_at_value(blob: bytes, v: int) -> float | None:
+    """Presto's quantile_at_value(qdigest, v): the estimated rank fraction
+    of ``v`` — counts of all nodes whose range lies at or below v over the
+    total (nodes straddling v contribute the covered fraction of their
+    range, the uniform-within-node assumption the q-digest bound allows)."""
+    nodes, total, _k = qd_deserialize(bytes(blob))
+    if total == 0:
+        return None
+    shifted = int(v) + (1 << (QD_LEVELS - 1))
+    if shifted < 0 or shifted >= (1 << QD_LEVELS):
+        return 0.0 if shifted < 0 else 1.0
+    below = 0.0
+    for nid, c in nodes.items():
+        depth = nid.bit_length() - 1
+        side = 1 << (QD_LEVELS - depth)
+        lo = (nid - (1 << depth)) * side
+        hi = lo + side - 1
+        if hi <= shifted:
+            below += c
+        elif lo <= shifted < hi:
+            below += c * (shifted - lo + 1) / side
+    return min(1.0, below / total)
+
+
+def qdigest_quantile_at_value(digest_col, v: int):
+    """Column: quantile_at_value(qdigest, v) over stored digest bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _read(blobs):
+        return pd.Series(
+            [None if b is None else qd_quantile_at_value(b, v) for b in blobs],
+            dtype="float64",
+        )
+
+    _read.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    return pandas_udf(_read, "double")(digest_col)
+
+
+def qdigest_values_at_quantiles(digest_col, qs: list[float]):
+    """Column: values_at_quantiles(qdigest, array) over stored bytes."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _read(blobs):
+        return pd.Series(
+            [
+                None
+                if b is None
+                else [qd_value_at_quantile(b, q) for q in qs]
+                for b in blobs
+            ]
+        )
+
+    _read.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    return pandas_udf(_read, "array<long>")(digest_col)
+
+
 def qdigest_value_at_quantile(digest_col, q: float):
     """Column: value_at_quantile(qdigest, q) over stored digest bytes."""
     import pandas as pd
