@@ -33,6 +33,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _PRIORITY = [
     # -- never green (fixed this round) --
     "op_fn_batch9",
+    # -- new r07 --
+    "op_fn_batch10",
     # -- latest green r01 --
     "op_agg_ordered",
     "op_cube",

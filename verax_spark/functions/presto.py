@@ -98,6 +98,10 @@ PRESTO_TO_SPARK: dict[str, str] = {
     "bitwise_or_agg": "bit_or",
     # batch 8 renames
     "format": "format_string",
+    # batch 10: Presto xxhash64(varbinary)->varbinary(8) is the standard
+    # XXH64 of the bytes — NOT Spark's builtin xxhash64 (internal row
+    # encoding, seed 42); the real algorithm is a registered UDF
+    "xxhash64": "presto_xxhash64",
 }
 
 # Seconds per fixed-width unit for date_add/date_diff arithmetic.
@@ -1566,6 +1570,142 @@ def _unit(u) -> str:
     return str(u).strip("'\"").lower()
 
 
+# --------------------------------------------------------------------------
+# Batch 10: Presto binary functions (big-endian/IEEE-754 bit views, base32,
+# standard-algorithm hashes), the incomplete-gamma/beta CDF completion
+# (beta/gamma/chi_squared/f/inverse_beta — closing the gap documented at the
+# batch-9 note above), map_union_sum, from_unixtime_nanos, is_private.
+# Column expressions where the semantics allow; Arrow-batched UDFs
+# (functions/udfs.py) for the bit-view/hash/special-function tail.
+# --------------------------------------------------------------------------
+
+_U63 = "9223372036854775808"  # 2^63
+_U64 = "18446744073709551616"  # 2^64
+
+
+def _from_big_endian_64(b) -> Column:
+    """Two's-complement bigint from an 8-byte big-endian buffer."""
+    u = F.conv(F.hex(_col(b)), 16, 10).cast("decimal(21,0)")
+    signed = F.when(
+        u >= F.expr(f"cast('{_U63}' as decimal(21,0))"),
+        u - F.expr(f"cast('{_U64}' as decimal(21,0))"),
+    ).otherwise(u)
+    return signed.cast("bigint")
+
+
+def _from_big_endian_32(b) -> Column:
+    u = F.conv(F.hex(_col(b)), 16, 10).cast("bigint")
+    return (
+        F.when(u >= F.lit(2147483648), u - F.lit(4294967296)).otherwise(u)
+    ).cast("int")
+
+
+def _to_big_endian_64(x) -> Column:
+    # hex() of a bigint is already the two's-complement digits
+    return F.unhex(F.lpad(F.hex(_col(x).cast("bigint")), 16, "0"))
+
+
+def _to_big_endian_32(x) -> Column:
+    masked = _col(x).cast("bigint").bitwiseAND(F.lit(4294967295))
+    return F.unhex(F.lpad(F.hex(masked), 8, "0"))
+
+
+def _from_unixtime_nanos(n) -> Column:
+    # floor-division (not truncation) so pre-epoch nanos round toward
+    # negative infinity, matching Presto; decimal keeps the full 64 bits
+    micros = F.floor(_col(n).cast("decimal(25,3)") / F.lit(1000)).cast("bigint")
+    return F.timestamp_micros(micros)
+
+
+# IANA special-purpose IPv4 registries (RFC 6890 et al.) — the set Presto's
+# is_private checks: private-use, loopback, link-local, CGN, documentation,
+# benchmarking, reserved.
+_PRIVATE_RANGES = [
+    ("0.0.0.0", 8),
+    ("10.0.0.0", 8),
+    ("100.64.0.0", 10),
+    ("127.0.0.0", 8),
+    ("169.254.0.0", 16),
+    ("172.16.0.0", 12),
+    ("192.0.0.0", 24),
+    ("192.0.2.0", 24),
+    ("192.168.0.0", 16),
+    ("198.18.0.0", 15),
+    ("198.51.100.0", 24),
+    ("203.0.113.0", 24),
+    ("240.0.0.0", 4),
+]
+
+
+def _ipv4_lit(ip: str) -> int:
+    a, b, c, d = (int(p) for p in ip.split("."))
+    return (a << 24) | (b << 16) | (c << 8) | d
+
+
+def _is_private(ip) -> Column:
+    v = _ip_to_int(ip)
+    cond = F.lit(False)
+    for start, bits in _PRIVATE_RANGES:
+        lo = _ipv4_lit(start)
+        hi = lo + (1 << (32 - bits)) - 1
+        cond = cond | v.between(F.lit(lo), F.lit(hi))
+    return F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(cond)
+
+
+def _map_union_sum(m) -> Column:
+    """Aggregate: union of all maps in the group, summing values per key.
+
+    Spark has no user-lambda UDAF; the fold is collect_list + aggregate
+    with a map_zip_with merge (missing keys contribute nothing). Group
+    cardinality bounds memory — same documented bound as reduce_agg above.
+    """
+    lst = F.collect_list(_col(m))
+
+    def _merge(acc: Column, x: Column) -> Column:
+        return F.map_zip_with(
+            acc,
+            x,
+            lambda k, a, b: F.when(a.isNull(), b)
+            .when(b.isNull(), a)
+            .otherwise(a + b),
+        )
+
+    rest = F.slice(lst, F.lit(2), F.greatest(F.size(lst) - 1, F.lit(0)))
+    return F.aggregate(rest, F.element_at(lst, F.lit(1)), _merge)
+
+
+_ADAPTERS.update(
+    {
+        "to_big_endian_64": _to_big_endian_64,
+        "from_big_endian_64": _from_big_endian_64,
+        "to_big_endian_32": _to_big_endian_32,
+        "from_big_endian_32": _from_big_endian_32,
+        "to_ieee754_64": lambda x: _udf_call("to_ieee754_64", x),
+        "from_ieee754_64": lambda b: _udf_call("from_ieee754_64", b),
+        "to_ieee754_32": lambda x: _udf_call("to_ieee754_32", x),
+        "from_ieee754_32": lambda b: _udf_call("from_ieee754_32", b),
+        "to_base32": lambda b: _udf_call("to_base32", b),
+        "from_base32": lambda s: _udf_call("from_base32", s),
+        # Presto xxhash64(varbinary) -> varbinary(8) is the STANDARD XXH64
+        # of the bytes; Spark's builtin xxhash64 hashes the internal row
+        # encoding with seed 42, so parity needs the real algorithm
+        "xxhash64": lambda b: _udf_call("xxhash64_bytes", b),
+        "murmur3_x64_128": lambda b: _udf_call("murmur3_udf", b),
+        "key_sampling_percent": lambda s: _udf_call("key_sampling_percent", s),
+        "gamma_cdf": lambda a, b, x: _udf_call("gamma_cdf", a, b, x),
+        "beta_cdf": lambda a, b, x: _udf_call("beta_cdf", a, b, x),
+        "f_cdf": lambda a, b, x: _udf_call("f_cdf", a, b, x),
+        "chi_squared_cdf": lambda d, x: _udf_call("chi_squared_cdf", d, x),
+        "inverse_beta_cdf": lambda a, b, p: _udf_call(
+            "inverse_beta_cdf", a, b, p
+        ),
+        "from_unixtime_nanos": _from_unixtime_nanos,
+        "is_private": _is_private,
+        "map_union_sum": _map_union_sum,
+    }
+)
+
+
 # SQL-UDF lowerings for Presto functions whose Spark analog is not a rename.
 # Registered as temporary SQL functions (Catalyst inlines the bodies — no UDF
 # overhead), so transpiled Presto SQL text can keep the Presto spelling.
@@ -1687,6 +1827,34 @@ _SQL_COMPAT = [
     "else ip4_to_int(x) end) >= ip4_to_int(ip_subnet_min(p)) AND "
     "(case when contains(x, '/') then ip4_to_int(ip_subnet_max(x)) "
     "else ip4_to_int(x) end) <= ip4_to_int(ip_subnet_max(p))",
+    # --- batch 10: big-endian bit views, nano timestamps, private IPs ---
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_big_endian_64(x BIGINT) "
+    "RETURNS BINARY RETURN unhex(lpad(hex(x), 16, '0'))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION from_big_endian_64(b BINARY) "
+    "RETURNS BIGINT RETURN cast(case when "
+    "cast(conv(hex(b), 16, 10) as decimal(21,0)) >= "
+    "cast('9223372036854775808' as decimal(21,0)) then "
+    "cast(conv(hex(b), 16, 10) as decimal(21,0)) "
+    "- cast('18446744073709551616' as decimal(21,0)) else "
+    "cast(conv(hex(b), 16, 10) as decimal(21,0)) end as bigint)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION to_big_endian_32(x INT) "
+    "RETURNS BINARY RETURN unhex(lpad(hex(cast(x as bigint) & 4294967295), "
+    "8, '0'))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION from_big_endian_32(b BINARY) "
+    "RETURNS INT RETURN cast(case when cast(conv(hex(b), 16, 10) as bigint) "
+    ">= 2147483648 then cast(conv(hex(b), 16, 10) as bigint) - 4294967296 "
+    "else cast(conv(hex(b), 16, 10) as bigint) end as int)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION from_unixtime_nanos(n BIGINT) "
+    "RETURNS TIMESTAMP RETURN timestamp_micros(cast(floor("
+    "cast(n as decimal(25,3)) / 1000) as bigint))",
+    # IANA special-purpose IPv4 registries (RFC 6890 et al.)
+    "CREATE OR REPLACE TEMPORARY FUNCTION is_private(ip STRING) "
+    "RETURNS BOOLEAN RETURN "
+    + " OR ".join(
+        f"ip4_to_int(ip) between {_ipv4_lit(start)} "
+        f"and {_ipv4_lit(start) + (1 << (32 - bits)) - 1}"
+        for start, bits in _PRIVATE_RANGES
+    ),
 ]
 
 

@@ -11,15 +11,18 @@ axiom/optimizer/FunctionRegistry.h:111-295).
 
 from __future__ import annotations
 
+import base64 as _b64
 import hashlib
 import hmac as _hmac
+import math
+import struct
 import unicodedata
 
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import BinaryType, DoubleType, StringType
 
 # NOTE: return types must be DataType instances, not DDL strings — workers
 # re-import this module and parsing a DDL string needs an active session.
@@ -207,6 +210,396 @@ def word_stem(s: pd.Series) -> pd.Series:
     return pd.Series([None if v is None else porter_stem(v) for v in s])
 
 
+# --------------------------------------------------------------------------
+# Batch 10: Presto binary functions with no Column-expression spelling.
+# IEEE-754 bit views and base32 are pure stdlib (struct/base64); xxhash64
+# and murmur3_x64_128 are original implementations of the published
+# algorithms (Collet's XXH64 spec; Appleby's public-domain MurmurHash3
+# reference). All are documented slow-path scalar functions — none appear
+# in any hot path.
+# --------------------------------------------------------------------------
+
+
+def _as_bytes(v) -> bytes | None:
+    if v is None:
+        return None
+    return v if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+
+
+@pandas_udf(BinaryType())
+def to_ieee754_64(x: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else struct.pack(">d", float(v)) for v in x]
+    )
+
+
+@pandas_udf(DoubleType())
+def from_ieee754_64(b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else struct.unpack(">d", bytes(v))[0] for v in b]
+    )
+
+
+@pandas_udf(BinaryType())
+def to_ieee754_32(x: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else struct.pack(">f", float(v)) for v in x]
+    )
+
+
+# Presto from_ieee754_32 returns REAL; surfaced as double (Spark's scalar
+# float math promotes anyway) — the value is the exact float32.
+@pandas_udf(DoubleType())
+def from_ieee754_32(b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else float(struct.unpack(">f", bytes(v))[0]) for v in b]
+    )
+
+
+@pandas_udf(StringType())
+def to_base32(b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if v is None else _b64.b32encode(_as_bytes(v)).decode("ascii")
+            for v in b
+        ]
+    )
+
+
+@pandas_udf(BinaryType())
+def from_base32(s: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else _b64.b32decode(str(v)) for v in s]
+    )
+
+
+_M64 = (1 << 64) - 1
+
+# XXH64 prime constants (Collet's published xxHash specification).
+_XP1 = 0x9E3779B185EBCA87
+_XP2 = 0xC2B2AE3D27D4EB4F
+_XP3 = 0x165667B19E3779F9
+_XP4 = 0x85EBCA77C2B2AE63
+_XP5 = 0x27D4EB2F165667C5
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64_round(acc: int, lane: int) -> int:
+    acc = (acc + lane * _XP2) & _M64
+    return (_rotl64(acc, 31) * _XP1) & _M64
+
+
+def _xxh64_merge(acc: int, val: int) -> int:
+    acc ^= _xxh64_round(0, val)
+    return ((acc * _XP1) + _XP4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 of raw bytes (original implementation of the published spec)."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _XP1 + _XP2) & _M64
+        v2 = (seed + _XP2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _XP1) & _M64
+        while i + 32 <= n:
+            v1 = _xxh64_round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _xxh64_round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _xxh64_round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _xxh64_round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (
+            _rotl64(v1, 1) + _rotl64(v2, 7) + _rotl64(v3, 12) + _rotl64(v4, 18)
+        ) & _M64
+        h = _xxh64_merge(h, v1)
+        h = _xxh64_merge(h, v2)
+        h = _xxh64_merge(h, v3)
+        h = _xxh64_merge(h, v4)
+    else:
+        h = (seed + _XP5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= _xxh64_round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl64(h, 27) * _XP1 + _XP4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _XP1) & _M64
+        h = (_rotl64(h, 23) * _XP2 + _XP3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _XP5) & _M64
+        h = (_rotl64(h, 11) * _XP1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _XP2) & _M64
+    h ^= h >> 29
+    h = (h * _XP3) & _M64
+    h ^= h >> 32
+    return h
+
+
+@pandas_udf(BinaryType())
+def xxhash64_bytes(b: pd.Series) -> pd.Series:
+    """Presto xxhash64(varbinary) -> varbinary(8), big-endian XXH64.
+
+    Spark's built-in xxhash64 hashes the row's INTERNAL encoding with
+    seed 42 — not the standard XXH64 of the byte string — so Presto
+    parity needs the real algorithm.
+    """
+    return pd.Series(
+        [
+            None
+            if v is None
+            else xxh64(_as_bytes(v)).to_bytes(8, "big")
+            for v in b
+        ]
+    )
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _M64
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _M64
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> bytes:
+    """MurmurHash3 x64 128-bit (Appleby's public-domain algorithm)."""
+    c1 = 0x87C37B91114253D5
+    c2 = 0x4CF5AD432745937F
+    h1 = h2 = seed & _M64
+    n = len(data)
+    nblocks = n // 16
+    for i in range(nblocks):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (_rotl64((k1 * c1) & _M64, 31) * c2) & _M64
+        h1 = ((_rotl64(h1 ^ k1, 27) + h2) * 5 + 0x52DCE729) & _M64
+        k2 = (_rotl64((k2 * c2) & _M64, 33) * c1) & _M64
+        h2 = ((_rotl64(h2 ^ k2, 31) + h1) * 5 + 0x38495AB5) & _M64
+    tail = data[nblocks * 16 :]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:].ljust(8, b"\0")[: len(tail) - 8], "little")
+        k2 = (_rotl64((k2 * c2) & _M64, 33) * c1) & _M64
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (_rotl64((k1 * c1) & _M64, 31) * c2) & _M64
+        h1 ^= k1
+    h1 ^= n
+    h2 ^= n
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _M64
+    h2 = (h2 + h1) & _M64
+    # Presto/Velox emit the two lanes little-endian, matching the C++
+    # reference's memcpy of the uint64 pair on x86.
+    return h1.to_bytes(8, "little") + h2.to_bytes(8, "little")
+
+
+@pandas_udf(BinaryType())
+def murmur3_udf(b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [None if v is None else murmur3_x64_128(_as_bytes(v)) for v in b]
+    )
+
+
+@pandas_udf(DoubleType())
+def key_sampling_percent(s: pd.Series) -> pd.Series:
+    """Presto key_sampling_percent(varchar) -> double in [0,1).
+
+    Deterministic uniform value derived from XXH64 of the UTF-8 key —
+    the same construction Presto documents (a hash-derived sampling
+    percentile); bit-exact parity with Presto's Java hash constant is
+    not promised, determinism and uniformity are.
+    """
+    return pd.Series(
+        [
+            None
+            if v is None
+            else xxh64(str(v).encode("utf-8")) / float(1 << 64)
+            for v in s
+        ]
+    )
+
+
+# --------------------------------------------------------------------------
+# Batch 10: the incomplete-gamma/beta CDF family (Presto beta_cdf,
+# gamma_cdf, chi_squared_cdf, f_cdf, inverse_beta_cdf). Original
+# implementations of the published math: the regularized lower incomplete
+# gamma via its power series (DLMF 8.11.4) for x < a+1 and the continued
+# fraction (DLMF 8.9.2, evaluated with Lentz's 1976 modified algorithm)
+# otherwise; the regularized incomplete beta via its continued fraction
+# (DLMF 8.17.22) with the symmetry I_x(a,b) = 1 - I_{1-x}(b,a).
+# --------------------------------------------------------------------------
+
+_TINY = 1e-300
+_EPS = 3e-15
+
+
+def reg_gamma_p(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 0.0
+    lg = math.lgamma(a)
+    if x < a + 1.0:
+        # power series: P(a,x) = x^a e^-x / Γ(a) Σ_{n>=0} x^n / (a(a+1)..(a+n))
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(500):
+            n += 1.0
+            term *= x / n
+            total += term
+            if abs(term) < abs(total) * _EPS:
+                break
+        return total * math.exp(-x + a * math.log(x) - lg)
+    # Lentz continued fraction for Q(a,x)
+    b = x + 1.0 - a
+    c = 1.0 / _TINY
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < _TINY:
+            d = _TINY
+        c = b + an / c
+        if abs(c) < _TINY:
+            c = _TINY
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < _EPS:
+            break
+    q = math.exp(-x + a * math.log(x) - lg) * h
+    return 1.0 - q
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta (DLMF 8.17.22, Lentz)."""
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < _TINY:
+        d = _TINY
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < _TINY:
+            d = _TINY
+        c = 1.0 + aa / c
+        if abs(c) < _TINY:
+            c = _TINY
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < _TINY:
+            d = _TINY
+        c = 1.0 + aa / c
+        if abs(c) < _TINY:
+            c = _TINY
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < _EPS:
+            break
+    return h
+
+
+def reg_beta_i(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if a <= 0 or b <= 0 or x < 0 or x > 1:
+        return float("nan")
+    if x == 0.0:
+        return 0.0
+    if x == 1.0:
+        return 1.0
+    front = math.exp(
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log1p(-x)
+    )
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
+def inv_reg_beta(a: float, b: float, p: float) -> float:
+    """Inverse of I_x(a, b) by bisection (monotone in x on [0, 1])."""
+    if not (0.0 <= p <= 1.0) or a <= 0 or b <= 0:
+        return float("nan")
+    if p == 0.0:
+        return 0.0
+    if p == 1.0:
+        return 1.0
+    lo, hi = 0.0, 1.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if reg_beta_i(a, b, mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-16:
+            break
+    return 0.5 * (lo + hi)
+
+
+def _cdf_udf3(fn):
+    @pandas_udf(DoubleType())
+    def _udf(a: pd.Series, b: pd.Series, x: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if (u is None or v is None or w is None)
+                else fn(float(u), float(v), float(w))
+                for u, v, w in zip(a, b, x)
+            ]
+        )
+
+    return _udf
+
+
+# Presto gamma_cdf(shape, scale, value) = P(shape, value / scale)
+gamma_cdf = _cdf_udf3(lambda shape, scale, x: reg_gamma_p(shape, x / scale))
+beta_cdf = _cdf_udf3(reg_beta_i)
+# Presto f_cdf(df1, df2, value) = I_{d1 x / (d1 x + d2)}(d1/2, d2/2)
+f_cdf = _cdf_udf3(
+    lambda d1, d2, x: reg_beta_i(
+        d1 / 2.0, d2 / 2.0, d1 * x / (d1 * x + d2)
+    )
+)
+inverse_beta_cdf = _cdf_udf3(inv_reg_beta)
+
+
+@pandas_udf(DoubleType())
+def chi_squared_cdf(df: pd.Series, x: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (d is None or v is None)
+            else reg_gamma_p(float(d) / 2.0, float(v) / 2.0)
+            for d, v in zip(df, x)
+        ]
+    )
+
+
 def register_udfs(spark) -> None:
     """Expose the UDF-backed Presto names to SQL text (functionExists-able)."""
     spark.udf.register("hmac_md5", hmac_md5)
@@ -216,3 +609,22 @@ def register_udfs(spark) -> None:
     spark.udf.register("word_stem", word_stem)
     # 2-arg form: normalize(s, 'NFC'); the SQL front door fills the default
     spark.udf.register("normalize", _normalize_udf)
+    # batch 10: binary bit views, base32, standard-algorithm hashes
+    spark.udf.register("to_ieee754_64", to_ieee754_64)
+    spark.udf.register("from_ieee754_64", from_ieee754_64)
+    spark.udf.register("to_ieee754_32", to_ieee754_32)
+    spark.udf.register("from_ieee754_32", from_ieee754_32)
+    spark.udf.register("to_base32", to_base32)
+    spark.udf.register("from_base32", from_base32)
+    # NOT registered as bare "xxhash64": a temp function would shadow
+    # Spark's builtin in SQL text (the checksum aggregate renders
+    # sum(xxhash64(...))); the Presto name maps via PRESTO_TO_SPARK.
+    spark.udf.register("presto_xxhash64", xxhash64_bytes)
+    spark.udf.register("murmur3_x64_128", murmur3_udf)
+    spark.udf.register("key_sampling_percent", key_sampling_percent)
+    # batch 10: incomplete-gamma/beta CDF family
+    spark.udf.register("gamma_cdf", gamma_cdf)
+    spark.udf.register("beta_cdf", beta_cdf)
+    spark.udf.register("f_cdf", f_cdf)
+    spark.udf.register("chi_squared_cdf", chi_squared_cdf)
+    spark.udf.register("inverse_beta_cdf", inverse_beta_cdf)

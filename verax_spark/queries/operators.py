@@ -3332,3 +3332,149 @@ def op_connector_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group by n.n_name, r.r_name "
         "order by nation"
     )
+
+
+# ---------------------------------------------------------------------------
+# Function batch 10 (r07): Presto binary functions (big-endian / IEEE-754
+# bit views, base32, xxhash64/murmur3 standard algorithms), the
+# incomplete-gamma/beta CDF completion (gamma/chi_squared/beta/f/
+# inverse_beta — closing the batch-9 "no Column-expression spelling" gap
+# with Arrow-batched implementations of the published series/continued-
+# fraction math), map_union_sum, from_unixtime_nanos, is_private.
+# Oracle strategy: roundtrip identities (big-endian, ieee754-64),
+# cross-engine float32 semantics (DuckDB cast-to-float vs from_ieee754_32∘
+# to_ieee754_32), published RFC 4648 base32 vectors and the xxHash
+# reference vector as CASE/constant columns, elementary closed forms at
+# integer shapes for every incomplete-gamma/beta member (independent of
+# the series code), conditional-sum recomputation for map_union_sum, and
+# IANA registry facts for is_private. Ref: the reference registers the
+# full Presto scalar library (AxiomSql.cpp:149).
+@_register(
+    "op_fn_batch10",
+    """
+    with t as (select doc_id as d from documents where doc_id < 24),
+    mus as (
+      select d % 4 as g, sum(d) as mus_a,
+        coalesce(sum(case when d % 2 = 0 then d * 2 end), -1) as mus_b,
+        coalesce(sum(case when d % 2 <> 0 then d * 2 end), -1) as mus_c
+      from t group by 1)
+    select d,
+      d * 1000000007 - 5000 as be64,
+      printf('%016x', d + 255) as behex,
+      cast(d * 7 - 50 as integer) as be32,
+      cast(cast((d + 1) / 7.0 as float) as double) as f32,
+      d + 0.5 as f64,
+      case cast(d % 7 as integer)
+        when 0 then '' when 1 then 'MY======' when 2 then 'MZXQ===='
+        when 3 then 'MZXW6===' when 4 then 'MZXW6YQ=' when 5 then 'MZXW6YTB'
+        else 'MZXW6YTBOI======' end as b32,
+      'ef46db3751d8e999' as xxh_empty,
+      '00000000000000000000000000000000' as mur_empty,
+      true as ksp_ok,
+      1 - exp(-(d / 4.0)) * (1 + d / 4.0 + (d / 4.0) * (d / 4.0) / 2) as gcdf,
+      1 - exp(-(d / 6.0)) * (1 + d / 6.0) as c2cdf,
+      6 * pow((d + 0.5) / 25, 2) * pow(1 - (d + 0.5) / 25, 2)
+        + 4 * pow((d + 0.5) / 25, 3) * (1 - (d + 0.5) / 25)
+        + pow((d + 0.5) / 25, 4) as bcdf,
+      1 - pow(1 - (2 * (d + 1) / 3.0) / (2 * (d + 1) / 3.0 + 4), 2) as fcdf,
+      (d + 0.5) / 25 as ibeta,
+      case cast(d % 4 as integer) when 0 then true when 1 then false
+        when 2 then true else true end as priv,
+      (d * 1234567890123 + 456789) // 1000 as nanots,
+      mus.mus_a as mus_a, mus.mus_b as mus_b, mus.mus_c as mus_c
+    from t join mus on t.d % 4 = mus.g
+    order by d
+    """,
+)
+def op_fn_batch10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    d = F.col("d")
+    t = cat.documents.filter(F.col("doc_id") < 24).select(
+        F.col("doc_id").alias("d")
+    )
+    mus = (
+        t.groupBy((d % 4).alias("g"))
+        .agg(
+            pc(
+                "map_union_sum",
+                F.create_map(
+                    F.lit("a"),
+                    d,
+                    F.when(d % 2 == 0, F.lit("b")).otherwise(F.lit("c")),
+                    d * 2,
+                ),
+            ).alias("mu")
+        )
+        .select(
+            "g",
+            F.element_at(F.col("mu"), "a").alias("mus_a"),
+            F.coalesce(F.element_at(F.col("mu"), "b"), F.lit(-1)).alias(
+                "mus_b"
+            ),
+            F.coalesce(F.element_at(F.col("mu"), "c"), F.lit(-1)).alias(
+                "mus_c"
+            ),
+        )
+    )
+    ip = (
+        F.when(d % 4 == 0, F.concat(F.lit("10.0.0."), (d % 200).cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("8.8.8."), (d % 200).cast("string")))
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("172."), (16 + d % 16).cast("string"), F.lit(".0.1")),
+        )
+        .otherwise(F.concat(F.lit("203.0.113."), (d % 200).cast("string")))
+    )
+    p = (d + 0.5) / F.lit(25.0)
+    return (
+        t.select(
+            "d",
+            pc(
+                "from_big_endian_64",
+                pc("to_big_endian_64", d * F.lit(1000000007) - 5000),
+            ).alias("be64"),
+            F.lower(F.hex(pc("to_big_endian_64", d + 255))).alias("behex"),
+            pc(
+                "from_big_endian_32",
+                pc("to_big_endian_32", (d * 7 - 50).cast("int")),
+            ).alias("be32"),
+            pc(
+                "from_ieee754_32", pc("to_ieee754_32", (d + 1) / F.lit(7.0))
+            ).alias("f32"),
+            pc(
+                "from_ieee754_64", pc("to_ieee754_64", d + F.lit(0.5))
+            ).alias("f64"),
+            pc(
+                "to_base32",
+                F.lit("foobar").substr(F.lit(1), (d % 7).cast("int")),
+            ).alias("b32"),
+            F.lower(F.hex(pc("xxhash64", F.lit("")))).alias("xxh_empty"),
+            F.lower(F.hex(pc("murmur3_x64_128", F.lit("")))).alias(
+                "mur_empty"
+            ),
+            pc("key_sampling_percent", d.cast("string"))
+            .between(0.0, 1.0)
+            .alias("ksp_ok"),
+            pc("gamma_cdf", F.lit(3.0), F.lit(2.0), d / F.lit(2.0)).alias(
+                "gcdf"
+            ),
+            pc("chi_squared_cdf", F.lit(4.0), d / F.lit(3.0)).alias("c2cdf"),
+            pc("beta_cdf", F.lit(2.0), F.lit(3.0), p).alias("bcdf"),
+            pc("f_cdf", F.lit(2.0), F.lit(4.0), (d + 1) / F.lit(3.0)).alias(
+                "fcdf"
+            ),
+            pc("inverse_beta_cdf", F.lit(2.0), F.lit(1.0), p * p).alias(
+                "ibeta"
+            ),
+            pc("is_private", ip).alias("priv"),
+            F.unix_micros(
+                pc("from_unixtime_nanos", d * F.lit(1234567890123) + 456789)
+            ).alias("nanots"),
+            (d % 4).alias("g"),
+        )
+        .join(mus, "g")
+        .drop("g")
+        .orderBy("d")
+    )

@@ -1086,8 +1086,17 @@ where p.p_partkey = l.l_partkey and p.p_brand = 'Brand#23' and p.p_size < 10
 def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Discounted revenue (ref tpch.queries/q19.sql), adapted: no
     l_shipmode/l_shipinstruct/p_container → branches on brand/qty/size.
-    Shape kept: disjunctive join condition the optimizer must not split
-    (nested-loop-or-hash-with-residual, ref axiom/optimizer/ToVelox.cpp:1134)."""
+    Shape kept: disjunctive join condition evaluated as a post-join
+    residual (nested-loop-or-hash-with-residual, ref
+    axiom/optimizer/ToVelox.cpp:1134) — but each side's IMPLIED
+    single-table envelope is pushed below the join (every branch pins
+    p_brand AND bounds p_size / l_quantity, so the per-side unions are
+    valid derived predicates; the reference derives these the same way,
+    Optimization.cpp joinFilter import). The part side shrinks ~40×
+    (brand ∈ 3 of 25 × size ranges), clearing the footer-gated broadcast
+    at mid scale — the 600M-row fact then reduces MAP-ONLY with zero
+    shuffle; at extreme sf the 0.1-default estimate declines the
+    broadcast and AQE keeps the shuffle join."""
     cat = Catalog(spark, sf_dir)
     cond = (
         (
@@ -1106,8 +1115,26 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("p_size").between(1, 15)
         )
     )
+    part_stats = cat.stats("part")
+    parts = _bcast_if_small(
+        cat.part.filter(
+            ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+            | (
+                (F.col("p_brand") == "Brand#23")
+                & F.col("p_size").between(1, 10)
+            )
+            | (
+                (F.col("p_brand") == "Brand#3")
+                & F.col("p_size").between(1, 15)
+            )
+        ).select("p_partkey", "p_brand", "p_size"),
+        None if part_stats is None else part_stats.num_rows * 0.1,
+        width=24.0,
+    )
     return (
-        cat.table("lineitem", ()).join(cat.part, F.col("p_partkey") == F.col("l_partkey"))
+        cat.table("lineitem", ())
+        .filter(F.col("l_quantity").between(1, 30))
+        .join(parts, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(F.sum(_rev_units()).alias("__rev_u"))
         .select(_descale(F.col("__rev_u"), 4).alias("revenue"))
@@ -1247,9 +1274,24 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg_bal = cat.customer.filter(F.col("c_acctbal") > 0).agg(
         F.avg("c_acctbal").alias("__avg_bal")
     )
-    big = cat.table("orders", ("o_custkey",)).filter(F.col("o_totalprice") > 480000)
+    # ~4% of orders clear the price filter (footer min/max estimate): a
+    # bare-key broadcast anti join streams customer MAP-ONLY, removing
+    # both sides' custkey exchanges; past the byte budget the estimate
+    # declines and the co-bucketed o_custkey layout serves the shuffle
+    # anti join instead (scale-adaptive, never a hardcoded hint)
+    from verax_spark.optimizer.query_graph import QueryGraph
+    from verax_spark.plans import expr as dsl
+
+    est = _filter_est(
+        cat, "orders", dsl.Call("gt", dsl.Col("o_totalprice"), dsl.Lit(480000.0))
+    )
+    use_bcast = est is not None and QueryGraph().broadcastable(est, 8.0)
+    src = cat.orders if use_bcast else cat.table("orders", ("o_custkey",))
+    big = src.filter(F.col("o_totalprice") > 480000).select("o_custkey")
     no_orders = cat.customer.join(
-        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        F.broadcast(big) if use_bcast else big,
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
     )
     return (
         no_orders.join(F.broadcast(avg_bal))

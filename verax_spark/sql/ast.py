@@ -560,6 +560,18 @@ class Call(Expr):
             return f"sum(xxhash64({a0})){filt}"
         if kind == "set_union":
             return f"array_distinct(flatten(collect_list({a0}){filt}))"
+        if kind == "map_union_sum":
+            # union of the group's maps, summing values per key; the
+            # per-key fold seeds with the first value so the element
+            # type (int/double/decimal) is preserved
+            ents = f"flatten(collect_list(map_entries({a0})){filt})"
+            keys = f"array_distinct(transform({ents}, __e -> __e.key))"
+            vals = f"transform(filter({ents}, __e -> __e.key = __k), __e -> __e.value)"
+            return (
+                f"map_from_arrays({keys}, transform({keys}, __k -> "
+                f"aggregate(slice({vals}, 2, greatest(size({vals}) - 1, 0)), "
+                f"({vals})[0], (__a, __x) -> __a + __x)))"
+            )
         if kind == "map_union":
             ents = f"flatten(collect_list(map_entries({a0})){filt})"
             keys = f"array_distinct(transform({ents}, __e -> __e.key))"
@@ -749,7 +761,8 @@ class Call(Expr):
             return f"map_from_entries({inner})"
         elif (
             self.name.lower()
-            in ("map_union", "multimap_agg", "set_union", "histogram", "checksum")
+            in ("map_union", "map_union_sum", "multimap_agg", "set_union",
+                "histogram", "checksum")
             and self.args
         ):
             return self._entry_agg_sql()
