@@ -252,9 +252,48 @@ def q_params():
     return sql, [lo, pat]
 
 
+def q_unnest():
+    # r07: UNNEST in FROM (both dialects accept cross join unnest(ARRAY[..]))
+    elems = ", ".join(
+        rng.choice(["1", "2", "n_regionkey", "n_regionkey + 1", "0"])
+        for _ in range(rng.randint(1, 3))
+    )
+    return (
+        f"select n_nationkey as k, u from nation cross join "
+        f"unnest(array[{elems}]) as t(u) where {be(0)} order by k, u"
+    )
+
+
+def q_scalar_corr():
+    # r07: correlated scalar subquery in SELECT / HAVING
+    op = rng.choice(["<=", "<", ">="])
+    return rng.choice([
+        (f"select n_nationkey as k, (select count(*) from region r "
+         f"where r.r_regionkey {op} n.n_regionkey) as c "
+         f"from nation n order by k"),
+        (f"select n_regionkey as g, count(*) as c from nation "
+         f"group by n_regionkey having count(*) > "
+         f"(select min(r_regionkey) + {rng.randint(0, 5)} from region) "
+         f"order by g"),
+    ])
+
+
+def q_order_nulls():
+    # r07: ORDER BY computed nullable expression with explicit null placement
+    nd = rng.choice(["nulls first", "nulls last", ""])
+    d = rng.choice(["asc", "desc"])
+    return (
+        f"select n_nationkey as k, nullif(n_regionkey, {rng.randint(0, 4)}) "
+        f"as v from nation order by v {d} {nd}, k"
+    )
+
+
 GENS = [q_simple, q_agg, q_grouping, q_setop, q_sub, q_join, q_window,
         q_limit, q_cte, q_quantified, q_natural, q_params,
-        q_window2, q_window2, q_setop2, q_setop2]  # r06: weight new shapes
+        q_window2, q_setop2,
+        # r07: weight new shapes
+        q_unnest, q_unnest, q_scalar_corr, q_scalar_corr,
+        q_order_nulls, q_order_nulls]
 fails = []
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 300
 for i in range(N):
