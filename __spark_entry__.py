@@ -35,6 +35,7 @@ _PRIORITY = [
     "op_fn_batch9",
     # -- new r07 --
     "op_fn_batch10",
+    "pl_lm_score",
     # -- latest green r01 --
     "op_agg_ordered",
     "op_cube",

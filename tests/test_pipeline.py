@@ -525,3 +525,31 @@ def test_chunk_documents_windows(spark, sf_dir):
         # coverage: last chunk reaches the end of the document
         last = rows[-1]
         assert last.chunk_id * 12 + last.n_tokens == len(toks)
+
+
+def test_lm_quality_score_matches_local_recompute(spark):
+    """Unigram-LM quality score equals an exact local recomputation on a
+    tiny corpus: common-word docs score higher than rare-token docs."""
+    import math
+
+    from verax_spark.operators.text import lm_quality_score
+
+    rows = [
+        (1, "the cat sat"),
+        (2, "the the the"),
+        (3, "zyx qwv"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in lm_quality_score(df, "text", "doc_id").collect()}
+
+    toks = [t for _, txt in rows for t in txt.lower().split()]
+    total = len(toks)
+    cnt = {t: toks.count(t) for t in set(toks)}
+
+    for did, txt in rows:
+        ts = txt.lower().split()
+        want = sum(math.log(cnt[t] / total) for t in ts) / len(ts)
+        assert got[did].n_tokens == len(ts)
+        assert abs(got[did].avg_logprob - want) < 1e-12
+    # ordering property: the all-stopword doc beats the gibberish doc
+    assert got[2].avg_logprob > got[3].avg_logprob

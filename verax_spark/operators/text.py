@@ -266,3 +266,46 @@ def chunk_documents(
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"),
     )
+
+
+def lm_quality_score(df, text_col: str, id_col: str):
+    """Unigram language-model quality score (perplexity proxy): each
+    document's mean token log-probability under the corpus's OWN unigram
+    distribution — the classic LM-based quality filter of training-data
+    pipelines (low score = rare-token noise/gibberish, high = common-word
+    fluent text; thresholding replaces an external LM when none is
+    available).
+
+    Shape at 100 TB: explode → token-keyed count aggregation (map-side
+    combined: each partition collapses to its distinct tokens before the
+    shuffle), a 1-row total broadcast (the scalar-subquery pattern), then
+    tokens ⋈ vocab on token (the vocab side is exactly one row per
+    distinct token, so per-key fanout equals the token's corpus frequency
+    — the same bound as the count aggregation itself) and a doc-keyed
+    final aggregation. The vocabulary is NEVER broadcast or collected:
+    at web scale it has hundreds of millions of entries and must stay
+    distributed. Returns (id, n_tokens, avg_logprob).
+    """
+    from pyspark.sql import DataFrame
+
+    assert isinstance(df, DataFrame)
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
+    total = vocab.agg(F.sum("__n").alias("__t"))
+    return (
+        toks.join(vocab, "token")
+        .join(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg(
+                F.log(F.col("__n").cast("double") / F.col("__t").cast("double"))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -1577,3 +1577,35 @@ def pl_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         window=64,
         stride=48,
     ).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM quality score (r07): corpus-self-trained perplexity proxy —
+# the LM-based quality-filter stage of a training-data pipeline. The
+# oracle recomputes the whole two-pass pipeline (vocabulary from ALL
+# documents, scores for the checked subset) in DuckDB SQL; 4-significant-
+# digit float canonicalization absorbs summation-order differences in the
+# mean of logs.
+@_register(
+    "pl_lm_score",
+    r"""
+    with toks as (
+      select doc_id, unnest(string_split_regex(lower(text), '\s+')) as token
+      from documents),
+    toks2 as (select doc_id, token from toks where token <> ''),
+    vocab as (select token, count(*) as n from toks2 group by token),
+    tot as (select sum(n) as t from vocab)
+    select d.doc_id, count(*) as n_tokens,
+      cast(avg(ln(cast(v.n as double) / t.t)) as double) as avg_logprob
+    from toks2 d join vocab v using (token) cross join tot t
+    where d.doc_id < 200
+    group by d.doc_id
+    order by d.doc_id
+    """,
+)
+def pl_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.operators.text import lm_quality_score
+
+    cat = Catalog(spark, sf_dir)
+    scored = lm_quality_score(cat.documents, "text", "doc_id")
+    return scored.filter(F.col("doc_id") < 200).orderBy("doc_id")
