@@ -36,6 +36,7 @@ _PRIORITY = [
     # -- new r07 --
     "op_fn_batch10",
     "pl_lm_score",
+    "op_fn_setdigest",
     # -- latest green r01 --
     "op_agg_ordered",
     "op_cube",

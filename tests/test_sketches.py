@@ -248,3 +248,61 @@ def test_qdigest_scalar_family_over_stored_bytes(spark):
     ).collect()[0]
     assert abs(row.r - 0.5) < 0.02
     assert len(row.vs) == 2 and 80 <= row.vs[0] <= 120 and 880 <= row.vs[1] <= 920
+
+
+# ---------------------------------------------------------------------------
+# setdigest (r07): KMV construction — exact below K, estimator beyond K
+
+
+def test_setdigest_exact_below_k():
+    from verax_spark.functions import sketches as sk
+
+    blob = sk.sd_build([f"v{i}" for i in range(500)], k=2048)
+    assert sk.sd_cardinality(blob) == 500
+    # duplicate elements count once for cardinality, counts accumulate
+    blob2 = sk.sd_build(["a", "a", "b"], k=2048)
+    assert sk.sd_cardinality(blob2) == 2
+    counts, _ = sk.sd_deserialize(blob2)
+    assert sorted(counts.values()) == [1, 2]
+
+
+def test_setdigest_kmv_estimate_accuracy():
+    from verax_spark.functions import sketches as sk
+
+    n, k = 50_000, 2048
+    blob = sk.sd_build([f"elem-{i}" for i in range(n)], k=k)
+    est = sk.sd_cardinality(blob)
+    # KMV standard error ~ 1/sqrt(k) ≈ 2.2%; allow 4 sigma
+    assert abs(est - n) / n < 0.09
+
+
+def test_setdigest_merge_order_independent():
+    from verax_spark.functions import sketches as sk
+
+    parts = [
+        sk.sd_build([f"x{i}" for i in range(j, 30_000, 3)], k=1024)
+        for j in range(3)
+    ]
+    m1 = sk.sd_merge([parts[0], parts[1], parts[2]])
+    m2 = sk.sd_merge([parts[2], parts[0], parts[1]])
+    assert m1 == m2  # byte-identical under any arrival order
+    est = sk.sd_cardinality(m1)
+    assert abs(est - 10_000 * 3) / 30_000 < 0.15
+
+
+def test_setdigest_jaccard_and_intersection():
+    from verax_spark.functions import sketches as sk
+
+    a = sk.sd_build([f"k{i}" for i in range(400)], k=2048)
+    b = sk.sd_build([f"k{i}" for i in range(200, 600)], k=2048)
+    # exact below K: |∩| = 200, |∪| = 600
+    assert sk.sd_jaccard(a, b) == 200 / 600
+    assert sk.sd_intersection(a, b) == 200
+    # estimator path: overlapping large sets
+    n = 30_000
+    big_a = sk.sd_build([f"z{i}" for i in range(n)], k=2048)
+    big_b = sk.sd_build([f"z{i}" for i in range(n // 2, n + n // 2)], k=2048)
+    jac = sk.sd_jaccard(big_a, big_b)
+    assert abs(jac - 1 / 3) < 0.05
+    inter = sk.sd_intersection(big_a, big_b)
+    assert abs(inter - n // 2) / (n // 2) < 0.15

@@ -474,3 +474,234 @@ def tdigest_quantile(digest_col, q: float):
 
     _read.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
     return pandas_udf(_read, "double")(digest_col)
+
+
+# ---------------------------------------------------------------------------
+# Set digest (Presto's setdigest type: make_set_digest / merge_set_digest /
+# cardinality / intersection_cardinality / jaccard_index / hash_counts) as
+# storable, mergeable binary state — same contract as the t-digest/q-digest
+# families above (the reference registers the type wholesale from the
+# Presto library, axiom/optimizer/tests/AxiomSql.cpp:149). Original
+# implementation of the published k-minimum-values construction
+# (Bar-Yossef, Jayram, Kumar, Sivakumar, Trevisan, RANDOM 2002) with
+# per-hash counts for hash_counts: keep the K smallest distinct XXH64
+# values of the elements. Below K distinct elements the digest is EXACT
+# (cardinality, intersection, Jaccard are set algebra, differentially
+# checkable); at scale the KMV estimator (K-1) * 2^64 / kth_min and the
+# union-k-min Jaccard estimate take over — accuracy-bound unit-tested.
+# Merging is per-hash count addition + re-truncation to the K smallest:
+# associative and arrival-order independent.
+
+SD_DEFAULT_K = 2048
+_SD_U64 = 1 << 64
+
+
+def _sd_hash(v) -> int:
+    from verax_spark.functions.udfs import xxh64
+
+    return xxh64(str(v).encode("utf-8"))
+
+
+def sd_build(values, k: int = SD_DEFAULT_K) -> bytes:
+    counts: dict[int, int] = {}
+    for v in values:
+        if v is None:
+            continue
+        h = _sd_hash(v)
+        counts[h] = counts.get(h, 0) + 1
+    return sd_serialize(counts, k)
+
+
+def sd_merge(blobs) -> bytes:
+    counts: dict[int, int] = {}
+    k = SD_DEFAULT_K
+    for b in blobs:
+        if b is None:
+            continue
+        c, bk = sd_deserialize(bytes(b))
+        k = min(k, bk) if counts else bk
+        for h, n in c.items():
+            counts[h] = counts.get(h, 0) + n
+    return sd_serialize(counts, k)
+
+
+def sd_serialize(counts: dict[int, int], k: int) -> bytes:
+    import numpy as np
+
+    hashes = sorted(counts)[:k]  # K smallest (unsigned order: 0 <= h < 2^64)
+    h_arr = np.asarray([k, len(hashes)], dtype=np.uint64)
+    hs = np.asarray(hashes, dtype=np.uint64)
+    ns = np.asarray([min(counts[h], 2**15 - 1) for h in hashes], dtype=np.uint64)
+    return np.concatenate([h_arr, hs, ns]).tobytes()
+
+
+def sd_deserialize(blob: bytes) -> tuple[dict[int, int], int]:
+    import numpy as np
+
+    arr = np.frombuffer(blob, dtype=np.uint64)
+    k, n = int(arr[0]), int(arr[1])
+    hs = arr[2 : 2 + n]
+    ns = arr[2 + n : 2 + 2 * n]
+    return {int(h): int(c) for h, c in zip(hs, ns)}, k
+
+
+def sd_cardinality(blob: bytes) -> int:
+    counts, k = sd_deserialize(bytes(blob))
+    n = len(counts)
+    if n < k:
+        return n  # exact below the truncation threshold
+    kth = max(counts)  # digests keep the K smallest, so max = kth minimum
+    return int(round((k - 1) * _SD_U64 / (kth + 1)))
+
+
+def sd_jaccard(a: bytes, b: bytes) -> float:
+    ca, ka = sd_deserialize(bytes(a))
+    cb, kb = sd_deserialize(bytes(b))
+    k = min(ka, kb)
+    union_kmin = sorted(set(ca) | set(cb))[:k]
+    if not union_kmin:
+        return 1.0  # both empty
+    both = sum(1 for h in union_kmin if h in ca and h in cb)
+    return both / len(union_kmin)
+
+
+def sd_intersection(a: bytes, b: bytes) -> int:
+    # Presto semantics: Jaccard estimate scaled by the union cardinality
+    union_card = sd_cardinality(sd_merge([a, b]))
+    return int(round(sd_jaccard(a, b) * union_card))
+
+
+# ---------------------------------------------------------------------------
+# Spark plumbing (same partials/merge/reader shape as tdigest above)
+
+
+def setdigest_partials(
+    df, keys: list[str], value_col: str, out_col: str = "setdigest",
+    k: int = SD_DEFAULT_K,
+):
+    """One partial digest per (key, input partition) via mapInPandas —
+    map-side, no shuffle; state bounded by K entries per key."""
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    schema = f"{key_fields}, {out_col} binary"
+
+    def fn(batches):
+        acc: dict[tuple, dict[int, int]] = {}
+        for pdf in batches:
+            for kv, sub in pdf.groupby(keys, sort=False):
+                kt = kv if isinstance(kv, tuple) else (kv,)
+                c = acc.setdefault(kt, {})
+                for v in sub[value_col]:
+                    if v is None or (isinstance(v, float) and v != v):
+                        continue
+                    h = _sd_hash(v)
+                    c[h] = c.get(h, 0) + 1
+        rows = {kcol: [] for kcol in keys}
+        blobs = []
+        for kt, c in acc.items():
+            for kcol, kvv in zip(keys, kt):
+                rows[kcol].append(kvv)
+            blobs.append(sd_serialize(c, k))
+        rows[out_col] = blobs
+        yield pd.DataFrame(rows)
+
+    return df.select(*(keys + [value_col])).mapInPandas(fn, schema)
+
+
+def setdigest_merge(df, keys: list[str], digest_col: str = "setdigest"):
+    """Merge stored digests per key: groupBy(keys) + applyInPandas.
+    Shuffle volume = sketch rows (≤ ~32 KB each), not data rows."""
+    import pandas as pd
+
+    key_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if f.name in keys
+    )
+    schema = f"{key_fields}, {digest_col} binary"
+
+    def fn(pdf):
+        out = {kcol: [pdf[kcol].iloc[0]] for kcol in keys}
+        out[digest_col] = [sd_merge(list(pdf[digest_col]))]
+        return pd.DataFrame(out)
+
+    return df.groupBy(*keys).applyInPandas(fn, schema)
+
+
+def setdigest_cardinality(digest_col):
+    """cardinality(setdigest) — exact below K distinct, KMV estimate above."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _read(blobs):
+        return pd.Series(
+            [None if v is None else sd_cardinality(v) for v in blobs]
+        )
+
+    _read.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    return pandas_udf(_read, "bigint")(digest_col)
+
+
+def setdigest_jaccard(a, b):
+    """jaccard_index(setdigest, setdigest) — union-k-min MinHash estimate,
+    exact when both sides stayed below their truncation thresholds."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _read(x, y):
+        return pd.Series(
+            [
+                None if (u is None or v is None) else sd_jaccard(u, v)
+                for u, v in zip(x, y)
+            ],
+            dtype="float64",
+        )
+
+    _read.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
+    return pandas_udf(_read, "double")(a, b)
+
+
+def setdigest_intersection_cardinality(a, b):
+    """intersection_cardinality(setdigest, setdigest) — Jaccard estimate
+    scaled by the union's cardinality (Presto's construction)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _read(x, y):
+        return pd.Series(
+            [
+                None if (u is None or v is None) else sd_intersection(u, v)
+                for u, v in zip(x, y)
+            ]
+        )
+
+    _read.__annotations__ = {"x": pd.Series, "y": pd.Series, "return": pd.Series}
+    return pandas_udf(_read, "bigint")(a, b)
+
+
+def setdigest_hash_counts(digest_col):
+    """hash_counts(setdigest) -> map<bigint, int>: the stored per-hash
+    multiplicities (hashes surfaced as signed int64, Presto's view of the
+    same bits)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _read(blobs):
+        def one(v):
+            if v is None:
+                return None
+            counts, _ = sd_deserialize(bytes(v))
+            return {
+                (h - _SD_U64 if h >= _SD_U64 // 2 else h): c
+                for h, c in counts.items()
+            }
+
+        return pd.Series([one(v) for v in blobs])
+
+    _read.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    return pandas_udf(_read, "map<bigint,int>")(digest_col)

@@ -3478,3 +3478,95 @@ def op_fn_batch10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("g")
         .orderBy("d")
     )
+
+
+# ---------------------------------------------------------------------------
+# Set digest as storable, mergeable state (r07): Presto's setdigest family
+# (make_set_digest/merge_set_digest/cardinality/intersection_cardinality/
+# jaccard_index/hash_counts — the reference gets the type wholesale from
+# the Presto library, AxiomSql.cpp:149) via the KMV construction in
+# functions/sketches.py. Per-nation digests round-trip through PARQUET,
+# then merge nation→region — proving the binary state composes across
+# jobs. At sf0.01 every set stays below the K=2048 truncation threshold,
+# so cardinality/intersection/Jaccard are EXACT set algebra and the DuckDB
+# oracle recomputes them as distinct counts; the estimator path (beyond K)
+# is accuracy-bound unit-tested in tests/test_sketches.py.
+@_register(
+    "op_fn_setdigest",
+    """
+    with cust as (
+      select c_name, c_acctbal, c_nationkey, n_regionkey
+      from customer join nation on c_nationkey = n_nationkey)
+    select n_regionkey,
+      count(distinct c_name) as card_all,
+      count(distinct case when c_acctbal > 5000 then c_name end) as card_rich,
+      count(distinct case when c_acctbal > 5000 then c_name end) as inter_card,
+      cast(count(distinct case when c_acctbal > 5000 then c_name end) as double)
+        / count(distinct c_name) as jac,
+      count(distinct c_nationkey) as hc_n,
+      count(*) as hc_sum
+    from cust group by n_regionkey order by n_regionkey
+    """,
+)
+def op_fn_setdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.sketches import (
+        setdigest_cardinality,
+        setdigest_hash_counts,
+        setdigest_intersection_cardinality,
+        setdigest_jaccard,
+        setdigest_merge,
+        setdigest_partials,
+    )
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.join(
+        F.broadcast(cat.nation.select("n_nationkey", "n_regionkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    # stage 1: per-nation digests → parquet (storable state)
+    per_nation = setdigest_merge(
+        setdigest_partials(
+            cust, ["n_nationkey", "n_regionkey"], "c_name", out_col="sd_all"
+        ),
+        ["n_nationkey", "n_regionkey"],
+        "sd_all",
+    )
+    store = os.path.join(tempfile.mkdtemp(prefix="verax_sd_"), "per_nation")
+    per_nation.write.mode("overwrite").parquet(store)
+
+    # stage 2: merge the STORED digests nation→region
+    sd_all = setdigest_merge(
+        spark.read.parquet(store), ["n_regionkey"], "sd_all"
+    )
+    sd_rich = setdigest_merge(
+        setdigest_partials(
+            cust.filter(F.col("c_acctbal") > 5000),
+            ["n_regionkey"],
+            "c_name",
+            out_col="sd_rich",
+        ),
+        ["n_regionkey"],
+        "sd_rich",
+    )
+    sd_nk = setdigest_merge(
+        setdigest_partials(
+            cust, ["n_regionkey"], "c_nationkey", out_col="sd_nk"
+        ),
+        ["n_regionkey"],
+        "sd_nk",
+    )
+    joined = sd_all.join(sd_rich, "n_regionkey").join(sd_nk, "n_regionkey")
+    hc = setdigest_hash_counts(F.col("sd_nk"))
+    return joined.select(
+        "n_regionkey",
+        setdigest_cardinality(F.col("sd_all")).alias("card_all"),
+        setdigest_cardinality(F.col("sd_rich")).alias("card_rich"),
+        setdigest_intersection_cardinality(
+            F.col("sd_all"), F.col("sd_rich")
+        ).alias("inter_card"),
+        setdigest_jaccard(F.col("sd_all"), F.col("sd_rich")).alias("jac"),
+        F.size(hc).cast("bigint").alias("hc_n"),
+        F.aggregate(
+            F.map_values(hc), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("hc_sum"),
+    ).orderBy("n_regionkey")
