@@ -780,13 +780,23 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("__rev_u1").alias("__rev_u"))
         )
     else:
-        per_cust = (
+        # the revenue ranking is COMPLETE after the per-custkey aggregate
+        # (every output group key is custkey-functional), so take the
+        # top-20 there — a distributed TopK over the slim aggregate — and
+        # join only those 20 keys against customer: the 15M-row wide
+        # (c_name-carrying) customer shuffle disappears entirely; customer
+        # streams map-only against a 20-key broadcast (r07, measured
+        # 5.43 -> 4.77s at sf100, top-20 values verified against DuckDB
+        # on the same files)
+        top = (
             orders.join(line, F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("o_custkey")
             .agg(F.sum("__rev_u1").alias("__rev_u"))
+            .orderBy(F.col("__rev_u").desc(), "o_custkey")
+            .limit(20)
         )
         per_cust = cat.customer.join(
-            per_cust, F.col("c_custkey") == F.col("o_custkey")
+            F.broadcast(top), F.col("c_custkey") == F.col("o_custkey")
         )
     return (
         per_cust
