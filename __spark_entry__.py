@@ -37,6 +37,7 @@ _PRIORITY = [
     "op_fn_batch10",
     "pl_lm_score",
     "op_fn_setdigest",
+    "op_fn_classification",
     # -- latest green r01 --
     "op_agg_ordered",
     "op_cube",

@@ -299,3 +299,46 @@ def test_is_private_sql(spark):
         "select is_private('10.0.0.1') a, is_private('8.8.8.8') b"
     ).collect()[0]
     assert row.a is True and row.b is False
+
+
+# ---------------------------------------------------------------------------
+# batch 11: classification aggregates
+
+
+def test_classification_curves(spark):
+    """Hand-computable 6-row corpus: curves match exact TP/FP/FN algebra."""
+    rows = [
+        (True, 0.9), (True, 0.6), (True, 0.2),
+        (False, 0.7), (False, 0.3), (False, 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["y", "x"])
+    out = df.agg(
+        pc("classification_recall", 4, F.col("y"), F.col("x")).alias("rc"),
+        pc("classification_miss_rate", 4, F.col("y"), F.col("x")).alias("mr"),
+        pc("classification_fall_out", 4, F.col("y"), F.col("x")).alias("fo"),
+        pc("classification_precision", 4, F.col("y"), F.col("x")).alias("pr"),
+        pc("classification_thresholds", 4, F.col("y"), F.col("x")).alias("th"),
+    ).collect()[0]
+    # thresholds 0, .25, .5, .75; P = 3, N = 3
+    # t=0: TP=3 FP=3; t=.25: TP=2 FP=2; t=.5: TP=2 FP=1; t=.75: TP=1 FP=0
+    assert out.th == [0.0, 0.25, 0.5, 0.75]
+    assert out.rc == pytest.approx([1.0, 2 / 3, 2 / 3, 1 / 3])
+    assert out.mr == pytest.approx([0.0, 1 / 3, 1 / 3, 2 / 3])
+    assert out.fo == pytest.approx([1.0, 2 / 3, 1 / 3, 0.0])
+    assert out.pr == pytest.approx([0.5, 0.5, 2 / 3, 1.0])
+
+
+def test_classification_weights_and_range_filter(spark):
+    """Weights scale the sums; predictions outside [0,1] are excluded."""
+    rows = [
+        (True, 0.8, 2.0), (True, 0.8, 1.0), (False, 0.8, 1.0),
+        (True, 1.5, 100.0),  # out of range: ignored entirely
+    ]
+    df = spark.createDataFrame(rows, ["y", "x", "w"])
+    out = df.agg(
+        pc(
+            "classification_precision", 2, F.col("y"), F.col("x"), F.col("w")
+        ).alias("pr")
+    ).collect()[0]
+    # both thresholds (0, .5) keep all in-range rows: TP=3, FP=1
+    assert out.pr == pytest.approx([0.75, 0.75])

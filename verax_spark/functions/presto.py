@@ -1674,6 +1674,70 @@ def _map_union_sum(m) -> Column:
     return F.aggregate(rest, F.element_at(lst, F.lit(1)), _merge)
 
 
+# Presto classification aggregates (batch 11): binary-classifier quality
+# curves over (outcome boolean, prediction in [0,1], optional weight).
+# For each threshold t_i = i / buckets (i in [0, buckets)): a row is
+# predicted positive iff x >= t_i. Each curve point is a ratio of
+# weighted conditional sums — pure Column aggregate expressions (an
+# array of `buckets` sum-ratios, JVM-side, exact), so they nest inside
+# any groupBy like the reference's Presto library versions. buckets must
+# be a literal (it shapes the expression, as in Presto where it must be
+# constant).
+
+
+def _classification_curve(buckets, y, x, w, kind: str) -> Column:
+    b = int(buckets)
+    if b < 2:
+        raise ValueError("classification_*: buckets must be >= 2")
+    yc = _col(y)
+    xc = _col(x).cast("double")
+    wc = _col(w).cast("double") if w is not None else F.lit(1.0)
+    # rows with predictions outside [0,1] are rejected by Presto; mirror
+    # by excluding them from every sum
+    valid = xc.isNotNull() & (xc >= 0.0) & (xc <= 1.0)
+    wv = F.when(valid, wc).otherwise(F.lit(0.0))
+    pos = F.sum(F.when(yc, wv).otherwise(F.lit(0.0)))
+    neg = F.sum(F.when(~yc, wv).otherwise(F.lit(0.0)))
+    out = []
+    for i in range(b):
+        t = i / b
+        pred_pos = valid & (xc >= F.lit(t))
+        tp = F.sum(F.when(yc & pred_pos, wv).otherwise(F.lit(0.0)))
+        fp = F.sum(F.when(~yc & pred_pos, wv).otherwise(F.lit(0.0)))
+        if kind == "thresholds":
+            out.append(F.lit(float(t)))
+        elif kind == "miss_rate":  # FN / P
+            out.append((pos - tp) / pos)
+        elif kind == "fall_out":  # FP / N
+            out.append(fp / neg)
+        elif kind == "recall":  # TP / P
+            out.append(tp / pos)
+        else:  # precision: TP / predicted-positive
+            out.append(tp / (tp + fp))
+    return F.array(*out)
+
+
+_ADAPTERS.update(
+    {
+        "classification_miss_rate": lambda b, y, x, w=None: (
+            _classification_curve(b, y, x, w, "miss_rate")
+        ),
+        "classification_fall_out": lambda b, y, x, w=None: (
+            _classification_curve(b, y, x, w, "fall_out")
+        ),
+        "classification_precision": lambda b, y, x, w=None: (
+            _classification_curve(b, y, x, w, "precision")
+        ),
+        "classification_recall": lambda b, y, x, w=None: (
+            _classification_curve(b, y, x, w, "recall")
+        ),
+        "classification_thresholds": lambda b, y, x, w=None: (
+            _classification_curve(b, y, x, w, "thresholds")
+        ),
+    }
+)
+
+
 _ADAPTERS.update(
     {
         "to_big_endian_64": _to_big_endian_64,

@@ -3570,3 +3570,71 @@ def op_fn_setdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.map_values(hc), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("hc_sum"),
     ).orderBy("n_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# Function batch 11 (r07): Presto classification aggregates — binary-
+# classifier quality curves (miss_rate / fall_out / precision / recall /
+# thresholds) as pure Column aggregate expressions (an array of
+# conditional-sum ratios; JVM-side, exact). Per region: outcome =
+# acctbal > 5000, prediction = (custkey % 100)/100 (uniform in [0,1), so
+# every threshold bucket has predicted positives and no denominator is
+# zero — avoiding engine-specific 0/0 semantics). The curves explode to
+# (region, threshold-index) rows; the oracle recomputes every ratio from
+# conditional sums over a threshold grid. Ref: Presto aggregate library
+# registered wholesale (AxiomSql.cpp:149).
+@_register(
+    "op_fn_classification",
+    """
+    with cust as (
+      select c_custkey, c_acctbal, n_regionkey
+      from customer join nation on c_nationkey = n_nationkey),
+    t as (select unnest(range(0, 8)) as i),
+    s as (
+      select n_regionkey, i,
+        sum(case when c_acctbal > 5000 then 1.0 else 0 end) as pos,
+        sum(case when not (c_acctbal > 5000) then 1.0 else 0 end) as neg,
+        sum(case when c_acctbal > 5000
+            and (c_custkey % 100) / 100.0 >= i / 8.0 then 1.0 else 0 end) as tp,
+        sum(case when not (c_acctbal > 5000)
+            and (c_custkey % 100) / 100.0 >= i / 8.0 then 1.0 else 0 end) as fp
+      from cust cross join t group by 1, 2)
+    select n_regionkey, cast(i as bigint) as i, cast(i as double) / 8 as t,
+      cast((pos - tp) / pos as double) as miss_rate,
+      cast(fp / neg as double) as fall_out,
+      cast(tp / (tp + fp) as double) as prec,
+      cast(tp / pos as double) as recall
+    from s order by n_regionkey, i
+    """,
+)
+def op_fn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    cust = cat.customer.join(
+        F.broadcast(cat.nation.select("n_nationkey", "n_regionkey")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    y = F.col("c_acctbal") > 5000
+    x = (F.col("c_custkey") % 100) / F.lit(100.0)
+    curves = cust.groupBy("n_regionkey").agg(
+        pc("classification_miss_rate", 8, y, x).alias("mr"),
+        pc("classification_fall_out", 8, y, x).alias("fo"),
+        pc("classification_precision", 8, y, x).alias("pr"),
+        pc("classification_recall", 8, y, x).alias("rc"),
+        pc("classification_thresholds", 8, y, x).alias("th"),
+    )
+    z = F.posexplode(F.arrays_zip("mr", "fo", "pr", "rc", "th"))
+    return (
+        curves.select("n_regionkey", z.alias("i", "z"))
+        .select(
+            "n_regionkey",
+            F.col("i").cast("bigint").alias("i"),
+            F.col("z.th").alias("t"),
+            F.col("z.mr").alias("miss_rate"),
+            F.col("z.fo").alias("fall_out"),
+            F.col("z.pr").alias("prec"),
+            F.col("z.rc").alias("recall"),
+        )
+        .orderBy("n_regionkey", "i")
+    )
