@@ -204,3 +204,86 @@ def great_circle_distance(lat1, lon1, lat2, lon2) -> Column:
         dlon
     ) * F.sin(dlon)
     return F.lit(2 * 6371.01) * F.asin(F.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# r07: accessor / predicate tail of the planar core. All pure Column
+# expressions over the struct encoding; exact arithmetic, no UDFs.
+
+
+def st_xmin(g: Column) -> Column:
+    return F.array_min(g["xs"]).cast("double")
+
+
+def st_xmax(g: Column) -> Column:
+    return F.array_max(g["xs"]).cast("double")
+
+
+def st_ymin(g: Column) -> Column:
+    return F.array_min(g["ys"]).cast("double")
+
+
+def st_ymax(g: Column) -> Column:
+    return F.array_max(g["ys"]).cast("double")
+
+
+def st_num_points(g: Column) -> Column:
+    """Vertex count (Presto ST_NumPoints; a closed polygon ring counts its
+    closing vertex, matching the WKT text)."""
+    return F.size(g["xs"]).cast("bigint")
+
+
+def st_is_empty(g: Column) -> Column:
+    return (F.size(g["xs"]) == 0).cast("boolean")
+
+
+def st_is_closed(g: Column) -> Column:
+    """LINESTRING: first vertex equals last (Presto ST_IsClosed)."""
+    return F.when(
+        g["kind"] == "LINESTRING",
+        (F.element_at(g["xs"], 1) == F.element_at(g["xs"], -1))
+        & (F.element_at(g["ys"], 1) == F.element_at(g["ys"], -1)),
+    )
+
+
+def st_geometry_type(g: Column) -> Column:
+    """Presto ST_GeometryType: 'ST_Point' / 'ST_LineString' / 'ST_Polygon'."""
+    return (
+        F.when(g["kind"] == "POINT", F.lit("ST_Point"))
+        .when(g["kind"] == "LINESTRING", F.lit("ST_LineString"))
+        .when(g["kind"] == "POLYGON", F.lit("ST_Polygon"))
+    )
+
+
+def st_intersects(a: Column, b: Column) -> Column:
+    """Envelope/point intersection test: TRUE when the bounding boxes
+    overlap and, for point-vs-polygon, the point is inside-or-on-envelope
+    AND contained (even-odd). Restricted to the cases the planar core can
+    answer exactly — point×point, point×polygon (either order), and
+    box-overlap for the rest (a documented UPPER BOUND: envelope overlap
+    is necessary but not sufficient for non-convex pairs; exact
+    polygon×polygon intersection is outside the planar core and yields
+    NULL rather than a wrong answer)."""
+    from verax_spark.functions.geo import st_contains  # self-import for clarity
+
+    box_overlap = (
+        (st_xmin(a) <= st_xmax(b))
+        & (st_xmax(a) >= st_xmin(b))
+        & (st_ymin(a) <= st_ymax(b))
+        & (st_ymax(a) >= st_ymin(b))
+    )
+    a_pt = a["kind"] == "POINT"
+    b_pt = b["kind"] == "POINT"
+    return (
+        F.when(
+            a_pt & b_pt,
+            (a["xs"][0] == b["xs"][0]) & (a["ys"][0] == b["ys"][0]),
+        )
+        .when(a_pt & (b["kind"] == "POLYGON"), st_contains(b, a))
+        .when(b_pt & (a["kind"] == "POLYGON"), st_contains(a, b))
+        .when(
+            a_pt | b_pt,  # point vs linestring: envelope test only on-line
+            F.lit(None).cast("boolean"),
+        )
+        .otherwise(F.when(~box_overlap, F.lit(False)))
+    )

@@ -569,6 +569,16 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "st_envelope": lambda g: _geo().st_envelope(_col(g)),
     "st_contains": lambda p, q: _geo().st_contains(_col(p), _col(q)),
     "st_within": lambda p, q: _geo().st_within(_col(p), _col(q)),
+    # --- r07: accessor/predicate tail of the planar core ---
+    "st_xmin": lambda g: _geo().st_xmin(_col(g)),
+    "st_xmax": lambda g: _geo().st_xmax(_col(g)),
+    "st_ymin": lambda g: _geo().st_ymin(_col(g)),
+    "st_ymax": lambda g: _geo().st_ymax(_col(g)),
+    "st_numpoints": lambda g: _geo().st_num_points(_col(g)),
+    "st_isempty": lambda g: _geo().st_is_empty(_col(g)),
+    "st_isclosed": lambda g: _geo().st_is_closed(_col(g)),
+    "st_geometrytype": lambda g: _geo().st_geometry_type(_col(g)),
+    "st_intersects": lambda a, b: _geo().st_intersects(_col(a), _col(b)),
     "great_circle_distance": lambda a, b, c, d: _geo().great_circle_distance(
         _col(a), _col(b), _col(c), _col(d)
     ),

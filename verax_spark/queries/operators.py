@@ -3139,7 +3139,11 @@ def sql_statement_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         + cos(radians(36.12)) * cos(radians(py))
           * sin(radians(px - (-86.67))/2)
           * sin(radians(px - (-86.67))/2)
-      )) as gc_km
+      )) as gc_km,
+      1.0 as box_xmin, 7.0 as box_xmax, 0.0 as box_ymin, 4.0 as box_ymax,
+      cast(5 as bigint) as box_npts,
+      'ST_Point' as pt_type,
+      (px > 1.0 and px < 7.0 and py > 0.0 and py < 4.0) as pt_box_isect
     from pts
     order by d
     """,
@@ -3166,6 +3170,13 @@ def op_fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc("st_distance", pt, ref).alias("dist"),
         pc("st_area", box).alias("box_area"),
         pc("st_contains", box, pt).alias("inside"),
+        pc("st_xmin", box).alias("box_xmin"),
+        pc("st_xmax", box).alias("box_xmax"),
+        pc("st_ymin", box).alias("box_ymin"),
+        pc("st_ymax", box).alias("box_ymax"),
+        pc("st_numpoints", box).alias("box_npts"),
+        pc("st_geometrytype", pt).alias("pt_type"),
+        pc("st_intersects", pt, box).alias("pt_box_isect"),
         pc(
             "great_circle_distance",
             F.lit(36.12), F.lit(-86.67), py, px,
