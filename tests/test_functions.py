@@ -581,6 +581,36 @@ def _cases():
     ],
     "st_x": [(_c("st_x", _c("st_point", F.lit(7.0), F.lit(8.0))), 7.0)],
     "st_y": [(_c("st_y", _c("st_point", F.lit(7.0), F.lit(8.0))), 8.0)],
+    # r07 accessor/predicate tail (box = POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0)))
+    "st_xmin": [(_c("st_xmin", _c("st_geometryfromtext",
+        F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 1.0)],
+    "st_xmax": [(_c("st_xmax", _c("st_geometryfromtext",
+        F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 7.0)],
+    "st_ymin": [(_c("st_ymin", _c("st_geometryfromtext",
+        F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 0.0)],
+    "st_ymax": [(_c("st_ymax", _c("st_geometryfromtext",
+        F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 4.0)],
+    "st_numpoints": [(_c("st_numpoints", _c("st_geometryfromtext",
+        F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 5)],
+    "st_isempty": [(_c("st_isempty", _c("st_point", F.lit(1.0), F.lit(2.0))),
+                    False)],
+    "st_isclosed": [
+        (_c("st_isclosed", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 1 1, 0 0)"))), True),
+        (_c("st_isclosed", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 1 1)"))), False),
+    ],
+    "st_geometrytype": [
+        (_c("st_geometrytype", _c("st_point", F.lit(1.0), F.lit(2.0))),
+         "ST_Point"),
+    ],
+    "st_intersects": [
+        (_c("st_intersects", _c("st_point", F.lit(2.0), F.lit(1.0)),
+            _c("st_geometryfromtext",
+               F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), True),
+        (_c("st_intersects", _c("st_point", F.lit(9.0), F.lit(1.0)),
+            _c("st_point", F.lit(9.0), F.lit(1.0))), True),
+    ],
     "st_distance": [
         (
             _c("st_distance", _c("st_point", F.lit(0.0), F.lit(0.0)),
@@ -837,6 +867,102 @@ def _cases():
     ],
     "to_milliseconds": [
         (_c("to_milliseconds", _c("parse_duration", F.lit("1.5s"))), 1500),
+    ],
+    # --- batch 10: binary bit views, base32, standard hashes ---
+    "to_big_endian_64": [
+        (_c("to_big_endian_64", F.col("i")),
+         lambda v: bytes(v) == b"\x00" * 7 + b"\x05"),
+    ],
+    "from_big_endian_64": [
+        (_c("from_big_endian_64", _c("to_big_endian_64", F.lit(-7))), -7),
+    ],
+    "to_big_endian_32": [
+        (_c("to_big_endian_32", F.col("i").cast("int")),
+         lambda v: bytes(v) == b"\x00\x00\x00\x05"),
+    ],
+    "from_big_endian_32": [
+        (_c("from_big_endian_32", _c("to_big_endian_32", F.lit(-7))), -7),
+    ],
+    "to_ieee754_64": [
+        (_c("to_ieee754_64", F.col("d")),
+         lambda v: bytes(v).hex() == "4004000000000000"),  # 2.5
+    ],
+    "from_ieee754_64": [
+        (_c("from_ieee754_64", _c("to_ieee754_64", F.col("d"))), 2.5),
+    ],
+    "to_ieee754_32": [
+        (_c("to_ieee754_32", F.col("d")),
+         lambda v: bytes(v).hex() == "40200000"),
+    ],
+    "from_ieee754_32": [
+        (_c("from_ieee754_32", _c("to_ieee754_32", F.col("d"))), 2.5),
+    ],
+    "to_base32": [(_c("to_base32", F.lit("foobar")), "MZXW6YTBOI======")],
+    "from_base32": [
+        (_c("from_base32", F.lit("MZXQ====")), lambda v: bytes(v) == b"fo"),
+    ],
+    "xxhash64": [
+        (_c("xxhash64", F.lit("")),
+         lambda v: bytes(v) == (0xEF46DB3751D8E999).to_bytes(8, "big")),
+    ],
+    "murmur3_x64_128": [
+        (_c("murmur3_x64_128", F.lit("")), lambda v: bytes(v) == b"\x00" * 16),
+    ],
+    "key_sampling_percent": [
+        (_c("key_sampling_percent", F.col("s")), lambda v: 0.0 <= v < 1.0),
+    ],
+    # --- batch 10: incomplete-gamma/beta CDF family (closed-form points) ---
+    "gamma_cdf": [
+        (_c("gamma_cdf", F.lit(1.0), F.lit(1.0), F.lit(1.0)),
+         lambda v: abs(v - (1 - math.exp(-1))) < 1e-12),
+    ],
+    "chi_squared_cdf": [
+        (_c("chi_squared_cdf", F.lit(2.0), F.lit(2.0)),
+         lambda v: abs(v - (1 - math.exp(-1))) < 1e-12),
+    ],
+    "beta_cdf": [
+        (_c("beta_cdf", F.lit(1.0), F.lit(1.0), F.lit(0.3)),
+         lambda v: abs(v - 0.3) < 1e-12),
+    ],
+    "f_cdf": [
+        (_c("f_cdf", F.lit(2.0), F.lit(2.0), F.lit(1.0)),
+         lambda v: abs(v - 0.5) < 1e-12),
+    ],
+    "inverse_beta_cdf": [
+        (_c("inverse_beta_cdf", F.lit(1.0), F.lit(1.0), F.lit(0.7)),
+         lambda v: abs(v - 0.7) < 1e-9),
+    ],
+    "from_unixtime_nanos": [
+        (F.unix_micros(_c("from_unixtime_nanos", F.lit(1500000000123456789))),
+         1500000000123456),
+    ],
+    "is_private": [
+        (_c("is_private", F.lit("10.0.0.1")), True),
+        (_c("is_private", F.lit("8.8.8.8")), False),
+    ],
+    "map_union_sum": [
+        (_c("map_union_sum", F.col("m1")), {"a": 1}),
+    ],
+    # --- batch 11: classification aggregates (1-row fixture: y=true, x=0.4,
+    # thresholds 0 and 0.5 — no negatives, so fall_out is 0/0 = NULL) ---
+    "classification_recall": [
+        (_c("classification_recall", 2, F.col("b"), F.lit(0.4)), [1.0, 0.0]),
+    ],
+    "classification_miss_rate": [
+        (_c("classification_miss_rate", 2, F.col("b"), F.lit(0.4)),
+         [0.0, 1.0]),
+    ],
+    "classification_fall_out": [
+        (_c("classification_fall_out", 2, F.col("b"), F.lit(0.4)),
+         [None, None]),
+    ],
+    "classification_precision": [
+        (_c("classification_precision", 2, F.col("b"), F.lit(0.4)),
+         [1.0, None]),
+    ],
+    "classification_thresholds": [
+        (_c("classification_thresholds", 2, F.col("b"), F.lit(0.4)),
+         [0.0, 0.5]),
     ],
     }
 

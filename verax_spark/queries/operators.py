@@ -3365,9 +3365,11 @@ def op_connector_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     with t as (select doc_id as d from documents where doc_id < 24),
     mus as (
-      select d % 4 as g, sum(d) as mus_a,
-        coalesce(sum(case when d % 2 = 0 then d * 2 end), -1) as mus_b,
-        coalesce(sum(case when d % 2 <> 0 then d * 2 end), -1) as mus_c
+      select d % 4 as g, cast(sum(d) as bigint) as mus_a,
+        cast(coalesce(sum(case when d % 2 = 0 then d * 2 end), -1)
+             as bigint) as mus_b,
+        cast(coalesce(sum(case when d % 2 <> 0 then d * 2 end), -1)
+             as bigint) as mus_c
       from t group by 1)
     select d,
       d * 1000000007 - 5000 as be64,
