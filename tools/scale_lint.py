@@ -102,6 +102,11 @@ ANNOTATED: dict[tuple[str, str], str] = {
         "join — replaced the Window.partitionBy(lit(1)) that funneled one "
         "row PER PART (20M at sf100) through a single task"
     ),
+    ("pl_lm_score", "nested-loop"): (
+        "1-row scalar (corpus token total) broadcast cross join — the "
+        "vocabulary itself stays distributed (token-keyed join, "
+        "operators/text.py lm_quality_score)"
+    ),
 }
 
 
