@@ -1024,11 +1024,46 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(49, 14, 23, 45, 19, 3, 36, 9))
     )
     bad_supp = cat.supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    # the part filter keeps ~13% of parts (8/50 sizes x brand/type), so
-    # the fact stream is broadcast-semi-reduced by the surviving part
-    # keys BEFORE the join shuffle (same implied-edge import as q5):
-    # at sf100 that is 600M -> ~78M shuffled rows for a ~20 MB key
-    # broadcast (N_part x 0.13 x 8B)
+    import os as _os
+
+    from verax_spark.sources.layout import registered_layout
+
+    pk_layout = registered_layout(
+        _os.path.join(sf_dir, "lineitem.parquet"),
+        "lineitem",
+        frozenset({"l_partkey"}),
+    )
+    if pk_layout is not None:
+        # partkey-bucketed layout (r07, measured 16.5 -> 9.35s at sf100):
+        # the fact never shuffles, so the broadcast-semi pre-reduction is
+        # pure overhead — 600M probes against a 2.6M-entry hash. Join the
+        # filtered part DIRECTLY into the fact's bucketing instead (part
+        # shuffles its 2.6M rows; per-partition hashes of ~27k entries
+        # stay cache-resident), then anti-join bad suppliers on the ~13%
+        # survivors rather than the full fact.
+        return (
+            cat.table("lineitem", ("l_partkey",))
+            .select("l_partkey", "l_suppkey")
+            .join(
+                part.hint("SHUFFLE_HASH"),
+                F.col("l_partkey") == F.col("p_partkey"),
+            )
+            .join(
+                F.broadcast(bad_supp),
+                F.col("l_suppkey") == F.col("s_suppkey"),
+                "left_anti",
+            )
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(
+                F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+            )
+        )
+    # flat layout: the part filter keeps ~13% of parts (8/50 sizes x
+    # brand/type), so the fact stream is broadcast-semi-reduced by the
+    # surviving part keys BEFORE the join shuffle (same implied-edge
+    # import as q5): at sf100 that is 600M -> ~78M shuffled rows for a
+    # ~20 MB key broadcast (N_part x 0.13 x 8B)
     fact = _semi_if_big(
         cat.table("lineitem", ()).select("l_partkey", "l_suppkey"),
         part.select("p_partkey"),
