@@ -330,3 +330,37 @@ def test_dp_lookup_plan_builds_and_executes(spark, sf_dir, layout_tables):
     assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
     plan = physical_plan(planned)
     assert "In(l_orderkey" in plan, plan
+
+
+def test_q16_partkey_layout_branch_plan_and_rows(spark, sf_dir, tmp_path):
+    """q16's layout-gated shape (r07): with a registered partkey-bucketed
+    lineitem layout the semi-reduction is dropped, the filtered part joins
+    directly into the fact's bucketing (no Exchange above the fact scan),
+    and rows are identical to the flat-branch plan."""
+    import shutil as _sh
+
+    from verax_spark.queries.tpch import q16
+    from verax_spark.sources.layout import materialize_bucketed_layout
+    from verax_spark.testing_plans import physical_plan
+
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    for t in ("lineitem", "part", "supplier"):
+        _sh.copyfile(f"{sf_dir}/{t}.parquet", src_dir / f"{t}.parquet")
+
+    flat_rows = [tuple(r) for r in q16(spark, str(src_dir)).collect()]
+
+    materialize_bucketed_layout(
+        spark, str(src_dir / "lineitem.parquet"), "lineitem",
+        ["l_partkey"], n_buckets=2, sort_cols=["l_partkey"],
+    )
+    df = q16(spark, str(src_dir))
+    plan = physical_plan(df)
+    # the layout branch was taken: the fact is served by the bucketed
+    # catalog table (Spark renders bucketed scans with "Bucketed: true"),
+    # and the partkey join runs as the hinted shuffled-hash join — never
+    # a sort-merge that would re-sort the fact
+    assert "Bucketed: true" in plan
+    assert "vx_bkt_" in plan  # the registry's materialized layout table
+    assert "SortMergeJoin" not in plan
+    assert [tuple(r) for r in df.collect()] == flat_rows
