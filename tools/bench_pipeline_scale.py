@@ -142,6 +142,13 @@ def _ops(spark, sf_dir: str) -> dict:
             emb, queries, vec_col="embedding", id_col="vec_id", k=10,
             n_clusters=16, nprobe=4
         ),
+        # r07: unigram-LM quality score — vocabulary build + token join +
+        # per-doc aggregation, fully distributed; folded to corpus-level
+        # stats so the measured work is the pipeline, not the collect
+        "lm_score": lambda: text.lm_quality_score(docs, "text", "doc_id").agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg("avg_logprob").alias("mean_lp"),
+        ),
     }
 
 
