@@ -90,10 +90,17 @@ def main() -> None:
 
     sf1 = {}
     for p in sorted(_glob.glob(os.path.join(os.path.dirname(DETAIL_PATH), "BENCH_SF*.json"))):
+        # *_FLAT.json snapshots are the flat-corpus fallback legs; they share
+        # the same `sf` value as the real (bucketed-corpus) legs and sort
+        # after them, so keying by sf alone let them OVERWRITE the real
+        # numbers (r07 judge: driver artifact reported 1.69x when the
+        # committed leg was 1.23x). Report them under distinct `.flat` keys.
+        flat = os.path.basename(p).endswith("_FLAT.json")
         try:
             with open(p) as f:
                 j = json.load(f)
-            sf1[f"sf{j.get('sf')}"] = {
+            key = f"sf{j.get('sf')}" + (".flat" if flat else "")
+            sf1[key] = {
                 "ratio_steady": j.get("ratio_steady"),
                 "spark_total": j.get("spark_tpch_total_steady"),
                 "duckdb_total": j.get("duckdb_tpch_total"),
