@@ -228,9 +228,17 @@ def st_ymax(g: Column) -> Column:
 
 
 def st_num_points(g: Column) -> Column:
-    """Vertex count (Presto ST_NumPoints; a closed polygon ring counts its
-    closing vertex, matching the WKT text)."""
-    return F.size(g["xs"]).cast("bigint")
+    """Vertex count (Presto ST_NumPoints). Presto's Esri backend excludes
+    a polygon ring's repeated closing vertex (a closed quad is 4, not 5),
+    so for POLYGON we subtract the closing point when last == first
+    (advice r07)."""
+    n = F.size(g["xs"])
+    closed = (F.element_at(g["xs"], 1) == F.element_at(g["xs"], -1)) & (
+        F.element_at(g["ys"], 1) == F.element_at(g["ys"], -1)
+    )
+    return F.when(
+        (g["kind"] == "POLYGON") & (n > 0) & closed, n - 1
+    ).otherwise(n).cast("bigint")
 
 
 def st_is_empty(g: Column) -> Column:
@@ -255,15 +263,43 @@ def st_geometry_type(g: Column) -> Column:
     )
 
 
+def _on_ring(g: Column, px: Column, py: Column) -> Column:
+    """TRUE when (px, py) lies ON some segment of g's vertex chain: zero
+    cross product AND inside the segment's bounding box. Exact arithmetic
+    on exact inputs — the OGC boundary-contact case even-odd ray casting
+    cannot decide (advice r07)."""
+    n = F.size(g["xs"])
+
+    def on_edge(i: Column) -> Column:
+        xi = F.element_at(g["xs"], i + 1)
+        yi = F.element_at(g["ys"], i + 1)
+        xj = F.element_at(g["xs"], i + 2)
+        yj = F.element_at(g["ys"], i + 2)
+        cross = (xj - xi) * (py - yi) - (yj - yi) * (px - xi)
+        return (
+            (cross == 0.0)
+            & (px >= F.least(xi, xj))
+            & (px <= F.greatest(xi, xj))
+            & (py >= F.least(yi, yj))
+            & (py <= F.greatest(yi, yj))
+        )
+
+    return F.when(n >= 2, F.exists(F.sequence(F.lit(0), n - 2), on_edge)).otherwise(
+        F.lit(False)
+    )
+
+
 def st_intersects(a: Column, b: Column) -> Column:
     """Envelope/point intersection test: TRUE when the bounding boxes
-    overlap and, for point-vs-polygon, the point is inside-or-on-envelope
-    AND contained (even-odd). Restricted to the cases the planar core can
-    answer exactly — point×point, point×polygon (either order), and
-    box-overlap for the rest (a documented UPPER BOUND: envelope overlap
-    is necessary but not sufficient for non-convex pairs; exact
-    polygon×polygon intersection is outside the planar core and yields
-    NULL rather than a wrong answer)."""
+    overlap and, for point-vs-polygon, the point is contained (even-odd)
+    OR lies on the ring boundary (OGC/Presto ST_Intersects is true for
+    boundary contact — advice r07). Restricted to the cases the planar
+    core can answer exactly — point×point, point×polygon (either order),
+    point×linestring (on-segment test), and box-overlap for the rest
+    (a documented UPPER BOUND: envelope overlap is necessary but not
+    sufficient for non-convex pairs; exact polygon×polygon intersection
+    is outside the planar core and yields NULL rather than a wrong
+    answer)."""
     from verax_spark.functions.geo import st_contains  # self-import for clarity
 
     box_overlap = (
@@ -279,11 +315,18 @@ def st_intersects(a: Column, b: Column) -> Column:
             a_pt & b_pt,
             (a["xs"][0] == b["xs"][0]) & (a["ys"][0] == b["ys"][0]),
         )
-        .when(a_pt & (b["kind"] == "POLYGON"), st_contains(b, a))
-        .when(b_pt & (a["kind"] == "POLYGON"), st_contains(a, b))
         .when(
-            a_pt | b_pt,  # point vs linestring: envelope test only on-line
-            F.lit(None).cast("boolean"),
+            a_pt & (b["kind"] == "POLYGON"),
+            st_contains(b, a) | _on_ring(b, a["xs"][0], a["ys"][0]),
         )
+        .when(
+            b_pt & (a["kind"] == "POLYGON"),
+            st_contains(a, b) | _on_ring(a, b["xs"][0], b["ys"][0]),
+        )
+        .when(
+            a_pt,  # point vs linestring: exact on-segment test
+            _on_ring(b, a["xs"][0], a["ys"][0]),
+        )
+        .when(b_pt, _on_ring(a, b["xs"][0], b["ys"][0]))
         .otherwise(F.when(~box_overlap, F.lit(False)))
     )

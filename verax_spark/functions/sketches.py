@@ -513,16 +513,20 @@ def sd_build(values, k: int = SD_DEFAULT_K) -> bytes:
 
 
 def sd_merge(blobs) -> bytes:
+    # k is the min over ALL non-None blobs (not just non-empty ones): an
+    # empty digest still carries its k, and re-basing k off a later blob
+    # when earlier ones were empty would widen the merge result beyond
+    # the tightest input (advice r07).
     counts: dict[int, int] = {}
-    k = SD_DEFAULT_K
+    k: int | None = None
     for b in blobs:
         if b is None:
             continue
         c, bk = sd_deserialize(bytes(b))
-        k = min(k, bk) if counts else bk
+        k = bk if k is None else min(k, bk)
         for h, n in c.items():
             counts[h] = counts.get(h, 0) + n
-    return sd_serialize(counts, k)
+    return sd_serialize(counts, SD_DEFAULT_K if k is None else k)
 
 
 def sd_serialize(counts: dict[int, int], k: int) -> bytes:
