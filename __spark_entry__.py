@@ -25,73 +25,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates queries in dict order and (empirically) stops after 50
-# entries.  Order matters.  Round-6 rotation per the round-5 judge (#7):
-# every query ordered by the round of its most recent green driver row
-# (oldest first, computed from CORRECTNESS_r01..r05), op_fn_batch9 first
-# (the one never-green row, reshaped this round), so the 50-query window
-# always re-checks the stalest families and staleness stays bounded.
+# entries.  Order matters.  Round-8 rotation per the round-7 judge (#4):
+# the 7 queries whose latest green driver row is still r03
+# (tpch_q2/q6/q9/q15/q18/q20/q21 — just outside the r07 window) go at
+# positions 1-7, then queries whose implementation changed this round
+# (must re-verify), then everything else oldest-green first (r04 block,
+# then r05, then r07). The first 50 of the r07 ordering all greened in
+# CORRECTNESS_r07 and rotate to the back.
 _PRIORITY = [
-    # -- never green (fixed this round) --
-    "op_fn_batch9",
-    # -- new r07 --
-    "op_fn_batch10",
-    "pl_lm_score",
-    "op_fn_setdigest",
-    "op_fn_classification",
-    # -- latest green r01 --
-    "op_agg_ordered",
-    "op_cube",
-    "op_join_cross",
-    "op_join_full",
-    "op_join_left",
-    "op_join_right",
-    "op_limit_offset",
-    "op_rollup",
-    "op_setop_union",
-    "op_subquery_in",
-    "op_unnest_empty_drop",
-    "op_unnest_multi",
-    "op_unnest_ordinality",
-    "op_window_lead_lag",
-    "op_window_rows_frame",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q22",
-    "tpch_q3",
-    "tpch_q4",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
-    # -- latest green r03 --
-    "op_fn_extra",
-    "op_subfield_pushdown",
-    "pl_asof_join",
-    "pl_asof_join_salted",
-    "pl_dedup_embedding",
-    "pl_dedup_exact",
-    "pl_knn_brute",
-    "pl_pack_sequences",
-    "pl_token_vocab",
-    "sql_join_reorder",
-    "sql_lateral",
-    "sql_subscript",
-    "sql_try",
-    "sql_window_clause",
-    "st_windowed_counts",
-    "tpch_q1",
-    "tpch_q15",
-    "tpch_q18",
+    # -- latest green r03 (stalest; judge r07 directive #4) --
     "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
     "tpch_q6",
     "tpch_q9",
+    "tpch_q15",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q21",
+    # -- changed or new this round (re-verify) --
+    "pl_lm_score",
+    "op_fn_geo",
+    "op_fn_geo2",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q8",
     # -- latest green r04 --
     "op_agg_filter",
     "op_connector_tpch",
@@ -154,7 +112,6 @@ _PRIORITY = [
     "op_fn_batch8",
     "op_fn_collections",
     "op_fn_datetime",
-    "op_fn_geo",
     "op_fn_hll",
     "op_fn_json",
     "op_fn_math",
@@ -193,6 +150,51 @@ _PRIORITY = [
     "sql_statement_tail",
     "sql_time_travel",
     "st_session_windows",
+    # -- latest green r07 (the 50-query window of CORRECTNESS_r07) --
+    "op_fn_batch9",
+    "op_fn_batch10",
+    "op_fn_setdigest",
+    "op_fn_classification",
+    "op_agg_ordered",
+    "op_cube",
+    "op_join_cross",
+    "op_join_full",
+    "op_join_left",
+    "op_join_right",
+    "op_limit_offset",
+    "op_rollup",
+    "op_setop_union",
+    "op_subquery_in",
+    "op_unnest_empty_drop",
+    "op_unnest_multi",
+    "op_unnest_ordinality",
+    "op_window_lead_lag",
+    "op_window_rows_frame",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q19",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "op_fn_extra",
+    "op_subfield_pushdown",
+    "pl_asof_join",
+    "pl_asof_join_salted",
+    "pl_dedup_embedding",
+    "pl_dedup_exact",
+    "pl_knn_brute",
+    "pl_pack_sequences",
+    "pl_token_vocab",
+    "sql_join_reorder",
+    "sql_lateral",
+    "sql_subscript",
+    "sql_try",
+    "sql_window_clause",
+    "st_windowed_counts",
+    "tpch_q1",
 ]
 
 
