@@ -579,6 +579,11 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "st_isclosed": lambda g: _geo().st_is_closed(_col(g)),
     "st_geometrytype": lambda g: _geo().st_geometry_type(_col(g)),
     "st_intersects": lambda a, b: _geo().st_intersects(_col(a), _col(b)),
+    # --- r08: constructive tail (exact planar-core cases, EMPTY for
+    # provably-empty results, NULL for unsupported shapes) ---
+    "st_intersection": lambda a, b: _geo().st_intersection(_col(a), _col(b)),
+    "st_union": lambda a, b: _geo().st_union(_col(a), _col(b)),
+    "st_buffer": lambda g, d: _geo().st_buffer(_col(g), d),
     "great_circle_distance": lambda a, b, c, d: _geo().great_circle_distance(
         _col(a), _col(b), _col(c), _col(d)
     ),

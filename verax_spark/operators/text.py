@@ -281,22 +281,23 @@ def lm_quality_score(df, text_col: str, id_col: str, *, head_k: int = 65536):
     token-keyed rows proportional to raw token count puts the head token
     — "the", ~4-7% of all web tokens — on ONE reducer):
 
-    1. Pre-aggregate the exploded stream to (doc, token, count) FIRST.
-       This aggregation is keyed by (doc, token) — well-spread, no head
-       key — and map-side combined. Everything downstream is bounded by
-       doc×distinct-token rows, never raw token volume.
-    2. Vocabulary counts from the pre-aggregated rows (map-side combined
-       sum; the per-token reduce state is one long regardless of skew).
+    1. Repartition the DOC stream by id once (pre-explode, 100-1000x
+       smaller than the token stream); every doc-keyed aggregation
+       downstream is then exchange-free.
+    2. Vocabulary counts via map-side-combined aggregation (per-partition
+       state is one long per DISTINCT token — skew-immune by nature).
     3. Hybrid vocab join: the top-``head_k`` vocabulary entries by
        frequency — which by Zipf's law cover the vast majority of token
        OCCURRENCES — are a bounded broadcast (65536 × ~30 B ≈ 2 MB,
-       fixed, independent of corpus size), so the skewed head joins
+       fixed, independent of corpus size), so the skewed head scores
        MAP-ONLY with zero shuffle of the big side. Only tokens outside
-       the head take the distributed token-keyed join, where per-key
-       fanout is bounded by the head_k-th frequency (Zipf: ~f(1)/head_k)
-       — no reducer hot spot by construction.
-    4. One 1-row total broadcast (the scalar-subquery pattern) and a
-       doc-keyed weighted final aggregation.
+       the head are pre-aggregated to (doc, token, count) and take the
+       distributed token-keyed join, where per-key fanout is bounded by
+       the head_k-th frequency (Zipf: ~f(1)/head_k) — no reducer hot
+       spot by construction.
+    4. One 1-row total broadcast (the scalar-subquery pattern), per-doc
+       head/tail partials (both exchange-free or tiny), and a doc-keyed
+       full-outer combine.
 
     The FULL vocabulary is never broadcast or collected — at web scale it
     has hundreds of millions of entries and stays distributed; only the
@@ -322,34 +323,46 @@ def lm_quality_score(df, text_col: str, id_col: str, *, head_k: int = 65536):
         )
         .filter(F.col("token") != "")
     )
-    doc_tok = toks.groupBy(id_col, "token").agg(
-        F.count(F.lit(1)).alias("__dc")
-    )
-    vocab = doc_tok.groupBy("token").agg(F.sum("__dc").alias("__n"))
+    # vocabulary counts straight off the token stream: the count
+    # aggregation is map-side combined (per-partition state = one long per
+    # DISTINCT token), so Zipf head keys cost nothing extra
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__n"))
     total = vocab.agg(F.sum("__n").alias("__t"))
     # the 1-row corpus total rides along on the (bounded) vocab side via a
-    # broadcast cross join — the big doc_tok stream never widens
+    # broadcast cross join — the big token stream never widens
     vocab = vocab.join(F.broadcast(total))
     # distributed TopK (partial per-partition top + single reduce of
     # head_k rows), deterministic tie-break on token
     head = vocab.orderBy(F.desc("__n"), "token").limit(head_k)
 
     logp = F.log(F.col("__n").cast("double") / F.col("__t").cast("double"))
-    partial = [
-        F.sum("__dc").alias("__n_tok"),
-        F.sum(F.col("__dc").cast("double") * logp).alias("__lp_sum"),
-    ]
-    # head scores: map-only broadcast join, id-partitioning preserved →
-    # the per-doc partial aggregation needs NO exchange
-    head_part = doc_tok.join(F.broadcast(head), "token").groupBy(id_col).agg(*partial)
-    # tail scores: only tokens OUTSIDE the head take the distributed
-    # token-keyed join; per-key fanout there is bounded by the head_k-th
-    # frequency (Zipf: ~f(1)/head_k), so no reducer hot spot
+    # head scores: raw tokens x broadcast head — map-only, and the per-doc
+    # aggregation is exchange-free under the id partitioning. By Zipf's
+    # law the head covers the vast majority of token OCCURRENCES, so this
+    # shuffle-free path carries nearly all the volume.
+    head_part = (
+        toks.join(F.broadcast(head), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n_tok"),
+            F.sum(logp).alias("__lp_sum"),
+        )
+    )
+    # tail scores: only tokens OUTSIDE the head survive the broadcast
+    # anti join; THEY get the (id, token) pre-aggregation (bounding the
+    # distributed join's left side) and the token-keyed vocab join, where
+    # per-key fanout is bounded by the head_k-th frequency (Zipf:
+    # ~f(1)/head_k) — no reducer hot spot by construction
     tail_part = (
-        doc_tok.join(F.broadcast(head.select("token")), "token", "left_anti")
+        toks.join(F.broadcast(head.select("token")), "token", "left_anti")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("__dc"))
         .join(vocab, "token")
         .groupBy(id_col)
-        .agg(*partial)
+        .agg(
+            F.sum("__dc").alias("__n_tok"),
+            F.sum(F.col("__dc").cast("double") * logp).alias("__lp_sum"),
+        )
     )
     h, t = head_part.alias("h"), tail_part.alias("t")
     n_tok = F.coalesce(F.col("h.__n_tok"), F.lit(0)) + F.coalesce(
