@@ -1,0 +1,109 @@
+"""Layout A/B: measure a query's physical-layout candidates and record
+the winner as planner feedback.
+
+The static layout model (optimizer/layouts.py) costs registered bucketed
+copies from footer bytes; bytes cannot see decode cost, aggregate-state
+behavior, or cache effects. This tool closes the loop the way the
+reference's history feedback does for cardinalities: run the candidates,
+time them (cold + steady; steady decides), and write the winner into
+``_layout_feedback.json`` — from then on the planner serves the MEASURED
+choice for that (query, corpus) and skips the static model.
+
+Candidates per query: the static model's choice, all-flat, and — greedily
+per layout-eligible table — each registered layout substituted into the
+static choice. Bounded: 1 + 1 + Σ per-table alternatives runs, each
+executed twice.
+
+Usage: python tools/layout_ab.py <sf_dir> tpch_q11 [tpch_q20 ...]
+       (records feedback only when a candidate beats the static choice;
+        ties within 3% keep the static choice — no noise-chasing)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def candidates(static: dict, sf_dir: str) -> list[dict]:
+    from verax_spark.sources.layout import _registry_entries, source_fingerprint
+
+    out = [dict(static), {t: () for t in static}]
+    for table in static:
+        path = os.path.join(sf_dir, f"{table}.parquet")
+        alts = [
+            tuple(e["bucket_cols"])
+            for e in _registry_entries(source_fingerprint(path), table)
+        ]
+        for alt in alts + [()]:
+            cand = dict(static)
+            cand[table] = alt
+            if cand not in out:
+                out.append(cand)
+    return out
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    from verax_spark.catalog import Catalog
+    from verax_spark.optimizer.layouts import (
+        choose_layouts,
+        policy,
+        record_layout_feedback,
+    )
+    from verax_spark.queries import tpch
+    from verax_spark.session import get_spark
+
+    sf_dir = sys.argv[1]
+    names = sys.argv[2:]
+    spark = get_spark("verax-layout-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for name in names:
+        wrapped = tpch.QUERIES[name]
+        fn = getattr(wrapped, "__wrapped_query__", wrapped)
+        with policy("flat"):
+            flat_df = fn(spark, sf_dir)
+            static = choose_layouts(flat_df, Catalog(spark, sf_dir), sf_dir)
+        if not static:
+            print(f"{name}: no registered layouts at {sf_dir}; skipping")
+            continue
+        timings: dict[str, float] = {}
+        results: list[tuple[float, dict]] = []
+        for cand in candidates(static, sf_dir):
+            tag = json.dumps(cand, sort_keys=True)
+            with policy(dict(cand) if any(cand.values()) else "flat"):
+                fn(spark, sf_dir).collect()  # cold
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).collect()
+                sec = round(time.perf_counter() - t0, 3)
+            timings[tag] = sec
+            results.append((sec, cand))
+            print(f"{name} {tag}: {sec}s", flush=True)
+        results.sort(key=lambda r: r[0])
+        best_sec, best = results[0]
+        static_sec = timings[json.dumps(static, sort_keys=True)]
+        if best != static and best_sec < static_sec * 0.97:
+            record_layout_feedback(
+                fn.__module__, fn.__qualname__, sf_dir, best, timings
+            )
+            print(
+                f"{name}: FEEDBACK recorded {best} ({best_sec}s vs static "
+                f"{static_sec}s)",
+                flush=True,
+            )
+        else:
+            print(
+                f"{name}: static choice stands ({static_sec}s; best "
+                f"{best_sec}s within noise margin)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()

@@ -58,7 +58,7 @@ from dataclasses import dataclass
 # the bucket join). Deliberately tighter than DEFAULT_BROADCAST_BYTES.
 # bump when the decision model changes: it keys the persisted decision
 # memo, so stale choices never survive a model revision
-MODEL_VERSION = "r08.1"
+MODEL_VERSION = "r08.4"
 
 TRANSPARENT_BCAST_BYTES = 16 << 20
 
@@ -433,6 +433,7 @@ def scan_demands(df, cat, eligible: set[str]) -> list[ScanDemand]:
     def climb(leaf, table: str, ancestors: list) -> None:
         ids = _output_ids(leaf)  # live exprId -> scan column
         filters: list = []  # DSL predicates between scan and demand
+        reduction = 1.0  # row-reduction by transparent inner/semi joins
         unknown_filter = False
         out_cols: set[str] = set()
         child = leaf
@@ -511,22 +512,32 @@ def scan_demands(df, cat, eligible: set[str]) -> list[ScanDemand]:
                                 keys.append(ids[side.exprId().id()])
                 for k in keys:
                     out_cols.add(k)
-                transparent = _hint_is_broadcast(other_hint)
-                if not transparent:
-                    est = _subtree_est(other, cat, path_map)
-                    transparent = (
-                        est is not None
-                        and est[0] * est[1] <= TRANSPARENT_BCAST_BYTES
-                    )
+                est = _subtree_est(other, cat, path_map)
+                transparent = _hint_is_broadcast(other_hint) or (
+                    est is not None
+                    and est[0] * est[1] <= TRANSPARENT_BCAST_BYTES
+                )
                 if transparent:
+                    # broadcast preserves our partitioning — but an
+                    # inner/semi join against a FILTERED side also
+                    # REDUCES our rows before the eventual exchange
+                    # (q11: a 4%-of-suppliers broadcast join cut the fact
+                    # 25x below the agg; ignoring that overvalued the
+                    # partkey layout by the same factor). FK uniformity:
+                    # reduction ~ est_other / base_other.
+                    jt = str(node.joinType()).lower()
+                    if est is not None and est[2] > 0 and (
+                        "inner" in jt or "semi" in jt
+                    ):
+                        reduction *= min(1.0, est[0] / est[2])
                     child = node
-                    continue  # broadcast preserves our partitioning
+                    continue
                 if not keys:
                     return  # theta/cross: no hash exchange to elide
                 demands.append(
                     _make_demand(
                         table, "join", tuple(sorted(set(keys))), filters,
-                        unknown_filter, out_cols, cat,
+                        unknown_filter, out_cols, cat, reduction=reduction,
                     )
                 )
                 return
@@ -566,7 +577,7 @@ def scan_demands(df, cat, eligible: set[str]) -> list[ScanDemand]:
                 demands.append(
                     _make_demand(
                         table, "agg", tuple(sorted(set(keys))), filters,
-                        unknown_filter, out_cols, cat,
+                        unknown_filter, out_cols, cat, reduction=reduction,
                         n_aggs=max(node.aggregateExpressions().size() - gseq.size(), 1),
                     )
                 )
@@ -588,7 +599,7 @@ def scan_demands(df, cat, eligible: set[str]) -> list[ScanDemand]:
                 demands.append(
                     _make_demand(
                         table, "window", tuple(sorted(set(keys))), filters,
-                        unknown_filter, out_cols, cat,
+                        unknown_filter, out_cols, cat, reduction=reduction,
                     )
                 )
                 return
@@ -609,7 +620,8 @@ def scan_demands(df, cat, eligible: set[str]) -> list[ScanDemand]:
 
 
 def _make_demand(
-    table, kind, keys, filters, unknown_filter, out_cols, cat, n_aggs=0
+    table, kind, keys, filters, unknown_filter, out_cols, cat,
+    n_aggs=0, reduction=1.0,
 ) -> ScanDemand:
     from verax_spark.plans.expr import Call
     from verax_spark.sources.stats import selectivity
@@ -624,7 +636,9 @@ def _make_demand(
             frac = sel
     # unknown predicates contribute factor 1.0 (documented bucketed bias)
     _ = unknown_filter
-    return ScanDemand(table, kind, keys, frac, tuple(sorted(out_cols)), n_aggs)
+    return ScanDemand(
+        table, kind, keys, frac * reduction, tuple(sorted(out_cols)), n_aggs
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -813,6 +827,64 @@ def _store_decision(key: tuple, overrides: dict) -> None:
         pass
 
 
+# ---------------------------------------------------------------------------
+# Measured-feedback overrides. The static byte model cannot see decode
+# cost, hash-aggregate state behavior, or page-cache effects — the r08
+# A/Bs at sf100 produced three choices the model gets wrong in either
+# direction (q11/q20: flat beats the copy despite fewer copy bytes;
+# q17: the copy wins despite a sub-1% demand fraction). The reference's
+# answer is history feedback: recorded execution measurements override
+# planning-time estimates (the same pattern optimizer/history.py applies
+# to cardinalities; ref "history" in axiom/optimizer — execution feedback
+# corrects the model). tools/layout_ab.py runs the candidates, times
+# them, and records the winner here; the wrapper consults feedback FIRST.
+
+
+def _feedback_file() -> str:
+    from verax_spark.sources.layout import LAYOUT_REGISTRY_DIR
+
+    return os.path.join(LAYOUT_REGISTRY_DIR, "_layout_feedback.json")
+
+
+def _feedback_key(module: str, qualname: str, sf_dir: str) -> str:
+    # keyed by corpus/registry state, NOT model version: a measurement
+    # outlives model revisions and dies with the data it timed
+    return "|".join((module, qualname, _registry_state(sf_dir)))
+
+
+def load_layout_feedback(module: str, qualname: str, sf_dir: str) -> dict | None:
+    try:
+        with open(_feedback_file()) as f:
+            disk = json.load(f)
+        rec = disk.get(_feedback_key(module, qualname, sf_dir))
+        if rec is not None:
+            return {t: tuple(v) for t, v in rec["choice"].items()}
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def record_layout_feedback(
+    module: str, qualname: str, sf_dir: str, choice: dict, timings: dict
+) -> None:
+    path = _feedback_file()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            with open(path) as f:
+                disk = json.load(f)
+        except (OSError, ValueError):
+            disk = {}
+        disk[_feedback_key(module, qualname, sf_dir)] = {
+            "choice": {t: list(v) for t, v in choice.items()},
+            "timings": timings,
+        }
+        with open(path, "w") as f:
+            json.dump(disk, f, indent=1)
+    except OSError:
+        pass
+
+
 def with_auto_layouts(fn):
     """Wrap a (spark, sf_dir) -> DataFrame query so the PLANNER chooses
     each table's physical layout: plan flat, extract demands, cost layouts
@@ -835,6 +907,10 @@ def with_auto_layouts(fn):
             LAYOUT_REGISTRY_DIR
         ):
             with policy("flat"):
+                return fn(spark, sf_dir)
+        overrides = load_layout_feedback(fn.__module__, fn.__qualname__, sf_dir)
+        if overrides is not None:
+            with policy(dict(overrides) if overrides else "flat"):
                 return fn(spark, sf_dir)
         key = (fn.__module__, fn.__qualname__, MODEL_VERSION, _registry_state(sf_dir))
         overrides = _load_decision(key)
