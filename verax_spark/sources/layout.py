@@ -159,6 +159,14 @@ def materialize_bucketed_layout(
     }
     with open(_registry_file(fp, name, bucket_cols), "w") as f:
         json.dump(entry, f, indent=1)
+    # a new registry entry changes the corpus's registry-state fingerprint
+    # (optimizer/layouts.py memoizes it per process — invalidate)
+    try:
+        from verax_spark.optimizer.layouts import _STATE_CACHE
+
+        _STATE_CACHE.clear()
+    except ImportError:
+        pass
     return table
 
 

@@ -1024,20 +1024,27 @@ class Join(Relation):
         # SQL joins parse left-associatively: a nested join on the RIGHT
         # (bushy trees from the cost-based reorderer) must be parenthesized
         # or `a join b join c on e1 on e2` mis-parses
+        left_sql = self.left.sql()
+        if " lateral view " in left_sql and not left_sql.startswith("("):
+            # Spark's grammar puts lateral views AFTER the join list: once
+            # an UNNEST lowered to LATERAL VIEW, a following JOIN is a
+            # parse error — wrap the unnest side in a derived table
+            # (r08, found by the replay corpus's unnest_join_agg entry)
+            left_sql = f"(select * from {left_sql}) __lvw"
         right = self.right.sql()
         if isinstance(self.right, Join):
             right = f"({right})"
         if self.kind == "cross":
-            return f"{self.left.sql()} cross join {right}"
+            return f"{left_sql} cross join {right}"
         if self.natural:
-            return f"{self.left.sql()} natural {self.kind} join {right}"
+            return f"{left_sql} natural {self.kind} join {right}"
         if self.using:
             return (
-                f"{self.left.sql()} {self.kind} join {right} "
+                f"{left_sql} {self.kind} join {right} "
                 f"using ({', '.join(self.using)})"
             )
         on = f" on {self.on.sql()}" if self.on is not None else ""
-        return f"{self.left.sql()} {self.kind} join {right}{on}"
+        return f"{left_sql} {self.kind} join {right}{on}"
 
 
 # ---------------------------------------------------------------------------
