@@ -336,45 +336,51 @@ def lm_quality_score(df, text_col: str, id_col: str, *, head_k: int = 65536):
     head = vocab.orderBy(F.desc("__n"), "token").limit(head_k)
 
     logp = F.log(F.col("__n").cast("double") / F.col("__t").cast("double"))
-    # head scores: raw tokens x broadcast head — map-only, and the per-doc
-    # aggregation is exchange-free under the id partitioning. By Zipf's
-    # law the head covers the vast majority of token OCCURRENCES, so this
-    # shuffle-free path carries nearly all the volume.
-    head_part = (
-        toks.join(F.broadcast(head), "token")
+    # ONE scoring pass over the token stream (the vocabulary build is the
+    # only other full pass): a map-only LEFT join against the broadcast
+    # head scores the head tokens — by Zipf's law the vast majority of
+    # token OCCURRENCES — and the exchange-free per-doc aggregation
+    # (id partitioning) emits the head partials PLUS the doc's tail
+    # tokens as a small array (bounded by tokens-per-doc; at head_k=64k
+    # the tail is a few percent of occurrences).
+    is_head = F.col("__n").isNotNull()
+    part = (
+        toks.join(F.broadcast(head), "token", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("__n_tok"),
-            F.sum(logp).alias("__lp_sum"),
+            F.count(F.when(is_head, 1)).alias("__hn"),
+            F.sum(F.when(is_head, logp)).alias("__hlp"),
+            F.collect_list(F.when(~is_head, F.col("token"))).alias("__tail"),
         )
     )
-    # tail scores: only tokens OUTSIDE the head survive the broadcast
-    # anti join; THEY get the (id, token) pre-aggregation (bounding the
-    # distributed join's left side) and the token-keyed vocab join, where
-    # per-key fanout is bounded by the head_k-th frequency (Zipf:
-    # ~f(1)/head_k) — no reducer hot spot by construction
+    # tail scores: re-explode the small tail arrays, pre-aggregate to
+    # (id, token, count) — bounding the distributed join's left side —
+    # and join the DISTRIBUTED vocab on token, where per-key fanout is
+    # bounded by the head_k-th frequency (Zipf: ~f(1)/head_k): no reducer
+    # hot spot by construction
     tail_part = (
-        toks.join(F.broadcast(head.select("token")), "token", "left_anti")
+        part.select(F.col(id_col), F.explode("__tail").alias("token"))
         .groupBy(id_col, "token")
         .agg(F.count(F.lit(1)).alias("__dc"))
         .join(vocab, "token")
         .groupBy(id_col)
         .agg(
-            F.sum("__dc").alias("__n_tok"),
-            F.sum(F.col("__dc").cast("double") * logp).alias("__lp_sum"),
+            F.sum("__dc").alias("__tn"),
+            F.sum(F.col("__dc").cast("double") * logp).alias("__tlp"),
         )
     )
-    h, t = head_part.alias("h"), tail_part.alias("t")
-    n_tok = F.coalesce(F.col("h.__n_tok"), F.lit(0)) + F.coalesce(
-        F.col("t.__n_tok"), F.lit(0)
+    h = part.drop("__tail").alias("h")
+    t = tail_part.alias("t")
+    n_tok = F.col("h.__hn") + F.coalesce(F.col("t.__tn"), F.lit(0))
+    lp_sum = F.coalesce(F.col("h.__hlp"), F.lit(0.0)) + F.coalesce(
+        F.col("t.__tlp"), F.lit(0.0)
     )
-    lp_sum = F.coalesce(F.col("h.__lp_sum"), F.lit(0.0)) + F.coalesce(
-        F.col("t.__lp_sum"), F.lit(0.0)
-    )
+    # every doc has a head-pass row (the left join preserves all tokens),
+    # so a LEFT join folds the tail partials in
     return h.join(
-        t, F.col(f"h.{id_col}") == F.col(f"t.{id_col}"), "full_outer"
+        t, F.col(f"h.{id_col}") == F.col(f"t.{id_col}"), "left"
     ).select(
-        F.coalesce(F.col(f"h.{id_col}"), F.col(f"t.{id_col}")).alias(id_col),
+        F.col(f"h.{id_col}").alias(id_col),
         n_tok.cast("long").alias("n_tokens"),
         (lp_sum / n_tok).alias("avg_logprob"),
     )
