@@ -45,6 +45,8 @@ _PRIORITY = [
     "pl_lm_score",
     "op_fn_geo",
     "op_fn_geo2",
+    "op_fn_batch12",
+    "pl_dedup_cc",
     "tpch_q13",
     "tpch_q16",
     "tpch_q17",

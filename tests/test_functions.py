@@ -964,6 +964,125 @@ def _cases():
         (_c("classification_thresholds", 2, F.col("b"), F.lit(0.4)),
          [0.0, 0.5]),
     ],
+    # --- constructive geometry (closed-form areas; the full decision
+    # matrix is op_fn_geo2 / tests/test_functions_batch10.py) ---
+    "st_intersection": [
+        (_c("st_area", _c("st_intersection",
+            _c("st_geometryfromtext", F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")),
+            _c("st_geometryfromtext", F.lit("POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))")))),
+         lambda v: abs(v - 1.0) < 1e-12),
+    ],
+    "st_union": [
+        # containment union: the contained ring dissolves into the outer
+        (_c("st_area", _c("st_union",
+            _c("st_geometryfromtext", F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")),
+            _c("st_geometryfromtext", F.lit("POLYGON ((0.5 0.5, 1 0.5, 1 1, 0.5 1, 0.5 0.5))")))),
+         lambda v: abs(v - 4.0) < 1e-12),
+    ],
+    "st_buffer": [
+        # point buffer = regular 32-gon: area 0.5 n r^2 sin(2 pi / n)
+        (_c("st_area", _c("st_buffer", _c("st_point", F.lit(1.0), F.lit(2.0)),
+                          F.lit(2.0))),
+         lambda v: abs(v - 0.5 * 32 * 4.0 * math.sin(2 * math.pi / 32)) < 1e-9),
+    ],
+    # --- batch 12: inverse CDFs (closed-form checkpoints), Bing tiles
+    # (Microsoft's published quadkey examples), collection/string tail ---
+    "inverse_cauchy_cdf": [
+        (_c("inverse_cauchy_cdf", F.lit(0.0), F.lit(1.0), F.lit(0.75)),
+         lambda v: abs(v - 1.0) < 1e-12),
+    ],
+    "inverse_laplace_cdf": [
+        (_c("inverse_laplace_cdf", F.lit(0.0), F.lit(1.0), F.lit(0.25)),
+         lambda v: abs(v - math.log(0.5)) < 1e-12),
+        (_c("inverse_laplace_cdf", F.lit(1.0), F.lit(2.0), F.lit(0.75)),
+         lambda v: abs(v - (1.0 - 2.0 * math.log(0.5))) < 1e-12),
+    ],
+    "inverse_weibull_cdf": [
+        # p = 1 - e^-1 inverts to exactly b for any shape a
+        (_c("inverse_weibull_cdf", F.lit(3.0), F.lit(2.0),
+            F.lit(1.0 - math.exp(-1.0))),
+         lambda v: abs(v - 2.0) < 1e-12),
+    ],
+    "inverse_binomial_cdf": [
+        # Binomial(20, .5): CDF(9) = .4119 < .5 <= CDF(10) = .5881
+        (_c("inverse_binomial_cdf", F.lit(20), F.lit(0.5), F.lit(0.5)), 10),
+        (_c("inverse_binomial_cdf", F.lit(20), F.lit(0.5), F.lit(0.0)), 0),
+        (_c("inverse_binomial_cdf", F.lit(20), F.lit(0.5), F.lit(1.0)), 20),
+    ],
+    "inverse_poisson_cdf": [
+        # Poisson(3): CDF(2) = .4232 < .5 <= CDF(3) = .6472
+        (_c("inverse_poisson_cdf", F.lit(3.0), F.lit(0.5)), 3),
+        (_c("inverse_poisson_cdf", F.lit(3.0), F.lit(0.1)), 1),
+    ],
+    "inverse_gamma_cdf": [
+        # shape 1 = exponential: median is scale * ln 2
+        (_c("inverse_gamma_cdf", F.lit(1.0), F.lit(2.0), F.lit(0.5)),
+         lambda v: abs(v - 2.0 * math.log(2.0)) < 1e-9),
+    ],
+    "inverse_chi_squared_cdf": [
+        # df 2 = exponential with scale 2
+        (_c("inverse_chi_squared_cdf", F.lit(2.0), F.lit(0.5)),
+         lambda v: abs(v - 2.0 * math.log(2.0)) < 1e-9),
+    ],
+    "inverse_f_cdf": [
+        # F(2,2) has CDF x / (1 + x): p = .5 at x = 1
+        (_c("inverse_f_cdf", F.lit(2.0), F.lit(2.0), F.lit(0.5)),
+         lambda v: abs(v - 1.0) < 1e-9),
+    ],
+    "bing_tile": [
+        (_c("bing_tile", F.lit(3), F.lit(5), F.lit(4)),
+         lambda v: (v.x, v.y, v.zoom) == (3, 5, 4)),
+        (_c("bing_tile", F.lit("0213")),
+         lambda v: (v.x, v.y, v.zoom) == (3, 5, 4)),
+        (_c("bing_tile", F.lit(99), F.lit(0), F.lit(4)), None),  # x >= 2^4
+    ],
+    "bing_tile_quadkey": [
+        (_c("bing_tile_quadkey", _c("bing_tile", F.lit(3), F.lit(5), F.lit(4))),
+         "0213"),
+    ],
+    "bing_tile_at": [
+        (_c("bing_tile_at", F.lit(0.0), F.lit(0.0), F.lit(1)),
+         lambda v: (v.x, v.y, v.zoom) == (1, 1, 1)),
+    ],
+    "bing_tile_coordinates": [
+        (_c("bing_tile_coordinates", _c("bing_tile", F.lit(3), F.lit(5), F.lit(4))),
+         lambda v: (v.x, v.y) == (3, 5)),
+    ],
+    "bing_tile_zoom_level": [
+        (_c("bing_tile_zoom_level", _c("bing_tile", F.lit(3), F.lit(5), F.lit(4))),
+         4),
+    ],
+    "bing_tile_polygon": [
+        # tile (0, 0, 1): west hemisphere north of the equator — a
+        # 180 x 85.05112878-degree planar rectangle
+        (_c("st_area", _c("bing_tile_polygon", _c("bing_tile", F.lit(0), F.lit(0), F.lit(1)))),
+         lambda v: abs(v - 180.0 * 85.05112878) < 1e-6),
+    ],
+    "bing_tiles_around": [
+        # (0, 0) at zoom 1 sits in tile (1, 1); the 3x3 window clamps to
+        # the 2x2 map -> 4 tiles in (dx, dy) order
+        (_c("bing_tiles_around", F.lit(0.0), F.lit(0.0), F.lit(1)),
+         lambda v: [(t.x, t.y) for t in v] == [(0, 0), (0, 1), (1, 0), (1, 1)]),
+    ],
+    "array_normalize": [
+        (_c("array_normalize", F.array(F.lit(3.0), F.lit(4.0)), F.lit(2.0)),
+         lambda v: max(abs(a - b) for a, b in zip(v, [0.6, 0.8])) < 1e-12),
+        (_c("array_normalize", F.array(F.lit(0.0), F.lit(0.0)), F.lit(2.0)),
+         [0.0, 0.0]),
+    ],
+    "find_first": [
+        (_c("find_first", F.col("xs"), lambda x: x > 1), 2),
+        (_c("find_first", F.col("xs"), lambda x: x > 99), None),
+    ],
+    "find_first_index": [
+        (_c("find_first_index", F.col("xs"), lambda x: x > 1), 2),
+        (_c("find_first_index", F.col("xs"), lambda x: x > 99), None),
+    ],
+    "trail": [
+        (_c("trail", F.col("s"), F.lit(5)), "world"),
+        (_c("trail", F.col("s"), F.lit(99)), "hello world"),
+        (_c("trail", F.col("s"), F.lit(0)), ""),
+    ],
     }
 
 
@@ -1321,3 +1440,76 @@ def test_batch9_collections_and_duration(spark):
         .collect()
     )
     assert all(row.ra == row.s for row in agg)
+
+
+# ---------------------------------------------------------------------------
+# batch 12: property checks beyond the single-point mapping cases
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("p", [0.05, 0.3, 0.5, 0.8, 0.99])
+def test_inverse_cdf_round_trips(fx, p):
+    """cdf(inverse_cdf(p)) = p for every continuous family (the bisection
+    inverses must land inside the forward CDF's own precision)."""
+    row = fx.select(
+        _c("gamma_cdf", F.lit(2.5), F.lit(1.5),
+           _c("inverse_gamma_cdf", F.lit(2.5), F.lit(1.5), F.lit(p))).alias("g"),
+        _c("chi_squared_cdf", F.lit(7.0),
+           _c("inverse_chi_squared_cdf", F.lit(7.0), F.lit(p))).alias("c"),
+        _c("f_cdf", F.lit(3.0), F.lit(9.0),
+           _c("inverse_f_cdf", F.lit(3.0), F.lit(9.0), F.lit(p))).alias("f"),
+        _c("beta_cdf", F.lit(2.0), F.lit(5.0),
+           _c("inverse_beta_cdf", F.lit(2.0), F.lit(5.0), F.lit(p))).alias("b"),
+        _c("cauchy_cdf", F.lit(1.0), F.lit(2.0),
+           _c("inverse_cauchy_cdf", F.lit(1.0), F.lit(2.0), F.lit(p))).alias("ca"),
+        _c("laplace_cdf", F.lit(0.5), F.lit(1.5),
+           _c("inverse_laplace_cdf", F.lit(0.5), F.lit(1.5), F.lit(p))).alias("la"),
+        _c("weibull_cdf", F.lit(2.0), F.lit(3.0),
+           _c("inverse_weibull_cdf", F.lit(2.0), F.lit(3.0), F.lit(p))).alias("w"),
+    ).collect()[0]
+    for k, v in row.asDict().items():
+        assert abs(v - p) < 1e-8, (k, v, p)
+
+
+def test_discrete_inverse_cdf_is_smallest_k(fx):
+    """inverse_{binomial,poisson}_cdf(p) returns the SMALLEST k with
+    CDF(k) >= p: CDF(k) >= p and (k = 0 or CDF(k-1) < p)."""
+    rows = fx.select(
+        *[
+            F.struct(
+                _c("inverse_binomial_cdf", F.lit(15), F.lit(0.4), F.lit(p)).alias("kb"),
+                _c("inverse_poisson_cdf", F.lit(6.0), F.lit(p)).alias("kp"),
+                F.lit(p).alias("p"),
+            ).alias(f"s{i}")
+            for i, p in enumerate([0.01, 0.2, 0.5, 0.77, 0.999])
+        ]
+    ).collect()[0]
+    import math as _m
+
+    def binom_cdf(n, q, k):
+        return sum(
+            _m.comb(n, i) * q**i * (1 - q) ** (n - i) for i in range(k + 1)
+        )
+
+    def pois_cdf(lam, k):
+        return sum(_m.exp(-lam) * lam**i / _m.factorial(i) for i in range(k + 1))
+
+    for s in rows:
+        assert binom_cdf(15, 0.4, s.kb) >= s.p
+        assert s.kb == 0 or binom_cdf(15, 0.4, s.kb - 1) < s.p
+        assert pois_cdf(6.0, s.kp) >= s.p
+        assert s.kp == 0 or pois_cdf(6.0, s.kp - 1) < s.p
+
+
+def test_bing_tile_quadkey_round_trip(fx):
+    """tile -> quadkey -> tile is the identity across zooms, and
+    bing_tile_at lands inside its own polygon's lat/lng bounds."""
+    cases = [(0, 0, 1), (3, 5, 4), (123, 456, 10), (0, 1023, 10)]
+    cols = []
+    for i, (x, y, z) in enumerate(cases):
+        t = _c("bing_tile", F.lit(x), F.lit(y), F.lit(z))
+        rt = _c("bing_tile", _c("bing_tile_quadkey", t))
+        cols.append(rt.alias(f"t{i}"))
+    row = fx.select(*cols).collect()[0]
+    for i, (x, y, z) in enumerate(cases):
+        got = row[f"t{i}"]
+        assert (got.x, got.y, got.zoom) == (x, y, z)

@@ -135,6 +135,11 @@ def lint_plan_json(nodes: list[dict]) -> list[str]:
 
 
 def main() -> int:
+    # plan-JSON serialization of the widest expression trees (op_fn_geo2's
+    # constructive-geometry folds) overflows the 8g default heap — same
+    # bump as bench_sf1/bucketize
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
     import __spark_entry__ as entrymod
     from verax_spark.session import get_spark
 

@@ -1785,6 +1785,305 @@ _ADAPTERS.update(
 )
 
 
+# --------------------------------------------------------------------------
+# Batch 12: the audited Velox-prestosql tail — inverse CDFs for every
+# forward CDF (closed forms as Column arithmetic; the incomplete-
+# gamma/beta inverses ride the documented UDF slow path in
+# functions/udfs.py), the Bing tile family (Microsoft's published Web
+# Mercator tile system — pure Column arithmetic), and collection/string
+# helpers (array_normalize, find_first, find_first_index, trail).
+# Tiles are struct<x int, y int, zoom int> (the BingTile type analog);
+# bing_tile_polygon returns the geo-module geometry struct so ST_*
+# functions compose. Ref: the reference registers the full Velox scalar
+# library (axiom/optimizer/tests/AxiomSql.cpp:149).
+# --------------------------------------------------------------------------
+
+_MAX_BING_LAT = 85.05112878
+_MAX_BING_ZOOM = 23
+
+
+def _bing_struct(x: Column, y: Column, zoom: Column) -> Column:
+    return F.struct(
+        x.cast("int").alias("x"),
+        y.cast("int").alias("y"),
+        zoom.cast("int").alias("zoom"),
+    )
+
+
+def _pow2d(e: Column) -> Column:
+    """2^e as double (zoom <= 23, exact in a double)."""
+    return F.pow(F.lit(2.0), e.cast("double"))
+
+
+def _bing_tile(*args) -> Column:
+    """bing_tile(x, y, zoom) | bing_tile(quadkey). Out-of-range inputs
+    yield NULL (this engine's dirty-input posture; Presto raises)."""
+    if len(args) == 3:
+        x, y, z = (_col(a) for a in args)
+        n = _pow2d(z)
+        valid = (
+            z.between(0, _MAX_BING_ZOOM)
+            & (x.cast("double") >= 0)
+            & (x.cast("double") < n)
+            & (y.cast("double") >= 0)
+            & (y.cast("double") < n)
+        )
+        return F.when(valid, _bing_struct(x, y, z))
+    qk = _col(args[0])
+    z = F.length(qk).cast("int")
+    digits_ok = qk.rlike("^[0-3]*$")
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(z, F.lit(1))),
+        F.struct(
+            F.lit(0).cast("long").alias("x"), F.lit(0).cast("long").alias("y")
+        ),
+        lambda st, i: F.struct(
+            (
+                st["x"]
+                + (F.substring(qk, i, F.lit(1)).cast("int") % 2).cast("long")
+                * _pow2d(z - i).cast("long")
+            ).alias("x"),
+            (
+                st["y"]
+                + (F.substring(qk, i, F.lit(1)).cast("int") / 2).cast("long")
+                * _pow2d(z - i).cast("long")
+            ).alias("y"),
+        ),
+    )
+    return F.when(
+        digits_ok & (z == 0),
+        _bing_struct(F.lit(0), F.lit(0), F.lit(0)),
+    ).when(
+        digits_ok & z.between(1, _MAX_BING_ZOOM),
+        _bing_struct(folded["x"], folded["y"], z),
+    )
+
+
+def _bing_tile_at(lat, lng, zoom) -> Column:
+    """Tile containing (lat, lng): Microsoft's published pixel mapping,
+    latitude clamped to the Web Mercator domain the way Presto clamps."""
+    latc = F.least(
+        F.greatest(_col(lat).cast("double"), F.lit(-_MAX_BING_LAT)),
+        F.lit(_MAX_BING_LAT),
+    )
+    lngc = F.least(
+        F.greatest(_col(lng).cast("double"), F.lit(-180.0)), F.lit(180.0)
+    )
+    z = _col(zoom).cast("int")
+    n = _pow2d(z)
+    xf = (lngc + F.lit(180.0)) / F.lit(360.0) * n
+    sin_lat = F.sin(F.radians(latc))
+    yf = (
+        F.lit(0.5)
+        - F.log((F.lit(1.0) + sin_lat) / (F.lit(1.0) - sin_lat))
+        / F.lit(4.0 * math.pi)
+    ) * n
+    clamp = lambda v: F.least(  # noqa: E731
+        F.greatest(F.floor(v), F.lit(0).cast("long")),
+        (n - 1).cast("long"),
+    )
+    return F.when(
+        z.between(0, _MAX_BING_ZOOM), _bing_struct(clamp(xf), clamp(yf), z)
+    )
+
+
+def _bing_tile_quadkey(t) -> Column:
+    t = _col(t)
+    z = t["zoom"]
+    digits = F.transform(
+        F.sequence(F.lit(1), F.greatest(z, F.lit(1))),
+        lambda i: (
+            F.floor(t["x"].cast("double") / _pow2d(z - i)).cast("long") % 2
+            + (F.floor(t["y"].cast("double") / _pow2d(z - i)).cast("long") % 2)
+            * 2
+        ).cast("string"),
+    )
+    return F.when(z == 0, F.lit("")).otherwise(F.array_join(digits, ""))
+
+
+def _tile_lng(x: Column, n: Column) -> Column:
+    return x.cast("double") / n * F.lit(360.0) - F.lit(180.0)
+
+
+def _tile_lat(y: Column, n: Column) -> Column:
+    # inverse Web Mercator: lat = atan(sinh(pi * (1 - 2 y / n))) in degrees
+    arg = F.lit(math.pi) * (F.lit(1.0) - F.lit(2.0) * y.cast("double") / n)
+    return F.degrees(F.atan((F.exp(arg) - F.exp(-arg)) / F.lit(2.0)))
+
+
+def _bing_tile_polygon(t) -> Column:
+    t = _col(t)
+    n = _pow2d(t["zoom"])
+    w, e = _tile_lng(t["x"], n), _tile_lng(t["x"] + 1, n)
+    north, south = _tile_lat(t["y"], n), _tile_lat(t["y"] + 1, n)
+    # closed ring, counter-clockwise from the south-west corner
+    return F.struct(
+        F.lit("POLYGON").alias("kind"),
+        F.array(w, e, e, w, w).alias("xs"),
+        F.array(south, south, north, north, south).alias("ys"),
+    )
+
+
+def _bing_tiles_around(lat, lng, zoom) -> Column:
+    center = _bing_tile_at(lat, lng, zoom)
+    n = _pow2d(_col(zoom).cast("int")).cast("long")
+    deltas = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    in_range = F.filter(
+        deltas,
+        lambda d: (center["x"] + d["dx"]).between(0, n - 1)
+        & (center["y"] + d["dy"]).between(0, n - 1),
+    )
+    return F.transform(
+        in_range,
+        lambda d: _bing_struct(
+            center["x"] + d["dx"], center["y"] + d["dy"], center["zoom"]
+        ),
+    )
+
+
+def _inverse_laplace_cdf(mean, scale, p) -> Column:
+    m = _col(mean).cast("double")
+    s = _col(scale).cast("double")
+    pp = _col(p).cast("double")
+    return F.when(pp < 0.5, m + s * F.log(F.lit(2.0) * pp)).otherwise(
+        m - s * F.log(F.lit(2.0) - F.lit(2.0) * pp)
+    )
+
+
+def _discrete_inverse_cdf(t0: Column, recur, k_max: Column, prob) -> Column:
+    """Smallest k with CDF(k) >= p for a non-negative integer distribution
+    given the PMF term recurrence term_i = recur(term_{i-1}, i) — one
+    Column fold, the same shape as the forward binomial/poisson CDFs."""
+    pr = _col(prob).cast("double")
+    folded = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(k_max, F.lit(1))),
+        F.struct(
+            t0.alias("term"),
+            t0.alias("acc"),
+            F.when(t0 >= pr, F.lit(0)).cast("int").alias("ans"),
+        ),
+        lambda st, i: F.struct(
+            recur(st["term"], i).alias("term"),
+            (st["acc"] + recur(st["term"], i)).alias("acc"),
+            F.coalesce(
+                st["ans"],
+                F.when(st["acc"] + recur(st["term"], i) >= pr, i.cast("int")),
+            ).alias("ans"),
+        ),
+    )
+    return F.coalesce(folded["ans"], k_max.cast("int"))
+
+
+def _inverse_binomial_cdf(n, p, prob) -> Column:
+    nd = _col(n).cast("double")
+    ni = _col(n).cast("int")
+    pd_ = _col(p).cast("double")
+    pr = _col(prob).cast("double")
+    t0 = F.pow(F.lit(1.0) - pd_, nd)
+    out = _discrete_inverse_cdf(
+        t0,
+        lambda term, i: term
+        * (nd - i.cast("double") + F.lit(1.0))
+        / i.cast("double")
+        * pd_
+        / (F.lit(1.0) - pd_),
+        ni,
+        prob,
+    )
+    # p = 1 breaks the term recurrence (division by zero): CDF is a step
+    # at n, so the inverse is n for any prob > 0 and 0 at prob = 0
+    return F.when(
+        pd_ == 1.0, F.when(pr > 0.0, ni).otherwise(F.lit(0))
+    ).otherwise(F.least(out, ni))
+
+
+def _inverse_poisson_cdf(lam, prob) -> Column:
+    ld = _col(lam).cast("double")
+    t0 = F.exp(-ld)
+    # 20 sigma above the mean bounds the scan for any p below 1 - 1e-80
+    k_max = F.ceil(ld + F.lit(20.0) * F.sqrt(ld) + F.lit(30.0)).cast("int")
+    return _discrete_inverse_cdf(
+        t0, lambda term, i: term * ld / i.cast("double"), k_max, prob
+    )
+
+
+def _array_normalize(a, p) -> Column:
+    arr = _col(a)
+    pd_ = _col(p).cast("double")
+    norm = F.pow(
+        F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda s, x: s + F.pow(F.abs(x.cast("double")), pd_),
+        ),
+        F.lit(1.0) / pd_,
+    )
+    as_double = F.transform(arr, lambda x: x.cast("double"))
+    # Presto returns the array unchanged when the norm is zero
+    return F.when(norm == 0.0, as_double).otherwise(
+        F.transform(arr, lambda x: x.cast("double") / norm)
+    )
+
+
+def _trail(s, n) -> Column:
+    """Last n characters of s (Velox trail); n <= 0 yields ''."""
+    sc = _col(s)
+    nn = _col(n).cast("int")
+    return F.substring(
+        sc,
+        F.greatest(F.length(sc) - nn + 1, F.lit(1)),
+        F.greatest(nn, F.lit(0)),
+    )
+
+
+_ADAPTERS.update(
+    {
+        "inverse_cauchy_cdf": lambda m, s, p: _col(m).cast("double")
+        + _col(s).cast("double")
+        * F.tan(F.lit(math.pi) * (_col(p).cast("double") - F.lit(0.5))),
+        "inverse_laplace_cdf": _inverse_laplace_cdf,
+        "inverse_weibull_cdf": lambda a, b, p: _col(b).cast("double")
+        * F.pow(
+            -F.log(F.lit(1.0) - _col(p).cast("double")),
+            F.lit(1.0) / _col(a).cast("double"),
+        ),
+        "inverse_binomial_cdf": _inverse_binomial_cdf,
+        "inverse_poisson_cdf": _inverse_poisson_cdf,
+        "inverse_gamma_cdf": lambda a, b, p: _udf_call(
+            "inverse_gamma_cdf", a, b, p
+        ),
+        "inverse_chi_squared_cdf": lambda d, p: _udf_call(
+            "inverse_chi_squared_cdf", d, p
+        ),
+        "inverse_f_cdf": lambda d1, d2, p: _udf_call(
+            "inverse_f_cdf", d1, d2, p
+        ),
+        "bing_tile": _bing_tile,
+        "bing_tile_at": _bing_tile_at,
+        "bing_tile_coordinates": lambda t: F.struct(
+            _col(t)["x"].alias("x"), _col(t)["y"].alias("y")
+        ),
+        "bing_tile_zoom_level": lambda t: _col(t)["zoom"].cast("tinyint"),
+        "bing_tile_quadkey": _bing_tile_quadkey,
+        "bing_tile_polygon": _bing_tile_polygon,
+        "bing_tiles_around": _bing_tiles_around,
+        "array_normalize": _array_normalize,
+        "find_first": lambda arr, fn: F.get(F.filter(_col(arr), fn), 0),
+        "find_first_index": lambda arr, fn: F.nullif(
+            F.array_position(F.transform(_col(arr), fn), F.lit(True)),
+            F.lit(0),
+        ),
+        "trail": _trail,
+    }
+)
+
+
 # SQL-UDF lowerings for Presto functions whose Spark analog is not a rename.
 # Registered as temporary SQL functions (Catalyst inlines the bodies — no UDF
 # overhead), so transpiled Presto SQL text can keep the Presto spelling.

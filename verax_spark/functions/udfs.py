@@ -563,6 +563,47 @@ def inv_reg_beta(a: float, b: float, p: float) -> float:
     return 0.5 * (lo + hi)
 
 
+def inv_reg_gamma(a: float, p: float) -> float:
+    """Inverse of P(a, x) by bracketed bisection (P is monotone in x).
+
+    Bracket: [0, hi] with hi grown geometrically from the mean + 10 sigma
+    of Gamma(a, 1) until P(a, hi) covers p; 200 bisections take the
+    bracket below double-precision resolution.
+    """
+    if not (0.0 <= p <= 1.0) or a <= 0:
+        return float("nan")
+    if p == 0.0:
+        return 0.0
+    if p == 1.0:
+        return float("inf")
+    hi = a + 10.0 * math.sqrt(a) + 10.0
+    for _ in range(200):
+        if reg_gamma_p(a, hi) >= p:
+            break
+        hi *= 2.0
+    lo = 0.0
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if reg_gamma_p(a, mid) < p:
+            lo = mid
+        else:
+            hi = mid
+        if hi - lo < 1e-15 * max(1.0, hi):
+            break
+    return 0.5 * (lo + hi)
+
+
+def _inv_f(d1: float, d2: float, p: float) -> float:
+    """Inverse of f_cdf via the beta inverse: F = d2 y / (d1 (1 - y)) with
+    y = I⁻¹_p(d1/2, d2/2)."""
+    if d1 <= 0 or d2 <= 0 or not (0.0 <= p <= 1.0):
+        return float("nan")
+    y = inv_reg_beta(d1 / 2.0, d2 / 2.0, p)
+    if y >= 1.0:
+        return float("inf")
+    return d2 * y / (d1 * (1.0 - y))
+
+
 def _cdf_udf3(fn):
     @pandas_udf(DoubleType())
     def _udf(a: pd.Series, b: pd.Series, x: pd.Series) -> pd.Series:
@@ -587,6 +628,13 @@ f_cdf = _cdf_udf3(
     )
 )
 inverse_beta_cdf = _cdf_udf3(inv_reg_beta)
+# batch 12: the inverse tail of the incomplete-gamma/beta family (Velox
+# registers inverse_*_cdf for every forward CDF; bisection on the DLMF
+# implementations above — same slow-path policy as the forward functions)
+inverse_gamma_cdf = _cdf_udf3(
+    lambda shape, scale, p: scale * inv_reg_gamma(shape, p)
+)
+inverse_f_cdf = _cdf_udf3(_inv_f)
 
 
 @pandas_udf(DoubleType())
@@ -596,6 +644,17 @@ def chi_squared_cdf(df: pd.Series, x: pd.Series) -> pd.Series:
             None if (d is None or v is None)
             else reg_gamma_p(float(d) / 2.0, float(v) / 2.0)
             for d, v in zip(df, x)
+        ]
+    )
+
+
+@pandas_udf(DoubleType())
+def inverse_chi_squared_cdf(df: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            None if (d is None or q is None)
+            else 2.0 * inv_reg_gamma(float(d) / 2.0, float(q))
+            for d, q in zip(df, p)
         ]
     )
 
@@ -627,4 +686,8 @@ def register_udfs(spark) -> None:
     spark.udf.register("beta_cdf", beta_cdf)
     spark.udf.register("f_cdf", f_cdf)
     spark.udf.register("chi_squared_cdf", chi_squared_cdf)
+    # batch 12: inverse CDF tail
+    spark.udf.register("inverse_gamma_cdf", inverse_gamma_cdf)
+    spark.udf.register("inverse_f_cdf", inverse_f_cdf)
+    spark.udf.register("inverse_chi_squared_cdf", inverse_chi_squared_cdf)
     spark.udf.register("inverse_beta_cdf", inverse_beta_cdf)

@@ -3774,3 +3774,148 @@ def op_fn_geo2(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc("st_x", pc("st_centroid", line)).alias("line_cx"),
         pc("st_y", pc("st_centroid", line)).alias("line_cy"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Function batch 12 (r08): the audited Velox-prestosql tail — the inverse
+# CDF family (closed forms for cauchy/laplace/weibull; bisection on the
+# DLMF incomplete-gamma/beta for gamma/chi2/F, oracled by the round-trip
+# identity cdf(inverse_cdf(p)) = p; single-fold discrete inverses for
+# binomial/poisson, oracled by DuckDB cumulative-sum subqueries), the Bing
+# tile family (Microsoft's published Web Mercator tile system, recomputed
+# closed-form in DuckDB arithmetic incl. quadkey digits via bit shifts),
+# and the collection/string tail (array_normalize/find_first/
+# find_first_index/trail). Ref: AxiomSql.cpp:149 registers the full Velox
+# scalar library.
+@_register(
+    "op_fn_batch12",
+    """
+    with t as (
+      select cast(doc_id as bigint) as d,
+        (doc_id + 0.5) / 25.0 as p,
+        -60.0 + doc_id * 5.0 as lat,
+        -170.0 + doc_id * 14.0 as lng,
+        2 + cast(doc_id % 5 as int) as z,
+        cast(doc_id % 12 as int) as m
+      from documents where doc_id < 24),
+    tiles as (
+      select t.*, pow(2.0, z) as n,
+        least(greatest(lat, -85.05112878), 85.05112878) as lc
+      from t),
+    txy as (
+      select tiles.*,
+        cast(least(greatest(floor((lng + 180.0) / 360.0 * n), 0), n - 1)
+             as bigint) as tx,
+        cast(least(greatest(floor((0.5 - ln((1 + sin(radians(lc)))
+             / (1 - sin(radians(lc)))) / (4 * pi())) * n), 0), n - 1)
+             as bigint) as ty
+      from tiles)
+    select d,
+      1.0 + 2.0 * tan(pi() * (p - 0.5)) as icauchy,
+      case when p < 0.5 then ln(2 * p) else -ln(2 - 2 * p) end as ilap,
+      3.0 * sqrt(-ln(1 - p)) as iwei,
+      p as igam_rt, p as ichi_rt, p as if_rt,
+      (select min(k) from (select i as k,
+          sum(exp(lgamma(21.0) - lgamma(i + 1.0) - lgamma(21.0 - i)
+              + i * ln(0.3) + (20 - i) * ln(0.7))) over (order by i) as c
+        from range(0, 21) r(i)) s where s.c >= txy.p) as ibin,
+      (select min(k) from (select i as k,
+          sum(exp(-4.0 + i * ln(4.0) - lgamma(i + 1.0))) over (order by i)
+            as c
+        from range(0, 61) r(i)) s where s.c >= txy.p) as ipoi,
+      tx, ty,
+      array_to_string(list_transform(range(z - 1, -1, -1),
+        j -> cast(((tx >> j) & 1) + 2 * ((ty >> j) & 1) as varchar)), '')
+        as qk,
+      true as qk_rt,
+      (360.0 / n) * (degrees(atan((exp(pi() * (1 - 2.0 * ty / n))
+           - exp(-(pi() * (1 - 2.0 * ty / n)))) / 2))
+         - degrees(atan((exp(pi() * (1 - 2.0 * (ty + 1) / n))
+           - exp(-(pi() * (1 - 2.0 * (ty + 1) / n)))) / 2))) as parea,
+      cast((case when tx = 0 or tx = n - 1 then 2 else 3 end)
+        * (case when ty = 0 or ty = n - 1 then 2 else 3 end) as int)
+        as around,
+      cast(z as tinyint) as zl,
+      (d + 1) / sqrt((d + 1) * (d + 1) + (2 * d + 1) * (2 * d + 1))
+        as anorm,
+      cast(case when m < 10 then m + 1 end as int) as ff,
+      cast(case when m < 10 then m + 1 end as bigint) as ffi,
+      right('abcdefgh', m) as tr
+    from txy order by d
+    """,
+)
+def op_fn_batch12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    doc = F.col("doc_id")
+    t = cat.documents.filter(doc < 24).select(
+        doc.cast("long").alias("d"),
+        ((doc + 0.5) / 25.0).alias("p"),
+        (-60.0 + doc * 5.0).cast("double").alias("lat"),
+        (-170.0 + doc * 14.0).cast("double").alias("lng"),
+        (2 + doc % 5).cast("int").alias("z"),
+        (doc % 12).cast("int").alias("m"),
+    )
+    p, lat, lng, z, m = (F.col(c) for c in ("p", "lat", "lng", "z", "m"))
+    tile = pc("bing_tile_at", lat, lng, z)
+    coords = pc("bing_tile_coordinates", tile)
+    qk = pc("bing_tile_quadkey", tile)
+    rt = pc("bing_tile", qk)
+    return t.select(
+        "d",
+        pc("inverse_cauchy_cdf", F.lit(1.0), F.lit(2.0), p).alias("icauchy"),
+        pc("inverse_laplace_cdf", F.lit(0.0), F.lit(1.0), p).alias("ilap"),
+        pc("inverse_weibull_cdf", F.lit(2.0), F.lit(3.0), p).alias("iwei"),
+        pc(
+            "gamma_cdf",
+            F.lit(3.0),
+            F.lit(2.0),
+            pc("inverse_gamma_cdf", F.lit(3.0), F.lit(2.0), p),
+        ).alias("igam_rt"),
+        pc(
+            "chi_squared_cdf",
+            F.lit(4.0),
+            pc("inverse_chi_squared_cdf", F.lit(4.0), p),
+        ).alias("ichi_rt"),
+        pc(
+            "f_cdf",
+            F.lit(2.0),
+            F.lit(4.0),
+            pc("inverse_f_cdf", F.lit(2.0), F.lit(4.0), p),
+        ).alias("if_rt"),
+        pc("inverse_binomial_cdf", F.lit(20), F.lit(0.3), p).alias("ibin"),
+        pc("inverse_poisson_cdf", F.lit(4.0), p).alias("ipoi"),
+        coords["x"].cast("long").alias("tx"),
+        coords["y"].cast("long").alias("ty"),
+        qk.alias("qk"),
+        (
+            (rt["x"] == coords["x"])
+            & (rt["y"] == coords["y"])
+            & (rt["zoom"] == z)
+        ).alias("qk_rt"),
+        pc("st_area", pc("bing_tile_polygon", tile)).alias("parea"),
+        pc("cardinality", pc("bing_tiles_around", lat, lng, z))
+        .cast("int")
+        .alias("around"),
+        pc("bing_tile_zoom_level", tile).alias("zl"),
+        F.element_at(
+            pc(
+                "array_normalize",
+                F.array(F.col("d") + 1, F.col("d") * 2 + 1),
+                F.lit(2.0),
+            ),
+            1,
+        ).alias("anorm"),
+        pc(
+            "find_first",
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda x: x > m,
+        ).alias("ff"),
+        pc(
+            "find_first_index",
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda x: x > m,
+        ).alias("ffi"),
+        pc("trail", F.lit("abcdefgh"), m).alias("tr"),
+    ).orderBy("d")

@@ -1609,3 +1609,49 @@ def pl_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     scored = lm_quality_score(cat.documents, "text", "doc_id")
     return scored.filter(F.col("doc_id") < 200).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Connected-components dedup closure (r08): near-dup candidate PAIRS are
+# only half the production dedup story — transitive chains (a~b, b~c)
+# must collapse to one cluster before picking representatives. The
+# operator under test is dedup.connected_components (label-propagation
+# fixpoint with per-iteration lineage cuts, iterations bounded by the
+# cluster diameter ~ log n). The edge set here is a deterministic
+# chain-forming rule both engines can derive (49 components, max
+# diameter 6 over doc_id < 200); the oracle recomputes the closure with
+# a recursive CTE. MinHash/SimHash pair generation is oracled separately
+# (pl_dedup_minhash / pl_dedup_simhash).
+@_register(
+    "pl_dedup_cc",
+    """
+    with e0 as (
+      select doc_id as a, doc_id + (doc_id % 7) + 1 as b
+      from documents
+      where doc_id < 200 and doc_id % 3 <> 0
+        and doc_id + (doc_id % 7) + 1 < 200),
+    edges as (select a, b from e0 union select b, a from e0),
+    reach as (
+      with recursive r(id, v) as (
+        select a, a from edges
+        union
+        select r.id, edges.b from r join edges on edges.a = r.v
+      ) select id, v from r)
+    select cast(id as bigint) as id,
+      cast(min(v) as bigint) as component
+    from reach group by id order by id
+    """,
+)
+def pl_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    d = F.col("doc_id")
+    e0 = (
+        cat.documents.filter((d < 200) & (d % 3 != 0))
+        .select(d.alias("id_a"), (d + d % 7 + 1).alias("id_b"))
+        .filter(F.col("id_b") < 200)
+    )
+    comp = dedup.connected_components(e0)
+    return comp.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    ).orderBy("id")
