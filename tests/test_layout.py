@@ -388,7 +388,6 @@ def test_planner_reproduces_measured_layout_choices_sf100(spark):
 
     expected = {
         # formerly hand-declared (r07) — the static model reproduces them
-        "tpch_q2": {"lineitem": ("l_partkey",)},
         "tpch_q13": {"orders": ("o_custkey",), "lineitem": ()},
         "tpch_q16": {"lineitem": ("l_partkey",)},
         "tpch_q14": {"lineitem": ()},
@@ -410,14 +409,19 @@ def test_planner_reproduces_measured_layout_choices_sf100(spark):
         for table, cols in want.items():
             assert tuple(ov.get(table, ())) == cols, (qn, table, ov)
 
-    # the byte model cannot decide q17/q15/q11/q20/q5 (decode cost /
-    # aggregate-state behavior are invisible to footer bytes) — those are
+    # the byte model cannot decide q2/q17/q15/q11/q20 (decode cost /
+    # row-group locality / aggregate-state behavior are invisible to
+    # footer bytes; their copies serve agg/window demands only, so the
+    # LAYOUT_AGG_ONLY_MARGIN keeps them flat statically) — those are
     # owned by MEASURED feedback (tools/layout_ab.py, r08 A/B at sf100);
     # when the feedback file is present the planner serves the measured
-    # winners (q17/q20 partkey, q15/q11 suppkey, q5 orderkey+orderkey)
+    # winners (q2/q17/q20 partkey, q15/q11 suppkey)
     from verax_spark.optimizer.layouts import load_layout_feedback
-    from verax_spark.queries.tpch import q15, q17
+    from verax_spark.queries.tpch import q2, q15, q17
 
+    fb2 = load_layout_feedback(q2.__module__, q2.__qualname__, SF)
+    if fb2 is not None:
+        assert tuple(fb2.get("lineitem", ())) == ("l_partkey",), fb2
     fb17 = load_layout_feedback(q17.__module__, q17.__qualname__, SF)
     if fb17 is not None:
         assert tuple(fb17.get("lineitem", ())) == ("l_partkey",), fb17

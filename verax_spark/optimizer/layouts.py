@@ -58,7 +58,7 @@ from dataclasses import dataclass
 # the bucket join). Deliberately tighter than DEFAULT_BROADCAST_BYTES.
 # bump when the decision model changes: it keys the persisted decision
 # memo, so stale choices never survive a model revision
-MODEL_VERSION = "r08.4"
+MODEL_VERSION = "r08.6"
 
 TRANSPARENT_BCAST_BYTES = 16 << 20
 
@@ -67,6 +67,27 @@ TRANSPARENT_BCAST_BYTES = 16 << 20
 # conservative floor — it reproduces the measured q20 reversal where a
 # 14%-fraction aggregation lost to the ~18% scan penalty)
 SHUFFLE_BYTE_WEIGHT = 1.0
+
+# Risk margin for copies whose ONLY service is aggregation/window
+# demands: the copy must beat flat by at least this fraction of the flat
+# scan's pruned-column bytes. Rationale, from the r08 sf100 A/B sweep:
+# the byte model treats the two demand kinds with opposite systematic
+# error. A JOIN served from a bucketed copy elides the exchange AND the
+# sort-merge sort AND (paired with the other side's layout) the whole
+# co-bucketed join stays exchange-free — all under-counted by exchange
+# bytes alone, and every join-serving static choice measured as a real
+# win (q3/q7/q8/q9/q10/q12/q18/q21). An AGG/WINDOW served from a copy
+# only elides an exchange that partial aggregation had already map-side
+# combined, while the copy still pays effects bytes cannot see (loss of
+# the source's incidental row-group clustering, the one-task-per-bucket
+# parallelism cap with no AQE rebalancing): q11's modeled ~1.5 GB saving
+# chose the partkey copy and ran 74% SLOWER than flat (8.75s vs 5.03s);
+# q20's suppkey choice also measured worse than flat. So: no margin for
+# join-serving copies; a steep margin for agg/window-only copies.
+# Sub-margin wins stay recoverable — tools/layout_ab.py records measured
+# feedback that overrides the static choice (q15/q17 got their copies
+# back that way) — while sub-margin losses would ship regressions.
+LAYOUT_AGG_ONLY_MARGIN = 0.4
 
 _POLICY: contextvars.ContextVar = contextvars.ContextVar(
     "vx_layout_policy", default=None
@@ -423,9 +444,14 @@ def _subtree_est(jnode, cat, path_map: dict[str, str]) -> tuple[float, float, fl
     return None
 
 
-def scan_demands(df, cat, eligible: set[str]) -> list[ScanDemand]:
+def scan_demands(
+    df, cat, eligible: set[str], scanned: set[str] | None = None
+) -> list[ScanDemand]:
     """First-exchange demands for every eligible-table scan in ``df``'s
-    optimized logical plan. Driver-side walk; no jobs."""
+    optimized logical plan. Driver-side walk; no jobs. When ``scanned``
+    is passed, it collects the eligible tables that actually appear as
+    scan leaves — a table can be eligible (registered layouts) yet absent
+    from this query's plan, and a layout choice for it would be a no-op."""
     jplan = df._jdf.queryExecution().optimizedPlan()
     demands: list[ScanDemand] = []
     path_map = table_path_map(cat)
@@ -610,6 +636,8 @@ def scan_demands(df, cat, eligible: set[str]) -> list[ScanDemand]:
         if name is not None and name not in eligible:
             name = None
         if name is not None:
+            if scanned is not None:
+                scanned.add(name)
             climb(node, name, list(reversed(ancestors)))
             return
         for ch in _children(node):
@@ -690,9 +718,15 @@ def choose_layouts(df, cat, sf_dir: str) -> dict[str, tuple[str, ...]]:
     if not eligible:
         return {}
 
-    demands = scan_demands(df, cat, set(eligible))
+    scanned: set[str] = set()
+    demands = scan_demands(df, cat, set(eligible), scanned=scanned)
     overrides: dict[str, tuple[str, ...]] = {}
     for name, entries in eligible.items():
+        # a layout choice for a table this query never scans is a no-op:
+        # emitting one wastes A/B runs and lets run-to-run noise get
+        # recorded as a "measured win" for an irrelevant knob
+        if name not in scanned:
+            continue
         t_demands = [d for d in demands if d.table == name]
         flat_stats = cat.stats(name)
         if flat_stats is None or not flat_stats.num_rows:
@@ -758,7 +792,18 @@ def choose_layouts(df, cat, sf_dir: str) -> dict[str, tuple[str, ...]]:
                 continue
             bcols = tuple(e["bucket_cols"])
             c = cost(bcols, lstats)
-            if c < best_cost - 1e-9:
+            serves_join = any(
+                d.kind == "join"
+                and bcols_l <= {k.lower() for k in d.keys}
+                for d in t_demands
+            )
+            margin = (
+                0.0
+                if serves_join
+                else LAYOUT_AGG_ONLY_MARGIN
+                * _col_bytes(flat_stats, pruned_cols)
+            )
+            if c < cost((), flat_stats) - margin and c < best_cost - 1e-9:
                 best_cost, best_cols = c, bcols
         overrides[name] = best_cols
     return overrides

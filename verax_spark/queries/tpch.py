@@ -1272,15 +1272,22 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__q_units") > 1500)
         .select("l_orderkey", _descale(F.col("__q_units"), 1).alias("__sum_qty"))
     )
-    return (
+    # top-100 BEFORE customer (the q10 reshape): the sort keys
+    # (o_totalprice, o_orderkey) and the limit depend on orders columns
+    # only, and orders⋈customer is FK 1:1, so the top-100 set is
+    # identical on either side of the join — taking it first turns the
+    # full customer exchange (15M rows at sf100) into a 100-key
+    # broadcast lookup. The orderkey layouts already serve the
+    # lineitem agg + orders join exchange-free, which removes the
+    # shuffle boundary AQE would have used to discover the small side
+    # at runtime — so the reshape must be planned, not adaptive.
+    top = (
         cat.orders.join(
             big_orders.withColumnRenamed("l_orderkey", "__bok"),
             F.col("o_orderkey") == F.col("__bok"),
         )
-        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
         .select(
-            "c_name",
-            "c_custkey",
+            "o_custkey",
             "o_orderkey",
             "o_orderdate",
             F.col("o_totalprice").cast("double").alias("total"),
@@ -1288,6 +1295,19 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total").desc(), "o_orderkey")
         .limit(100)
+    )
+    return (
+        F.broadcast(top)
+        .join(cat.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "total",
+            "sum_qty",
+        )
+        .orderBy(F.col("total").desc(), "o_orderkey")
     )
 
 
