@@ -141,6 +141,17 @@ def _ops(spark, sf_dir: str) -> dict:
         "dedup_minhash": lambda: dedup.minhash_lsh_pairs(
             docs, "text", "doc_id", n=3, num_perm=64, bands=32, threshold=0.8
         ),
+        # connected-components closure over a deterministic chain-forming
+        # edge rule (same rule as the pl_dedup_cc driver row, unbounded
+        # ids): K-fold corpus = K-fold more chains of the SAME diameter,
+        # so iterations stay constant and per-iteration work is linear —
+        # the property this entry measures
+        "dedup_cc": lambda: dedup.connected_components(
+            docs.filter(F.col("doc_id") % 3 != 0).select(
+                F.col("doc_id").alias("id_a"),
+                (F.col("doc_id") + F.col("doc_id") % 7 + 1).alias("id_b"),
+            )
+        ),
         "dedup_simhash": lambda: dedup.simhash_pairs(
             docs, "text", "doc_id", max_hamming=3
         ),
