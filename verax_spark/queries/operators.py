@@ -3754,25 +3754,43 @@ def op_fn_geo2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     isect = pc("st_intersection", box_a, box_b)
-    return t.select(
+    # Materialize the constructive-geometry STRUCTS once (24 rows) behind
+    # a lineage cut before deriving metrics: Catalyst's CollapseProject
+    # re-inlines projections, so without the cut every metric column
+    # (area, length, numpoints, centroid x/y) re-embeds the full
+    # 32-vertex buffer / clipped-ring expression trees and optimization
+    # goes quadratic in their size — measured 141s of pure planning for
+    # 24 rows. With the cut the metrics reference stored columns: <4s.
+    geoms = t.select(
         "d",
-        pc("st_area", isect).alias("isect_area"),
-        pc("st_isempty", isect).alias("isect_empty"),
-        pc("st_x", pc("st_intersection", pt_in, box_a)).alias("pt_isect_x"),
-        pc("st_isempty", pc("st_intersection", pt_out, box_a)).alias(
-            "pt_out_empty"
-        ),
-        pc("st_area", pc("st_union", box_a, small)).alias("union_small_area"),
-        pc("st_area", pc("st_union", box_a, box_b)).alias("union_ident_area"),
-        pc("st_area", pc("st_union", pt_in, box_a)).alias("union_pt_area"),
-        pc("st_area", buf).alias("buf_area"),
-        pc("st_length", buf).alias("buf_perim"),
-        pc("st_numpoints", buf).alias("buf_npts"),
-        pc("st_x", pc("st_centroid", buf)).alias("buf_cx"),
-        pc("st_x", pc("st_centroid", lshape)).alias("l_cx"),
-        pc("st_y", pc("st_centroid", lshape)).alias("l_cy"),
-        pc("st_x", pc("st_centroid", line)).alias("line_cx"),
-        pc("st_y", pc("st_centroid", line)).alias("line_cy"),
+        isect.alias("g_isect"),
+        pc("st_intersection", pt_in, box_a).alias("g_pt_isect"),
+        pc("st_intersection", pt_out, box_a).alias("g_pt_out"),
+        pc("st_union", box_a, small).alias("g_union_small"),
+        pc("st_union", box_a, box_b).alias("g_union_ident"),
+        pc("st_union", pt_in, box_a).alias("g_union_pt"),
+        buf.alias("g_buf"),
+        pc("st_centroid", buf).alias("g_buf_c"),
+        pc("st_centroid", lshape).alias("g_l_c"),
+        pc("st_centroid", line).alias("g_line_c"),
+    ).localCheckpoint(eager=True)
+    return geoms.select(
+        "d",
+        pc("st_area", F.col("g_isect")).alias("isect_area"),
+        pc("st_isempty", F.col("g_isect")).alias("isect_empty"),
+        pc("st_x", F.col("g_pt_isect")).alias("pt_isect_x"),
+        pc("st_isempty", F.col("g_pt_out")).alias("pt_out_empty"),
+        pc("st_area", F.col("g_union_small")).alias("union_small_area"),
+        pc("st_area", F.col("g_union_ident")).alias("union_ident_area"),
+        pc("st_area", F.col("g_union_pt")).alias("union_pt_area"),
+        pc("st_area", F.col("g_buf")).alias("buf_area"),
+        pc("st_length", F.col("g_buf")).alias("buf_perim"),
+        pc("st_numpoints", F.col("g_buf")).alias("buf_npts"),
+        pc("st_x", F.col("g_buf_c")).alias("buf_cx"),
+        pc("st_x", F.col("g_l_c")).alias("l_cx"),
+        pc("st_y", F.col("g_l_c")).alias("l_cy"),
+        pc("st_x", F.col("g_line_c")).alias("line_cx"),
+        pc("st_y", F.col("g_line_c")).alias("line_cy"),
     ).orderBy("d")
 
 
