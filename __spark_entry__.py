@@ -47,6 +47,7 @@ _PRIORITY = [
     "op_fn_geo2",
     "op_fn_batch12",
     "pl_dedup_cc",
+    "pl_resample_mixture",
     "tpch_q13",
     "tpch_q16",
     "tpch_q17",

@@ -2233,6 +2233,22 @@ _SQL_COMPAT = [
         f"and {_ipv4_lit(start) + (1 << (32 - bits)) - 1}"
         for start, bits in _PRIVATE_RANGES
     ),
+    # --- batch 12: closed-form inverse CDFs + trail for SQL text (the
+    # bisection/tile members stay DataFrame-dialect; the SQL front door
+    # reaches the UDF-backed ones through register_udfs) ---
+    "CREATE OR REPLACE TEMPORARY FUNCTION inverse_cauchy_cdf("
+    "m DOUBLE, s DOUBLE, p DOUBLE) RETURNS DOUBLE RETURN "
+    "m + s * tan(pi() * (p - 0.5))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION inverse_laplace_cdf("
+    "m DOUBLE, s DOUBLE, p DOUBLE) RETURNS DOUBLE RETURN "
+    "case when p < 0.5 then m + s * ln(2 * p) "
+    "else m - s * ln(2 - 2 * p) end",
+    "CREATE OR REPLACE TEMPORARY FUNCTION inverse_weibull_cdf("
+    "a DOUBLE, b DOUBLE, p DOUBLE) RETURNS DOUBLE RETURN "
+    "b * power(-ln(1 - p), 1.0 / a)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION trail(s STRING, n INT) "
+    "RETURNS STRING RETURN "
+    "substring(s, greatest(length(s) - n + 1, 1), greatest(n, 0))",
 ]
 
 

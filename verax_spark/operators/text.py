@@ -142,6 +142,37 @@ def portable_sample(df, id_col: str, *, prefix_lt: str = "20"):
     return df.filter(F.substring(h, 1, len(prefix_lt)) < prefix_lt)
 
 
+def _hex_threshold(rate: float) -> str:
+    """First-8-hex-chars acceptance threshold for ``rate``: a row whose
+    md5(id) prefix sorts below it is kept. Fixed-width lowercase hex
+    compares lexicographically == numerically, so the test is a plain
+    string comparison on ANY engine with md5."""
+    return format(min(max(int(rate * (1 << 32)), 0), (1 << 32) - 1), "08x")
+
+
+def resample_to_mixture(
+    df, stratum_col: str, id_col: str, rates: dict[str, float],
+    *, default_rate: float = 0.0,
+):
+    """Deterministic per-stratum downsampling to a target mixture — the
+    domain/language-rebalancing step of a training-data pipeline (e.g.
+    keep all wiki, 20% of crawl). Membership is a pure function of
+    (id, stratum rate): stable across retries, partitionings, and
+    engines (same portable-md5 contract as portable_sample), so a
+    re-run over 100 TB reproduces the exact sample. Map-only — no
+    shuffle; the per-stratum thresholds are compiled to literal
+    hex-prefix comparisons at plan time."""
+    h = F.substring(
+        F.md5(F.col(id_col).cast("string").cast("binary")), 1, 8
+    )
+    thr = F.lit(_hex_threshold(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == stratum, F.lit(_hex_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(h < thr)
+
+
 def deterministic_sample(df, id_col: str, fraction: float, *, salt: int = 0):
     """Content-addressed sampling: keep rows where xxhash64(salt, id) falls
     in the lowest `fraction` of the hash space. Unlike df.sample(), the

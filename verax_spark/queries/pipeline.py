@@ -1655,3 +1655,44 @@ def pl_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("id"),
         F.col("component").cast("long").alias("component"),
     ).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# Mixture resampling (r08): rebalance a corpus to target per-stratum rates
+# (the language/domain-mixing step before training). The operator under
+# test is text.resample_to_mixture — deterministic portable-md5 membership
+# compiled to literal hex-prefix comparisons, map-only. The oracle applies
+# the identical rule in DuckDB (same md5, same thresholds), so the sample
+# sets — not just the counts — must agree (id_sum checksums them).
+@_register(
+    "pl_resample_mixture",
+    """
+    with kept as (
+      select * from documents
+      where substr(md5(cast(doc_id as varchar)), 1, 8) <
+        case lang when 'en' then 'ffffffff' when 'de' then '99999999'
+          when 'fr' then '80000000' when 'es' then '59999999'
+          when 'zh' then '33333333' else '00000000' end)
+    select lang, source, count(*) as n_kept,
+      cast(sum(doc_id) as bigint) as id_sum
+    from kept group by lang, source order by lang, source
+    """,
+)
+def pl_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.operators.text import resample_to_mixture
+
+    cat = Catalog(spark, sf_dir)
+    kept = resample_to_mixture(
+        cat.documents,
+        "lang",
+        "doc_id",
+        {"en": 1.0, "de": 0.6, "fr": 0.5, "es": 0.35, "zh": 0.2},
+    )
+    return (
+        kept.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+        .orderBy("lang", "source")
+    )
