@@ -590,8 +590,12 @@ def _cases():
         F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 0.0)],
     "st_ymax": [(_c("st_ymax", _c("st_geometryfromtext",
         F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 4.0)],
+    # a closed quad counts 4 vertices: Presto's Esri backend excludes the
+    # repeated closing point (r07 advice fix)
     "st_numpoints": [(_c("st_numpoints", _c("st_geometryfromtext",
-        F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 5)],
+        F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 4),
+        (_c("st_numpoints", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 3 0, 3 4)"))), 3)],
     "st_isempty": [(_c("st_isempty", _c("st_point", F.lit(1.0), F.lit(2.0))),
                     False)],
     "st_isclosed": [

@@ -87,9 +87,19 @@ def assert_frames_match(
             )
         else:
             # map through _canon first: container types differ per engine
-            # (ndarray vs list) even when element values are identical
-            av = av.map(lambda x: str(_canon(x))).to_numpy()
-            bv = bv.map(lambda x: str(_canon(x))).to_numpy()
+            # (ndarray vs list) even when element values are identical.
+            # A top-level scalar float-NaN in a non-float column is
+            # pandas' null marker for a nullable bool/int/string (DuckDB
+            # .df() promotes NULL that way; Spark toPandas keeps None) —
+            # canonicalize both spellings of SQL NULL to None. Nested
+            # values keep NaN-vs-None distinct (_canon handles those).
+            def _cell(x):
+                if isinstance(x, float) and x != x:
+                    x = None
+                return str(_canon(x))
+
+            av = av.map(_cell).to_numpy()
+            bv = bv.map(_cell).to_numpy()
             bad = av != bv
             assert not bad.any(), (
                 f"{context}: column {col} differs at rows "
