@@ -584,3 +584,37 @@ def test_lm_quality_score_hybrid_head_tail_split(spark):
         want = sum(math.log(cnt[t] / total) for t in ts) / len(ts)
         assert got[did].n_tokens == len(ts)
         assert abs(got[did].avg_logprob - want) < 1e-12, (did, got[did])
+
+
+def test_resample_to_mixture_properties(spark, sf_dir):
+    """Per-stratum rates hold approximately; membership is deterministic
+    and NESTED across rates (a row kept at rate r is kept at every
+    rate' > r — the hex-threshold construction guarantees it)."""
+    from verax_spark.catalog import Catalog
+    from verax_spark.operators.text import resample_to_mixture
+
+    docs = Catalog(spark, sf_dir).documents
+    kept_half = resample_to_mixture(
+        docs, "lang", "doc_id", {"en": 0.5}, default_rate=1.0
+    )
+    kept_full = resample_to_mixture(
+        docs, "lang", "doc_id", {"en": 1.0}, default_rate=1.0
+    )
+    ids_half = {r.doc_id for r in kept_half.filter("lang = 'en'").collect()}
+    ids_again = {r.doc_id for r in kept_half.filter("lang = 'en'").collect()}
+    assert ids_half == ids_again  # deterministic across runs
+    ids_full = {r.doc_id for r in kept_full.filter("lang = 'en'").collect()}
+    assert ids_half <= ids_full  # nested samples
+    n_en = docs.filter("lang = 'en'").count()
+    assert abs(len(ids_half) / n_en - 0.5) < 0.2
+    # non-target strata pass through untouched at default_rate=1.0
+    assert (
+        kept_half.filter("lang <> 'en'").count()
+        == docs.filter("lang <> 'en'").count()
+    )
+    # rate 0 drops the stratum entirely
+    assert (
+        resample_to_mixture(docs, "lang", "doc_id", {"en": 0.0},
+                            default_rate=1.0)
+        .filter("lang = 'en'").count() == 0
+    )
