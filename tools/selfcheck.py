@@ -35,8 +35,14 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # round to 4 significant decimals the way a tolerant differ would
-        return float(f"{v:.4g}")
+        # EXACT comparison (r09): the driver's value hash is ULP-sensitive
+        # — op_fn_batch12 went red in r08 at 1.5e-16 relative difference,
+        # so the driver's observed tolerance is ~0 (raw doubles hashed).
+        # The old 4-significant-digit rounding here is how that red row
+        # shipped as "green at HEAD". Queries are responsible for emitting
+        # decision-level booleans / integer units / rounded floats; this
+        # gate must not forgive what the driver will not.
+        return repr(v)
     if isinstance(v, datetime.datetime):
         # Spark date_trunc yields midnight timestamps where DuckDB yields
         # dates; the driver's comparator treats them as equal.

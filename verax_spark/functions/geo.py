@@ -30,6 +30,25 @@ def _geom(kind: Column, xs: Column, ys: Column) -> Column:
     return F.struct(kind.alias("kind"), xs.alias("xs"), ys.alias("ys"))
 
 
+def _let(g: Column, body) -> Column:
+    """Let-binding for Column trees: evaluate ``g`` once as a one-element
+    array and hand ``body`` the lambda variable. Catalyst has no logical-
+    level common-subexpression sharing, so a function body that references
+    its input k times re-embeds the input's whole expression tree k times;
+    with nested constructive calls (st_intersection over a WKT parse) the
+    plan grows multiplicatively and analysis alone was the bottleneck
+    (r08: 141s planning for 24 rows; r09 per-column profile: 6.3s for one
+    intersection). Binding caps every ST_* entry point's tree at
+    |input| + |body| instead of |input| x references."""
+    return F.transform(F.array(g), body)[0]
+
+
+def _let2(a: Column, b: Column, body) -> Column:
+    """Two-input let: pack (a, b) in a struct, bind once, unpack."""
+    pair = F.struct(a.alias("a"), b.alias("b"))
+    return _let(pair, lambda p: body(p["a"], p["b"]))
+
+
 def st_point(x, y) -> Column:
     return _geom(F.lit("POINT"), F.array(x.cast("double")), F.array(y.cast("double")))
 

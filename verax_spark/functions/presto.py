@@ -1939,11 +1939,18 @@ def _bing_tiles_around(lat, lng, zoom) -> Column:
         lambda d: (center["x"] + d["dx"]).between(0, n - 1)
         & (center["y"] + d["dy"]).between(0, n - 1),
     )
-    return F.transform(
+    tiles = F.transform(
         in_range,
         lambda d: _bing_struct(
             center["x"] + d["dx"], center["y"] + d["dy"], center["zoom"]
         ),
+    )
+    # dirty input (NULL args / zoom out of range) must yield NULL like
+    # bing_tile/bing_tile_at, not an empty array from NULL-filtered deltas
+    return F.when(
+        _col(zoom).cast("int").between(0, _MAX_BING_ZOOM)
+        & center.isNotNull(),
+        tiles,
     )
 
 
@@ -1977,7 +1984,11 @@ def _discrete_inverse_cdf(t0: Column, recur, k_max: Column, prob) -> Column:
             ).alias("ans"),
         ),
     )
-    return F.coalesce(folded["ans"], k_max.cast("int"))
+    # NULL/out-of-range p must yield NULL like the continuous siblings
+    # (inverse_laplace_cdf etc.), not silently fall back to k_max.
+    return F.when(
+        pr.isNull() | (pr < 0.0) | (pr > 1.0), F.lit(None).cast("int")
+    ).otherwise(F.coalesce(folded["ans"], k_max.cast("int")))
 
 
 def _inverse_binomial_cdf(n, p, prob) -> Column:
@@ -1997,10 +2008,14 @@ def _inverse_binomial_cdf(n, p, prob) -> Column:
         prob,
     )
     # p = 1 breaks the term recurrence (division by zero): CDF is a step
-    # at n, so the inverse is n for any prob > 0 and 0 at prob = 0
+    # at n, so the inverse is n for any prob > 0 and 0 at prob = 0.
+    # Dirty prob must stay NULL even on this branch; the fold already
+    # clamps its answer to k_max = n so no extra least() is needed.
     return F.when(
+        pr.isNull() | (pr < 0.0) | (pr > 1.0), F.lit(None).cast("int")
+    ).when(
         pd_ == 1.0, F.when(pr > 0.0, ni).otherwise(F.lit(0))
-    ).otherwise(F.least(out, ni))
+    ).otherwise(out)
 
 
 def _inverse_poisson_cdf(lam, prob) -> Column:

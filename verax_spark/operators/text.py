@@ -146,7 +146,13 @@ def _hex_threshold(rate: float) -> str:
     """First-8-hex-chars acceptance threshold for ``rate``: a row whose
     md5(id) prefix sorts below it is kept. Fixed-width lowercase hex
     compares lexicographically == numerically, so the test is a plain
-    string comparison on ANY engine with md5."""
+    string comparison on ANY engine with md5.
+
+    rate >= 1.0 means "keep all" and must not drop the (real, at 100 TB)
+    rows whose md5 prefix is exactly ffffffff under the strict ``<`` —
+    'g' sorts above every hex string, so the comparison is always true."""
+    if rate >= 1.0:
+        return "g"
     return format(min(max(int(rate * (1 << 32)), 0), (1 << 32) - 1), "08x")
 
 

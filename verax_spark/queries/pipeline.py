@@ -1583,9 +1583,8 @@ def pl_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Unigram-LM quality score (r07): corpus-self-trained perplexity proxy —
 # the LM-based quality-filter stage of a training-data pipeline. The
 # oracle recomputes the whole two-pass pipeline (vocabulary from ALL
-# documents, scores for the checked subset) in DuckDB SQL; 4-significant-
-# digit float canonicalization absorbs summation-order differences in the
-# mean of logs.
+# documents, scores for the checked subset) in DuckDB SQL; both sides
+# round the mean of logs to 9 decimals to absorb summation-order noise.
 @_register(
     "pl_lm_score",
     r"""
@@ -1596,7 +1595,8 @@ def pl_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab as (select token, count(*) as n from toks2 group by token),
     tot as (select sum(n) as t from vocab)
     select d.doc_id, count(*) as n_tokens,
-      cast(avg(ln(cast(v.n as double) / t.t)) as double) as avg_logprob
+      round(cast(avg(ln(cast(v.n as double) / t.t)) as double), 9)
+        + 0.0 as avg_logprob
     from toks2 d join vocab v using (token) cross join tot t
     where d.doc_id < 200
     group by d.doc_id
@@ -1608,7 +1608,14 @@ def pl_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cat = Catalog(spark, sf_dir)
     scored = lm_quality_score(cat.documents, "text", "doc_id")
-    return scored.filter(F.col("doc_id") < 200).orderBy("doc_id")
+    # round(9) + 0.0 on both sides: the mean-of-logs is summation-order
+    # sensitive (~1e-15 rel cross-engine) and the driver hash is
+    # ULP-sensitive (r09 exact-selfcheck sweep)
+    return (
+        scored.filter(F.col("doc_id") < 200)
+        .withColumn("avg_logprob", F.round(F.col("avg_logprob"), 9) + 0.0)
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1670,7 +1677,7 @@ def pl_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with kept as (
       select * from documents
       where substr(md5(cast(doc_id as varchar)), 1, 8) <
-        case lang when 'en' then 'ffffffff' when 'de' then '99999999'
+        case lang when 'en' then 'g' when 'de' then '99999999'
           when 'fr' then '80000000' when 'es' then '59999999'
           when 'zh' then '33333333' else '00000000' end)
     select lang, source, count(*) as n_kept,

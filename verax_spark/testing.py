@@ -89,17 +89,18 @@ def assert_frames_match(
             # map through _canon first: container types differ per engine
             # (ndarray vs list) even when element values are identical.
             # A top-level scalar float-NaN in a non-float column is
-            # pandas' null marker for a nullable bool/int/string (DuckDB
-            # .df() promotes NULL that way; Spark toPandas keeps None) —
-            # canonicalize both spellings of SQL NULL to None. Nested
-            # values keep NaN-vs-None distinct (_canon handles those).
-            def _cell(x):
-                if isinstance(x, float) and x != x:
+            # pandas' null marker for a nullable bool/int/string when it
+            # comes from DuckDB .df() (NULL promotion) — canonicalize to
+            # None on the ORACLE side only, so an engine-produced NaN in
+            # an object column still fails against an oracle NULL
+            # (ADVICE r08). Nested values keep NaN-vs-None distinct.
+            def _cell(x, nan_is_null: bool):
+                if nan_is_null and isinstance(x, float) and x != x:
                     x = None
                 return str(_canon(x))
 
-            av = av.map(_cell).to_numpy()
-            bv = bv.map(_cell).to_numpy()
+            av = av.map(lambda x: _cell(x, False)).to_numpy()
+            bv = bv.map(lambda x: _cell(x, True)).to_numpy()
             bad = av != bv
             assert not bad.any(), (
                 f"{context}: column {col} differs at rows "
