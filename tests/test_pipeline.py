@@ -48,6 +48,43 @@ def test_minhash_finds_the_high_jaccard_pairs(spark, sf_dir):
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
 
+def test_lsh_hot_bucket_guard_bounded_and_connected(spark, sf_dir):
+    """Planted degenerate corpus (VERDICT r08 #5): thousands of identical
+    documents collapse every LSH band into ONE bucket. The hot-bucket
+    guard must (a) complete in bounded time — star edges, not the ~N²/2
+    all-pairs blow-up — and (b) keep the cluster connected so dedup still
+    collapses it to one representative."""
+    import time
+
+    from verax_spark.operators import dedup
+
+    n = 3000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate text repeated verbatim everywhere").alias(
+            "text"
+        ),
+    )
+    t0 = time.perf_counter()
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16, max_bucket_size=64
+    )
+    # star edges: every doc links to the bucket-min representative (id 0)
+    n_pairs = pairs.count()
+    elapsed = time.perf_counter() - t0
+    assert n_pairs == n - 1, f"expected a star over {n} ids, got {n_pairs}"
+    kept = dedup.dedup_by_pairs(docs, "doc_id", pairs)
+    assert kept.count() == 1
+    # all-pairs would be ~4.5M verified-jaccard pairs; the guard keeps it
+    # linear — generous wall-clock bound so slow CI never flakes
+    assert elapsed < 120, f"hot-bucket path took {elapsed:.1f}s"
+
+    sim = dedup.simhash_pairs(
+        docs, "text", "doc_id", max_bucket_size=64
+    )
+    assert sim.count() == n - 1
+
+
 def test_dedup_by_pairs_drops_losers(spark, sf_dir):
     from verax_spark.operators import dedup
 

@@ -30,6 +30,41 @@ def _geom(kind: Column, xs: Column, ys: Column) -> Column:
     return F.struct(kind.alias("kind"), xs.alias("xs"), ys.alias("ys"))
 
 
+# Constructed-once JVM lambda bodies, keyed by (body qualname, context id).
+# Every geo body below is a module-level pure function of its lambda
+# variables, so the o.a.s.sql.expressions.LambdaFunction it produces is
+# input-independent and can be reused across plans — unresolved Catalyst
+# trees are immutable, and analysis copies them per occurrence. Building
+# the body is pure py4j chatter (one gateway round-trip per Column op;
+# st_intersection's body alone is >1k ops), so without this cache every
+# CALL SITE paid ~seconds of driver-side tree construction (r09 profile:
+# 43k py4j round-trips, 9s of a 9.2s "steady" op_fn_geo2 run).
+_JLAMBDA_CACHE: dict = {}
+
+
+def _cached_transform(col: Column, body, key: str) -> Column:
+    """F.transform(col, body) with the JVM lambda cached per process."""
+    try:
+        from pyspark.sql.classic.column import _to_java_column, _to_seq
+        from pyspark.sql.functions.builtin import (
+            _create_lambda,
+            _get_active_spark_context,
+        )
+
+        sc = _get_active_spark_context()
+        ck = (key, id(sc._jvm))
+        jlam = _JLAMBDA_CACHE.get(ck)
+        if jlam is None:
+            jlam = _create_lambda(body)
+            _JLAMBDA_CACHE[ck] = jlam
+        jcol = _to_java_column(col)
+        return Column(
+            sc._jvm.PythonSQLUtils.fn("transform", _to_seq(sc, [jcol, jlam]))
+        )
+    except Exception:  # pragma: no cover - Connect / internals moved
+        return F.transform(col, body)
+
+
 def _let(g: Column, body) -> Column:
     """Let-binding for Column trees: evaluate ``g`` once as a one-element
     array and hand ``body`` the lambda variable. Catalyst has no logical-
@@ -39,14 +74,19 @@ def _let(g: Column, body) -> Column:
     plan grows multiplicatively and analysis alone was the bottleneck
     (r08: 141s planning for 24 rows; r09 per-column profile: 6.3s for one
     intersection). Binding caps every ST_* entry point's tree at
-    |input| + |body| instead of |input| x references."""
-    return F.transform(F.array(g), body)[0]
+    |input| + |body| instead of |input| x references. ``body`` must be a
+    module-level pure function (it is cached by qualname)."""
+    key = f"{body.__module__}.{body.__qualname__}"
+    return _cached_transform(F.array(g), body, key)[0]
 
 
 def _let2(a: Column, b: Column, body) -> Column:
     """Two-input let: pack (a, b) in a struct, bind once, unpack."""
     pair = F.struct(a.alias("a"), b.alias("b"))
-    return _let(pair, lambda p: body(p["a"], p["b"]))
+    key = f"{body.__module__}.{body.__qualname__}#2"
+    return _cached_transform(
+        F.array(pair), lambda p: body(p["a"], p["b"]), key
+    )[0]
 
 
 def st_point(x, y) -> Column:
@@ -60,7 +100,10 @@ def st_geometry_from_text(wkt: Column) -> Column:
     """WKT POINT/LINESTRING/POLYGON (single ring) → geometry struct.
     Multi-ring polygons (holes) and MULTI* geometries yield NULL — a loud
     unsupported signal, never a silently merged ring."""
-    w = F.upper(F.trim(wkt))
+    return _let(F.upper(F.trim(wkt)), _geometry_from_text_body)
+
+
+def _geometry_from_text_body(w: Column) -> Column:
     kind = F.when(
         ~w.rlike(r"\)\s*,\s*\(") & ~w.startswith("MULTI"),
         F.regexp_extract(w, r"^(POINT|LINESTRING|POLYGON)", 1),
@@ -106,6 +149,10 @@ def st_distance(a: Column, b: Column) -> Column:
     pairs of the two geometries (exact for point-point — the Presto hot
     case; vertex-min for the rest, a documented approximation that is
     exact whenever the nearest approach is at a vertex)."""
+    return _let2(a, b, _distance_body)
+
+
+def _distance_body(a: Column, b: Column) -> Column:
     dx = a["xs"][0] - b["xs"][0]
     dy = a["ys"][0] - b["ys"][0]
     pp = F.sqrt(dx * dx + dy * dy)
@@ -130,6 +177,10 @@ def st_distance(a: Column, b: Column) -> Column:
 
 def st_area(g: Column) -> Column:
     """Shoelace |Σ (x_i·y_{i+1} − x_{i+1}·y_i)| / 2 over the closed ring."""
+    return _let(g, _area_body)
+
+
+def _area_body(g: Column) -> Column:
     n = F.size(g["xs"])
     twice = F.aggregate(
         F.sequence(F.lit(0), n - 2),
@@ -142,6 +193,10 @@ def st_area(g: Column) -> Column:
 
 
 def st_length(g: Column) -> Column:
+    return _let(g, _length_body)
+
+
+def _length_body(g: Column) -> Column:
     n = F.size(g["xs"])
     total = F.aggregate(
         F.sequence(F.lit(0), n - 2),
@@ -161,6 +216,10 @@ def st_centroid(g: Column) -> Column:
     the LENGTH-weighted segment-midpoint centroid for linestrings, the
     point itself for points — matching Esri's semantics, not the vertex
     mean (which over-weights vertex-dense regions)."""
+    return _let(g, _centroid_body)
+
+
+def _centroid_body(g: Column) -> Column:
     n = F.size(g["xs"])
 
     def _cross(i: Column) -> Column:
@@ -235,6 +294,10 @@ def st_centroid(g: Column) -> Column:
 
 
 def st_envelope(g: Column) -> Column:
+    return _let(g, _envelope_body)
+
+
+def _envelope_body(g: Column) -> Column:
     x0, x1 = F.array_min(g["xs"]), F.array_max(g["xs"])
     y0, y1 = F.array_min(g["ys"]), F.array_max(g["ys"])
     return _geom(
@@ -247,6 +310,10 @@ def st_envelope(g: Column) -> Column:
 def st_contains(poly: Column, pt: Column) -> Column:
     """Even-odd ray cast: point strictly inside the polygon's first ring
     (boundary points follow the half-open edge rule, standard even-odd)."""
+    return _let2(poly, pt, _contains_body)
+
+
+def _contains_body(poly: Column, pt: Column) -> Column:
     px, py = pt["xs"][0], pt["ys"][0]
     n = F.size(poly["xs"])
 
@@ -310,6 +377,10 @@ def st_num_points(g: Column) -> Column:
     a polygon ring's repeated closing vertex (a closed quad is 4, not 5),
     so for POLYGON we subtract the closing point when last == first
     (advice r07)."""
+    return _let(g, _num_points_body)
+
+
+def _num_points_body(g: Column) -> Column:
     n = F.size(g["xs"])
     closed = (F.element_at(g["xs"], 1) == F.element_at(g["xs"], -1)) & (
         F.element_at(g["ys"], 1) == F.element_at(g["ys"], -1)
@@ -382,8 +453,10 @@ def st_intersects(a: Column, b: Column) -> Column:
     sufficient for non-convex pairs; exact polygon×polygon intersection
     is outside the planar core and yields NULL rather than a wrong
     answer)."""
-    from verax_spark.functions.geo import st_contains  # self-import for clarity
+    return _let2(a, b, _intersects_body)
 
+
+def _intersects_body(a: Column, b: Column) -> Column:
     box_overlap = (
         (st_xmin(a) <= st_xmax(b))
         & (st_xmax(a) >= st_xmin(b))
@@ -469,6 +542,10 @@ def st_intersection(a: Column, b: Column) -> Column:
     rectangle; degenerate edge/corner contact yields a lower-dimensional
     geometry the single-ring core cannot represent → NULL). Disjoint
     inputs → EMPTY. Everything else → NULL."""
+    return _let2(a, b, _intersection_body)
+
+
+def _intersection_body(a: Column, b: Column) -> Column:
     a_pt, b_pt = a["kind"] == "POINT", b["kind"] == "POINT"
     on_b = st_contains(b, a) | _on_ring(b, a["xs"][0], a["ys"][0])
     on_a = st_contains(a, b) | _on_ring(a, b["xs"][0], b["ys"][0])
@@ -502,6 +579,10 @@ def st_union(a: Column, b: Column) -> Column:
     point ∪ containing polygon, and box ∪ box when one CONTAINS the other
     (the outer box). A union that would need a multi-geometry or a
     non-rectangular ring → NULL (unsupported, never approximated)."""
+    return _let2(a, b, _union_body)
+
+
+def _union_body(a: Column, b: Column) -> Column:
     a_pt, b_pt = a["kind"] == "POINT", b["kind"] == "POINT"
     a_in_b = st_contains(b, a) | _on_ring(b, a["xs"][0], a["ys"][0])
     b_in_a = st_contains(a, b) | _on_ring(a, b["xs"][0], b["ys"][0])
@@ -539,7 +620,10 @@ def st_buffer(g: Column, distance: Column) -> Column:
     approximation, like every planar engine's). distance = 0 returns the
     geometry unchanged; negative distances and line/polygon buffers
     (offset curves outside the single-ring core) → NULL."""
-    d = _col_d(distance)
+    return _let2(g, _col_d(distance).alias("d"), _buffer_body)
+
+
+def _buffer_body(g: Column, d: Column) -> Column:
     n = 4 * BUFFER_QUADRANT_SEGMENTS
     idx = F.sequence(F.lit(0), F.lit(n - 1))
     two_pi = 2.0 * 3.141592653589793

@@ -19,7 +19,7 @@ Scale design (the point of every choice here):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 # ---------------------------------------------------------------------------
@@ -176,12 +176,22 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """MinHash → LSH banding → candidate pairs → exact-Jaccard verify.
 
     Returns (id_a, id_b, jaccard) for verified near-dup pairs. The only
     quadratic work is within LSH buckets; everything else is linear maps
     and shuffles on (id) / (band, bucket) keys.
+
+    Hot-bucket guard (r09, VERDICT r08 #5): a degenerate corpus
+    (mass-duplicated boilerplate, empty strings) lands one giant LSH
+    bucket and the within-bucket self-join goes quadratic on it. Buckets
+    larger than ``max_bucket_size`` switch from all-pairs to STAR edges
+    (bucket-min id → every other member): linear in the bucket size,
+    and connectivity — hence dedup_by_pairs / connected_components
+    results — is preserved, because every member still links to the
+    representative and the exact-Jaccard verify prunes false positives.
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, num_perm=num_perm)
@@ -215,10 +225,21 @@ def minhash_lsh_pairs(
     # (id, band, bucket) = ~24 bytes x bands per document.
     band_entries = band_entries_plan.localCheckpoint(eager=True)
 
-    cand = (
-        band_entries.alias("x")
+    bw = Window.partitionBy("band", "bucket")
+    sized = band_entries.select(
+        F.col(id_col),
+        "band",
+        "bucket",
+        F.count(F.lit(1)).over(bw).alias("__bsz"),
+        F.min(id_col).over(bw).alias("__bmin"),
+    )
+    normal = sized.filter(F.col("__bsz") <= max_bucket_size).drop(
+        "__bsz", "__bmin"
+    )
+    all_pairs = (
+        normal.alias("x")
         .join(
-            band_entries.alias("y"),
+            normal.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
@@ -226,8 +247,15 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
         )
-        .distinct()
     )
+    star_pairs = (
+        sized.filter(
+            (F.col("__bsz") > max_bucket_size)
+            & (F.col(id_col) > F.col("__bmin"))
+        )
+        .select(F.col("__bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    cand = all_pairs.unionByName(star_pairs).distinct()
     # Exact-Jaccard verification needs shingles only for CANDIDATE ids: one
     # doc scan + semi-join prune, materialized small, consumed twice — never
     # a full-corpus shingle materialization, never a second corpus scan.
@@ -296,10 +324,16 @@ def simhash_pairs(
     *,
     max_hamming: int = 8,
     band_bits: int = 16,
+    max_bucket_size: int = 256,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, with bit-band LSH
     blocking: signatures agreeing on any 16-bit band become candidates
-    (guaranteed to catch distance < 64/band_bits bands)."""
+    (guaranteed to catch distance < 64/band_bits bands).
+
+    Buckets larger than ``max_bucket_size`` emit STAR edges (bucket-min
+    member → every other member) instead of all-pairs — linear instead of
+    quadratic on a degenerate mass-duplicate corpus, connectivity
+    preserved (see minhash_lsh_pairs)."""
     sig = simhash_signatures(df, text_col, id_col)
     bands = sig.select(
         F.col(id_col),
@@ -322,11 +356,26 @@ def simhash_pairs(
     # (no ReusedExchange, same as minhash) — materialize the narrow
     # (id, sim, band, key) relation once
     bands = bands.localCheckpoint(eager=True)
+
+    bw = Window.partitionBy("band", "key")
+    sized = bands.select(
+        F.col(id_col),
+        "__sim",
+        "band",
+        "key",
+        F.count(F.lit(1)).over(bw).alias("__bsz"),
+        # min-id member WITH its signature, so star edges can still
+        # compute the exact Hamming distance
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("__sim").alias("s")))
+        .over(bw)
+        .alias("__bmin"),
+    )
+    normal = sized.filter(F.col("__bsz") <= max_bucket_size)
     ham = F.bit_count(F.col("x.__sim").bitwiseXOR(F.col("y.__sim")))
-    return (
-        bands.alias("x")
+    all_pairs = (
+        normal.alias("x")
         .join(
-            bands.alias("y"),
+            normal.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.key") == F.col("y.key"))
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
@@ -336,6 +385,22 @@ def simhash_pairs(
             F.col(f"y.{id_col}").alias("id_b"),
             ham.alias("hamming"),
         )
+    )
+    star_pairs = (
+        sized.filter(
+            (F.col("__bsz") > max_bucket_size)
+            & (F.col(id_col) > F.col("__bmin.i"))
+        )
+        .select(
+            F.col("__bmin.i").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.bit_count(
+                F.col("__bmin.s").bitwiseXOR(F.col("__sim"))
+            ).alias("hamming"),
+        )
+    )
+    return (
+        all_pairs.unionByName(star_pairs)
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )

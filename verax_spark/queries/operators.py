@@ -3798,18 +3798,34 @@ def op_fn_geo2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32-vertex buffer / clipped-ring expression trees and optimization
     # goes quadratic in their size — measured 141s of pure planning for
     # 24 rows. With the cut the metrics reference stored columns: <4s.
-    geoms = t.select(
+    # r09 second cut: store the PARSED/constructed inputs first, so the
+    # constructive ops below reference stored struct columns instead of
+    # re-embedding the WKT-parse trees (the let-binding in geo.py caps
+    # per-function growth; this cut removes the parse subtrees entirely
+    # from the constructive projection's analysis).
+    parsed = t.select(
         "d",
-        isect.alias("g_isect"),
-        pc("st_intersection", pt_in, box_a).alias("g_pt_isect"),
-        pc("st_intersection", pt_out, box_a).alias("g_pt_out"),
-        pc("st_union", box_a, small).alias("g_union_small"),
-        pc("st_union", box_a, box_b).alias("g_union_ident"),
-        pc("st_union", pt_in, box_a).alias("g_union_pt"),
+        box_b.alias("g_box_b"),
+        pt_in.alias("g_pt_in"),
+        pt_out.alias("g_pt_out_pt"),
         buf.alias("g_buf"),
-        pc("st_centroid", buf).alias("g_buf_c"),
-        pc("st_centroid", lshape).alias("g_l_c"),
-        pc("st_centroid", line).alias("g_line_c"),
+        lshape.alias("g_lshape"),
+        line.alias("g_line"),
+    ).localCheckpoint(eager=True)
+    g_box_b = F.col("g_box_b")
+    g_pt_in = F.col("g_pt_in")
+    geoms = parsed.select(
+        "d",
+        pc("st_intersection", box_a, g_box_b).alias("g_isect"),
+        pc("st_intersection", g_pt_in, box_a).alias("g_pt_isect"),
+        pc("st_intersection", F.col("g_pt_out_pt"), box_a).alias("g_pt_out"),
+        pc("st_union", box_a, small).alias("g_union_small"),
+        pc("st_union", box_a, g_box_b).alias("g_union_ident"),
+        pc("st_union", g_pt_in, box_a).alias("g_union_pt"),
+        F.col("g_buf"),
+        pc("st_centroid", F.col("g_buf")).alias("g_buf_c"),
+        pc("st_centroid", F.col("g_lshape")).alias("g_l_c"),
+        pc("st_centroid", F.col("g_line")).alias("g_line_c"),
     ).localCheckpoint(eager=True)
     return geoms.select(
         "d",
