@@ -40,6 +40,12 @@ def main() -> None:
     spark = get_spark(
         "verax-bench", shuffle_partitions=8 if small else None
     )
+    if small:
+        # AQE's per-stage runtime re-planning is pure overhead when every
+        # shuffle is a few MB (measured ~0.05 s/query at sf0.1 — ~10% of
+        # the subset total); at real scale (sf1+) it stays on, where skew
+        # handling and runtime broadcast conversion pay for themselves.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
     qs = entrymod.queries()
 

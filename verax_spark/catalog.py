@@ -60,6 +60,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (application id, sf_dir, table) → DataFrame; see Catalog.table.
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# (application id, sf_dir, table) → TableStats. Footer stats are pure
+# file metadata, so they are as immutable as the scan plans above —
+# but _stats was per-Catalog-instance and a harness builds a fresh
+# Catalog per query, so every planning helper (_semi_if_big, layout
+# costing) re-read parquet footers on every call (~10-50 ms x tables
+# touched, a measurable slice of the r08 sf0.1 steady regression).
+_STATS_CACHE: dict[tuple[str, str, str], object] = {}
+
 
 @dataclass
 class Catalog:
@@ -106,9 +114,23 @@ class Catalog:
         axiom/connectors/ConnectorMetadata.h:51-93, :262-269). Driver-side
         metadata read, cached; never a Spark job."""
         if name not in self._stats:
-            from verax_spark.sources.stats import table_stats
+            df = self.table(name)
+            # id(df) distinguishes layout-served plans: _SCAN_CACHE returns
+            # the same object for the same (table, layout), so stats never
+            # leak across physical layouts with different byte sizes
+            key = (
+                self.spark.sparkContext.applicationId,
+                self.sf_dir,
+                name,
+                id(df),
+            )
+            shared = _STATS_CACHE.get(key)
+            if shared is None:
+                from verax_spark.sources.stats import table_stats
 
-            self._stats[name] = table_stats(self.table(name))
+                shared = table_stats(df)
+                _STATS_CACHE[key] = shared
+            self._stats[name] = shared
         return self._stats[name]
 
     def table(

@@ -925,15 +925,35 @@ def _feedback_key(module: str, qualname: str, sf_dir: str) -> str:
     return "|".join((module, qualname, _registry_state(sf_dir)))
 
 
-def load_layout_feedback(module: str, qualname: str, sf_dir: str) -> dict | None:
+# mtime-keyed in-memory copy of the feedback file: the wrapper consults
+# feedback on EVERY query call, and an unconditional open+json.load was a
+# per-query constant in the sf0.1 bench. Re-reads only when the file
+# changes (layout_ab.py writes through record_layout_feedback below).
+_FEEDBACK_CACHE: dict[str, tuple[float, dict]] = {}
+
+
+def _feedback_disk() -> dict:
+    path = _feedback_file()
     try:
-        with open(_feedback_file()) as f:
+        mtime = os.stat(path).st_mtime
+    except OSError:
+        return {}
+    cached = _FEEDBACK_CACHE.get(path)
+    if cached is not None and cached[0] == mtime:
+        return cached[1]
+    try:
+        with open(path) as f:
             disk = json.load(f)
-        rec = disk.get(_feedback_key(module, qualname, sf_dir))
-        if rec is not None:
-            return {t: tuple(v) for t, v in rec["choice"].items()}
     except (OSError, ValueError):
-        pass
+        disk = {}
+    _FEEDBACK_CACHE[path] = (mtime, disk)
+    return disk
+
+
+def load_layout_feedback(module: str, qualname: str, sf_dir: str) -> dict | None:
+    rec = _feedback_disk().get(_feedback_key(module, qualname, sf_dir))
+    if rec is not None:
+        return {t: tuple(v) for t, v in rec["choice"].items()}
     return None
 
 
@@ -958,12 +978,23 @@ def record_layout_feedback(
         pass
 
 
+# (app id, query, sf_dir, decision key) → built DataFrame. DataFrames are
+# immutable logical plans with a cached QueryExecution, so serving the
+# same object for the same (query, corpus state, layout decision) makes a
+# repeat call pay ZERO analysis/optimization/walk/re-plan cost — the plan
+# cache every long-running SQL engine keeps (the reference memoizes its
+# optimization artifacts through history for the same reason). Only pure
+# SELECT queries are wrapped (tpch.py); side-effecting queries never
+# route through this wrapper.
+_PLAN_CACHE: dict[tuple, object] = {}
+
+
 def with_auto_layouts(fn):
     """Wrap a (spark, sf_dir) -> DataFrame query so the PLANNER chooses
     each table's physical layout: plan flat, extract demands, cost layouts
     against footer metadata, re-plan with the winners. Memoized per
-    (query, corpus/registry state); zero overhead when no layouts are
-    registered for the corpus."""
+    (query, corpus/registry state) — decisions on disk, built PLANS per
+    process; zero overhead when no layouts are registered for the corpus."""
 
     @functools.wraps(fn)
     def run(spark, sf_dir: str):
@@ -976,28 +1007,48 @@ def with_auto_layouts(fn):
             source_fingerprint,
         )
 
+        appid = spark.sparkContext.applicationId
+        base_key = (appid, fn.__module__, fn.__qualname__, sf_dir)
+
         if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUTS") or not os.path.isdir(
             LAYOUT_REGISTRY_DIR
         ):
-            with policy("flat"):
-                return fn(spark, sf_dir)
+            pkey = base_key + ("flat-disabled",)
+            df = _PLAN_CACHE.get(pkey)
+            if df is None:
+                with policy("flat"):
+                    df = fn(spark, sf_dir)
+                _PLAN_CACHE[pkey] = df
+            return df
+
+        state = _registry_state(sf_dir)
         overrides = load_layout_feedback(fn.__module__, fn.__qualname__, sf_dir)
-        if overrides is not None:
-            with policy(dict(overrides) if overrides else "flat"):
-                return fn(spark, sf_dir)
-        key = (fn.__module__, fn.__qualname__, MODEL_VERSION, _registry_state(sf_dir))
-        overrides = _load_decision(key)
+        flat_df = None
         if overrides is None:
-            with policy("flat"):
-                flat_df = fn(spark, sf_dir)
-                cat = Catalog(spark, sf_dir)
-                overrides = choose_layouts(flat_df, cat, sf_dir)
-            _store_decision(key, overrides)
-        if not overrides:
-            with policy("flat"):
-                return fn(spark, sf_dir)
-        with policy(dict(overrides)):
-            return fn(spark, sf_dir)
+            key = (fn.__module__, fn.__qualname__, MODEL_VERSION, state)
+            overrides = _load_decision(key)
+            if overrides is None:
+                with policy("flat"):
+                    flat_df = fn(spark, sf_dir)
+                    cat = Catalog(spark, sf_dir)
+                    overrides = choose_layouts(flat_df, cat, sf_dir)
+                _store_decision(key, overrides)
+        pkey = base_key + (
+            state,
+            tuple(sorted((t, tuple(v)) for t, v in overrides.items())),
+        )
+        df = _PLAN_CACHE.get(pkey)
+        if df is None:
+            if not overrides:
+                if flat_df is None:
+                    with policy("flat"):
+                        flat_df = fn(spark, sf_dir)
+                df = flat_df
+            else:
+                with policy(dict(overrides)):
+                    df = fn(spark, sf_dir)
+            _PLAN_CACHE[pkey] = df
+        return df
 
     run.__wrapped_query__ = fn
     return run
