@@ -148,6 +148,31 @@ def test_explain_statement_shape():
     assert isinstance(stmt, ast.ExplainStmt)
 
 
+def test_explain_options_parse():
+    """EXPLAIN (TYPE .., FORMAT ..) — ref AstStatements.h:597-635."""
+    from verax_spark.sql import ast
+
+    stmt = parse("explain (type distributed) select 1")
+    assert isinstance(stmt, ast.ExplainStmt)
+    assert stmt.type_ == "distributed" and stmt.format is None
+
+    stmt = parse("explain (type io, format json) select 1")
+    assert stmt.type_ == "io" and stmt.format == "json"
+
+    stmt = parse("explain (format text, type validate) select 1")
+    assert stmt.type_ == "validate" and stmt.format == "text"
+
+    stmt = parse("explain (type logical) analyze select 1")
+    assert stmt.type_ == "logical" and stmt.analyze
+
+    with pytest.raises(ParseError):
+        parse("explain (type nonsense) select 1")
+    with pytest.raises(ParseError):
+        parse("explain (format yaml) select 1")
+    with pytest.raises(ParseError):
+        parse("explain (bogus distributed) select 1")
+
+
 def test_comments_are_skipped():
     out = transpile("select 1 -- trailing\n, 2 /* block\ncomment */ from t")
     assert out == "select 1, 2 from t"

@@ -978,23 +978,17 @@ def record_layout_feedback(
         pass
 
 
-# (app id, query, sf_dir, decision key) → built DataFrame. DataFrames are
-# immutable logical plans with a cached QueryExecution, so serving the
-# same object for the same (query, corpus state, layout decision) makes a
-# repeat call pay ZERO analysis/optimization/walk/re-plan cost — the plan
-# cache every long-running SQL engine keeps (the reference memoizes its
-# optimization artifacts through history for the same reason). Only pure
-# SELECT queries are wrapped (tpch.py); side-effecting queries never
-# route through this wrapper.
-_PLAN_CACHE: dict[tuple, object] = {}
-
-
 def with_auto_layouts(fn):
     """Wrap a (spark, sf_dir) -> DataFrame query so the PLANNER chooses
     each table's physical layout: plan flat, extract demands, cost layouts
-    against footer metadata, re-plan with the winners. Memoized per
-    (query, corpus/registry state) — decisions on disk, built PLANS per
-    process; zero overhead when no layouts are registered for the corpus."""
+    against footer metadata, re-plan with the winners. The DECISION is
+    memoized per (query, corpus/registry state) in memory and on disk, so
+    a repeat call pays zero choose-time plan/walk/re-plan cost; the
+    DataFrame itself is deliberately rebuilt per call — returning a cached
+    DataFrame would let Spark reuse the prior run's completed shuffle map
+    stages, which turns a repeat timing into result reuse, not steady-state
+    execution (measured: 22-query sf10 "steady" collapsed 25s -> 1.7s from
+    stage reuse alone — a benchmark lie, reverted r09)."""
 
     @functools.wraps(fn)
     def run(spark, sf_dir: str):
@@ -1007,25 +1001,19 @@ def with_auto_layouts(fn):
             source_fingerprint,
         )
 
-        appid = spark.sparkContext.applicationId
-        base_key = (appid, fn.__module__, fn.__qualname__, sf_dir)
-
         if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUTS") or not os.path.isdir(
             LAYOUT_REGISTRY_DIR
         ):
-            pkey = base_key + ("flat-disabled",)
-            df = _PLAN_CACHE.get(pkey)
-            if df is None:
-                with policy("flat"):
-                    df = fn(spark, sf_dir)
-                _PLAN_CACHE[pkey] = df
-            return df
-
-        state = _registry_state(sf_dir)
+            with policy("flat"):
+                return fn(spark, sf_dir)
         overrides = load_layout_feedback(fn.__module__, fn.__qualname__, sf_dir)
-        flat_df = None
         if overrides is None:
-            key = (fn.__module__, fn.__qualname__, MODEL_VERSION, state)
+            key = (
+                fn.__module__,
+                fn.__qualname__,
+                MODEL_VERSION,
+                _registry_state(sf_dir),
+            )
             overrides = _load_decision(key)
             if overrides is None:
                 with policy("flat"):
@@ -1033,22 +1021,11 @@ def with_auto_layouts(fn):
                     cat = Catalog(spark, sf_dir)
                     overrides = choose_layouts(flat_df, cat, sf_dir)
                 _store_decision(key, overrides)
-        pkey = base_key + (
-            state,
-            tuple(sorted((t, tuple(v)) for t, v in overrides.items())),
-        )
-        df = _PLAN_CACHE.get(pkey)
-        if df is None:
-            if not overrides:
-                if flat_df is None:
-                    with policy("flat"):
-                        flat_df = fn(spark, sf_dir)
-                df = flat_df
-            else:
-                with policy(dict(overrides)):
-                    df = fn(spark, sf_dir)
-            _PLAN_CACHE[pkey] = df
-        return df
+        if not overrides:
+            with policy("flat"):
+                return fn(spark, sf_dir)
+        with policy(dict(overrides)):
+            return fn(spark, sf_dir)
 
     run.__wrapped_query__ = fn
     return run

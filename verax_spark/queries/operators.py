@@ -3098,6 +3098,74 @@ def sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dispatches a procedure registry whose built-in flushes the scan-layout
 # and footer-stats caches. The returned frame exercises the alias inside
 # a real aggregation so the oracle checks actual CAST semantics.
+# ---------------------------------------------------------------------------
+# EXPLAIN options (r09; ref ExplainOption TYPE LOGICAL/DISTRIBUTED/
+# VALIDATE/IO + FORMAT, sql/presto/ast/AstStatements.h:597-635). VALIDATE
+# parses+resolves without executing; IO reports the post-pruning
+# table/column scan footprint (deterministic → oracled verbatim);
+# LOGICAL/DISTRIBUTED render plan text whose exact form is engine-owned,
+# so the query asserts structural facts (has an Aggregate; >=2 fragments
+# with a broadcast leaf) and emits them as booleans.
+@_register(
+    "sql_explain_options",
+    """
+    select * from (values
+      ('distributed_has_broadcast', 'true'),
+      ('distributed_multi_fragment', 'true'),
+      ('io:lineitem', 'l_partkey,l_quantity'),
+      ('io:part', 'p_partkey,p_size'),
+      ('io_json', '[{"table": "lineitem", "columns": ["l_partkey", '
+        || '"l_quantity"]}, {"table": "part", "columns": ["p_partkey", '
+        || '"p_size"]}]'),
+      ('logical_has_aggregate', 'true'),
+      ('validate', 'true'),
+      ('validate_bad_query_rejected', 'true')
+    ) as t(kind, val) order by kind
+    """,
+)
+def sql_explain_options(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark, sf_dir)
+    q = (
+        "select p_size, count(*) as n from lineitem "
+        "join part on l_partkey = p_partkey "
+        "where l_quantity < 10 group by p_size"
+    )
+    valid = sess.sql(f"explain (type validate) {q}").collect()[0].valid
+    bad_rejected = False
+    try:
+        sess.sql(
+            "explain (type validate) select no_such_column from lineitem"
+        ).collect()
+    except Exception:  # noqa: BLE001 - the rejection IS the test
+        bad_rejected = True
+    io_rows = sess.sql(f"explain (type io) {q}").collect()
+    io_json = (
+        sess.sql(f"explain (type io, format json) {q}").collect()[0].io_plan
+    )
+    logical = sess.sql(f"explain (type logical) {q}").collect()[0].plan
+    dist = sess.sql(f"explain (type distributed) {q}").collect()[0].plan
+    rows = [
+        ("validate", str(valid).lower()),
+        ("validate_bad_query_rejected", str(bad_rejected).lower()),
+        *[(f"io:{r.table}", r.columns) for r in io_rows],
+        ("io_json", io_json),
+        ("logical_has_aggregate", str("Aggregate" in logical).lower()),
+        (
+            "distributed_has_broadcast",
+            str("broadcast" in dist).lower(),
+        ),
+        (
+            "distributed_multi_fragment",
+            str(dist.count("fragment") >= 2).lower(),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, val string"
+    ).orderBy("kind")
+
+
 @_register(
     "sql_statement_tail",
     """

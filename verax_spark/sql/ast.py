@@ -1181,11 +1181,15 @@ class Query:
 
 @dataclass
 class ExplainStmt:
-    """EXPLAIN [ANALYZE] query — reference AstStatements.h:597; ANALYZE
-    executes the query and reports the final (AQE-resolved) physical plan."""
+    """EXPLAIN [(TYPE .., FORMAT ..)] [ANALYZE] query — reference
+    AstStatements.h:597-635 (ExplainOption: TYPE LOGICAL/DISTRIBUTED/
+    VALIDATE/IO, FORMAT TEXT/JSON); ANALYZE executes the query and
+    reports the final (AQE-resolved) physical plan."""
 
     query: Query
     analyze: bool = False
+    type_: str | None = None  # logical | distributed | validate | io
+    format: str | None = None  # text | json
 
     def sql(self) -> str:
         return self.query.sql()

@@ -377,8 +377,34 @@ class Parser:
                 else:
                     stmt = ast.DropTableStmt(name, ie)
         elif self.accept_kw("explain"):
+            # EXPLAIN ( TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO
+            #         [, FORMAT TEXT|JSON] ) — ref AstStatements.h:597-635
+            etype: str | None = None
+            eformat: str | None = None
+            if self.accept_op("("):
+                while True:
+                    if self.accept_kw("type"):
+                        etype = self.ident().lower()
+                        if etype not in (
+                            "logical",
+                            "distributed",
+                            "validate",
+                            "io",
+                        ):
+                            raise ParseError(f"unknown EXPLAIN TYPE {etype}")
+                    elif self.accept_kw("format"):
+                        eformat = self.ident().lower()
+                        if eformat not in ("text", "json"):
+                            raise ParseError(
+                                f"unknown EXPLAIN FORMAT {eformat}"
+                            )
+                    else:
+                        raise ParseError("expected TYPE or FORMAT")
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
             analyze = bool(self.accept_kw("analyze"))
-            stmt = ast.ExplainStmt(self.parse_query(), analyze)
+            stmt = ast.ExplainStmt(self.parse_query(), analyze, etype, eformat)
         elif self.accept_kw("analyze"):
             stmt = ast.AnalyzeStmt(self.ident())
         elif self.accept_kw("insert"):

@@ -33,6 +33,9 @@ against Catalyst-inlined SQL UDFs (functions.presto.register_sql_compat).
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 
 from verax_spark.sources import versions
@@ -376,6 +379,75 @@ class PrestoSession:
                 node.parameters = [(n, res(t)) for n, t in node.parameters]
                 node.return_type = res(node.return_type)
 
+    def _scan_footprint(self, df: DataFrame) -> dict[str, list[str]]:
+        """(table -> read columns) from the formatted physical plan — the
+        EXPLAIN (TYPE IO) payload. Parses the per-scan Location/ReadSchema
+        lines, so it reports the POST-pruning column footprint the engine
+        will actually read (ref ExplainOption TYPE IO,
+        AstStatements.h:597-635)."""
+        plan = df._jdf.queryExecution().explainString(
+            self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # resolved path -> base table, covering the flat source, the
+        # split-cache copy, and every registered bucketed layout — IO
+        # must report LOGICAL tables, not physical copy paths
+        from verax_spark.optimizer.layouts import _norm_path, table_path_map
+        from verax_spark.sources.layout import (
+            _registry_entries,
+            source_fingerprint,
+        )
+
+        path_map = dict(table_path_map(self.catalog))
+        for name in self.catalog.all_tables:
+            src = os.path.join(self.catalog.sf_dir, f"{name}.parquet")
+            if not os.path.exists(src):
+                continue
+            try:
+                for e in _registry_entries(source_fingerprint(src), name):
+                    loc_e = e.get("location", "").removeprefix("file:")
+                    if loc_e:
+                        path_map[_norm_path(loc_e)] = name
+            except Exception:  # noqa: BLE001 - registry is optional
+                pass
+
+        out: dict[str, set[str]] = {}
+        loc: str | None = None
+        for line in plan.splitlines():
+            line = line.strip()
+            if line.startswith("Location:"):
+                m = re.search(r"\[([^\],]+)", line)
+                loc = m.group(1) if m else None
+            elif line.startswith("ReadSchema:") and loc:
+                key = _norm_path(loc.removeprefix("file:"))
+                base = os.path.basename(loc.rstrip("/"))
+                table = path_map.get(key, base.removesuffix(".parquet"))
+                m = re.search(r"struct<(.*)>\s*$", line)
+                cols: list[str] = []
+                if m:
+                    depth = 0
+                    name = ""
+                    for ch in m.group(1) + ",":
+                        if ch in "<([":
+                            depth += 1
+                        elif ch in ">)]":
+                            depth -= 1
+                        if ch == "," and depth == 0:
+                            if ":" in name:
+                                cols.append(name.split(":", 1)[0].strip())
+                            name = ""
+                        else:
+                            name += ch
+                out.setdefault(table, set()).update(cols)
+                loc = None
+        return {t: sorted(c) for t, c in out.items()}
+
+    def explain(self, text: str) -> str:
+        """EXPLAIN helper for callers that want the text directly."""
+        rows = self.sql(f"explain {text}").collect()
+        return rows[0][0]
+
     def sql(self, text: str, params: "list | tuple | None" = None) -> DataFrame:
         stmt = parse(text.strip())
         self._bind_parameters(stmt, params)
@@ -400,7 +472,49 @@ class PrestoSession:
         if isinstance(stmt, ast.ExplainStmt):
             from verax_spark.plans.builder import local_values
 
+            if stmt.type_ == "validate":
+                # TYPE VALIDATE: parse + resolve only, never execute —
+                # Presto returns a single boolean column (ref
+                # AstStatements.h:597-635 ExplainOption). Resolution =
+                # Spark analysis of the optimized rendering.
+                df = self.spark.sql(self._optimize(stmt.query).sql())
+                df.schema  # forces analysis; raises on unresolved
+                return local_values(self.spark, [(True,)], "valid boolean")
             df = self.spark.sql(self._optimize(stmt.query).sql())
+            if stmt.type_ == "io":
+                # TYPE IO: the scanned tables + pruned columns from the
+                # optimized plan (Presto's IO plan reports catalog/table/
+                # column footprint). Deterministic, so DuckDB-oracle-able.
+                rows = sorted(
+                    (t, ",".join(cols))
+                    for t, cols in self._scan_footprint(df).items()
+                )
+                if stmt.format == "json":
+                    import json as _json
+
+                    payload = _json.dumps(
+                        [
+                            {"table": t, "columns": c.split(",") if c else []}
+                            for t, c in rows
+                        ]
+                    )
+                    return local_values(
+                        self.spark, [(payload,)], "io_plan string"
+                    )
+                return local_values(
+                    self.spark,
+                    list(rows) or [("", "")],
+                    "table string, columns string",
+                )
+            if stmt.type_ == "logical":
+                plan = df._jdf.queryExecution().optimizedPlan().toString()
+                return local_values(self.spark, [(plan,)], "plan string")
+            if stmt.type_ == "distributed":
+                from verax_spark.plans.fragments import explain_fragments
+
+                return local_values(
+                    self.spark, [(explain_fragments(df),)], "plan string"
+                )
             if stmt.analyze:
                 # EXPLAIN ANALYZE: execute, then report the FINAL physical
                 # plan (AQE-resolved: actual join strategies, coalesced
