@@ -1517,3 +1517,79 @@ def test_bing_tile_quadkey_round_trip(fx):
     for i, (x, y, z) in enumerate(cases):
         got = row[f"t{i}"]
         assert (got.x, got.y, got.zoom) == (x, y, z)
+
+
+def test_geo_tail_hull_simplify_wkb(spark):
+    """r09 geospatial tail: ST_ConvexHull / ST_Simplify / WKB codec —
+    degenerate shapes, NULL contracts, both byte orders."""
+    import struct as _struct
+
+    from verax_spark.functions.presto import presto_call as pc
+
+    df = spark.range(1)
+    row = df.select(
+        # point hull = the point; collinear hull = linestring
+        pc("st_geometrytype", pc("st_convexhull", pc("st_point", F.lit(1.0), F.lit(2.0)))).alias("pt_kind"),
+        pc(
+            "st_geometrytype",
+            pc(
+                "st_convexhull",
+                pc("st_geometryfromtext", F.lit("LINESTRING (0 0, 1 1, 2 2)")),
+            ),
+        ).alias("collinear_kind"),
+        # negative tolerance -> NULL; zero -> unchanged
+        pc(
+            "st_simplify",
+            pc("st_geometryfromtext", F.lit("LINESTRING (0 0, 1 0, 2 0)")),
+            F.lit(-1.0),
+        ).isNull().alias("neg_tol_null"),
+        pc(
+            "st_numpoints",
+            pc(
+                "st_simplify",
+                pc("st_geometryfromtext", F.lit("LINESTRING (0 0, 1 5, 2 0)")),
+                F.lit(0.0),
+            ),
+        ).alias("zero_tol_npts"),
+        # a polygon ring that would collapse keeps the original
+        pc(
+            "st_numpoints",
+            pc(
+                "st_simplify",
+                pc(
+                    "st_geometryfromtext",
+                    F.lit("POLYGON ((0 0, 4 0, 4 0.01, 0 0.01, 0 0))"),
+                ),
+                F.lit(10.0),
+            ),
+        ).alias("collapse_npts"),
+        pc("st_geomfrombinary", F.lit(b"nonsense")).isNull().alias("garbage_null"),
+    ).collect()[0]
+    assert row.pt_kind == "ST_Point"
+    assert row.collinear_kind == "ST_LineString"
+    assert row.neg_tol_null
+    assert row.zero_tol_npts == 3
+    assert row.collapse_npts == 4
+    assert row.garbage_null
+
+    # big-endian WKB parses too (byte-order flag 0)
+    be = b"\x00" + _struct.pack(">I", 1) + _struct.pack(">2d", 3.25, -7.5)
+    got = (
+        spark.createDataFrame([(be,)], "b binary")
+        .select(
+            pc("st_x", pc("st_geomfrombinary", F.col("b"))).alias("x"),
+            pc("st_y", pc("st_geomfrombinary", F.col("b"))).alias("y"),
+        )
+        .collect()[0]
+    )
+    assert (got.x, got.y) == (3.25, -7.5)
+
+    # multi-ring polygon WKB (holes) -> NULL, the loud unsupported signal
+    ring = _struct.pack("<5I", 0, 0, 0, 0, 0)  # placeholder coords block
+    two_rings = b"\x01" + _struct.pack("<II", 3, 2) + ring
+    assert (
+        spark.createDataFrame([(two_rings,)], "b binary")
+        .select(pc("st_geomfrombinary", F.col("b")).isNull().alias("n"))
+        .collect()[0]
+        .n
+    )

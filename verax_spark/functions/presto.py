@@ -584,6 +584,11 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "st_intersection": lambda a, b: _geo().st_intersection(_col(a), _col(b)),
     "st_union": lambda a, b: _geo().st_union(_col(a), _col(b)),
     "st_buffer": lambda g, d: _geo().st_buffer(_col(g), d),
+    # --- r09: hull/simplify/WKB tail (pandas-batched in geo.py) ---
+    "st_convexhull": lambda g: _geo().st_convex_hull(_col(g)),
+    "st_simplify": lambda g, t: _geo().st_simplify(_col(g), t),
+    "st_asbinary": lambda g: _geo().st_as_binary(_col(g)),
+    "st_geomfrombinary": lambda b: _geo().st_geom_from_binary(_col(b)),
     "great_circle_distance": lambda a, b, c, d: _geo().great_circle_distance(
         _col(a), _col(b), _col(c), _col(d)
     ),
@@ -2271,9 +2276,10 @@ def register_sql_compat(spark) -> None:
     """Register Presto-compat SQL UDFs in the session (idempotent)."""
     for ddl in _SQL_COMPAT:
         spark.sql(ddl)
-    from verax_spark.functions.udfs import register_udfs
+    from verax_spark.functions.udfs import register_geo_udfs, register_udfs
 
     register_udfs(spark)
+    register_geo_udfs(spark)
 
 
 def presto_call(name: str, *args) -> Column:

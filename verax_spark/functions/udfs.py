@@ -691,3 +691,74 @@ def register_udfs(spark) -> None:
     spark.udf.register("inverse_f_cdf", inverse_f_cdf)
     spark.udf.register("inverse_chi_squared_cdf", inverse_chi_squared_cdf)
     spark.udf.register("inverse_beta_cdf", inverse_beta_cdf)
+
+
+def register_geo_udfs(spark) -> None:
+    """r09 geospatial tail: expose hull/simplify/WKB (pandas-batched in
+    functions/geo.py) plus WKT in/out to SQL text, so the ST_* surface is
+    reachable from both the DSL (presto_call adapters) and SQL.
+
+    st_asbinary registers as a Python UDF directly — Spark 4.1 ships a
+    builtin of that name over its own GEOMETRY type, and a SQL UDF cannot
+    replace a builtin, but a session UDF can shadow it. The struct-valued
+    functions get SQL-UDF wrappers over struct-arg pandas UDFs so their
+    (null,null,null) rows — a struct-returning pandas UDF cannot yield
+    SQL NULL — normalize back to NULL."""
+    from verax_spark.functions import geo as _geo
+
+    _geo._pandas_geo_udfs()
+    spark.udf.register("st_asbinary", _geo._ASBIN_UDF_G)
+    spark.udf.register("_vx_st_hull", _geo._HULL_UDF_G)
+    spark.udf.register("_vx_st_simplify", _geo._SIMPLIFY_UDF_G)
+    spark.udf.register("_vx_st_frombinary", _geo._FROMBIN_UDF)
+    g_t = "struct<kind:string,xs:array<double>,ys:array<double>>"
+    num = r"(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)"
+    pair = rf"{num}\\s+{num}"
+    ddls = [
+        f"""create or replace temporary function st_convexhull(g {g_t})
+            returns {g_t}
+            return case when _vx_st_hull(g).kind is not null
+                   then _vx_st_hull(g) end""",
+        f"""create or replace temporary function st_simplify(
+              g {g_t}, tol double)
+            returns {g_t}
+            return case when _vx_st_simplify(g, tol).kind is not null
+                   then _vx_st_simplify(g, tol) end""",
+        f"""create or replace temporary function st_geomfrombinary(b binary)
+            returns {g_t}
+            return case when _vx_st_frombinary(b).kind is not null
+                   then _vx_st_frombinary(b) end""",
+        # WKT in/out, SQL-text mirrors of geo.st_geometry_from_text /
+        # st_as_text, so SQL can construct and render geometries
+        f"""create or replace temporary function st_geometryfromtext(w string)
+            returns {g_t}
+            return case when regexp_extract(upper(trim(w)),
+                     '^(POINT|LINESTRING|POLYGON)', 1) <> ''
+                   and not upper(trim(w)) rlike '\\\\)\\\\s*,\\\\s*\\\\('
+                   and not startswith(upper(trim(w)), 'MULTI')
+              then named_struct(
+                'kind', regexp_extract(upper(trim(w)),
+                        '^(POINT|LINESTRING|POLYGON)', 1),
+                'xs', transform(regexp_extract_all(upper(trim(w)),
+                        '{pair}', 0),
+                      p -> cast(split(p, '\\\\s+')[0] as double)),
+                'ys', transform(regexp_extract_all(upper(trim(w)),
+                        '{pair}', 0),
+                      p -> cast(split(p, '\\\\s+')[1] as double)))
+              end""",
+        f"""create or replace temporary function st_astext(g {g_t})
+            returns string
+            return case g.kind
+              when 'POINT' then concat('POINT (', array_join(
+                zip_with(g.xs, g.ys, (x, y) -> concat(
+                  cast(x as string), ' ', cast(y as string))), ', '), ')')
+              when 'LINESTRING' then concat('LINESTRING (', array_join(
+                zip_with(g.xs, g.ys, (x, y) -> concat(
+                  cast(x as string), ' ', cast(y as string))), ', '), ')')
+              when 'POLYGON' then concat('POLYGON ((', array_join(
+                zip_with(g.xs, g.ys, (x, y) -> concat(
+                  cast(x as string), ' ', cast(y as string))), ', '), '))')
+              end""",
+    ]
+    for ddl in ddls:
+        spark.sql(ddl)
