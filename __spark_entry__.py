@@ -33,59 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # then r05, then r07). The first 50 of the r07 ordering all greened in
 # CORRECTNESS_r07 and rotate to the back.
 _PRIORITY = [
-    # -- latest green r03 (stalest; judge r07 directive #4) --
-    "tpch_q2",
-    "tpch_q6",
-    "tpch_q9",
-    "tpch_q15",
-    "tpch_q18",
-    "tpch_q20",
-    "tpch_q21",
-    # -- changed or new this round (re-verify) --
-    "pl_lm_score",
-    "op_fn_geo",
-    "op_fn_geo2",
+    # -- r09 rotation: changed/new queries first (fixes from the
+    # r09 ULP hardening + geo/explain additions need driver
+    # validation), then the STALEST greens (last checked r04),
+    # then r05 / r07; the r08-validated window goes to the back --
+    # -- changed or new in r09 --
+    "op_fn_geo3",
+    "sql_explain_options",
     "op_fn_batch12",
-    "pl_dedup_cc",
+    "op_fn_geo2",
+    "op_fn_geo",
+    "op_fn_batch7",
+    "op_fn_batch9",
+    "op_fn_batch10",
+    "op_fn_extra",
+    "sql_join_reorder",
+    "pl_lm_score",
     "pl_resample_mixture",
-    "tpch_q13",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q22",
-    "tpch_q8",
-    # -- latest green r04 --
-    "op_agg_filter",
-    "op_connector_tpch",
-    "op_dereference",
-    "op_fn_array_map",
-    "op_fn_conv",
-    "op_fn_decimal",
-    "op_fn_map_agg",
-    "op_fn_null_semantics",
-    "op_fn_percentile",
-    "op_grouping_sets",
-    "op_hof_aggregate",
-    "op_hof_zip_with",
-    "op_join_theta",
-    "op_setop_except",
-    "op_sort_nulls",
-    "op_table_write",
-    "op_unnest_array",
-    "op_unnest_map",
-    "op_window_ntile",
-    "op_window_range_frame",
-    "op_window_rank",
-    "pl_curate",
     "pl_dedup_minhash",
-    "pl_dedup_ngram_jaccard",
     "pl_dedup_simhash",
-    "pl_knn_ivf",
-    "pl_knn_lsh",
-    "pl_multimodal_decode",
-    "pl_multimodal_frames",
-    "pl_multimodal_resize",
-    "pl_range_join",
-    "pl_text_fingerprint",
+    # -- last driver-checked r04 --
     "pl_text_langid",
     "pl_text_quality",
     "pl_text_regex_tokens",
@@ -104,14 +71,13 @@ _PRIORITY = [
     "st_dedup",
     "st_enrich_join",
     "st_stream_join",
-    # -- latest green r05 --
+    # -- last driver-checked r05 --
     "op_agg_distinct",
     "op_builder_reorder",
     "op_connector_formats",
     "op_distinct",
     "op_fn_agg2",
     "op_fn_batch6",
-    "op_fn_batch7",
     "op_fn_batch8",
     "op_fn_collections",
     "op_fn_datetime",
@@ -153,9 +119,7 @@ _PRIORITY = [
     "sql_statement_tail",
     "sql_time_travel",
     "st_session_windows",
-    # -- latest green r07 (the 50-query window of CORRECTNESS_r07) --
-    "op_fn_batch9",
-    "op_fn_batch10",
+    # -- last driver-checked r07 --
     "op_fn_setdigest",
     "op_fn_classification",
     "op_agg_ordered",
@@ -182,7 +146,6 @@ _PRIORITY = [
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
-    "op_fn_extra",
     "op_subfield_pushdown",
     "pl_asof_join",
     "pl_asof_join_salted",
@@ -191,13 +154,56 @@ _PRIORITY = [
     "pl_knn_brute",
     "pl_pack_sequences",
     "pl_token_vocab",
-    "sql_join_reorder",
     "sql_lateral",
     "sql_subscript",
     "sql_try",
     "sql_window_clause",
     "st_windowed_counts",
     "tpch_q1",
+    # -- validated in the r08 window --
+    "tpch_q2",
+    "tpch_q6",
+    "tpch_q9",
+    "tpch_q15",
+    "tpch_q18",
+    "tpch_q20",
+    "tpch_q21",
+    "pl_dedup_cc",
+    "tpch_q13",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q22",
+    "tpch_q8",
+    "op_agg_filter",
+    "op_connector_tpch",
+    "op_dereference",
+    "op_fn_array_map",
+    "op_fn_conv",
+    "op_fn_decimal",
+    "op_fn_map_agg",
+    "op_fn_null_semantics",
+    "op_fn_percentile",
+    "op_grouping_sets",
+    "op_hof_aggregate",
+    "op_hof_zip_with",
+    "op_join_theta",
+    "op_setop_except",
+    "op_sort_nulls",
+    "op_table_write",
+    "op_unnest_array",
+    "op_unnest_map",
+    "op_window_ntile",
+    "op_window_range_frame",
+    "op_window_rank",
+    "pl_curate",
+    "pl_dedup_ngram_jaccard",
+    "pl_knn_ivf",
+    "pl_knn_lsh",
+    "pl_multimodal_decode",
+    "pl_multimodal_frames",
+    "pl_multimodal_resize",
+    "pl_range_join",
+    "pl_text_fingerprint",
 ]
 
 
