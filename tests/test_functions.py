@@ -581,6 +581,41 @@ def _cases():
     ],
     "st_x": [(_c("st_x", _c("st_point", F.lit(7.0), F.lit(8.0))), 7.0)],
     "st_y": [(_c("st_y", _c("st_point", F.lit(7.0), F.lit(8.0))), 8.0)],
+    # r09 tail: hull / simplify / WKB codec
+    "st_convexhull": [
+        (
+            _c("st_convexhull", _c("st_geometryfromtext",
+                F.lit("LINESTRING (0 0, 1 1, 2 0, 2 2, 0 2)"))),
+            lambda v: v.kind == "POLYGON"
+            and v.xs == [0.0, 2.0, 2.0, 0.0, 0.0]
+            and v.ys == [0.0, 0.0, 2.0, 2.0, 0.0],
+        ),
+    ],
+    "st_simplify": [
+        (
+            _c("st_simplify", _c("st_geometryfromtext",
+                F.lit("LINESTRING (0 0, 1 0.01, 2 0, 4 3)")), F.lit(0.1)),
+            lambda v: v.kind == "LINESTRING"
+            and v.xs == [0.0, 2.0, 4.0]
+            and v.ys == [0.0, 0.0, 3.0],
+        ),
+    ],
+    "st_asbinary": [
+        (
+            _c("st_asbinary", _c("st_point", F.lit(1.5), F.lit(2.5))),
+            lambda v: v.hex()
+            == "0101000000000000000000f83f0000000000000440",
+        ),
+    ],
+    "st_geomfrombinary": [
+        (
+            _c("st_geomfrombinary", _c("st_asbinary",
+                _c("st_geometryfromtext", F.lit("LINESTRING (0 0, 3 4)")))),
+            lambda v: v.kind == "LINESTRING"
+            and v.xs == [0.0, 3.0]
+            and v.ys == [0.0, 4.0],
+        ),
+    ],
     # r07 accessor/predicate tail (box = POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0)))
     "st_xmin": [(_c("st_xmin", _c("st_geometryfromtext",
         F.lit("POLYGON ((1 0, 7 0, 7 4, 1 4, 1 0))"))), 1.0)],

@@ -1036,6 +1036,10 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         # shuffles its 2.6M rows; per-partition hashes of ~27k entries
         # stay cache-resident), then anti-join bad suppliers on the ~13%
         # survivors rather than the full fact.
+        # r09 negative A/B: pre-distinct-ing (l_partkey, l_suppkey) pairs
+        # before the part join (to shrink the countDistinct expand input
+        # ~7x) measured 57-65s vs 17-35s for this shape at sf100 — the
+        # 600M-pair distinct hash state spills; rejected.
         return (
             cat.lineitem
             .select("l_partkey", "l_suppkey")
