@@ -772,6 +772,43 @@ def test_explain_analyze(spark, sf_dir):
     assert "Scan" in row.plan or "AdaptiveSparkPlan" in row.plan
 
 
+def test_explain_options_shapes(spark, sf_dir):
+    """EXPLAIN (TYPE ..) — ref AstStatements.h:597-635. VALIDATE never
+    executes (returns a boolean and raises on unresolved names); IO
+    reports the post-pruning footprint with LOGICAL table names even when
+    a scan is served from a split-cache or bucketed-layout path."""
+    import pytest as _pytest
+
+    sess = PrestoSession(spark, sf_dir)
+    q = (
+        "select o_orderstatus, count(*) as n from orders "
+        "where o_totalprice > 1000 group by o_orderstatus"
+    )
+    assert sess.sql(f"explain (type validate) {q}").collect()[0].valid
+    with _pytest.raises(Exception):
+        sess.sql("explain (type validate) select nope from orders").collect()
+
+    io = {
+        r.table: r.columns
+        for r in sess.sql(f"explain (type io) {q}").collect()
+    }
+    # logical table name, post-pruning columns only
+    assert io == {"orders": "o_orderstatus,o_totalprice"}, io
+
+    logical = sess.sql(f"explain (type logical) {q}").collect()[0].plan
+    assert "Aggregate" in logical
+    dist = sess.sql(f"explain (type distributed) {q}").collect()[0].plan
+    assert "fragment0" in dist
+
+    import json as _json
+
+    payload = sess.sql(f"explain (type io, format json) {q}").collect()[0]
+    parsed = _json.loads(payload.io_plan)
+    assert parsed == [
+        {"table": "orders", "columns": ["o_orderstatus", "o_totalprice"]}
+    ]
+
+
 def test_extract_presto_units(presto):
     """EXTRACT canonicalizes Presto-semantic units: dow is ISO Monday=1
     (2020-01-02 is a Thursday); yow is the ISO week-numbering year."""

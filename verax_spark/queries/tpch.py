@@ -679,7 +679,12 @@ order by o_year
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product type profit (ref tpch.queries/q9.sql), adapted: supply cost :=
     5% of p_retailprice (no partsupp). Shape kept: 5-way join + LIKE filter +
-    derived table + re-agg."""
+    derived table + re-agg.
+
+    r09 neutral A/B at sf100 (2 reps each, 32g heap): the feedback choice
+    lineitem[l_partkey] + orders[o_orderkey] 17.8/19.0s vs flat 23/26s vs
+    lineitem[l_orderkey]+orders[o_orderkey] 24/33s — the recorded choice
+    is already the best of the candidates; no shape change shipped."""
     cat = Catalog(spark, sf_dir)
     nation = F.broadcast(cat.nation)
     # amount in 10^-5 integer units (rev is 10^-4 → x10; cost =

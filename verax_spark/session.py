@@ -87,7 +87,14 @@ def get_spark(
         # the explicit TRY forms (SURVEY §2.2 SpecialFormExpr).
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode executors share the driver JVM, so this IS the
+        # execution-memory pool for all $SPARK_GRAFT_CPUS task threads.
+        # 8g was flake-prone at sf100: 32 concurrent SHUFFLE_HASH builds
+        # hit "Can't acquire ... bytes to build hash relation" under q9
+        # (observed r09). 24g on a 128 GiB box gives each thread ~450 MB
+        # of execution memory headroom; on a real cluster the executor
+        # memory conf replaces this entirely.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", "/tmp/verax-spark-warehouse")
     )
