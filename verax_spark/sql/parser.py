@@ -1306,6 +1306,7 @@ class Parser:
             return "string" if base == "varchar" else base
         return {
             "varchar": "string",
+            "varbinary": "binary",
             "integer": "int",
             "real": "float",
             # Presto's JSON type is represented as canonical JSON text
