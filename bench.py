@@ -11,6 +11,12 @@ each query is fully materialized via collect (aggregated results are tiny).
 Methodology (uniform for EVERY query, ADVICE r03): run 1 = cold (whole-stage
 -codegen JIT + planning), run 2 = steady state, both always measured and
 both reported; no min(), no conditional skips.
+
+Scale legs (BENCH_SF{1,10,100}.json) run via tools/bench_sf1.py against
+DERIVED corpora under /tmp, which OUTLIVE a round: a corpus is only valid
+for reuse if its stamped _SPEC.json matches the current source files,
+copy count, and recipe version — bench_sf1.py regenerates on any
+mismatch (VERDICT r09 #8; r09 inherited r08's corpus silently).
 """
 
 from __future__ import annotations

@@ -1082,6 +1082,10 @@ def _cases():
     "bing_tile_at": [
         (_c("bing_tile_at", F.lit(0.0), F.lit(0.0), F.lit(1)),
          lambda v: (v.x, v.y, v.zoom) == (1, 1, 1)),
+        # NULL lat must be NULL, not clamped to the domain edge
+        # (greatest/least skip nulls; ADVICE r09)
+        (_c("bing_tile_at", F.lit(None).cast("double"), F.lit(0.0), F.lit(1)),
+         None),
     ],
     "bing_tile_coordinates": [
         (_c("bing_tile_coordinates", _c("bing_tile", F.lit(3), F.lit(5), F.lit(4))),
@@ -1102,6 +1106,12 @@ def _cases():
         # the 2x2 map -> 4 tiles in (dx, dy) order
         (_c("bing_tiles_around", F.lit(0.0), F.lit(0.0), F.lit(1)),
          lambda v: [(t.x, t.y) for t in v] == [(0, 0), (0, 1), (1, 0), (1, 1)]),
+        # NULL lat must yield NULL, not an empty array (ADVICE r09: the
+        # center struct has NULL FIELDS but is itself non-null)
+        (_c("bing_tiles_around",
+            F.lit(None).cast("double"), F.lit(0.0), F.lit(1)), None),
+        (_c("bing_tiles_around",
+            F.lit(0.0), F.lit(None).cast("double"), F.lit(1)), None),
     ],
     "array_normalize": [
         (_c("array_normalize", F.array(F.lit(3.0), F.lit(4.0)), F.lit(2.0)),

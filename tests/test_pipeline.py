@@ -48,6 +48,68 @@ def test_minhash_finds_the_high_jaccard_pairs(spark, sf_dir):
     assert not missed, f"LSH missed high-jaccard pairs: {missed}"
 
 
+def test_lsh_hot_bucket_two_level_mixed_groups(spark, sf_dir):
+    """Two-level hot-bucket scheme (r10, ADVICE r09): a hot bucket MIXING
+    two duplicate classes must (a) keep exact semantics within each
+    identical-signature sub-group — star edges at Jaccard 1.0, even though
+    the bucket-min belongs to the OTHER class — and (b) link the classes
+    through their representatives when the cross-class Jaccard passes the
+    threshold. The r09 single-star guard lost (b)-style member pairs
+    whenever the global bucket-min failed the verify (ADVICE r09 medium).
+
+    X and Y share 15 of 20 words: exact 3-shingle Jaccard 13/23 ≈ 0.565
+    (≥ 0.5) and they collide on 3 of 16 bands (deterministic — xxhash64
+    seeds are fixed), so every shared bucket holds both classes (200 > 64
+    = hot) and X-only/Y-only buckets are hot too (100 > 64)."""
+    from verax_spark.operators import dedup
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango"
+    ).split()
+    x_text = " ".join(words)
+    y_text = " ".join(words[:15] + ["uniform", "victor", "whiskey", "xray", "yankee"])
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, F.lit(x_text)).otherwise(F.lit(y_text)).alias("text"),
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", num_perm=64, bands=16,
+            threshold=0.5, max_bucket_size=64,
+        ).collect()
+    }
+    want = (
+        {(0, i) for i in range(1, 100)}       # X sub-group star
+        | {(100, j) for j in range(101, 200)}  # Y sub-group star
+        | {(0, 100)}                            # representative pair
+    )
+    assert set(pairs) == want, (
+        f"missing {want - set(pairs)}, extra {set(pairs) - want}"
+    )
+    assert pairs[(0, 100)] == 13 / 23  # exact cross-class jaccard
+    assert all(
+        v == 1.0 for k, v in pairs.items() if k != (0, 100)
+    )
+    kept = dedup.dedup_by_pairs(docs, "doc_id", pairs=dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_perm=64, bands=16,
+        threshold=0.5, max_bucket_size=64,
+    ))
+    assert kept.count() == 1  # classes linked through representatives
+
+    # same two-level scheme on the simhash path: identical-signature
+    # sub-groups star at hamming 0 regardless of the bucket-min's class
+    sim = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_pairs(
+            docs, "text", "doc_id", max_bucket_size=64
+        ).collect()
+    }
+    assert {(0, i) for i in range(1, 100)} <= sim
+    assert {(100, j) for j in range(101, 200)} <= sim
+
+
 def test_lsh_hot_bucket_guard_bounded_and_connected(spark, sf_dir):
     """Planted degenerate corpus (VERDICT r08 #5): thousands of identical
     documents collapse every LSH band into ONE bucket. The hot-bucket

@@ -1107,3 +1107,55 @@ def test_prepared_statement_parameters(presto, sf_dir):
         presto.sql("select ? as a")
     with pytest.raises(ValueError, match="parameter"):
         presto.sql("select 1 as a", params=[2])
+
+
+def test_explain_reference_grammar_order(presto):
+    """EXPLAIN ANALYZE? VERBOSE? before the option list — the reference
+    grammar order (AstStatements.h:597-635; ADVICE r09 flagged the
+    inverted acceptance). The legacy trailing-ANALYZE spelling from
+    earlier rounds keeps parsing."""
+    # Presto-ordered ANALYZE + options
+    row = presto.sql(
+        "explain analyze (type distributed) "
+        "select count(*) as n from nation"
+    ).collect()[0]
+    assert "fragment0" in row.plan
+    # legacy order still accepted
+    row = presto.sql(
+        "explain (type distributed) analyze "
+        "select count(*) as n from nation"
+    ).collect()[0]
+    assert "fragment0" in row.plan
+    # VERBOSE widens the default rendering to all plan phases
+    plan = presto.sql(
+        "explain verbose select count(*) as n from nation"
+    ).collect()[0].plan
+    assert "Optimized Logical Plan" in plan or "Physical Plan" in plan
+
+
+def test_explain_format_graphviz(presto):
+    """EXPLAIN (FORMAT GRAPHVIZ) — ref ExplainFormat kGraphviz. DOT text
+    with one node per fragment and kind-labelled exchange edges."""
+    dot = presto.sql(
+        "explain (format graphviz) select n_regionkey, count(*) as n "
+        "from nation group by n_regionkey"
+    ).collect()[0].plan
+    assert dot.startswith("digraph plan {") and dot.rstrip().endswith("}")
+    assert "->" in dot and "label=" in dot
+
+
+def test_flush_clears_footer_stats_caches(presto):
+    """CALL system.flush_metadata_cache() drops the footer-stat caches
+    too (ADVICE r09): the catalog-level cache pins DataFrames by id and
+    a GC-recycled id must never serve stale stats after a flush."""
+    from verax_spark import catalog as cat_mod
+    from verax_spark.sources import stats as stats_mod
+
+    presto.catalog.stats("nation")
+    assert cat_mod._STATS_CACHE
+    # every cached entry pins the DataFrame whose id() keys it
+    assert all(
+        id(df) == key[3] for key, (df, _) in cat_mod._STATS_CACHE.items()
+    )
+    presto.sql("call system.flush_metadata_cache()").collect()
+    assert not cat_mod._STATS_CACHE and not stats_mod._STATS_CACHE

@@ -70,6 +70,40 @@ _SCALED = ["customer", "supplier", "part", "orders", "lineitem"]
 _OUT_FILES = {"lineitem": 32, "orders": 16}
 
 
+# Derived corpora under /tmp OUTLIVE a round: r09 silently inherited r08's
+# /tmp/sf100 (it happened to be spec-identical — VERDICT r09 #8). A corpus
+# is only reusable if it was generated from the SAME source files with the
+# SAME copy count and generator recipe, so generation stamps a spec file
+# and reuse validates it; any mismatch (or a pre-spec legacy corpus)
+# forces regeneration.
+_SPEC_VERSION = 1  # bump when the derivation recipe changes
+
+
+def _corpus_spec() -> dict:
+    src_state = {}
+    for t in _FIXED + _SCALED:
+        p = f"{SRC}/{t}.parquet"
+        st = os.stat(p)
+        src_state[t] = [st.st_size, int(st.st_mtime)]
+    return {
+        "spec_version": _SPEC_VERSION,
+        "copies": COPIES,
+        "src": SRC,
+        "src_state": src_state,
+    }
+
+
+def _corpus_reusable() -> bool:
+    spec_path = f"{DST}/_SPEC.json"
+    if not os.path.exists(f"{DST}/lineitem.parquet"):
+        return False
+    try:
+        with open(spec_path) as f:
+            return json.load(f) == _corpus_spec()
+    except (OSError, ValueError):
+        return False
+
+
 def generate(con, spark) -> None:
     import pyspark.sql.functions as F
 
@@ -129,10 +163,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     con = duckdb.connect()
-    if "--regen" in sys.argv or not os.path.exists(f"{DST}/lineitem.parquet"):
+    if "--regen" in sys.argv or not _corpus_reusable():
         print(f"generating {DST} ({COPIES}x {SRC}) ...", flush=True)
         t0 = time.perf_counter()
         generate(con, spark)
+        with open(f"{DST}/_SPEC.json", "w") as f:
+            json.dump(_corpus_spec(), f)
         print(f"generated in {time.perf_counter() - t0:.1f}s", flush=True)
 
     qs = {

@@ -60,13 +60,17 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # (application id, sf_dir, table) → DataFrame; see Catalog.table.
 _SCAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
-# (application id, sf_dir, table) → TableStats. Footer stats are pure
-# file metadata, so they are as immutable as the scan plans above —
+# (application id, sf_dir, table, id(df)) → (df, TableStats). Footer stats
+# are pure file metadata, so they are as immutable as the scan plans above —
 # but _stats was per-Catalog-instance and a harness builds a fresh
 # Catalog per query, so every planning helper (_semi_if_big, layout
 # costing) re-read parquet footers on every call (~10-50 ms x tables
 # touched, a measurable slice of the r08 sf0.1 steady regression).
-_STATS_CACHE: dict[tuple[str, str, str], object] = {}
+# The value PINS the DataFrame whose id() is in the key: a GC-recycled
+# object id can therefore never alias a stale entry (ADVICE r09), and
+# flush_metadata_cache clears this cache alongside _SCAN_CACHE so a
+# vacuum/rewrite re-reads footers.
+_STATS_CACHE: dict[tuple[str, str, str, int], tuple[DataFrame, object]] = {}
 
 
 @dataclass
@@ -124,13 +128,13 @@ class Catalog:
                 name,
                 id(df),
             )
-            shared = _STATS_CACHE.get(key)
-            if shared is None:
+            entry = _STATS_CACHE.get(key)
+            if entry is None:
                 from verax_spark.sources.stats import table_stats
 
-                shared = table_stats(df)
-                _STATS_CACHE[key] = shared
-            self._stats[name] = shared
+                entry = (df, table_stats(df))
+                _STATS_CACHE[key] = entry
+            self._stats[name] = entry[1]
         return self._stats[name]
 
     def table(

@@ -1887,8 +1887,14 @@ def _bing_tile_at(lat, lng, zoom) -> Column:
         F.greatest(F.floor(v), F.lit(0).cast("long")),
         (n - 1).cast("long"),
     )
+    # Spark's greatest/least SKIP nulls, so a NULL lat/lng would otherwise
+    # silently clamp to the domain edge instead of propagating NULL the
+    # way Presto does (ADVICE r09) — guard on the raw inputs.
     return F.when(
-        z.between(0, _MAX_BING_ZOOM), _bing_struct(clamp(xf), clamp(yf), z)
+        z.between(0, _MAX_BING_ZOOM)
+        & _col(lat).isNotNull()
+        & _col(lng).isNotNull(),
+        _bing_struct(clamp(xf), clamp(yf), z),
     )
 
 
@@ -1951,10 +1957,14 @@ def _bing_tiles_around(lat, lng, zoom) -> Column:
         ),
     )
     # dirty input (NULL args / zoom out of range) must yield NULL like
-    # bing_tile/bing_tile_at, not an empty array from NULL-filtered deltas
+    # bing_tile/bing_tile_at, not an empty array from NULL-filtered deltas.
+    # NULL lat/lng produces a struct with NULL FIELDS (the struct itself is
+    # non-null — _bing_tile_at only nulls on bad zoom), so the guard must
+    # test the fields, not the struct (ADVICE r09).
     return F.when(
         _col(zoom).cast("int").between(0, _MAX_BING_ZOOM)
-        & center.isNotNull(),
+        & center["x"].isNotNull()
+        & center["y"].isNotNull(),
         tiles,
     )
 

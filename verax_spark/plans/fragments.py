@@ -124,3 +124,28 @@ def explain_fragments(df: DataFrame) -> str:
     """Pretty multi-fragment spec, the reference's MultiFragmentPlan
     toString analog."""
     return fragment_plan(df).pretty()
+
+
+def graphviz_fragments(df: DataFrame) -> str:
+    """DOT rendering of the fragment tree — EXPLAIN (FORMAT GRAPHVIZ),
+    the reference's ExplainFormat kGraphviz (AstStatements.h:597-635).
+    One node per fragment (label = task prefix + operator chain), one
+    edge per exchange, labelled with the exchange kind."""
+    root = fragment_plan(df)
+    lines = ["digraph plan {", "  node [shape=box];"]
+    counter = [0]
+
+    def emit(f: "Fragment") -> str:
+        nid = f"f{counter[0]}"
+        counter[0] += 1
+        label = f"{f.task_prefix}\\n" + " <- ".join(f.ops)
+        label = label.replace('"', "'")
+        lines.append(f'  {nid} [label="{label}"];')
+        for child in f.inputs:
+            cid = emit(child)
+            lines.append(f'  {cid} -> {nid} [label="{child.kind}"];')
+        return nid
+
+    emit(root)
+    lines.append("}")
+    return "\n".join(lines)

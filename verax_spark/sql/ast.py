@@ -1181,15 +1181,17 @@ class Query:
 
 @dataclass
 class ExplainStmt:
-    """EXPLAIN [(TYPE .., FORMAT ..)] [ANALYZE] query — reference
+    """EXPLAIN [ANALYZE] [VERBOSE] [(TYPE .., FORMAT ..)] query — reference
     AstStatements.h:597-635 (ExplainOption: TYPE LOGICAL/DISTRIBUTED/
-    VALIDATE/IO, FORMAT TEXT/JSON); ANALYZE executes the query and
-    reports the final (AQE-resolved) physical plan."""
+    VALIDATE/IO, FORMAT TEXT/JSON/GRAPHVIZ); ANALYZE executes the query and
+    reports the final (AQE-resolved) physical plan; VERBOSE widens the
+    default rendering to Spark's extended explain (all plan phases)."""
 
     query: Query
     analyze: bool = False
     type_: str | None = None  # logical | distributed | validate | io
-    format: str | None = None  # text | json
+    format: str | None = None  # text | json | graphviz
+    verbose: bool = False
 
     def sql(self) -> str:
         return self.query.sql()

@@ -377,10 +377,16 @@ class Parser:
                 else:
                     stmt = ast.DropTableStmt(name, ie)
         elif self.accept_kw("explain"):
-            # EXPLAIN ( TYPE LOGICAL|DISTRIBUTED|VALIDATE|IO
-            #         [, FORMAT TEXT|JSON] ) — ref AstStatements.h:597-635
+            # EXPLAIN ANALYZE? VERBOSE? ( '(' TYPE LOGICAL|DISTRIBUTED|
+            # VALIDATE|IO [, FORMAT TEXT|JSON|GRAPHVIZ] ')' )? query —
+            # reference grammar order (AstStatements.h:597-635 puts
+            # ANALYZE/VERBOSE before the option list; ADVICE r09). The
+            # nonstandard trailing ANALYZE is still accepted for
+            # back-compat with earlier rounds' replay corpus.
             etype: str | None = None
             eformat: str | None = None
+            analyze = bool(self.accept_kw("analyze"))
+            verbose = bool(self.accept_kw("verbose"))
             if self.accept_op("("):
                 while True:
                     if self.accept_kw("type"):
@@ -394,7 +400,7 @@ class Parser:
                             raise ParseError(f"unknown EXPLAIN TYPE {etype}")
                     elif self.accept_kw("format"):
                         eformat = self.ident().lower()
-                        if eformat not in ("text", "json"):
+                        if eformat not in ("text", "json", "graphviz"):
                             raise ParseError(
                                 f"unknown EXPLAIN FORMAT {eformat}"
                             )
@@ -403,8 +409,10 @@ class Parser:
                     if not self.accept_op(","):
                         break
                 self.expect_op(")")
-            analyze = bool(self.accept_kw("analyze"))
-            stmt = ast.ExplainStmt(self.parse_query(), analyze, etype, eformat)
+            analyze = analyze or bool(self.accept_kw("analyze"))
+            stmt = ast.ExplainStmt(
+                self.parse_query(), analyze, etype, eformat, verbose
+            )
         elif self.accept_kw("analyze"):
             stmt = ast.AnalyzeStmt(self.ident())
         elif self.accept_kw("insert"):

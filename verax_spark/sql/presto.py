@@ -87,6 +87,13 @@ def _proc_flush_metadata_cache(session: "PrestoSession") -> str:
     session.catalog._cache.clear()
     session.catalog._stats.clear()
     cat_mod._SCAN_CACHE.clear()
+    # footer-stat caches too (ADVICE r09): the catalog-level cache pins
+    # DataFrames by id, the sources-level one is file-fingerprint keyed —
+    # both must drop so a vacuum/table-rewrite re-reads footers
+    cat_mod._STATS_CACHE.clear()
+    from verax_spark.sources import stats as stats_mod
+
+    stats_mod._STATS_CACHE.clear()
     session.spark.catalog.clearCache()
     return f"flushed {n} cached scans"
 
@@ -441,6 +448,17 @@ class PrestoSession:
                             name += ch
                 out.setdefault(table, set()).update(cols)
                 loc = None
+        # report LOGICAL columns only: a physical layout copy may carry
+        # derived (materialized-projection) columns the logical table
+        # doesn't have — the IO footprint is a logical-schema surface
+        for t in list(out):
+            try:
+                logical = {
+                    f.name for f in self.catalog.table(t, layout_keys=()).schema
+                }
+            except Exception:  # noqa: BLE001 - non-catalog temp tables
+                continue
+            out[t] = {c for c in out[t] if c in logical}
         return {t: sorted(c) for t, c in out.items()}
 
     def explain(self, text: str) -> str:
@@ -506,6 +524,14 @@ class PrestoSession:
                     list(rows) or [("", "")],
                     "table string, columns string",
                 )
+            if stmt.format == "graphviz":
+                # FORMAT GRAPHVIZ (ref ExplainFormat kGraphviz): DOT text
+                # of the fragment tree, for any plan-rendering type
+                from verax_spark.plans.fragments import graphviz_fragments
+
+                return local_values(
+                    self.spark, [(graphviz_fragments(df),)], "plan string"
+                )
             if stmt.type_ == "logical":
                 plan = df._jdf.queryExecution().optimizedPlan().toString()
                 return local_values(self.spark, [(plan,)], "plan string")
@@ -530,9 +556,12 @@ class PrestoSession:
                     [(plan, n, wall_ms)],
                     "plan string, rows bigint, wall_ms double",
                 )
+            # VERBOSE widens to Spark's extended mode (all plan phases:
+            # parsed/analyzed/optimized/physical), matching Presto's
+            # more-detailed-rendering intent for EXPLAIN VERBOSE
             plan = df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-                    "formatted"
+                    "extended" if stmt.verbose else "formatted"
                 )
             )
             return local_values(self.spark, [(plan,)], "plan string")
