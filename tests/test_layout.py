@@ -466,3 +466,117 @@ def test_layout_feedback_overrides_static_model(spark, sf_dir, tmp_path, monkeyp
     )
     assert q(spark, sf_dir).count() == 25
     assert calls["static"] == before  # feedback short-circuited the model
+
+
+def test_projection_layout_end_to_end(spark, sf_dir, tmp_path, monkeypatch):
+    """Materialized-projection copies (r10, VERDICT r09 #1 — the reference
+    ColumnGroup with computed columns, Schema.h:238-264): the copy carries
+    precomputed derived columns and a sort order; it NEVER serves a
+    generic table() call (extra columns would change select-* semantics),
+    only Catalog.derived under an explicit planner policy, and the flat
+    fallback computes the identical expressions inline — rows equal."""
+    import shutil as _sh
+
+    from verax_spark.optimizer.layouts import policy
+    from verax_spark.queries.tpch import LINEITEM_DERIVED
+    from verax_spark.sources.layout import (
+        derived_digest,
+        materialize_projection_layout,
+        projection_covering,
+        registered_layout,
+    )
+
+    monkeypatch.setattr(
+        "verax_spark.sources.layout.LAYOUT_REGISTRY_DIR",
+        str(tmp_path / "reg"),
+    )
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    _sh.copyfile(f"{sf_dir}/lineitem.parquet", src_dir / "lineitem.parquet")
+    src = str(src_dir / "lineitem.parquet")
+    materialize_projection_layout(
+        spark, src, "lineitem", LINEITEM_DERIVED,
+        sort_cols=["l_shipdate"], n_files=4,
+    )
+    digest = derived_digest(LINEITEM_DERIVED)
+
+    # generic serving path must NEVER see the projection
+    assert registered_layout(src, "lineitem") is None
+    # coverage is exact-SQL-string matching, subsets allowed
+    sub = {"__ru": LINEITEM_DERIVED["__ru"]}
+    assert projection_covering(src, "lineitem", sub) is not None
+    assert projection_covering(
+        src, "lineitem", {"__ru": "l_extendedprice * 2"}
+    ) is None
+
+    req = {k: LINEITEM_DERIVED[k] for k in ("__ru", "__qty_u")}
+    with policy({"lineitem@proj": (digest,)}):
+        served = Catalog(spark, str(src_dir)).derived("lineitem", req)
+    # provenance: the scan reads the copy's files, not the source
+    assert all("vx_prj_" in f for f in served.inputFiles())
+    assert "__ru" in served.columns and "__qty_u" in served.columns
+    assert "__charge_u" not in served.columns  # unrequested derived dropped
+    with policy("flat"):
+        inline = Catalog(spark, str(src_dir)).derived("lineitem", req)
+    assert all("vx_prj_" not in f for f in inline.inputFiles())
+    cols = sorted(served.columns)
+    assert cols == sorted(inline.columns)
+    got = sorted(map(tuple, served.select(*cols).collect()))
+    want = sorted(map(tuple, inline.select(*cols).collect()))
+    assert got == want
+
+
+def test_planner_picks_projection_for_pruned_scan(spark, sf_dir, tmp_path, monkeypatch):
+    """choose_layouts costs projection candidates from the derived-column
+    requests recorded during the flat pass: a shipdate-windowed aggregate
+    over derived units (q6/q14 shape) must choose the copy (row-group
+    pruning ∝ sort-column selectivity); a query with no derived request
+    must not."""
+    import shutil as _sh
+
+    from verax_spark.optimizer.layouts import (
+        _DERIVED_REQUESTS,
+        choose_layouts,
+        policy,
+    )
+    from verax_spark.queries.tpch import LINEITEM_DERIVED
+    from verax_spark.sources.layout import (
+        derived_digest,
+        materialize_projection_layout,
+    )
+
+    monkeypatch.setattr(
+        "verax_spark.sources.layout.LAYOUT_REGISTRY_DIR",
+        str(tmp_path / "reg"),
+    )
+    src_dir = tmp_path / "sf"
+    src_dir.mkdir()
+    _sh.copyfile(f"{sf_dir}/lineitem.parquet", src_dir / "lineitem.parquet")
+    src = str(src_dir / "lineitem.parquet")
+    materialize_projection_layout(
+        spark, src, "lineitem", LINEITEM_DERIVED,
+        sort_cols=["l_shipdate"], n_files=4,
+    )
+
+    _DERIVED_REQUESTS.clear()
+    with policy("flat"):
+        cat = Catalog(spark, str(src_dir))
+        df = (
+            cat.derived("lineitem", {"__ru": LINEITEM_DERIVED["__ru"]})
+            .filter(
+                (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+            )
+            .agg(F.sum("__ru").alias("r"))
+        )
+        overrides = choose_layouts(df, cat, str(src_dir))
+    assert overrides.get("lineitem@proj") == (
+        derived_digest(LINEITEM_DERIVED),
+    ), overrides
+
+    _DERIVED_REQUESTS.clear()
+    with policy("flat"):
+        cat = Catalog(spark, str(src_dir))
+        plain = cat.table("lineitem").groupBy("l_returnflag").count()
+        overrides = choose_layouts(plain, cat, str(src_dir))
+    assert "lineitem@proj" not in overrides, overrides

@@ -40,6 +40,19 @@ BUCKET_SPECS = {
     ],
 }
 
+# table → (derived-column spec, sort columns) for the materialized-
+# projection copy (r10, VERDICT r09 #1): precomputed unit columns +
+# range-sort by shipdate, so shipdate-windowed scan-bound queries
+# (q1/q6/q14/q15/q20 class) read pruned row groups of precomputed int64
+# instead of full-span doubles. The canonical SQL lives with the queries
+# that consume it (queries/tpch.py LINEITEM_DERIVED).
+
+
+def _projection_specs():
+    from verax_spark.queries.tpch import LINEITEM_DERIVED
+
+    return {"lineitem": (LINEITEM_DERIVED, ["l_shipdate"])}
+
 
 def main() -> None:
     sf_dir = next((a for a in sys.argv[1:] if not a.startswith("--")), "/tmp/sf100")
@@ -51,7 +64,10 @@ def main() -> None:
     )
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     from verax_spark.session import get_spark
-    from verax_spark.sources.layout import materialize_bucketed_layout
+    from verax_spark.sources.layout import (
+        materialize_bucketed_layout,
+        materialize_projection_layout,
+    )
 
     spark = get_spark("verax-bucketize")
     spark.sparkContext.setLogLevel("WARN")
@@ -69,6 +85,15 @@ def main() -> None:
             print(
                 f"{t} -> {tbl} ({time.perf_counter() - t0:.1f}s)", flush=True
             )
+    for t, (derived, sort_cols) in _projection_specs().items():
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(src):
+            continue
+        t0 = time.perf_counter()
+        tbl = materialize_projection_layout(
+            spark, src, t, derived, sort_cols=sort_cols, n_files=n
+        )
+        print(f"{t} -> {tbl} ({time.perf_counter() - t0:.1f}s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -31,20 +31,39 @@ sys.path.insert(0, REPO)
 
 
 def candidates(static: dict, sf_dir: str) -> list[dict]:
-    from verax_spark.sources.layout import _registry_entries, source_fingerprint
+    from verax_spark.sources.layout import (
+        _registry_entries,
+        derived_digest,
+        source_fingerprint,
+    )
 
     out = [dict(static), {t: () for t in static}]
-    for table in static:
+    # "<table>@proj" keys select a materialized-projection copy (r10);
+    # enumerate them alongside the bucket alternatives of the base table
+    for table in {t.split("@", 1)[0] for t in static}:
         path = os.path.join(sf_dir, f"{table}.parquet")
-        alts = [
+        entries = _registry_entries(source_fingerprint(path), table)
+        bucket_alts = [
             tuple(e["bucket_cols"])
-            for e in _registry_entries(source_fingerprint(path), table)
+            for e in entries
+            if e.get("kind") != "projection"
         ]
-        for alt in alts + [()]:
-            cand = dict(static)
-            cand[table] = alt
-            if cand not in out:
-                out.append(cand)
+        proj_alts = [
+            (derived_digest(e["derived"]),)
+            for e in entries
+            if e.get("kind") == "projection"
+        ]
+        # full bucket x projection cross — many combos are physically
+        # identical (a bucket choice is moot while @proj serves the scan);
+        # the caller's plan-fingerprint dedupe collapses those for free
+        for alt in bucket_alts + [()]:
+            for palt in (proj_alts + [()]) if proj_alts else [None]:
+                cand = dict(static)
+                cand[table] = alt
+                if palt is not None:
+                    cand[f"{table}@proj"] = palt
+                if cand not in out:
+                    out.append(cand)
     return out
 
 
@@ -75,13 +94,37 @@ def main() -> None:
             continue
         timings: dict[str, float] = {}
         results: list[tuple[float, dict]] = []
+        seen_plans: dict[str, str] = {}  # plan fingerprint -> first tag
         for cand in candidates(static, sf_dir):
             tag = json.dumps(cand, sort_keys=True)
             with policy(dict(cand) if any(cand.values()) else "flat"):
-                fn(spark, sf_dir).collect()  # cold
-                t0 = time.perf_counter()
-                fn(spark, sf_dir).collect()
-                sec = round(time.perf_counter() - t0, 3)
+                # candidates differing only in a policy key the query never
+                # consults (e.g. a bucket choice while @proj serves the
+                # scan) produce the IDENTICAL physical plan — timing them
+                # separately just measures noise and lets noise get
+                # recorded as feedback. Dedupe by analyzed-plan text.
+                import hashlib as _h
+                import re as _re
+
+                df = fn(spark, sf_dir)
+                # exprIds differ per build — normalize them out, else no
+                # two plans ever match
+                plan_text = _re.sub(
+                    r"#\d+",
+                    "#",
+                    df._jdf.queryExecution().analyzed().toString(),
+                )
+                fp = _h.md5(plan_text.encode()).hexdigest()
+                if fp in seen_plans:
+                    print(f"{name} {tag}: = {seen_plans[fp]}", flush=True)
+                    continue
+                seen_plans[fp] = tag
+                df.collect()  # cold
+                sec = float("inf")  # steady: min of two (C2 JIT tail)
+                for _ in range(2):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).collect()
+                    sec = min(sec, round(time.perf_counter() - t0, 3))
             timings[tag] = sec
             results.append((sec, cand))
             print(f"{name} {tag}: {sec}s", flush=True)

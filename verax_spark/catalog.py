@@ -235,6 +235,66 @@ class Catalog:
             _SCAN_CACHE[key] = self._cache[name]
         return self._cache[name]
 
+    def derived(self, name: str, derived: dict) -> DataFrame:
+        """Base table plus requested derived columns ({col: canonical SQL
+        over the base columns}) — the consumer-side of materialized-
+        projection layouts (reference ColumnGroup, Schema.h:238-264: a
+        physical copy with computed columns, chosen per query).
+
+        Physical choice: when the planner policy selected a projection
+        copy covering this request (key ``<name>@proj`` = entry digest),
+        serve the copy — precomputed columns, plus row-group pruning from
+        its sort order. Otherwise compute the expressions inline over
+        whatever ``table()`` serves. Results are identical by
+        construction: a copy only covers a request when every requested
+        (column, SQL) pair string-matches what was materialized.
+
+        The request is also RECORDED so the planner's flat costing pass
+        (optimizer/layouts.choose_layouts) knows this query consumes
+        these derived columns — inline expressions in the optimized plan
+        are not reliably recognizable as a projection-copy demand."""
+        from pyspark.sql import functions as F
+
+        from verax_spark.optimizer.layouts import record_derived_request
+        from verax_spark.sources.layout import (
+            attach_projection_entry,
+            derived_digest,
+            projection_covering,
+        )
+
+        record_derived_request(name, derived)
+        pol = self._layout_policy()
+        if isinstance(pol, dict) and pol.get(f"{name}@proj"):
+            path = os.path.join(self.sf_dir, f"{name}.parquet")
+            entry = projection_covering(path, name, derived)
+            chosen = pol[f"{name}@proj"]
+            # stored as a 1-tuple: decision/feedback persistence round-trips
+            # every policy value through list<->tuple uniformly
+            if isinstance(chosen, (tuple, list)):
+                chosen = chosen[0] if chosen else None
+            if (
+                entry is not None
+                and derived_digest(entry["derived"]) == chosen
+            ):
+                key = (
+                    self.spark.sparkContext.applicationId,
+                    self.sf_dir,
+                    name,
+                    f"proj:{entry['table']}",
+                )
+                df = _SCAN_CACHE.get(key)
+                if df is None:
+                    df = attach_projection_entry(self.spark, entry)
+                    if df is not None:
+                        _SCAN_CACHE[key] = df
+                if df is not None:
+                    extra = set(entry["derived"]) - set(derived)
+                    if extra:
+                        df = df.drop(*extra)
+                    return df
+        df = self.table(name)
+        return df.withColumns({c: F.expr(sql) for c, sql in derived.items()})
+
     def __getattr__(self, name: str) -> DataFrame:
         if name in ALL_TABLES:
             return self.table(name)

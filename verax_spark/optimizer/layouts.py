@@ -58,7 +58,7 @@ from dataclasses import dataclass
 # the bucket join). Deliberately tighter than DEFAULT_BROADCAST_BYTES.
 # bump when the decision model changes: it keys the persisted decision
 # memo, so stale choices never survive a model revision
-MODEL_VERSION = "r08.6"
+MODEL_VERSION = "r10.1"
 
 TRANSPARENT_BCAST_BYTES = 16 << 20
 
@@ -88,6 +88,16 @@ SHUFFLE_BYTE_WEIGHT = 1.0
 # feedback that overrides the static choice (q15/q17 got their copies
 # back that way) — while sub-margin losses would ship regressions.
 LAYOUT_AGG_ONLY_MARGIN = 0.4
+
+# Risk margin for materialized-projection copies (scan-benefit only: they
+# serve no exchange; their win is row-group pruning from the sort order
+# plus precomputed derived columns). The pruning estimate itself is solid
+# (sorted files ⇒ bytes read ∝ sort-column selectivity), but the byte
+# model cannot see decode/compute effects in either direction, so require
+# a clear modeled win; sub-margin CPU-side wins (e.g. q1's per-row
+# round+decimal arithmetic) are recovered by measured feedback
+# (tools/layout_ab.py), the same path q15/q17 used for bucket copies.
+LAYOUT_PROJ_MARGIN = 0.15
 
 _POLICY: contextvars.ContextVar = contextvars.ContextVar(
     "vx_layout_policy", default=None
@@ -123,6 +133,36 @@ class ScanDemand:
     fraction: float  # est fraction of base rows reaching that exchange
     out_cols: tuple[str, ...]  # pruned column set of the scan
     n_aggs: int = 0  # aggregate count (agg demands exchange key+state only)
+    # DSL conjuncts between scan and exchange (what `fraction` was computed
+    # from) — kept so projection costing can isolate the selectivity of
+    # predicates on a copy's SORT columns (= its row-group pruning power)
+    filters: tuple = ()
+
+
+# ---------------------------------------------------------------------------
+# Derived-column requests (materialized-projection demand side).
+#
+# Catalog.derived() records {table: merged {col: canonical SQL}} here during
+# the planner's flat pass: the inline expressions it builds are not reliably
+# recognizable in the optimized plan, and the projection registry matches by
+# canonical SQL string anyway. Single-threaded planning only (the wrapper
+# clears before each flat pass); bounded by tables x derived columns.
+_DERIVED_REQUESTS: dict[str, dict] = {}
+
+
+def record_derived_request(name: str, derived: dict) -> None:
+    _DERIVED_REQUESTS.setdefault(name, {}).update(derived)
+
+
+def _dsl_cols(e, acc: set) -> None:
+    """Column names referenced by a plans.expr DSL tree."""
+    from verax_spark.plans.expr import Call, Col
+
+    if isinstance(e, Col):
+        acc.add(e.name.lower())
+    elif isinstance(e, Call):
+        for a in e.args:
+            _dsl_cols(a, acc)
 
 
 # ---------------------------------------------------------------------------
@@ -581,7 +621,23 @@ def scan_demands(
                     else:
                         clean = False
                 if gseq.size() == 0:
-                    return  # global aggregate: partial-agg, no keyed exchange
+                    # global aggregate: partial-agg, no keyed exchange to
+                    # elide — but the scan itself (filters, columns) is
+                    # still a demand the PROJECTION costing needs (kind
+                    # "scan": zero exchange bytes, carries filters for the
+                    # sort-column pruning estimate)
+                    aseq = node.aggregateExpressions()
+                    for i in range(aseq.size()):
+                        refs: set[int] = set()
+                        _attr_refs(aseq.apply(i), refs)
+                        out_cols.update(ids[r] for r in refs if r in ids)
+                    demands.append(
+                        _make_demand(
+                            table, "scan", (), filters, unknown_filter,
+                            out_cols, cat, reduction=reduction,
+                        )
+                    )
+                    return
                 # DISTINCT aggregates: the physical dedup phase exchanges
                 # on grouping KEYS UNION distinct args (Spark's
                 # planAggregateWithOneDistinct), so a layout bucketed on a
@@ -665,7 +721,8 @@ def _make_demand(
     # unknown predicates contribute factor 1.0 (documented bucketed bias)
     _ = unknown_filter
     return ScanDemand(
-        table, kind, keys, frac * reduction, tuple(sorted(out_cols)), n_aggs
+        table, kind, keys, frac * reduction, tuple(sorted(out_cols)), n_aggs,
+        tuple(filters),
     )
 
 
@@ -741,6 +798,8 @@ def choose_layouts(df, cat, sf_dir: str) -> dict[str, tuple[str, ...]]:
         parts = cat.spark.sparkContext.defaultParallelism
 
         def exchange_bytes(d: ScanDemand) -> float:
+            if d.kind == "scan":
+                return 0.0  # no exchange above this scan (global agg)
             exch_rows = d.fraction * rows
             if d.kind == "agg":
                 width = _col_bytes(flat_stats, d.keys) / rows + 8.0 * d.n_aggs
@@ -806,7 +865,115 @@ def choose_layouts(df, cat, sf_dir: str) -> dict[str, tuple[str, ...]]:
             if c < cost((), flat_stats) - margin and c < best_cost - 1e-9:
                 best_cost, best_cols = c, bcols
         overrides[name] = best_cols
+
+        # -- materialized-projection candidates (r10, VERDICT r09 #1) --
+        # Only queries that REQUESTED derived columns (Catalog.derived,
+        # recorded during this flat pass) can consume a projection copy;
+        # its modeled win is (a) row-group pruning — sorted files make
+        # bytes-read proportional to the sort-column selectivity — and
+        # (b) not reading the derived expressions' input columns.
+        req = _DERIVED_REQUESTS.get(name)
+        if req:
+            choice = _choose_projection(
+                name, os.path.join(sf_dir, f"{name}.parquet"), req,
+                t_demands, flat_stats, pruned_cols, exchange_bytes,
+                best_cost,
+            )
+            if choice is not None:
+                overrides[f"{name}@proj"] = choice
     return overrides
+
+
+def _conjuncts(dsl, out: list) -> None:
+    from verax_spark.plans.expr import Call
+
+    if isinstance(dsl, Call) and dsl.fn == "and":
+        for a in dsl.args:
+            _conjuncts(a, out)
+    else:
+        out.append(dsl)
+
+
+def _choose_projection(
+    name, path, req, t_demands, flat_stats, pruned_cols, exchange_bytes,
+    best_cost,
+) -> tuple | None:
+    """Cost every registered projection copy covering ``req`` against the
+    incumbent (flat or bucket) winner; return ("<digest>",) when one beats
+    it by LAYOUT_PROJ_MARGIN. Same pure-metadata discipline as the bucket
+    costing: footers + recorded selectivities, no Spark job."""
+    import re as _re
+
+    from verax_spark.plans.expr import Call
+    from verax_spark.sources.layout import derived_digest, registered_projections
+    from verax_spark.sources.stats import parquet_stats, selectivity
+
+    flat_cols = set(flat_stats.columns)
+    # base columns feeding the derived expressions (identifier scan of the
+    # canonical SQL against the table's real column set)
+    derived_inputs = {
+        w.lower()
+        for sql in req.values()
+        for w in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql)
+        if w in flat_cols
+    }
+    # inputs that the query still reads RAW (filter/key references) must
+    # stay charged; only pure expression feeds drop out of the copy scan
+    kept_inputs: set[str] = set()
+    for d in t_demands:
+        kept_inputs.update(k.lower() for k in d.keys)
+        acc: set = set()
+        for f in d.filters:
+            _dsl_cols(f, acc)
+        kept_inputs.update(acc)
+    copy_cols = (
+        (set(pruned_cols) - (derived_inputs - kept_inputs))
+        | set(req)
+    )
+    best = None
+    for e in registered_projections(path, name):
+        have = e.get("derived", {})
+        if not all(have.get(k) == v for k, v in req.items()):
+            continue
+        loc = e["location"]
+        files = [
+            os.path.join(loc, f)
+            for f in os.listdir(loc)
+            if f.endswith(".parquet")
+        ]
+        pstats = parquet_stats(files) if files else None
+        if pstats is None:
+            continue
+        sort_cols = {c.lower() for c in e.get("sort_cols", ())}
+        # pruning power: selectivity of the conjuncts touching ONLY sort
+        # columns, worst case (max) across this table's demands — a copy
+        # must help every scan it serves
+        sel = 0.0 if t_demands else 1.0
+        for d in t_demands:
+            conj: list = []
+            for f in d.filters:
+                _conjuncts(f, conj)
+            on_sort = []
+            for c in conj:
+                acc: set = set()
+                _dsl_cols(c, acc)
+                if acc and acc <= sort_cols:
+                    on_sort.append(c)
+            if not on_sort:
+                sel = 1.0
+                break
+            dsl = on_sort[0]
+            for f in on_sort[1:]:
+                dsl = Call("and", dsl, f)
+            s = selectivity(flat_stats, dsl)
+            sel = max(sel, 1.0 if s is None else s)
+        c = sel * _col_bytes(pstats, tuple(sorted(copy_cols)))
+        for d in t_demands:
+            c += exchange_bytes(d)  # projections serve no exchange
+        margin = LAYOUT_PROJ_MARGIN * _col_bytes(flat_stats, pruned_cols)
+        if c < best_cost - margin and (best is None or c < best[0]):
+            best = (c, derived_digest(have))
+    return (best[1],) if best else None
 
 
 # ---------------------------------------------------------------------------
@@ -1016,6 +1183,7 @@ def with_auto_layouts(fn):
             )
             overrides = _load_decision(key)
             if overrides is None:
+                _DERIVED_REQUESTS.clear()  # collected during the flat pass
                 with policy("flat"):
                     flat_df = fn(spark, sf_dir)
                     cat = Catalog(spark, sf_dir)

@@ -802,7 +802,12 @@ class QueryGraph:
             wb = leaf_width[bname]
             pruned_scan = min(rb, rows) * wb * SCAN_COST_PER_BYTE
             cost = (
-                cp
+                # the probe pipeline executes TWICE: once to materialize
+                # its key domain (lookup_join's bounded collect) and once
+                # in the final plan — charge both (r10; the uncharged
+                # second execution made lookup beat a co-partitioned
+                # join it measurably loses to)
+                2.0 * cp
                 + pruned_scan
                 + rows * width(probe_s | build_s)
                 + rp * 8.0 * BROADCAST_REPLICATION  # ship probe keys

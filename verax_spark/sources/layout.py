@@ -170,6 +170,119 @@ def materialize_bucketed_layout(
     return table
 
 
+def derived_digest(derived: dict) -> str:
+    """Stable digest of a derived-column spec {name: canonical SQL}."""
+    h = hashlib.md5()
+    for k in sorted(derived):
+        h.update(f"{k}={derived[k]};".encode())
+    return h.hexdigest()[:10]
+
+
+def materialize_projection_layout(
+    spark: SparkSession,
+    source_path: str,
+    name: str,
+    derived: dict,
+    *,
+    sort_cols: list[str],
+    n_files: int = 32,
+) -> str:
+    """Write a MATERIALIZED-PROJECTION copy of ``source_path``: all base
+    columns plus precomputed ``derived`` columns ({name: canonical SQL
+    over the base columns}), range-sorted by ``sort_cols`` so range
+    predicates on the sort column prune row groups at scan time. This is
+    the reference's ColumnGroup in its most literal form — a physical
+    copy with extra computed columns the optimizer picks per query
+    (axiom/optimizer/Schema.h:238-264); DuckDB reads the flat source, so
+    the copy changes plan cost, never results (derived SQL is recorded in
+    the registry entry and exact-matched at serve time; the flat path
+    computes the identical expression inline).
+
+    Scale: one pass over the source, one range exchange on the sort key,
+    writes n_files non-overlapping sorted files — linear, same shape a
+    1000-executor cluster would run with n_files=num executors."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    fp = source_fingerprint(source_path)
+    digest = derived_digest(derived)
+    table = f"vx_prj_{fp}_{name}_{digest}"
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "/tmp/verax-spark-warehouse"
+    ).removeprefix("file:")
+    location = os.path.join(warehouse, table)
+    shutil.rmtree(location, ignore_errors=True)
+    df = spark.read.parquet(source_path).withColumns(
+        {c: F.expr(sql) for c, sql in derived.items()}
+    )
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(location)
+    )
+    os.makedirs(LAYOUT_REGISTRY_DIR, exist_ok=True)
+    entry = {
+        "kind": "projection",
+        "source_fp": fp,
+        "source_path": os.path.abspath(source_path),
+        "table": table,
+        "location": location,
+        "derived": derived,
+        "sort_cols": sort_cols,
+        "bucket_cols": [],
+        "n_files": n_files,
+    }
+    with open(_registry_file(fp, name, [f"prj-{digest}"]), "w") as f:
+        json.dump(entry, f, indent=1)
+    try:
+        from verax_spark.optimizer.layouts import _STATE_CACHE
+
+        _STATE_CACHE.clear()
+    except ImportError:
+        pass
+    return table
+
+
+def registered_projections(source_path: str, name: str) -> list[dict]:
+    """All live projection entries for ``source_path`` (fingerprint-fresh;
+    a regenerated source orphans stale copies exactly like bucket
+    entries)."""
+    if not os.path.isdir(LAYOUT_REGISTRY_DIR):
+        return []
+    if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUTS"):
+        return []
+    return [
+        e
+        for e in _registry_entries(source_fingerprint(source_path), name)
+        if e.get("kind") == "projection"
+        and os.path.isdir(e.get("location", ""))
+    ]
+
+
+def projection_covering(
+    source_path: str, name: str, derived: dict
+) -> dict | None:
+    """The projection entry covering a derived-column request — every
+    requested (name, canonical SQL) must match the entry EXACTLY (the
+    equivalence proof is string identity, never expression reasoning)."""
+    for e in registered_projections(source_path, name):
+        have = e.get("derived", {})
+        if all(have.get(k) == v for k, v in derived.items()):
+            return e
+    return None
+
+
+def attach_projection_entry(spark: SparkSession, entry: dict) -> DataFrame | None:
+    """Plain parquet read of a projection copy (no catalog table needed —
+    the copy is not bucketed; its value is sort order + derived columns)."""
+    loc = entry.get("location", "")
+    if not os.path.isdir(loc):
+        return None
+    return spark.read.parquet(loc)
+
+
 def registered_layout(
     source_path: str,
     name: str,
@@ -188,7 +301,14 @@ def registered_layout(
         return None
     if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUTS"):
         return None
-    entries = _registry_entries(source_fingerprint(source_path), name)
+    entries = [
+        e
+        for e in _registry_entries(source_fingerprint(source_path), name)
+        # projection copies carry EXTRA columns — they must never serve a
+        # generic table() call (select * semantics); only the explicit
+        # derived-column path (Catalog.derived / projection_covering) may
+        if e.get("kind") != "projection"
+    ]
     if layout_keys is not None:
         entries = [
             e
@@ -377,5 +497,27 @@ def lookup_join(
                 )
         return probe.join(build, probe[probe_key] == build[build_key], how)
     non_null = [k for k in keys if k is not None]
-    filtered = build.filter(F.col(build_key).isin(non_null))
+    filtered = build.filter(_in_predicate(build_key, non_null))
     return probe.join(filtered, probe[probe_key] == filtered[build_key], how)
+
+
+def _in_predicate(col: str, keys: list):
+    """`col IN (keys)` as ONE py4j call. Column.isin(list) creates one
+    java literal PER ELEMENT over the py4j socket — measured 13.6s of
+    driver time for a 25k-key lookup join (r10); rendering the predicate
+    as a single SQL string and parsing it JVM-side is ~1000x cheaper and
+    produces the same InSet (hash-set) physical filter with the same
+    parquet pushdown. Non-renderable key types fall back to isin."""
+    import pyspark.sql.functions as F
+
+    if keys and all(
+        isinstance(k, int) and not isinstance(k, bool) for k in keys
+    ):
+        vals = ",".join(str(k) for k in keys)
+    elif keys and all(isinstance(k, float) for k in keys):
+        vals = ",".join(repr(k) for k in keys)
+    elif keys and all(isinstance(k, str) for k in keys):
+        vals = ",".join("'" + k.replace("'", "''") + "'" for k in keys)
+    else:
+        return F.col(col).isin(keys)
+    return F.expr(f"`{col}` in ({vals})")
