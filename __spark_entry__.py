@@ -33,63 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # then r05, then r07). The first 50 of the r07 ordering all greened in
 # CORRECTNESS_r07 and rotate to the back.
 _PRIORITY = [
-    # -- r09 rotation: changed/new queries first (fixes from the
-    # r09 ULP hardening + geo/explain additions need driver
-    # validation), then the STALEST greens (last checked r04),
-    # then r05 / r07; the r08-validated window goes to the back --
-    # -- changed or new in r09 --
-    "op_fn_geo3",
+    # -- r10 rotation (VERDICT r09 #4: changed-first, stalest-green
+    # next). Positions 1-12: queries whose implementation or oracle
+    # changed in r10 (projection-derived q1/q6/q14, two-level
+    # hot-bucket dedup, curate lineage cut, bing let-binding in
+    # batch12, lookup-join IN fix, scale-independent explain
+    # options). Positions 13-41: the 29 queries whose latest green
+    # is r05. Positions 42-50: the oldest r07 block. Everything
+    # else rotates behind, previous order preserved.
     "sql_explain_options",
-    "op_fn_batch12",
-    "op_fn_geo2",
-    "op_fn_geo",
-    "op_fn_batch7",
-    "op_fn_batch9",
-    "op_fn_batch10",
-    "op_fn_extra",
-    "sql_join_reorder",
-    "pl_lm_score",
-    "pl_resample_mixture",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q14",
     "pl_dedup_minhash",
     "pl_dedup_simhash",
-    # -- last driver-checked r04 --
-    "pl_text_langid",
-    "pl_text_quality",
-    "pl_text_regex_tokens",
-    "pl_text_stats",
-    "pl_time_rollup",
-    "sql_ansi_forms",
-    "sql_ctas",
-    "sql_delete",
-    "sql_describe",
-    "sql_insert",
-    "sql_ordered_agg",
-    "sql_txn",
-    "sql_unnest_map_kv",
-    "sql_unnest_ordinality",
-    "sql_update",
-    "st_dedup",
-    "st_enrich_join",
-    "st_stream_join",
-    # -- last driver-checked r05 --
-    "op_agg_distinct",
-    "op_builder_reorder",
-    "op_connector_formats",
-    "op_distinct",
-    "op_fn_agg2",
-    "op_fn_batch6",
-    "op_fn_batch8",
-    "op_fn_collections",
-    "op_fn_datetime",
-    "op_fn_hll",
-    "op_fn_json",
-    "op_fn_math",
-    "op_fn_sketch_merge",
-    "op_fn_string",
-    "op_hof_transform_filter",
-    "op_join_anti",
+    "pl_dedup_cc",
+    "pl_curate",
+    "op_fn_batch12",
     "op_join_lookup",
-    "op_join_mark",
+    "op_builder_reorder",
+    "sql_join_reorder",
     "op_join_semi",
     "op_sessionize",
     "op_setop_intersect",
@@ -119,15 +82,59 @@ _PRIORITY = [
     "sql_statement_tail",
     "sql_time_travel",
     "st_session_windows",
-    # -- last driver-checked r07 --
-    "op_fn_setdigest",
-    "op_fn_classification",
+    "tpch_q3",
     "op_agg_ordered",
     "op_cube",
+    "op_fn_classification",
+    "op_fn_setdigest",
     "op_join_cross",
     "op_join_full",
     "op_join_left",
     "op_join_right",
+    # -- r08/r09-validated tail, previous rotation order --
+    "op_fn_geo3",
+    "op_fn_geo2",
+    "op_fn_geo",
+    "op_fn_batch7",
+    "op_fn_batch9",
+    "op_fn_batch10",
+    "op_fn_extra",
+    "pl_lm_score",
+    "pl_resample_mixture",
+    "pl_text_langid",
+    "pl_text_quality",
+    "pl_text_regex_tokens",
+    "pl_text_stats",
+    "pl_time_rollup",
+    "sql_ansi_forms",
+    "sql_ctas",
+    "sql_delete",
+    "sql_describe",
+    "sql_insert",
+    "sql_ordered_agg",
+    "sql_txn",
+    "sql_unnest_map_kv",
+    "sql_unnest_ordinality",
+    "sql_update",
+    "st_dedup",
+    "st_enrich_join",
+    "st_stream_join",
+    "op_agg_distinct",
+    "op_connector_formats",
+    "op_distinct",
+    "op_fn_agg2",
+    "op_fn_batch6",
+    "op_fn_batch8",
+    "op_fn_collections",
+    "op_fn_datetime",
+    "op_fn_hll",
+    "op_fn_json",
+    "op_fn_math",
+    "op_fn_sketch_merge",
+    "op_fn_string",
+    "op_hof_transform_filter",
+    "op_join_anti",
+    "op_join_mark",
     "op_limit_offset",
     "op_rollup",
     "op_setop_union",
@@ -140,9 +147,7 @@ _PRIORITY = [
     "tpch_q10",
     "tpch_q11",
     "tpch_q12",
-    "tpch_q14",
     "tpch_q19",
-    "tpch_q3",
     "tpch_q4",
     "tpch_q5",
     "tpch_q7",
@@ -159,16 +164,12 @@ _PRIORITY = [
     "sql_try",
     "sql_window_clause",
     "st_windowed_counts",
-    "tpch_q1",
-    # -- validated in the r08 window --
     "tpch_q2",
-    "tpch_q6",
     "tpch_q9",
     "tpch_q15",
     "tpch_q18",
     "tpch_q20",
     "tpch_q21",
-    "pl_dedup_cc",
     "tpch_q13",
     "tpch_q16",
     "tpch_q17",
@@ -195,7 +196,6 @@ _PRIORITY = [
     "op_window_ntile",
     "op_window_range_frame",
     "op_window_rank",
-    "pl_curate",
     "pl_dedup_ngram_jaccard",
     "pl_knn_ivf",
     "pl_knn_lsh",

@@ -33,28 +33,36 @@ def curate(
 ) -> DataFrame:
     """Curated corpus: deduped (exact + transitive near-dup), quality- and
     language-gated, annotated with token stats and a content fingerprint."""
-    # step1 feeds three consumers (LSH pair generation, the transitive
-    # anti-join, and the final projection). Deliberately NOT persisted:
-    # each consumer prunes to different columns, and letting Catalyst
-    # re-derive the pruned subtrees measures faster than materializing the
-    # full-width dedup output (verified at sf0.1; revisit only if a profile
-    # shows the exact-dedup shuffle dominating).
-    step1 = dedup.exact_dedup(documents, text_col, id_col)
+    # step1 feeds three downstream JOBS (the LSH band-entries checkpoint,
+    # the candidate-shingle checkpoint, and the connected-components edge
+    # checkpoint) plus the final projection — each would re-run the
+    # documents scan and the exact-dedup shuffle from scratch. Cut the
+    # lineage once: measured 6.6s -> 5.3s steady at sf0.1 (r10 A/B; the
+    # r08 measurement that favored lazy predates the checkpointed LSH
+    # internals), and at 100 TB it is the difference between one and four
+    # executions of the full dedup shuffle.
+    step1 = dedup.exact_dedup(documents, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     pairs = dedup.minhash_lsh_pairs(
         step1, text_col, id_col, num_perm=64, bands=32, threshold=jaccard_threshold
     )
     step2 = dedup.dedup_transitive(step1, id_col, pairs)
     t = F.col(text_col)
-    gated = step2.filter(text.quality_score(t) >= min_quality)
-    if langs is not None:
-        gated = gated.filter(text.lang_id(t).isin(*langs))
-    return gated.select(
+    # quality is computed ONCE and reused by the gate (filter + project of
+    # the same expression would evaluate it twice at runtime — Spark has
+    # no cross-operator CSE)
+    annotated = step2.select(
         "*",
         text.token_count(t).alias("n_tokens"),
         text.est_bpe_tokens(t).alias("bpe_est"),
         text.quality_score(t).alias("quality"),
         text.fingerprint(t).alias("fingerprint"),
     )
+    gated = annotated.filter(F.col("quality") >= min_quality)
+    if langs is not None:
+        gated = gated.filter(text.lang_id(t).isin(*langs))
+    return gated
 
 
 def curation_report(documents: DataFrame, curated: DataFrame) -> DataFrame:

@@ -1834,7 +1834,17 @@ def _bing_tile(*args) -> Column:
             & (y.cast("double") < n)
         )
         return F.when(valid, _bing_struct(x, y, z))
-    qk = _col(args[0])
+    # let-bind the quadkey (geo.py _let): the body references qk ~10x
+    # (length-derived zoom, digit check, the per-digit fold), and when qk
+    # is itself a composed expression (bing_tile(bing_tile_quadkey(t)))
+    # re-embedding its tree per reference made ANALYSIS the bottleneck
+    # (r10 profile: 3.3s for one round-trip column)
+    from verax_spark.functions.geo import _let
+
+    return _let(_col(args[0]), _bing_tile_from_quadkey_body)
+
+
+def _bing_tile_from_quadkey_body(qk: Column) -> Column:
     z = F.length(qk).cast("int")
     digits_ok = qk.rlike("^[0-3]*$")
     folded = F.aggregate(
@@ -1899,7 +1909,13 @@ def _bing_tile_at(lat, lng, zoom) -> Column:
 
 
 def _bing_tile_quadkey(t) -> Column:
-    t = _col(t)
+    # let-bind the tile: the body embeds t in every per-digit lambda term
+    from verax_spark.functions.geo import _let
+
+    return _let(_col(t), _bing_tile_quadkey_body)
+
+
+def _bing_tile_quadkey_body(t: Column) -> Column:
     z = t["zoom"]
     digits = F.transform(
         F.sequence(F.lit(1), F.greatest(z, F.lit(1))),
@@ -1936,8 +1952,20 @@ def _bing_tile_polygon(t) -> Column:
 
 
 def _bing_tiles_around(lat, lng, zoom) -> Column:
-    center = _bing_tile_at(lat, lng, zoom)
-    n = _pow2d(_col(zoom).cast("int")).cast("long")
+    # let-bind (center, zoom): the body references the center tile — a
+    # whole _bing_tile_at tree — seven times (range filter, transform,
+    # NULL guard); binding caps the tree at |center| + |body|
+    from verax_spark.functions.geo import _let2
+
+    return _let2(
+        _bing_tile_at(lat, lng, zoom),
+        _col(zoom).cast("int"),
+        _bing_tiles_around_body,
+    )
+
+
+def _bing_tiles_around_body(center: Column, z: Column) -> Column:
+    n = _pow2d(z).cast("long")
     deltas = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -1958,11 +1986,10 @@ def _bing_tiles_around(lat, lng, zoom) -> Column:
     )
     # dirty input (NULL args / zoom out of range) must yield NULL like
     # bing_tile/bing_tile_at, not an empty array from NULL-filtered deltas.
-    # NULL lat/lng produces a struct with NULL FIELDS (the struct itself is
-    # non-null — _bing_tile_at only nulls on bad zoom), so the guard must
-    # test the fields, not the struct (ADVICE r09).
+    # _bing_tile_at nulls the whole struct on NULL lat/lng (ADVICE r09),
+    # so the field guard covers both bad-zoom and NULL-coordinate input.
     return F.when(
-        _col(zoom).cast("int").between(0, _MAX_BING_ZOOM)
+        z.between(0, _MAX_BING_ZOOM)
         & center["x"].isNotNull()
         & center["y"].isNotNull(),
         tiles,
