@@ -1638,3 +1638,61 @@ def test_geo_tail_hull_simplify_wkb(spark):
         .collect()[0]
         .n
     )
+
+
+def test_geo_de9im_predicate_tail(spark):
+    """r10 DE-9IM predicates (ST_Disjoint/Equals/Touches/Crosses/Overlaps):
+    every decided case is exact; undecided combinations are loud NULL —
+    never a wrong answer (geo.py honesty contract)."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    def g(w):
+        return pc("st_geometryfromtext", F.lit(w))
+
+    diag = g("LINESTRING (0 0, 4 4)")
+    anti = g("LINESTRING (0 4, 4 0)")
+    far = g("LINESTRING (5 0, 9 4)")
+    collinear = g("LINESTRING (2 2, 8 8)")
+    tjunc = g("LINESTRING (2 2, 2 8)")  # endpoint ON diag's interior
+    square = g("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))")
+    square2 = g("POLYGON ((4 0, 8 0, 8 4, 4 4, 4 0))")  # shares an edge
+    row = spark.range(1).select(
+        pc("st_crosses", diag, anti).alias("x_proper"),
+        pc("st_crosses", diag, far).alias("x_far"),
+        pc("st_crosses", diag, collinear).alias("x_collinear"),
+        pc("st_crosses", diag, tjunc).alias("x_tjunc"),
+        pc("st_crosses", square, square2).alias("x_polys"),
+        pc("st_crosses", pc("st_point", F.lit(1.0), F.lit(1.0)),
+           pc("st_point", F.lit(1.0), F.lit(1.0))).alias("x_pts"),
+        pc("st_touches", pc("st_point", F.lit(2.0), F.lit(0.0)), square).alias("t_ring"),
+        pc("st_touches", pc("st_point", F.lit(2.0), F.lit(2.0)), square).alias("t_in"),
+        pc("st_touches", pc("st_point", F.lit(9.0), F.lit(9.0)), square).alias("t_out"),
+        pc("st_touches", pc("st_point", F.lit(0.0), F.lit(0.0)), diag).alias("t_end"),
+        pc("st_touches", pc("st_point", F.lit(2.0), F.lit(2.0)), diag).alias("t_mid"),
+        pc("st_touches", square, square2).alias("t_polys"),
+        pc("st_equals", diag, g("LINESTRING (4 4, 0 0)")).alias("e_rev"),
+        pc("st_equals", diag, g("LINESTRING (0 0, 3 3)")).alias("e_diff"),
+        pc("st_equals", diag, anti).alias("e_anti"),
+        pc("st_equals", diag, square).alias("e_kind"),
+        pc("st_equals", diag, g("LINESTRING (0 0, 2 2, 4 4)")).alias("e_split"),
+        pc("st_overlaps", diag, square).alias("o_kind"),
+        pc("st_overlaps", square, g("POLYGON ((9 9, 12 9, 12 12, 9 12, 9 9))")).alias("o_far"),
+        pc("st_overlaps", square, square2).alias("o_polys"),
+        pc("st_disjoint", diag, far).alias("d_far"),
+        pc("st_disjoint", diag, anti).alias("d_cross"),
+    ).collect()[0]
+    assert row.x_proper is True
+    assert row.x_far is False
+    assert row.x_collinear is None      # degenerate contact: undecided
+    assert row.x_tjunc is None          # T-junction: undecided, not wrong
+    assert row.x_polys is False         # polygons never cross (OGC dims)
+    assert row.x_pts is False
+    assert row.t_ring is True and row.t_in is False and row.t_out is False
+    assert row.t_end is True and row.t_mid is False
+    assert row.t_polys is None          # edge-sharing polygons: undecided
+    assert row.e_rev is True and row.e_diff is False and row.e_kind is False
+    assert row.e_anti is None  # same envelope, different chain: undecided
+    assert row.e_split is None          # same line, different decomposition
+    assert row.o_kind is False and row.o_far is False
+    assert row.o_polys is None          # proper polygon overlap: undecided
+    assert row.d_far is True and row.d_cross is False

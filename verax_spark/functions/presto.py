@@ -584,6 +584,13 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "st_intersection": lambda a, b: _geo().st_intersection(_col(a), _col(b)),
     "st_union": lambda a, b: _geo().st_union(_col(a), _col(b)),
     "st_buffer": lambda g, d: _geo().st_buffer(_col(g), d),
+    # --- r10: DE-9IM predicate tail (exact decidable set per predicate,
+    # NULL for undecided combinations — geo.py docstrings) ---
+    "st_disjoint": lambda a, b: _geo().st_disjoint(_col(a), _col(b)),
+    "st_equals": lambda a, b: _geo().st_equals(_col(a), _col(b)),
+    "st_touches": lambda a, b: _geo().st_touches(_col(a), _col(b)),
+    "st_crosses": lambda a, b: _geo().st_crosses(_col(a), _col(b)),
+    "st_overlaps": lambda a, b: _geo().st_overlaps(_col(a), _col(b)),
     # --- r09: hull/simplify/WKB tail (pandas-batched in geo.py) ---
     "st_convexhull": lambda g: _geo().st_convex_hull(_col(g)),
     "st_simplify": lambda g, t: _geo().st_simplify(_col(g), t),
@@ -2054,20 +2061,40 @@ def _inverse_binomial_cdf(n, p, prob) -> Column:
     # Dirty prob must stay NULL even on this branch; the fold already
     # clamps its answer to k_max = n so no extra least() is needed.
     return F.when(
-        pr.isNull() | (pr < 0.0) | (pr > 1.0), F.lit(None).cast("int")
+        pr.isNull()
+        | (pr < 0.0)
+        | (pr > 1.0)
+        # successProb outside [0,1] is dirty input (Velox USER_CHECK →
+        # error; this engine's posture maps errors to NULL — r10 fuzz)
+        | pd_.isNull()
+        | (pd_ < 0.0)
+        | (pd_ > 1.0),
+        F.lit(None).cast("int"),
     ).when(
         pd_ == 1.0, F.when(pr > 0.0, ni).otherwise(F.lit(0))
+    ).when(
+        # p = 1: CDF(k) < 1 strictly for every k < n, so the exact answer
+        # is n — decided here rather than left to the float fold, whose
+        # accumulated sum may cross 1.0 an ULP early (r10 fuzz)
+        pr == 1.0, ni
     ).otherwise(out)
 
 
 def _inverse_poisson_cdf(lam, prob) -> Column:
     ld = _col(lam).cast("double")
+    pr = _col(prob).cast("double")
     t0 = F.exp(-ld)
     # 20 sigma above the mean bounds the scan for any p below 1 - 1e-80
     k_max = F.ceil(ld + F.lit(20.0) * F.sqrt(ld) + F.lit(30.0)).cast("int")
-    return _discrete_inverse_cdf(
+    out = _discrete_inverse_cdf(
         t0, lambda term, i: term * ld / i.cast("double"), k_max, prob
     )
+    # Domain edges (r10 fuzz): the Poisson quantile DIVERGES at p = 1
+    # (boost throws, Velox surfaces an error → NULL here, never a silent
+    # k_max), and lambda must be strictly positive (Velox USER_CHECK).
+    return F.when(
+        ld.isNull() | (ld <= 0.0) | (pr >= 1.0), F.lit(None).cast("int")
+    ).otherwise(out)
 
 
 def _array_normalize(a, p) -> Column:
