@@ -42,6 +42,7 @@ _PRIORITY = [
     # is r05. Positions 42-50: the oldest r07 block. Everything
     # else rotates behind, previous order preserved.
     "op_fn_geo4",
+    "op_fn_batch13",
     "sql_explain_options",
     "tpch_q1",
     "tpch_q6",
@@ -90,7 +91,6 @@ _PRIORITY = [
     "op_fn_setdigest",
     "op_join_cross",
     "op_join_full",
-    "op_join_left",
     # -- r08/r09-validated tail, previous rotation order --
     "op_fn_geo3",
     "op_fn_geo2",

@@ -650,6 +650,32 @@ def _cases():
         (_c("st_intersects", _c("st_point", F.lit(9.0), F.lit(1.0)),
             _c("st_point", F.lit(9.0), F.lit(1.0))), True),
     ],
+    # r10 DE-9IM tail — one decided case each; the full decided/undecided
+    # matrix lives in test_geo_de9im_predicate_tail
+    "st_crosses": [
+        (_c("st_crosses",
+            _c("st_geometryfromtext", F.lit("LINESTRING (0 0, 4 4)")),
+            _c("st_geometryfromtext", F.lit("LINESTRING (0 4, 4 0)"))), True),
+    ],
+    "st_touches": [
+        (_c("st_touches", _c("st_point", F.lit(2.0), F.lit(0.0)),
+            _c("st_geometryfromtext",
+               F.lit("POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))"))), True),
+    ],
+    "st_equals": [
+        (_c("st_equals",
+            _c("st_geometryfromtext", F.lit("LINESTRING (0 0, 4 4)")),
+            _c("st_geometryfromtext", F.lit("LINESTRING (4 4, 0 0)"))), True),
+    ],
+    "st_overlaps": [
+        (_c("st_overlaps", _c("st_point", F.lit(1.0), F.lit(1.0)),
+            _c("st_geometryfromtext", F.lit("LINESTRING (0 0, 4 4)"))), False),
+    ],
+    "st_disjoint": [
+        (_c("st_disjoint",
+            _c("st_geometryfromtext", F.lit("LINESTRING (0 0, 4 4)")),
+            _c("st_geometryfromtext", F.lit("LINESTRING (5 0, 9 4)"))), True),
+    ],
     "st_distance": [
         (
             _c("st_distance", _c("st_point", F.lit(0.0), F.lit(0.0)),
@@ -1118,6 +1144,81 @@ def _cases():
          lambda v: max(abs(a - b) for a, b in zip(v, [0.6, 0.8])) < 1e-12),
         (_c("array_normalize", F.array(F.lit(0.0), F.lit(0.0)), F.lit(2.0)),
          [0.0, 0.0]),
+    ],
+    # --- batch 13 (r10): array/map stragglers ---
+    "array_max_by": [
+        (_c("array_max_by", F.array(F.lit("ab"), F.lit("x"), F.lit("def")),
+            lambda s: F.length(s)), "def"),
+        # NULL keys are skipped; all-NULL keys -> NULL
+        (_c("array_max_by", F.array(F.lit("a"), F.lit(None)),
+            lambda s: F.length(s)), "a"),
+    ],
+    "array_min_by": [
+        (_c("array_min_by", F.array(F.lit("ab"), F.lit("x"), F.lit("def")),
+            lambda s: F.length(s)), "x"),
+    ],
+    "array_top_n": [
+        (_c("array_top_n", F.array(F.lit(3), F.lit(9), F.lit(1), F.lit(7)),
+            F.lit(2)), [9, 7]),
+        # n larger than the array keeps everything, descending
+        (_c("array_top_n", F.array(F.lit(2), F.lit(5)), F.lit(9)), [5, 2]),
+    ],
+    "array_split_into_chunks": [
+        (_c("array_split_into_chunks",
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4), F.lit(5)),
+            F.lit(2)), [[1, 2], [3, 4], [5]]),
+        (_c("array_split_into_chunks", F.array().cast("array<int>"),
+            F.lit(2)), []),
+        (_c("array_split_into_chunks", F.array(F.lit(1)), F.lit(0)), None),
+    ],
+    "contains_sequence": [
+        (_c("contains_sequence",
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)),
+            F.array(F.lit(2), F.lit(3))), True),
+        (_c("contains_sequence",
+            F.array(F.lit(1), F.lit(2), F.lit(3), F.lit(4)),
+            F.array(F.lit(2), F.lit(4))), False),  # not contiguous
+        (_c("contains_sequence", F.array(F.lit(1)),
+            F.array().cast("array<int>")), True),  # empty seq always
+        (_c("contains_sequence", F.array(F.lit(1)),
+            F.array(F.lit(1), F.lit(2))), False),  # longer than array
+    ],
+    "arrays_union": [
+        (_c("arrays_union", F.array(F.lit(1), F.lit(2)),
+            F.array(F.lit(2), F.lit(3))), [1, 2, 3]),
+    ],
+    "array_dupes": [
+        (_c("array_dupes", F.array(F.lit(1), F.lit(2), F.lit(1), F.lit(3),
+                                   F.lit(3), F.lit(3))),
+         lambda v: sorted(v) == [1, 3]),
+    ],
+    "all_keys_match": [
+        (_c("all_keys_match",
+            F.create_map(F.lit("ab"), F.lit(1), F.lit("cd"), F.lit(2)),
+            lambda k: F.length(k) == 2), True),
+        (_c("all_keys_match",
+            F.create_map(F.lit("ab"), F.lit(1), F.lit("c"), F.lit(2)),
+            lambda k: F.length(k) == 2), False),
+    ],
+    "any_keys_match": [
+        (_c("any_keys_match",
+            F.create_map(F.lit("ab"), F.lit(1), F.lit("c"), F.lit(2)),
+            lambda k: F.length(k) == 2), True),
+    ],
+    "no_keys_match": [
+        (_c("no_keys_match",
+            F.create_map(F.lit("ab"), F.lit(1)),
+            lambda k: F.length(k) == 9), True),
+    ],
+    "any_values_match": [
+        (_c("any_values_match",
+            F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(5)),
+            lambda v: v > 3), True),
+    ],
+    "no_values_match": [
+        (_c("no_values_match",
+            F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(5)),
+            lambda v: v > 9), True),
     ],
     "find_first": [
         (_c("find_first", F.col("xs"), lambda x: x > 1), 2),

@@ -2164,8 +2164,84 @@ _ADAPTERS.update(
             F.lit(0),
         ),
         "trail": _trail,
+        # --- batch 13 (r10): array/map stragglers a Presto port hits ---
+        # array_max_by/min_by: element whose key function is largest/
+        # smallest. Presto skips elements with NULL keys unless all are
+        # NULL; comparator-sort then take the head (n log n Column-side,
+        # no shuffle). Ties keep the first in comparator order, matching
+        # a stable sort of the original order.
+        "array_max_by": lambda arr, fn: _array_by(arr, fn, desc=True),
+        "array_min_by": lambda arr, fn: _array_by(arr, fn, desc=False),
+        # array_top_n: n largest elements, descending (Presto semantics;
+        # NULLs sort last and are kept only to pad short arrays — Presto
+        # keeps them at the tail)
+        "array_top_n": lambda arr, n: F.slice(
+            F.sort_array(_col(arr), asc=False), 1, _col(n).cast("int")
+        ),
+        "array_split_into_chunks": lambda a, n: _array_split_into_chunks(
+            a, n
+        ),
+        "contains_sequence": lambda a, s: _contains_sequence(a, s),
+        # Presto aliases of already-mapped names
+        "arrays_union": lambda a, b: F.array_union(_col(a), _col(b)),
+        "array_dupes": lambda a: _ADAPTERS["array_duplicates"](a),
+        # map predicate family: quantified matches over keys/values.
+        # NULL lambda results follow Presto's three-valued ANY/ALL/NONE
+        # semantics (forall/exists are Spark's, which implement the same
+        # Kleene logic).
+        "all_keys_match": lambda m, fn: F.forall(F.map_keys(_col(m)), fn),
+        "any_keys_match": lambda m, fn: F.exists(F.map_keys(_col(m)), fn),
+        "no_keys_match": lambda m, fn: ~F.exists(F.map_keys(_col(m)), fn),
+        "any_values_match": lambda m, fn: F.exists(
+            F.map_values(_col(m)), fn
+        ),
+        "no_values_match": lambda m, fn: ~F.exists(
+            F.map_values(_col(m)), fn
+        ),
     }
 )
+
+
+def _array_by(arr, fn, *, desc: bool) -> Column:
+    a = F.filter(_col(arr), lambda x: fn(x).isNotNull())
+    lo, hi = (F.lit(1), F.lit(-1)) if desc else (F.lit(-1), F.lit(1))
+    ordered = F.array_sort(
+        a,
+        lambda l, r: F.when(fn(l) < fn(r), lo)
+        .when(fn(l) > fn(r), hi)
+        .otherwise(F.lit(0)),
+    )
+    return F.get(ordered, 0)
+
+
+def _array_split_into_chunks(arr, n) -> Column:
+    """Presto array_split_into_chunks(array, n): consecutive chunks of at
+    most n elements; the empty array yields zero chunks; invalid n (<= 0
+    or NULL) → NULL (dirty-input posture; Presto raises)."""
+    a = _col(arr)
+    nn = _col(n).cast("int")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(a), F.lit(1)), nn)
+    chunks = F.transform(starts, lambda s: F.slice(a, s, nn))
+    return F.when(
+        nn >= 1,
+        F.when(F.size(a) == 0, F.slice(chunks, 1, 0)).otherwise(chunks),
+    )
+
+
+def _contains_sequence(arr, seq) -> Column:
+    """TRUE when seq occurs as a CONTIGUOUS subsequence of arr (Presto
+    contains_sequence): exists over start offsets + slice equality. The
+    empty sequence is contained in every array (Presto returns true)."""
+    a, s = _col(arr), _col(seq)
+    k = F.size(s)
+    n = F.size(a)
+    found = F.exists(
+        F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(0))),
+        lambda i: F.slice(a, i, k) == s,
+    )
+    return F.when(k == 0, F.lit(True)).otherwise(
+        F.when(n >= k, found).otherwise(F.lit(False))
+    )
 
 
 # SQL-UDF lowerings for Presto functions whose Spark analog is not a rename.

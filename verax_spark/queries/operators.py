@@ -4363,3 +4363,81 @@ def op_fn_geo4(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc("st_disjoint", diag, far).alias("disj_far"),
         pc("st_disjoint", pt_in, square).alias("disj_in"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Function batch 13 (r10, judge r09 "function tail, next batch": the
+# array/map stragglers a Presto port hits). array_max_by/min_by use
+# planted strings with PROVABLY DISTINCT key values per row (no tie
+# semantics leak into the oracle); chunking/contains_sequence emit
+# closed-form scalars; the map-predicate family over a per-row map.
+@_register(
+    "op_fn_batch13",
+    """
+    with t as (
+      select cast(doc_id as bigint) as d,
+        cast(doc_id % 3 as int) as m3,
+        cast(doc_id % 5 as int) as m5
+      from documents where doc_id < 24)
+    select d,
+      repeat('b', m3 + 6) as maxby,
+      repeat('a', m3 + 1) as minby,
+      [9, 7] as top2,
+      cast(ceil((m5 + 3) / 2.0) as int) as chunks_n,
+      cast(case when (m5 + 3) % 2 = 0 then 2 else 1 end as int) as last_sz,
+      true as cs_t,
+      false as cs_f,
+      list_sort([m3, 5, 7]) as au,
+      [m3 % 2] as ad,
+      true as akm,
+      false as akm_f,
+      true as avm,
+      true as nkm
+    from t order by d
+    """,
+)
+def op_fn_batch13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    t = cat.documents.filter(F.col("doc_id") < 24).select(
+        F.col("doc_id").cast("long").alias("d"),
+        (F.col("doc_id") % 3).cast("int").alias("m3"),
+        (F.col("doc_id") % 5).cast("int").alias("m5"),
+    )
+    m3, m5 = F.col("m3"), F.col("m5")
+    strs = F.array(
+        F.repeat(F.lit("a"), m3 + 1),
+        F.lit("zzzz"),
+        F.repeat(F.lit("b"), m3 + 6),
+    )
+    nums = F.array(F.lit(3), F.lit(9), F.lit(1), F.lit(7))
+    run = F.sequence(F.lit(1), m5 + 3)
+    chunks = pc("array_split_into_chunks", run, F.lit(2))
+    onetofive = F.sequence(F.lit(1), F.lit(5))
+    m = F.create_map(F.lit("ab"), F.col("d"), F.lit("cde"), F.col("d") + 1)
+    return t.select(
+        "d",
+        pc("array_max_by", strs, lambda s: F.length(s)).alias("maxby"),
+        pc("array_min_by", strs, lambda s: F.length(s)).alias("minby"),
+        pc("array_top_n", nums, F.lit(2)).alias("top2"),
+        F.size(chunks).alias("chunks_n"),
+        F.size(F.element_at(chunks, -1)).alias("last_sz"),
+        pc(
+            "contains_sequence", onetofive,
+            F.array(m3 + 1, m3 + 2),
+        ).alias("cs_t"),
+        pc(
+            "contains_sequence", onetofive, F.array(F.lit(1), F.lit(3))
+        ).alias("cs_f"),
+        F.array_sort(
+            pc("arrays_union", F.array(m3, F.lit(5)), F.array(F.lit(5), F.lit(7)))
+        ).alias("au"),
+        F.array_sort(
+            pc("array_dupes", F.array(m3 % 2, F.lit(1), m3 % 2, F.lit(4)))
+        ).alias("ad"),
+        pc("all_keys_match", m, lambda k: F.length(k) >= 2).alias("akm"),
+        pc("all_keys_match", m, lambda k: F.length(k) >= 3).alias("akm_f"),
+        pc("any_values_match", m, lambda v: v > F.col("d")).alias("avm"),
+        pc("no_keys_match", m, lambda k: F.length(k) > 5).alias("nkm"),
+    ).orderBy("d")
