@@ -91,6 +91,9 @@ def _c(name, *args):
 # merge needs a sketch input; qdigest/tdigest_agg return pipeline markers
 _NO_DIRECT_CASE = {
     "grouping", "reduce", "merge", "qdigest_agg", "tdigest_agg",
+    # aggregate over grouped rows (no per-row fixture); covered by
+    # test_geometry_union_agg
+    "geometry_union_agg",
     # operates on stored q-digest BYTES (no fixture column); covered by
     # test_sketches.test_qdigest_scalar_family_over_stored_bytes
     "quantile_at_value",
@@ -1797,3 +1800,40 @@ def test_geo_de9im_predicate_tail(spark):
     assert row.o_kind is False and row.o_far is False
     assert row.o_polys is None          # proper polygon overlap: undecided
     assert row.d_far is True and row.d_cross is False
+
+
+def test_geometry_union_agg(spark):
+    """r10 aggregate ST_Union fold: exact on decidable chains (identical
+    geometries, box-covers-box, contained points), NULL once any step
+    leaves the planar core (disjoint polygons would need a MULTI)."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    def g(w):
+        return pc("st_geometryfromtext", F.lit(w))
+
+    df = spark.createDataFrame(
+        [
+            # group 1: three identical squares -> that square
+            (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            (1, "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"),
+            # group 2: nested boxes -> the outer box
+            (2, "POLYGON ((0 0, 8 0, 8 8, 0 8, 0 0))"),
+            (2, "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"),
+            # group 3: disjoint polygons -> NULL (MULTI unsupported, loud)
+            (3, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"),
+            (3, "POLYGON ((5 5, 6 5, 6 6, 5 6, 5 5))"),
+        ],
+        "grp int, wkt string",
+    )
+    rows = {
+        r.grp: r.u
+        for r in df.groupBy("grp")
+        .agg(
+            pc("st_astext", pc("geometry_union_agg", g(F.col("wkt")))).alias("u")
+        )
+        .collect()
+    }
+    assert rows[1] == "POLYGON ((0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0))"
+    assert rows[2] == "POLYGON ((0.0 0.0, 8.0 0.0, 8.0 8.0, 0.0 8.0, 0.0 0.0))"
+    assert rows[3] is None

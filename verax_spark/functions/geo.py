@@ -1109,3 +1109,19 @@ def _overlaps_body(a: Column, b: Column) -> Column:
         .when(_env_disjoint(a, b), F.lit(False))
         .when(both_lines & ~_any_seg_box_overlap(a, b), F.lit(False))
     )
+
+
+def geometry_union_agg(g: Column) -> Column:
+    """Presto geometry_union_agg (aggregate ST_Union): collect the
+    group's geometries and fold ST_Union from EMPTY (the union identity
+    — see _union_body's EMPTY cases). Exact for chains of the planar
+    core's decidable unions (identical geometries, contained points,
+    box-covers-box); any step outside the core yields NULL which
+    propagates through the rest of the fold — never an approximated
+    union. NULL inputs are skipped (collect_list), matching Presto
+    aggregate semantics. The fold body references only the lambda
+    variables, so the expression tree stays |union body| regardless of
+    group size; runtime is linear in the group."""
+    return F.aggregate(
+        F.collect_list(g), st_empty(), lambda acc, x: _union_body(acc, x)
+    )

@@ -587,6 +587,9 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     # --- r10: DE-9IM predicate tail (exact decidable set per predicate,
     # NULL for undecided combinations — geo.py docstrings) ---
     "st_disjoint": lambda a, b: _geo().st_disjoint(_col(a), _col(b)),
+    # aggregate ST_Union fold; exact on decidable union chains, NULL
+    # propagates from any undecidable step (geo.py geometry_union_agg)
+    "geometry_union_agg": lambda g: _geo().geometry_union_agg(_col(g)),
     "st_equals": lambda a, b: _geo().st_equals(_col(a), _col(b)),
     "st_touches": lambda a, b: _geo().st_touches(_col(a), _col(b)),
     "st_crosses": lambda a, b: _geo().st_crosses(_col(a), _col(b)),
