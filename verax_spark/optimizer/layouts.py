@@ -151,7 +151,11 @@ _DERIVED_REQUESTS: dict[str, dict] = {}
 
 
 def record_derived_request(name: str, derived: dict) -> None:
-    _DERIVED_REQUESTS.setdefault(name, {}).update(derived)
+    # only the flat COSTING pass records (a policied/final run would
+    # leak its requests into the NEXT query's choose_layouts when the
+    # caller isn't the wrapper, e.g. tools/layout_ab.py's loop)
+    if active_policy() == "flat":
+        _DERIVED_REQUESTS.setdefault(name, {}).update(derived)
 
 
 def _dsl_cols(e, acc: set) -> None:
@@ -872,7 +876,7 @@ def choose_layouts(df, cat, sf_dir: str) -> dict[str, tuple[str, ...]]:
         # its modeled win is (a) row-group pruning — sorted files make
         # bytes-read proportional to the sort-column selectivity — and
         # (b) not reading the derived expressions' input columns.
-        req = _DERIVED_REQUESTS.get(name)
+        req = _DERIVED_REQUESTS.pop(name, None)  # consume: one choose each
         if req:
             choice = _choose_projection(
                 name, os.path.join(sf_dir, f"{name}.parquet"), req,

@@ -419,9 +419,15 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the fact shuffle carries (l_orderkey, rev-units) only — revenue is
     # evaluated UNDER the exchange, one long instead of two doubles +
-    # shipdate
-    line = cat.lineitem.filter(F.col("l_shipdate") > _ts("1997-03-15")).select(
-        "l_orderkey", _rev_units().alias("__ru")
+    # shipdate. Units come through the derived-column path (r10): the
+    # planner may serve the materialized-projection copy (precomputed
+    # __ru + shipdate sort ⇒ ~half the row groups pruned by this filter)
+    # or the orderkey-bucketed copy (shuffle-free join) — costed, then
+    # A/B'd; the inline fallback is the identical expression.
+    line = (
+        _li_derived(cat, "__ru")
+        .filter(F.col("l_shipdate") > _ts("1997-03-15"))
+        .select("l_orderkey", "__ru")
     )
     return (
         line.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
