@@ -94,6 +94,9 @@ _NO_DIRECT_CASE = {
     # aggregate over grouped rows (no per-row fixture); covered by
     # test_geometry_union_agg
     "geometry_union_agg",
+    # aggregate needing n >= 4 rows (single-row fixture is NULL by
+    # definition); covered by test_presto_kurtosis
+    "kurtosis",
     # operates on stored q-digest BYTES (no fixture column); covered by
     # test_sketches.test_qdigest_scalar_family_over_stored_bytes
     "quantile_at_value",
@@ -1800,6 +1803,98 @@ def test_geo_de9im_predicate_tail(spark):
     assert row.o_kind is False and row.o_far is False
     assert row.o_polys is None          # proper polygon overlap: undecided
     assert row.d_far is True and row.d_cross is False
+
+
+def test_presto_kurtosis(spark):
+    """r10: Presto kurtosis = UNBIASED sample excess estimator, NOT Spark's
+    population excess. Expected value computed independently (closed-form
+    estimator over the 7 fixture values; DuckDB's kurtosis returns the
+    same number, verified out-of-band). Exercises the DSL adapter, the SQL
+    text rewrite, the FILTER fold, and the n<4 / zero-variance guards."""
+    import math
+
+    from verax_spark.functions.presto import presto_call as pc
+
+    vals = [1.0, 2.0, 2.5, 4.0, 7.0, 11.0, 12.5]
+    n = len(vals)
+    mu = sum(vals) / n
+    m2 = sum((v - mu) ** 2 for v in vals)
+    m4 = sum((v - mu) ** 4 for v in vals)
+    expected = (
+        n * (n + 1) * (n - 1) / ((n - 2) * (n - 3)) * m4 / m2**2
+        - 3 * (n - 1) ** 2 / ((n - 2) * (n - 3))
+    )
+    assert abs(expected - (-1.41379862249146)) < 1e-12  # duckdb cross-check
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(pc("kurtosis", F.col("x")).alias("k")).collect()[0].k
+    assert abs(got - expected) < 1e-9
+
+    # Spark's builtin disagrees (population excess) — the adapter must win
+    pop = df.agg(F.kurtosis("x").alias("k")).collect()[0].k
+    assert abs(pop - expected) > 1e-3
+
+    # SQL-text path renders the same estimator (transpile → Spark SQL)
+    df.createOrReplaceTempView("kurt_t")
+    from verax_spark.sql import transpile
+
+    got_sql = spark.sql(
+        transpile("select kurtosis(x) as k from kurt_t")
+    ).collect()[0].k
+    assert abs(got_sql - expected) < 1e-9
+
+    # FILTER folds into the argument (drop the two tail values)
+    got_f = spark.sql(
+        transpile("select kurtosis(x) filter (where x < 11) as k from kurt_t")
+    ).collect()[0].k
+    sub = [v for v in vals if v < 11]
+    ns = len(sub)
+    mus = sum(sub) / ns
+    m2s = sum((v - mus) ** 2 for v in sub)
+    m4s = sum((v - mus) ** 4 for v in sub)
+    exp_f = (
+        ns * (ns + 1) * (ns - 1) / ((ns - 2) * (ns - 3)) * m4s / m2s**2
+        - 3 * (ns - 1) ** 2 / ((ns - 2) * (ns - 3))
+    )
+    assert abs(got_f - exp_f) < 1e-9
+
+    # guards: n < 4 and zero variance are NULL
+    small = spark.createDataFrame([(1.0,), (2.0,), (3.0,)], "x double")
+    assert small.agg(pc("kurtosis", F.col("x")).alias("k")).collect()[0].k is None
+    flat = spark.createDataFrame([(5.0,)] * 6, "x double")
+    assert flat.agg(pc("kurtosis", F.col("x")).alias("k")).collect()[0].k is None
+
+
+def test_stat_aggregate_passthroughs(spark):
+    """corr/covar_samp/covar_pop/regr_slope/regr_intercept/skewness resolve
+    by same-name passthrough with Presto-identical semantics (skewness =
+    population g1 — DuckDB's is bias-corrected, the ORACLE converts)."""
+    import math
+
+    from verax_spark.functions.presto import presto_call as pc
+
+    xs = [1.0, 2.0, 2.5, 4.0, 7.0, 11.0, 12.5]
+    ys = [2 * v + (i % 3) for i, v in enumerate(xs)]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxy = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    sxx = sum((a - mx) ** 2 for a in xs)
+    m3 = sum((a - mx) ** 3 for a in xs)
+    g1 = math.sqrt(n) * m3 / sxx**1.5
+
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    row = df.agg(
+        pc("skewness", F.col("x")).alias("sk"),
+        pc("covar_pop", F.col("x"), F.col("y")).alias("cp"),
+        pc("covar_samp", F.col("x"), F.col("y")).alias("cs"),
+        pc("regr_slope", F.col("y"), F.col("x")).alias("sl"),
+        pc("regr_intercept", F.col("y"), F.col("x")).alias("ic"),
+    ).collect()[0]
+    assert abs(row.sk - g1) < 1e-9
+    assert abs(row.cp - sxy / n) < 1e-9
+    assert abs(row.cs - sxy / (n - 1)) < 1e-9
+    assert abs(row.sl - sxy / sxx) < 1e-9
+    assert abs(row.ic - (my - sxy / sxx * mx)) < 1e-9
 
 
 def test_geometry_union_agg(spark):

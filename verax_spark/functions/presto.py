@@ -679,6 +679,9 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     # Φ((x-mean)/sd) via the Abramowitz-Stegun 7.1.26 erf approximation
     # (|err| < 1.5e-7), pure Column arithmetic — JVM-side
     "normal_cdf": lambda mean, sd, x: _normal_cdf(mean, sd, x),
+    # Presto kurtosis is the UNBIASED excess estimator; Spark's builtin of
+    # the same name is the population excess — override the passthrough
+    "kurtosis": lambda x: _presto_kurtosis(x),
     # Presto entropy(c) aggregate over per-row counts:
     # H = log2(S) - Σ c·log2(c) / S, exact aggregate algebra
     "entropy": lambda c: _presto_entropy(_col(c)),
@@ -1021,6 +1024,42 @@ def _presto_entropy(c: Column) -> Column:
         F.when(c > 0, c * F.log2(c)).otherwise(F.lit(0.0))
     )
     return F.when(total > 0, F.log2(total) - plogp / total).otherwise(F.lit(0.0))
+
+
+def _presto_kurtosis(x) -> Column:
+    """Presto ``kurtosis(x)``: the UNBIASED sample excess kurtosis
+
+        n(n+1)/((n-1)(n-2)(n-3)) * M4/s^4  -  3(n-1)^2/((n-2)(n-3))
+
+    (M4 = sum((x-mean)^4), s^2 = M2/(n-1)) — presto docs "unbiased
+    estimator". Spark's builtin ``kurtosis`` is the POPULATION excess
+    (M4*n/M2^2 - 3), so a same-name passthrough would be silently wrong;
+    this adapter overrides it. Computed one-pass from raw power sums
+    (binomial expansion of the central moments): every term is a native
+    partial-aggregable SUM/COUNT/AVG, so the map-side combine and a single
+    shuffle survive any scale. Raw-moment expansion loses precision when
+    |mean| >> stddev — acceptable for the parity surface; center the
+    column first if that matters. NULL when n < 4 or the variance is 0
+    (matches DuckDB; Presto raises/NaNs on the degenerate cases).
+    """
+    x = _col(x).cast("double")
+    n = F.count(x).cast("double")
+    m = F.avg(x)
+    s2 = F.sum(x * x)
+    s3 = F.sum(x * x * x)
+    s4 = F.sum(x * x * x * x)
+    m2 = s2 - n * m * m
+    m4 = (
+        s4
+        - F.lit(4.0) * m * s3
+        + F.lit(6.0) * m * m * s2
+        - F.lit(3.0) * n * m * m * m * m
+    )
+    return F.when(
+        (n > F.lit(3.0)) & (m2 > F.lit(0.0)),
+        n * (n + 1) * (n - 1) / ((n - 2) * (n - 3)) * m4 / (m2 * m2)
+        - F.lit(3.0) * (n - 1) * (n - 1) / ((n - 2) * (n - 3)),
+    )
 
 
 def _split_to_multimap(s, entry_delim, kv_delim) -> Column:

@@ -4441,3 +4441,72 @@ def op_fn_batch13(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc("any_values_match", m, lambda v: v > F.col("d")).alias("avm"),
         pc("no_keys_match", m, lambda k: F.length(k) > 5).alias("nkm"),
     ).orderBy("d")
+
+
+# ---------------------------------------------------------------------------
+# Function batch 14 (r10): the Presto statistical-aggregate family
+# (corr/covar_samp/covar_pop/regr_slope/regr_intercept/skewness resolve by
+# same-name passthrough with identical semantics; kurtosis is the one
+# SEMANTIC divergence — Presto's unbiased excess estimator vs Spark's
+# population excess — fixed by the _presto_kurtosis adapter, DSL + SQL
+# text). The reference registers these with the whole Velox Presto library
+# (optimizer/tests/AxiomSql.cpp:149). Oracle notes: DuckDB's skewness is
+# the bias-CORRECTED sample estimator, so the oracle converts it to the
+# population g1 that Presto/Spark return (* (n-2)/sqrt(n(n-1))); DuckDB's
+# kurtosis is already Presto's unbiased estimator (verified numerically).
+# Inputs are exact halves (doc_id arithmetic), n=60 per group; outputs are
+# rounded to 7 decimals on BOTH sides — these are multi-partition co-moment
+# accumulations where Spark's merge order differs from DuckDB's single
+# stream, so the 1e-9 grid of the transcendental-function protocol is too
+# fine for O(100) magnitudes here.
+@_register(
+    "op_fn_batch14",
+    """
+    with t as (
+      select cast(doc_id % 4 as int) as g,
+        cast(doc_id % 17 as double) + cast(doc_id % 7 as double) * 0.5 as x,
+        2.0 * (cast(doc_id % 17 as double) + cast(doc_id % 7 as double) * 0.5)
+          + cast(doc_id % 5 as double) as y
+      from documents where doc_id < 240)
+    select g,
+      round(kurtosis(x), 7) + 0.0 as kurt,
+      round(skewness(x) * (count(x) - 2) / sqrt(count(x) * (count(x) - 1.0)), 7)
+        + 0.0 as skew,
+      round(corr(x, y), 7) + 0.0 as r,
+      round(covar_samp(x, y), 7) + 0.0 as cs,
+      round(covar_pop(x, y), 7) + 0.0 as cp,
+      round(regr_slope(y, x), 7) + 0.0 as slope,
+      round(regr_intercept(y, x), 7) + 0.0 as icept
+    from t
+    group by g order by g
+    """,
+)
+def op_fn_batch14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    d = F.col("doc_id")
+    t = cat.documents.filter(d < 240).select(
+        (d % 4).cast("int").alias("g"),
+        ((d % 17).cast("double") + (d % 7).cast("double") * F.lit(0.5)).alias("x"),
+        (d % 5).cast("double").alias("z"),
+    )
+    x = F.col("x")
+    y = F.lit(2.0) * x + F.col("z")
+
+    def r7(c):
+        return F.round(c, 7) + F.lit(0.0)
+
+    return (
+        t.groupBy("g")
+        .agg(
+            r7(pc("kurtosis", x)).alias("kurt"),
+            r7(pc("skewness", x)).alias("skew"),
+            r7(pc("corr", x, y)).alias("r"),
+            r7(pc("covar_samp", x, y)).alias("cs"),
+            r7(pc("covar_pop", x, y)).alias("cp"),
+            r7(pc("regr_slope", y, x)).alias("slope"),
+            r7(pc("regr_intercept", y, x)).alias("icept"),
+        )
+        .orderBy("g")
+    )

@@ -766,6 +766,31 @@ class Call(Expr):
             and self.args
         ):
             return self._entry_agg_sql()
+        elif self.name.lower() == "kurtosis" and len(self.args) == 1:
+            # Presto kurtosis = UNBIASED excess estimator; Spark's builtin
+            # is the population excess (functions/presto.py _presto_kurtosis
+            # is the DSL twin). FILTER folds into the argument (count() over
+            # the CASE skips the filtered-out rows' NULLs = FILTER exactly).
+            if self.window is not None or self.window_name is not None:
+                raise NotImplementedError("windowed kurtosis")
+            x = f"cast({self.args[0].sql()} as double)"
+            if self.filter_ is not None:
+                x = f"(case when {self.filter_.sql()} then {x} end)"
+            n = f"cast(count({x}) as double)"
+            m = f"avg({x})"
+            s2, s3, s4 = (f"sum(power({x}, {k}))" for k in (2, 3, 4))
+            m2 = f"({s2} - {n} * {m} * {m})"
+            m4 = (
+                f"({s4} - 4.0 * {m} * {s3} + 6.0 * {m} * {m} * {s2}"
+                f" - 3.0 * {n} * power({m}, 4))"
+            )
+            return (
+                f"(case when {n} > 3.0 and {m2} > 0.0 then "
+                f"{n} * ({n} + 1) * ({n} - 1) / (({n} - 2) * ({n} - 3))"
+                f" * {m4} / ({m2} * {m2})"
+                f" - 3.0 * ({n} - 1) * ({n} - 1) / (({n} - 2) * ({n} - 3))"
+                f" end)"
+            )
         head = f"{name}({'distinct ' if self.distinct else ''}{args})"
         if self.filter_ is not None:
             head += f" filter (where {self.filter_.sql()})"
