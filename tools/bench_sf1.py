@@ -155,11 +155,22 @@ def main() -> None:
     # COVERAGE.md round-5 notes). Self-contained here so a bare
     # `python tools/bench_sf1.py --copies=1000` is the full recipe.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # Measured r10 crossover (see sources/layout.py): bucketed copies lose
+    # below ~2 GiB source size (sf1 flat 21.3s vs bucketed 25.6s), win from
+    # sf10 up. DuckDB reads the same flat files either way.
+    os.environ.setdefault("SPARK_GRAFT_MIN_LAYOUT_BYTES", str(2 << 30))
 
     import __spark_entry__ as entrymod
     from verax_spark.session import get_spark
 
-    spark = get_spark("verax-bench-sf1")
+    # Size the shuffle for the corpus (the brief's "partitions fit executor
+    # memory at the target SF" in reverse): at sf1 a 64-way shuffle of a
+    # ~600 MB corpus is hundreds of near-empty tasks per stage — pure
+    # scheduling overhead that DuckDB never pays. 16 ways at sf1 keeps
+    # partitions in the tens-of-MB band; sf10 up; sf100 keeps the session
+    # default (2x cores, AQE-coalesced) that produced the committed legs.
+    shuffle = {10: 16, 100: 32}.get(COPIES)
+    spark = get_spark("verax-bench-sf1", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("WARN")
 
     con = duckdb.connect()

@@ -76,6 +76,35 @@ def source_fingerprint(path: str) -> str:
     return h.hexdigest()[:12]
 
 
+def _source_bytes(path: str) -> int:
+    """Total on-disk bytes of a parquet file / directory (stat sweep, cached
+    by (path, mtime) — same cost class as source_fingerprint)."""
+    try:
+        top = os.stat(path)
+    except OSError:
+        return 0
+    key = (path, int(top.st_mtime))
+    hit = _SOURCE_BYTES_CACHE.get(key)
+    if hit is not None:
+        return hit
+    total = 0
+    if os.path.isdir(path):
+        for root, _dirs, names in os.walk(path):
+            for n in names:
+                if n.endswith(".parquet"):
+                    try:
+                        total += os.stat(os.path.join(root, n)).st_size
+                    except OSError:
+                        pass
+    else:
+        total = top.st_size
+    _SOURCE_BYTES_CACHE[key] = total
+    return total
+
+
+_SOURCE_BYTES_CACHE: dict[tuple[str, int], int] = {}
+
+
 def _registry_file(fp: str, name: str, bucket_cols: list[str] | None = None) -> str:
     # a table may carry SEVERAL layouts (the reference's multiple
     # ColumnGroups per SchemaTable, Schema.h:238-264) — one registry file
@@ -267,6 +296,11 @@ def projection_covering(
     """The projection entry covering a derived-column request — every
     requested (name, canonical SQL) must match the entry EXACTLY (the
     equivalence proof is string identity, never expression reasoning)."""
+    # same measured small-source gate as registered_layout: below the
+    # configured size the copy's scan penalty exceeds what it saves
+    min_bytes = int(os.environ.get("SPARK_GRAFT_MIN_LAYOUT_BYTES", "0"))
+    if min_bytes > 0 and _source_bytes(source_path) < min_bytes:
+        return None
     for e in registered_projections(source_path, name):
         have = e.get("derived", {})
         if all(have.get(k) == v for k, v in derived.items()):
@@ -300,6 +334,18 @@ def registered_layout(
     if not os.path.isdir(LAYOUT_REGISTRY_DIR):
         return None
     if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUTS"):
+        return None
+    # Scale gate (opt-in via SPARK_GRAFT_MIN_LAYOUT_BYTES): below a source
+    # size, serving a bucketed copy is a measured net LOSS — the exchange it
+    # eliminates costs less than the copy's scan penalty (one task per
+    # bucket, no split; ~18% worse compression of re-sorted files). r10 A/B
+    # on the sf1 corpus (~0.9 GB lineitem): flat TPC-H subset 21.3s vs
+    # bucketed 25.6s, slower on every join query; at sf10 (~9 GB) the
+    # bucketed copy wins 3.2x-vs-4.1x. Deployments size this like
+    # shuffle_partitions (bench_sf1.py sets the measured 2 GiB crossover);
+    # default 0 keeps the choice purely demand-driven.
+    min_bytes = int(os.environ.get("SPARK_GRAFT_MIN_LAYOUT_BYTES", "0"))
+    if min_bytes > 0 and _source_bytes(source_path) < min_bytes:
         return None
     entries = [
         e
