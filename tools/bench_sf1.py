@@ -155,10 +155,11 @@ def main() -> None:
     # COVERAGE.md round-5 notes). Self-contained here so a bare
     # `python tools/bench_sf1.py --copies=1000` is the full recipe.
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
-    # Measured r10 crossover (see sources/layout.py): bucketed copies lose
-    # below ~2 GiB source size (sf1 flat 21.3s vs bucketed 25.6s), win from
-    # sf10 up. DuckDB reads the same flat files either way.
-    os.environ.setdefault("SPARK_GRAFT_MIN_LAYOUT_BYTES", str(2 << 30))
+    # Measured r10 crossover (see sources/layout.py): bucketed copies LOSE
+    # at sf1 (87 MB on-disk lineitem: flat 21.3s vs bucketed 25.6s) and WIN
+    # at sf10 (868 MB: bucketed 32.0s vs flat 40.6s, quiet machine) — gate
+    # between the two. DuckDB reads the same flat files either way.
+    os.environ.setdefault("SPARK_GRAFT_MIN_LAYOUT_BYTES", str(256 << 20))
 
     import __spark_entry__ as entrymod
     from verax_spark.session import get_spark

@@ -338,12 +338,13 @@ def registered_layout(
     # Scale gate (opt-in via SPARK_GRAFT_MIN_LAYOUT_BYTES): below a source
     # size, serving a bucketed copy is a measured net LOSS — the exchange it
     # eliminates costs less than the copy's scan penalty (one task per
-    # bucket, no split; ~18% worse compression of re-sorted files). r10 A/B
-    # on the sf1 corpus (~0.9 GB lineitem): flat TPC-H subset 21.3s vs
-    # bucketed 25.6s, slower on every join query; at sf10 (~9 GB) the
-    # bucketed copy wins 3.2x-vs-4.1x. Deployments size this like
-    # shuffle_partitions (bench_sf1.py sets the measured 2 GiB crossover);
-    # default 0 keeps the choice purely demand-driven.
+    # bucket, no split; ~18% worse compression of re-sorted files). r10
+    # quiet-machine A/B, TPC-H subset Spark-absolute: sf1 (87 MB on-disk
+    # lineitem) flat 21.3s vs bucketed 25.6s — LOSS on every join query;
+    # sf10 (868 MB) bucketed 32.0s vs flat 40.6s — WIN; sf100 (~9 GB)
+    # 120.6s vs 288.9s — the headline win. Deployments size this like
+    # shuffle_partitions (bench_sf1.py sets the measured 256 MiB
+    # crossover); default 0 keeps the choice purely demand-driven.
     min_bytes = int(os.environ.get("SPARK_GRAFT_MIN_LAYOUT_BYTES", "0"))
     if min_bytes > 0 and _source_bytes(source_path) < min_bytes:
         return None
