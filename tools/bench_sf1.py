@@ -172,6 +172,15 @@ def main() -> None:
     # default (2x cores, AQE-coalesced) that produced the committed legs.
     shuffle = {10: 16, 100: 32}.get(COPIES)
     spark = get_spark("verax-bench-sf1", shuffle_partitions=shuffle)
+    # AQE A/B (r10, quiet machine): per-stage runtime re-planning is pure
+    # overhead while every stage is small — q3/q5/q9/q12/q18/q21 subset
+    # 6.9s-vs-8.8s at sf1, 8.8-vs-9.8 at sf10 with AQE off — but WINS at
+    # sf100 (55.2-vs-65.8 on q3/q9/q18: runtime coalesce + broadcast on
+    # multi-GB shuffles). Off below sf100; the cluster-scale design point
+    # keeps the session default ON (bench.py applies the same rule at
+    # sf<=0.1).
+    if COPIES <= 100:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
 
     con = duckdb.connect()
@@ -199,6 +208,23 @@ def main() -> None:
         con.execute(
             f"create or replace view {t} as select * from read_parquet('{src}')"
         )
+    # Steady-state protocol: warm the page cache once, UNTIMED, before
+    # either engine is measured. Without this, whichever leg follows a
+    # corpus regen / large foreign read pays cold I/O and the ratio swings
+    # +/-30% with Spark unchanged (measured r10: DuckDB sf10 leg 10.1s warm
+    # vs 17.7s after the sf100 A/B evicted the cache).
+    for t in _FIXED + _SCALED:
+        p = f"{DST}/{t}.parquet"
+        files = (
+            [os.path.join(p, f) for f in os.listdir(p) if f.endswith(".parquet")]
+            if os.path.isdir(p)
+            else [p]
+        )
+        for fpath in files:
+            with open(fpath, "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+
     duck: dict[str, float] = {}
     for name, sql in oracles.items():
         t0 = time.perf_counter()
