@@ -2059,6 +2059,23 @@ def _discrete_inverse_cdf(t0: Column, recur, k_max: Column, prob) -> Column:
     given the PMF term recurrence term_i = recur(term_{i-1}, i) — one
     Column fold, the same shape as the forward binomial/poisson CDFs."""
     pr = _col(prob).cast("double")
+
+    # build the recurrence term ONCE per step: each Column op is a py4j
+    # round-trip, and the binomial term is ~8 ops — constructing it three
+    # times tripled the driver-side build cost of every call (the same
+    # planning-time trap as the r09 geo fix; Catalyst sees the identical
+    # shared subtree either way)
+    def _step(st, i):
+        new_term = recur(st["term"], i)
+        new_acc = st["acc"] + new_term
+        return F.struct(
+            new_term.alias("term"),
+            new_acc.alias("acc"),
+            F.coalesce(
+                st["ans"], F.when(new_acc >= pr, i.cast("int"))
+            ).alias("ans"),
+        )
+
     folded = F.aggregate(
         F.sequence(F.lit(1), F.greatest(k_max, F.lit(1))),
         F.struct(
@@ -2066,14 +2083,7 @@ def _discrete_inverse_cdf(t0: Column, recur, k_max: Column, prob) -> Column:
             t0.alias("acc"),
             F.when(t0 >= pr, F.lit(0)).cast("int").alias("ans"),
         ),
-        lambda st, i: F.struct(
-            recur(st["term"], i).alias("term"),
-            (st["acc"] + recur(st["term"], i)).alias("acc"),
-            F.coalesce(
-                st["ans"],
-                F.when(st["acc"] + recur(st["term"], i) >= pr, i.cast("int")),
-            ).alias("ans"),
-        ),
+        _step,
     )
     # NULL/out-of-range p must yield NULL like the continuous siblings
     # (inverse_laplace_cdf etc.), not silently fall back to k_max.
