@@ -41,6 +41,8 @@ _PRIORITY = [
     # options). Positions 13-41: the 29 queries whose latest green
     # is r05. Positions 42-50: the oldest r07 block. Everything
     # else rotates behind, previous order preserved.
+    "op_fn_batch15",
+    "op_fn_geo5",
     "op_fn_batch14",
     "op_fn_geo4",
     "op_fn_batch13",

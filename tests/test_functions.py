@@ -649,6 +649,95 @@ def _cases():
         (_c("st_geometrytype", _c("st_point", F.lit(1.0), F.lit(2.0))),
          "ST_Point"),
     ],
+    # --- batch 15: vertex/component accessors ---
+    "st_startpoint": [
+        (_c("st_astext", _c("st_startpoint", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 3 0, 3 4)")))), "POINT (0.0 0.0)"),
+        (_c("st_startpoint", _c("st_point", F.lit(1.0), F.lit(2.0))), None),
+    ],
+    "st_endpoint": [
+        (_c("st_astext", _c("st_endpoint", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 3 0, 3 4)")))), "POINT (3.0 4.0)"),
+    ],
+    "st_pointn": [
+        (_c("st_astext", _c("st_pointn", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 3 0, 3 4)")), 2)), "POINT (3.0 0.0)"),
+        (_c("st_pointn", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 3 0)")), 5), None),
+    ],
+    "st_points": [
+        (
+            _c(
+                "st_points",
+                _c("st_geometryfromtext", F.lit("LINESTRING (0 0, 3 4)")),
+            ),
+            lambda v: v is not None
+            and len(v) == 2
+            and v[0].xs == [0.0]
+            and v[1].ys == [4.0],
+        ),
+    ],
+    "st_numgeometries": [
+        (_c("st_numgeometries", _c("st_point", F.lit(1.0), F.lit(2.0))), 1),
+    ],
+    "st_geometryn": [
+        (_c("st_astext", _c("st_geometryn",
+            _c("st_point", F.lit(1.0), F.lit(2.0)), 1)), "POINT (1.0 2.0)"),
+        (_c("st_geometryn", _c("st_point", F.lit(1.0), F.lit(2.0)), 2), None),
+    ],
+    "st_geometries": [
+        (
+            _c("st_geometries", _c("st_point", F.lit(1.0), F.lit(2.0))),
+            lambda v: v is not None and len(v) == 1 and v[0].kind == "POINT",
+        ),
+    ],
+    "st_exteriorring": [
+        (_c("st_astext", _c("st_exteriorring", _c("st_geometryfromtext",
+            F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")))),
+         "LINESTRING (0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0)"),
+    ],
+    "st_interiorringn": [
+        (_c("st_interiorringn", _c("st_geometryfromtext",
+            F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")), 1), None),
+    ],
+    "st_numinteriorring": [
+        (_c("st_numinteriorring", _c("st_geometryfromtext",
+            F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"))), 0),
+        (_c("st_numinteriorring", _c("st_point", F.lit(1.0), F.lit(2.0))),
+         None),
+    ],
+    "st_boundary": [
+        (_c("st_astext", _c("st_boundary", _c("st_geometryfromtext",
+            F.lit("POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))")))),
+         "LINESTRING (0.0 0.0, 2.0 0.0, 2.0 2.0, 0.0 2.0, 0.0 0.0)"),
+        (_c("st_geometrytype", _c("st_boundary",
+            _c("st_point", F.lit(1.0), F.lit(2.0)))),
+         lambda v: v in ("ST_GeometryCollection", None) or "EMPTY" in str(v)),
+        # open linestring boundary = MULTIPOINT -> loud NULL
+        (_c("st_boundary", _c("st_geometryfromtext",
+            F.lit("LINESTRING (0 0, 1 1)"))), None),
+    ],
+    "bing_tile_parent": [
+        (
+            _c("bing_tile_parent", _c("bing_tile", 5, 6, 3)),
+            lambda v: (v.x, v.y, v.zoom) == (2, 3, 2),
+        ),
+        (
+            _c("bing_tile_parent", _c("bing_tile", 5, 6, 3), 0),
+            lambda v: (v.x, v.y, v.zoom) == (0, 0, 0),
+        ),
+    ],
+    "bing_tile_children": [
+        (
+            _c("bing_tile_children", _c("bing_tile", 1, 2, 3)),
+            lambda v: sorted((c.x, c.y, c.zoom) for c in v)
+            == [(2, 4, 4), (2, 5, 4), (3, 4, 4), (3, 5, 4)],
+        ),
+        (
+            _c("bing_tile_children", _c("bing_tile", 0, 0, 1), 3),
+            lambda v: len(v) == 16 and all(c.zoom == 3 for c in v),
+        ),
+    ],
     "st_intersects": [
         (_c("st_intersects", _c("st_point", F.lit(2.0), F.lit(1.0)),
             _c("st_geometryfromtext",
@@ -849,9 +938,69 @@ def _cases():
     ],
     "map_top_n_keys": [
         (_c("map_top_n_keys", F.map_concat(F.col("m1"), F.col("m2")), 2), ["b", "a"]),
+        # key-ordered, NOT value-ordered: key 'c' wins though its value is
+        # smallest (the by-value form is map_keys_by_top_n_values)
+        (
+            _c(
+                "map_top_n_keys",
+                F.create_map(
+                    F.lit("a"), F.lit(9), F.lit("c"), F.lit(1),
+                    F.lit("b"), F.lit(5),
+                ),
+                1,
+            ),
+            ["c"],
+        ),
     ],
     "map_top_n_values": [
         (_c("map_top_n_values", F.map_concat(F.col("m1"), F.col("m2")), 1), [2]),
+    ],
+    "map_keys_by_top_n_values": [
+        (
+            _c(
+                "map_keys_by_top_n_values",
+                F.create_map(
+                    F.lit("a"), F.lit(9), F.lit("c"), F.lit(1),
+                    F.lit("b"), F.lit(5),
+                ),
+                2,
+            ),
+            ["a", "b"],
+        ),
+    ],
+    "map_values_by_top_n_keys": [
+        (
+            _c(
+                "map_values_by_top_n_keys",
+                F.create_map(
+                    F.lit("a"), F.lit(9), F.lit("c"), F.lit(1),
+                    F.lit("b"), F.lit(5),
+                ),
+                2,
+            ),
+            [1, 5],
+        ),
+    ],
+    "array_has_dupes": [
+        (_c("array_has_dupes", F.array(F.lit(1), F.lit(1))), True),
+        (_c("array_has_dupes", F.array(F.lit(1), F.lit(2))), False),
+    ],
+    "array_least_frequent": [
+        (
+            _c(
+                "array_least_frequent",
+                F.array(F.lit(3), F.lit(3), F.lit(1), F.lit(2), F.lit(2)),
+            ),
+            [1],
+        ),
+        (
+            _c(
+                "array_least_frequent",
+                F.array(F.lit(3), F.lit(3), F.lit(1), F.lit(2), F.lit(2)),
+                2,
+            ),
+            [1, 2],
+        ),
     ],
     "normal_cdf": [
         (_c("normal_cdf", F.lit(0), F.lit(1), F.lit(0.0)), lambda v: abs(v - 0.5) < 1e-7),

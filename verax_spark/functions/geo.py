@@ -407,6 +407,120 @@ def st_is_closed(g: Column) -> Column:
     )
 
 
+def st_start_point(g: Column) -> Column:
+    """Presto ST_StartPoint: first vertex of a LINESTRING (NULL for any
+    other kind — Presto raises on non-linestrings; this engine's dirty-
+    input posture is NULL, matching the rest of the ST_ surface)."""
+    return F.when(
+        (g["kind"] == "LINESTRING") & (F.size(g["xs"]) > 0),
+        st_point(F.element_at(g["xs"], 1), F.element_at(g["ys"], 1)),
+    )
+
+
+def st_end_point(g: Column) -> Column:
+    """Presto ST_EndPoint: last vertex of a LINESTRING (NULL otherwise)."""
+    return F.when(
+        (g["kind"] == "LINESTRING") & (F.size(g["xs"]) > 0),
+        st_point(F.element_at(g["xs"], -1), F.element_at(g["ys"], -1)),
+    )
+
+
+def st_point_n(g: Column, n) -> Column:
+    """Presto ST_PointN: 1-based vertex accessor over a LINESTRING; NULL
+    when the index is out of range (Presto contract) or g is not a
+    linestring."""
+    ni = n.cast("int") if isinstance(n, Column) else F.lit(int(n))
+    return F.when(
+        (g["kind"] == "LINESTRING") & ni.between(1, F.size(g["xs"])),
+        st_point(F.element_at(g["xs"], ni), F.element_at(g["ys"], ni)),
+    )
+
+
+def st_points(g: Column) -> Column:
+    """Presto ST_Points: the vertex array of a LINESTRING as POINTs (NULL
+    for other kinds)."""
+    return F.when(
+        g["kind"] == "LINESTRING",
+        F.transform(
+            F.sequence(F.lit(1), F.size(g["xs"])),
+            lambda i: st_point(
+                F.element_at(g["xs"], i), F.element_at(g["ys"], i)
+            ),
+        ),
+    )
+
+
+def st_num_geometries(g: Column) -> Column:
+    """Presto ST_NumGeometries over the non-collection core: EMPTY has 0,
+    any single geometry has 1 (MULTI/collection shapes cannot enter the
+    struct encoding — ST_GeometryFromText rejects them loudly)."""
+    return (
+        F.when(g["kind"] == _EMPTY_KIND, F.lit(0))
+        .when(g["kind"].isin("POINT", "LINESTRING", "POLYGON"), F.lit(1))
+        .cast("int")
+    )
+
+
+def st_geometry_n(g: Column, n) -> Column:
+    """Presto ST_GeometryN: 1-based; the single element of a non-collection
+    geometry, NULL out of range or on EMPTY."""
+    ni = n.cast("int") if isinstance(n, Column) else F.lit(int(n))
+    return F.when(
+        g["kind"].isin("POINT", "LINESTRING", "POLYGON") & (ni == 1), g
+    )
+
+
+def st_geometries(g: Column) -> Column:
+    """Presto ST_Geometries: array of component geometries; NULL for EMPTY
+    (Presto returns NULL for an empty geometry), 1-element array for the
+    single-geometry core."""
+    return F.when(
+        g["kind"].isin("POINT", "LINESTRING", "POLYGON"), F.array(g)
+    )
+
+
+def st_exterior_ring(g: Column) -> Column:
+    """Presto ST_ExteriorRing: the POLYGON shell as a (closed) LINESTRING.
+    NULL for non-polygons."""
+    return F.when(
+        g["kind"] == "POLYGON", _geom(F.lit("LINESTRING"), g["xs"], g["ys"])
+    )
+
+
+def st_interior_ring_n(g: Column, n) -> Column:
+    """Presto ST_InteriorRingN: the struct core encodes single-ring
+    polygons only — a polygon WITH holes never parses into it — so every
+    in-range query answers NULL exactly as Presto does for a hole-free
+    polygon (out-of-range is NULL too; the two are indistinguishable
+    here, documented)."""
+    _ = n
+    return F.when(F.lit(False), g)  # typed NULL of the geometry struct
+
+
+def st_num_interior_ring(g: Column) -> Column:
+    """Presto ST_NumInteriorRing: 0 for the hole-free polygon core, NULL
+    for non-polygons."""
+    return F.when(g["kind"] == "POLYGON", F.lit(0)).cast("int")
+
+
+def st_boundary(g: Column) -> Column:
+    """Presto ST_Boundary on the planar core: a POINT's boundary is empty;
+    a POLYGON's is its shell ring as a LINESTRING; a CLOSED linestring's
+    is empty. An OPEN linestring's boundary is a MULTIPOINT of its two
+    endpoints — unrepresentable in the single-geometry encoding — so it
+    is a loud NULL (same posture as the other MULTI-producing cases)."""
+    return (
+        F.when((g["kind"] == "POINT") | (g["kind"] == _EMPTY_KIND), st_empty())
+        .when(
+            g["kind"] == "POLYGON",
+            _geom(F.lit("LINESTRING"), g["xs"], g["ys"]),
+        )
+        .when(
+            (g["kind"] == "LINESTRING") & st_is_closed(g), st_empty()
+        )
+    )
+
+
 def st_geometry_type(g: Column) -> Column:
     """Presto ST_GeometryType: 'ST_Point' / 'ST_LineString' / 'ST_Polygon'."""
     return (

@@ -594,6 +594,20 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "st_touches": lambda a, b: _geo().st_touches(_col(a), _col(b)),
     "st_crosses": lambda a, b: _geo().st_crosses(_col(a), _col(b)),
     "st_overlaps": lambda a, b: _geo().st_overlaps(_col(a), _col(b)),
+    # --- batch 15 (r10): vertex/component accessors of the planar core ---
+    "st_startpoint": lambda g: _geo().st_start_point(_col(g)),
+    "st_endpoint": lambda g: _geo().st_end_point(_col(g)),
+    "st_pointn": lambda g, n: _geo().st_point_n(_col(g), n),
+    "st_points": lambda g: _geo().st_points(_col(g)),
+    "st_numgeometries": lambda g: _geo().st_num_geometries(_col(g)),
+    "st_geometryn": lambda g, n: _geo().st_geometry_n(_col(g), n),
+    "st_geometries": lambda g: _geo().st_geometries(_col(g)),
+    "st_exteriorring": lambda g: _geo().st_exterior_ring(_col(g)),
+    "st_interiorringn": lambda g, n: _geo().st_interior_ring_n(_col(g), n),
+    "st_numinteriorring": lambda g: _geo().st_num_interior_ring(_col(g)),
+    "st_boundary": lambda g: _geo().st_boundary(_col(g)),
+    "bing_tile_parent": lambda t, z=None: _bing_tile_parent(t, z),
+    "bing_tile_children": lambda t, z=None: _bing_tile_children(t, z),
     # --- r09: hull/simplify/WKB tail (pandas-batched in geo.py) ---
     "st_convexhull": lambda g: _geo().st_convex_hull(_col(g)),
     "st_simplify": lambda g, t: _geo().st_simplify(_col(g), t),
@@ -667,13 +681,25 @@ _ADAPTERS: dict[str, Callable[..., Column]] = {
     "map_top_n": lambda m, n: F.map_from_entries(
         F.slice(_map_entries_by_value_desc(_col(m)), 1, int(n))
     ),
-    "map_top_n_keys": lambda m, n: F.transform(
-        F.slice(_map_entries_by_value_desc(_col(m)), 1, int(n)),
-        lambda e: e["key"],
+    # map_top_n_keys orders by the KEYS themselves (descending) — Presto
+    # ships the separate map_keys_by_top_n_values for the by-value form,
+    # which is why this one cannot be value-ordered (r10 semantic fix; the
+    # prior by-value behavior is exactly map_keys_by_top_n_values below)
+    "map_top_n_keys": lambda m, n: F.slice(
+        F.reverse(F.array_sort(F.map_keys(_col(m)))), 1, int(n)
     ),
     "map_top_n_values": lambda m, n: F.transform(
         F.slice(_map_entries_by_value_desc(_col(m)), 1, int(n)),
         lambda e: e["value"],
+    ),
+    # batch 15 (r10): the by-value / by-key cross-accessors
+    "map_keys_by_top_n_values": lambda m, n: F.transform(
+        F.slice(_map_entries_by_value_desc(_col(m)), 1, int(n)),
+        lambda e: e["key"],
+    ),
+    "map_values_by_top_n_keys": lambda m, n: F.transform(
+        F.slice(F.reverse(F.array_sort(F.map_keys(_col(m)))), 1, int(n)),
+        lambda k: F.element_at(_col(m), k),
     ),
     # --- batch 8: math / stats / text ---
     # Φ((x-mean)/sd) via the Abramowitz-Stegun 7.1.26 erf approximation
@@ -840,6 +866,30 @@ def _array_duplicates(arr: Column) -> Column:
         F.array_distinct(arr),
         lambda v: F.size(F.filter(arr, lambda e: e.eqNullSafe(v))) > 1,
     )
+
+
+def _array_least_frequent(a: Column, n) -> Column:
+    """n least-frequent non-null elements: count each distinct element with
+    a row-local filter scan (O(d*len) per row, no shuffle), sort by
+    (count asc, element asc), project the elements."""
+    nn = F.filter(a, lambda e: e.isNotNull())
+    stats = F.transform(
+        F.array_distinct(nn),
+        lambda e: F.struct(
+            F.size(F.filter(nn, lambda x: x == e)).alias("c"),
+            e.alias("v"),
+        ),
+    )
+    ordered = F.array_sort(
+        stats,
+        lambda p, q: F.when(p["c"] < q["c"], -1)
+        .when(p["c"] > q["c"], 1)
+        .when(p["v"] < q["v"], -1)
+        .when(p["v"] > q["v"], 1)
+        .otherwise(0),
+    )
+    cnt = _col(n).cast("int") if isinstance(n, Column) else F.lit(int(n))
+    return F.transform(F.slice(ordered, 1, cnt), lambda s: s["v"])
 
 
 def _map_entries_by_value_desc(m: Column) -> Column:
@@ -1923,6 +1973,52 @@ def _bing_tile_from_quadkey_body(qk: Column) -> Column:
     )
 
 
+def _bing_tile_parent(t, newzoom=None) -> Column:
+    """bing_tile_parent(tile[, newzoom]): the ancestor tile at newzoom
+    (default zoom-1) — coordinate right-shift by the zoom delta. newzoom
+    outside [0, zoom] → NULL (dirty-input posture)."""
+    t = _col(t)
+    z = t["zoom"]
+    nz = (z - 1) if newzoom is None else _col(newzoom).cast("int")
+    d = (z - nz).cast("double")
+    # x >> (z-nz) without shiftright (whose bit count must be a literal):
+    # doubles are exact here (x < 2^23)
+    shift = F.pow(F.lit(2.0), d)
+    return F.when(
+        t["x"].isNotNull() & t["zoom"].isNotNull() & nz.between(0, z),
+        _bing_struct(
+            F.floor(t["x"].cast("double") / shift),
+            F.floor(t["y"].cast("double") / shift),
+            nz,
+        ),
+    )
+
+
+def _bing_tile_children(t, newzoom=None) -> Column:
+    """bing_tile_children(tile[, newzoom]): the 4^(newzoom-zoom) descendant
+    tiles at newzoom (default zoom+1), row-major (y-major, then x).
+    newzoom below zoom or above the max zoom → NULL."""
+    t = _col(t)
+    z = t["zoom"]
+    nz = (z + 1) if newzoom is None else _col(newzoom).cast("int")
+    m = F.pow(F.lit(2.0), (nz - z).cast("double")).cast("int")
+    x0 = t["x"] * m
+    y0 = t["y"] * m
+    return F.when(
+        t["x"].isNotNull() & t["zoom"].isNotNull()
+        & (nz >= z) & (nz <= _MAX_BING_ZOOM),
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), m - 1),
+                lambda dy: F.transform(
+                    F.sequence(F.lit(0), m - 1),
+                    lambda dx: _bing_struct(x0 + dx, y0 + dy, nz),
+                ),
+            )
+        ),
+    )
+
+
 def _bing_tile_at(lat, lng, zoom) -> Column:
     """Tile containing (lat, lng): Microsoft's published pixel mapping,
     latitude clamped to the Web Mercator domain the way Presto clamps."""
@@ -2237,6 +2333,13 @@ _ADAPTERS.update(
         # Presto aliases of already-mapped names
         "arrays_union": lambda a, b: F.array_union(_col(a), _col(b)),
         "array_dupes": lambda a: _ADAPTERS["array_duplicates"](a),
+        "array_has_dupes": lambda a: _ADAPTERS["array_has_duplicates"](a),
+        # batch 15: n least-frequent NON-NULL elements, ascending frequency,
+        # ties by element ascending (Velox array_least_frequent); 1-arg form
+        # returns the single least-frequent element as a 1-element array
+        "array_least_frequent": lambda arr, n=1: _array_least_frequent(
+            _col(arr), n
+        ),
         # map predicate family: quantified matches over keys/values.
         # NULL lambda results follow Presto's three-valued ANY/ALL/NONE
         # semantics (forall/exists are Spark's, which implement the same

@@ -4510,3 +4510,153 @@ def op_fn_batch14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("g")
     )
+
+
+# ---------------------------------------------------------------------------
+# Function batch 15 (r10): listagg (SQL-standard ordered-set aggregate,
+# Spark-4 native; parser gains WITHIN GROUP), array_least_frequent /
+# array_has_dupes, and the map top-n cross-accessors — including the r10
+# SEMANTIC FIX that map_top_n_keys orders by the KEYS themselves (the
+# by-value form is the separate map_keys_by_top_n_values; the function
+# family's existence is the tell). Group structure: doc_id<24, g=doc_id%4
+# -> each group's m3 multiset is {0,0,1,1,2,2}; appending g skews one
+# residue so array_least_frequent has a distinct per-group answer.
+@_register(
+    "op_fn_batch15",
+    """
+    with t as (
+      select cast(doc_id as bigint) as d,
+        cast(doc_id % 3 as int) as m3,
+        cast(doc_id % 4 as int) as g
+      from documents where doc_id < 24)
+    select g,
+      string_agg(cast(m3 as varchar), ',' order by d) as s,
+      case g when 0 then [1] when 1 then [0] when 2 then [0]
+        else [3] end as alf,
+      true as hd,
+      false as hd_f,
+      ['b'] as mtk,
+      ['b'] as mkv,
+      [10 - g] as mvk
+    from t group by g order by g
+    """,
+)
+def op_fn_batch15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    d = F.col("doc_id")
+    t = cat.documents.filter(d < 24).select(
+        d.cast("long").alias("d"),
+        (d % 3).cast("int").alias("m3"),
+        (d % 4).cast("int").alias("g"),
+    )
+    g = F.col("g")
+    bag = F.concat(F.collect_list("m3"), F.array(F.first(g)))
+    m = F.create_map(F.lit("a"), F.first(g), F.lit("b"), F.lit(10) - F.first(g))
+    return (
+        t.groupBy("g")
+        .agg(
+            F.expr(
+                "listagg(cast(m3 as string), ',')"
+                " within group (order by d)"
+            ).alias("s"),
+            pc("array_least_frequent", bag).alias("alf"),
+            pc("array_has_dupes", bag).alias("hd"),
+            pc(
+                "array_has_dupes", F.array(F.first(g), F.first(g) + 1)
+            ).alias("hd_f"),
+            pc("map_top_n_keys", m, 1).alias("mtk"),
+            pc("map_keys_by_top_n_values", m, 1).alias("mkv"),
+            pc("map_values_by_top_n_keys", m, 1).alias("mvk"),
+        )
+        .orderBy("g")
+    )
+
+
+# ---------------------------------------------------------------------------
+# op_fn_geo5 (r10): vertex/component accessors of the planar core —
+# ST_StartPoint/EndPoint/PointN/Points, ST_NumGeometries/GeometryN/
+# Geometries, ST_ExteriorRing/NumInteriorRing/Boundary — plus
+# bing_tile_parent/children. Literal oracle (DuckDB has no geometry
+# type); k in {1,2,3} renders identically ('1.0') from Spark's double
+# concat and DuckDB's varchar cast.
+@_register(
+    "op_fn_geo5",
+    """
+    with t as (
+      select doc_id as d,
+        cast(1 + doc_id % 3 as double) as k,
+        cast(doc_id % 2 as int) as m
+      from documents where doc_id < 24)
+    select d,
+      'POINT (0.0 0.0)' as sp,
+      'POINT (' || k || ' ' || k || ')' as ep,
+      'POINT (' || k || ' 0.0)' as p2,
+      true as pn_oob,
+      3 as npts,
+      1 as ngeom,
+      'ST_Polygon' as g1,
+      'LINESTRING (0.0 0.0, ' || k || ' 0.0, ' || k || ' ' || k ||
+        ', 0.0 ' || k || ', 0.0 0.0)' as ext,
+      0 as nint,
+      true as bnd_pt_empty,
+      'ST_LineString' as bnd_poly,
+      true as bnd_open_null,
+      2 as par_x,
+      2 as par_zoom,
+      0 as par0_zoom,
+      16 as nchild,
+      cast(16 + 4 * m as int) as child_min_x
+    from t order by d
+    """,
+)
+def op_fn_geo5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from verax_spark.functions.presto import presto_call as pc
+
+    cat = Catalog(spark, sf_dir)
+    t = cat.documents.filter(F.col("doc_id") < 24).select(
+        F.col("doc_id").alias("d"),
+        (1 + F.col("doc_id") % 3).cast("double").alias("k"),
+        (F.col("doc_id") % 2).cast("int").alias("m"),
+    )
+    k, m = F.col("k"), F.col("m")
+    ks = k.cast("string")
+
+    def wkt(*parts) -> F.Column:
+        return pc(
+            "st_geometryfromtext",
+            F.concat(
+                *[p if isinstance(p, F.Column) else F.lit(p) for p in parts]
+            ),
+        )
+
+    line = wkt("LINESTRING (0 0, ", ks, " 0, ", ks, " ", ks, ")")
+    poly = wkt(
+        "POLYGON ((0 0, ", ks, " 0, ", ks, " ", ks, ", 0 ", ks, ", 0 0))"
+    )
+    pt = pc("st_point", F.lit(1.0), F.lit(2.0))
+    tile = pc("bing_tile", F.lit(4) + m, F.lit(5), F.lit(3))
+    children = pc("bing_tile_children", tile, F.lit(5))
+    return t.select(
+        "d",
+        pc("st_astext", pc("st_startpoint", line)).alias("sp"),
+        pc("st_astext", pc("st_endpoint", line)).alias("ep"),
+        pc("st_astext", pc("st_pointn", line, 2)).alias("p2"),
+        pc("st_pointn", line, 9).isNull().alias("pn_oob"),
+        F.size(pc("st_points", line)).alias("npts"),
+        pc("st_numgeometries", poly).alias("ngeom"),
+        pc("st_geometrytype", pc("st_geometryn", poly, 1)).alias("g1"),
+        pc("st_astext", pc("st_exteriorring", poly)).alias("ext"),
+        pc("st_numinteriorring", poly).alias("nint"),
+        pc("st_isempty", pc("st_boundary", pt)).alias("bnd_pt_empty"),
+        pc("st_geometrytype", pc("st_boundary", poly)).alias("bnd_poly"),
+        pc("st_boundary", line).isNull().alias("bnd_open_null"),
+        pc("bing_tile_parent", tile)["x"].alias("par_x"),
+        pc("bing_tile_parent", tile)["zoom"].alias("par_zoom"),
+        pc("bing_tile_parent", tile, F.lit(0))["zoom"].alias("par0_zoom"),
+        F.size(children).alias("nchild"),
+        F.array_min(
+            F.transform(children, lambda c: c["x"])
+        ).alias("child_min_x"),
+    ).orderBy("d")

@@ -606,6 +606,19 @@ class Call(Expr):
                 raise NotImplementedError(
                     "ORDER BY inside a windowed aggregate call"
                 )
+            if self.name.lower() == "listagg":
+                # Spark 4 implements the SQL-standard ordered-set aggregate
+                # natively (incl. DISTINCT) — reconstruct the WITHIN GROUP
+                # clause the parser folded into agg_order
+                items = ", ".join(s.sql() for s in self.agg_order)
+                inner = ", ".join(e.sql() for e in self.args)
+                head = (
+                    f"listagg({'distinct ' if self.distinct else ''}{inner})"
+                    f" within group (order by {items})"
+                )
+                if self.filter_ is not None:
+                    head += f" filter (where {self.filter_.sql()})"
+                return head
             return self._ordered_agg_sql()
         name = _renamed(self.name)
         args = ", ".join(e.sql() for e in self.args)

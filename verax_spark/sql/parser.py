@@ -1187,9 +1187,26 @@ class Parser:
                 agg_order.append(self._sort_item())
                 while self.accept_op(","):
                     agg_order.append(self._sort_item())
+            if self.at_kw("on") and self.at_kw("overflow", ahead=1):
+                raise NotImplementedError(
+                    "listagg ON OVERFLOW is not supported (default ERROR"
+                    " behavior only)"
+                )
             self.expect_op(")")
         call = ast.Call(name, args, distinct)
         call.agg_order = agg_order
+        # SQL-standard ordered-set aggregate: listagg(...) WITHIN GROUP
+        # (ORDER BY ...) — the sort items land in the same agg_order slot
+        # as Presto's in-call ORDER BY
+        if self.at_kw("within") and self.at_kw("group", ahead=1):
+            self.next(), self.next()
+            self.expect_op("(")
+            self.expect_kw("order")
+            self.expect_kw("by")
+            call.agg_order.append(self._sort_item())
+            while self.accept_op(","):
+                call.agg_order.append(self._sort_item())
+            self.expect_op(")")
         if self.at_kw("filter"):
             self.next()
             self.expect_op("(")
