@@ -192,6 +192,12 @@ def main() -> None:
             json.dump(_corpus_spec(), f)
         print(f"generated in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    if "--gen-only" in sys.argv:
+        # corpus materialization only (so generation can overlap other
+        # work); the timed legs run later on a quiet machine
+        con.close()
+        return
+
     qs = {
         k: v for k, v in entrymod.queries().items() if k.startswith("tpch_")
     }

@@ -1761,14 +1761,25 @@ def _ipv4_lit(ip: str) -> int:
     return (a << 24) | (b << 16) | (c << 8) | d
 
 
-def _is_private(ip) -> Column:
-    v = _ip_to_int(ip)
+def _is_private_body(v: Column) -> Column:
     cond = F.lit(False)
     for start, bits in _PRIVATE_RANGES:
         lo = _ipv4_lit(start)
         hi = lo + (1 << (32 - bits)) - 1
         cond = cond | v.between(F.lit(lo), F.lit(hi))
     return F.when(v.isNull(), F.lit(None).cast("boolean")).otherwise(cond)
+
+
+def _is_private(ip) -> Column:
+    # let-bind the parsed int ONCE (geo.py _let): the 13 range checks
+    # reference it 27x and _ip_to_int embeds its input ~6x, so inlining
+    # multiplied a composite ip expression ~160x — 1.86 MB of generated
+    # code for op_fn_batch12's CASE-built ip, blowing janino's 64 KB
+    # method limit and paying a failed whole-stage compile on every run
+    # (guide §7.2 duplicated-subtree smell; measured r10)
+    from verax_spark.functions.geo import _let
+
+    return _let(_ip_to_int(ip), _is_private_body)
 
 
 def _map_union_sum(m) -> Column:

@@ -243,22 +243,44 @@ def minhash_lsh_pairs(
     ).select(
         F.col(id_col), F.col("__sig"), F.col("bb.band"), F.col("bb.bucket")
     )
-    # The bucket self-join consumes this twice, and Catalyst does not emit a
-    # ReusedExchange for it (verified on the physical plan) — without a cut
-    # the whole signature aggregation (explode + num_perm min-aggs over all
-    # text) would execute twice. The materialized relation is narrow:
-    # (id, band, bucket) = ~24 bytes x bands per document.
-    band_entries = band_entries_plan.localCheckpoint(eager=True)
-
+    # ONE (band, bucket) exchange serves the whole guard computation
+    # (r10, guide §2.4): the windows stack over a single shuffle and the
+    # lineage cut moves AFTER them. The r09 shape checkpointed the
+    # PRE-window entries and re-derived the windows in every consumer —
+    # plan-verified as 6 Exchange hashpartitioning(band,bucket) nodes and
+    # 12 Window evaluations of the same relation (self-join sides, hot
+    # branches, rep re-windows). Post-window checkpointing leaves ONE
+    # exchange + 3 stacked Window ops, and the checkpointed relation
+    # keeps its (band,bucket) partitioning, so every downstream
+    # self-join on (band,bucket) needs no exchange at all. The
+    # materialized relation stays narrow: ~6 longs x bands per document.
+    # (Without any cut, the signature aggregation — explode + num_perm
+    # min-aggs over all text — would execute once per consumer; Catalyst
+    # emits no ReusedExchange here, verified on the physical plan.)
     bw = Window.partitionBy("band", "bucket")
     sw = Window.partitionBy("band", "bucket", "__sig")
-    sized = band_entries.select(
-        F.col(id_col),
-        "__sig",
-        "band",
-        "bucket",
-        F.count(F.lit(1)).over(bw).alias("__bsz"),
-        F.min(id_col).over(sw).alias("__smin"),
+    sized = (
+        band_entries_plan.select(
+            F.col(id_col),
+            "__sig",
+            "band",
+            "bucket",
+            F.count(F.lit(1)).over(bw).alias("__bsz"),
+            F.min(id_col).over(sw).alias("__smin"),
+        )
+        .select(
+            "*",
+            # rep-set quantities, derived bucket-wide instead of from a
+            # separate reps-only window pass: the reps are exactly the
+            # sub-group minima, so |reps| = count of rows equal to their
+            # sub-group min, and min-over-reps = bucket-wide min id (the
+            # bucket's global min id is always its own sub-group's min).
+            F.sum((F.col(id_col) == F.col("__smin")).cast("int"))
+            .over(bw)
+            .alias("__nsig"),
+            F.min(id_col).over(bw).alias("__rmin"),
+        )
+        .localCheckpoint(eager=True)
     )
     normal = sized.filter(F.col("__bsz") <= max_bucket_size).select(
         id_col, "band", "bucket"
@@ -287,21 +309,14 @@ def minhash_lsh_pairs(
     )
     # level 2: one representative per distinct signature; all-pairs among
     # them, star fallback if even the representative set is oversized
+    # (__nsig/__rmin precomputed bucket-wide above — no reps-only window)
     reps = hot.filter(F.col(id_col) == F.col("__smin"))
-    rw = Window.partitionBy("band", "bucket")
-    reps_sized = reps.select(
-        F.col(id_col),
-        "band",
-        "bucket",
-        F.count(F.lit(1)).over(rw).alias("__nsig"),
-        F.min(id_col).over(rw).alias("__rmin"),
-    )
     rep_pairs = _self_pairs(
-        reps_sized.filter(F.col("__nsig") <= max_bucket_size).select(
+        reps.filter(F.col("__nsig") <= max_bucket_size).select(
             id_col, "band", "bucket"
         )
     )
-    rep_star = reps_sized.filter(
+    rep_star = reps.filter(
         (F.col("__nsig") > max_bucket_size) & (F.col(id_col) > F.col("__rmin"))
     ).select(F.col("__rmin").alias("id_a"), F.col(id_col).alias("id_b"))
     cand = (
@@ -413,22 +428,41 @@ def simhash_pairs(
             )
         ).alias("bb"),
     ).select(F.col(id_col), F.col("__sim"), F.col("bb.band"), F.col("bb.key"))
-    # the self-join would otherwise run the signature aggregation twice
-    # (no ReusedExchange, same as minhash) — materialize the narrow
-    # (id, sim, band, key) relation once
-    bands = bands.localCheckpoint(eager=True)
-
+    # ONE (band, key) exchange + stacked windows, checkpoint AFTER them
+    # (same reshape as minhash_lsh_pairs: the pre-window checkpoint was
+    # re-shuffled and re-windowed once per consumer; the post-window
+    # checkpoint keeps its (band,key) partitioning so the self-joins add
+    # no exchange). Without a cut the signature aggregation would run
+    # once per consumer (no ReusedExchange, plan-verified).
     bw = Window.partitionBy("band", "key")
     # sub-group hot buckets by the full signature: identical __sim ⇒
     # Hamming 0 ⇒ the star edge always survives the verify
     sw = Window.partitionBy("band", "key", "__sim")
-    sized = bands.select(
-        F.col(id_col),
-        "__sim",
-        "band",
-        "key",
-        F.count(F.lit(1)).over(bw).alias("__bsz"),
-        F.min(id_col).over(sw).alias("__smin"),
+    sized = (
+        bands.select(
+            F.col(id_col),
+            "__sim",
+            "band",
+            "key",
+            F.count(F.lit(1)).over(bw).alias("__bsz"),
+            F.min(id_col).over(sw).alias("__smin"),
+        )
+        .select(
+            "*",
+            # rep-set quantities bucket-wide (reps = sub-group minima):
+            # |reps| = count of rows equal to their sub-group min;
+            # min-over-reps keeps the representative's SIGNATURE via the
+            # (id, sim) struct min — the bucket's global min id is a rep,
+            # and ids are unique within a bucket, so the struct min is
+            # exactly the min-id rep with its sim.
+            F.sum((F.col(id_col) == F.col("__smin")).cast("int"))
+            .over(bw)
+            .alias("__nsig"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__sim").alias("s")))
+            .over(bw)
+            .alias("__rmin"),
+        )
+        .localCheckpoint(eager=True)
     )
     ham = F.bit_count(F.col("x.__sim").bitwiseXOR(F.col("y.__sim")))
 
@@ -457,23 +491,10 @@ def simhash_pairs(
         F.lit(0).cast("int").alias("hamming"),
     )
     reps = hot.filter(F.col(id_col) == F.col("__smin"))
-    rw = Window.partitionBy("band", "key")
-    reps_sized = reps.select(
-        F.col(id_col),
-        "__sim",
-        "band",
-        "key",
-        F.count(F.lit(1)).over(rw).alias("__nsig"),
-        # min-id representative WITH its signature, so the star fallback
-        # can still compute the exact Hamming distance
-        F.min(F.struct(F.col(id_col).alias("i"), F.col("__sim").alias("s")))
-        .over(rw)
-        .alias("__rmin"),
-    )
     rep_pairs = _self_pairs(
-        reps_sized.filter(F.col("__nsig") <= max_bucket_size)
+        reps.filter(F.col("__nsig") <= max_bucket_size)
     )
-    rep_star = reps_sized.filter(
+    rep_star = reps.filter(
         (F.col("__nsig") > max_bucket_size)
         & (F.col(id_col) > F.col("__rmin.i"))
     ).select(
@@ -518,10 +539,18 @@ def connected_components(
     # carries a whole candidate-generation DAG (MinHash banding etc.), and
     # without this cut every iteration's join would re-execute that entire
     # upstream pipeline — the dominant cost, not the propagation itself.
+    # repartition by src BEFORE the cut (r10): the distinct leaves the
+    # edge list (src,dst)-partitioned, which no iteration can reuse — the
+    # edges⋈labels join then re-shuffled the edges EVERY iteration. One
+    # extra exchange here makes the checkpoint src-partitioned, which
+    # co-partitions with the labels relation (id-partitioned, same hash,
+    # same partition count), so each iteration pays only its groupBy(dst)
+    # exchange: 1 shuffle per iteration instead of 2 (guide §2.4).
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -623,8 +652,11 @@ def embedding_cosine_pairs(
             ).alias("bb"),
         ).select("__id", "__qv", F.col("bb.band"), F.col("bb.key"))
         # materialize once: the self-join would recompute the n_projections
-        # signature dot products for both sides (no ReusedExchange)
-        sig = sig.localCheckpoint(eager=True)
+        # signature dot products for both sides (no ReusedExchange).
+        # Repartition on the join key first (r10) so the checkpoint is
+        # (band,key)-partitioned and the banded self-join adds no
+        # exchange on either side.
+        sig = sig.repartition("band", "key").localCheckpoint(eager=True)
         left = sig.select(
             F.col("__id").alias("id_a"), F.col("__qv").alias("__va"), "band", "key"
         )

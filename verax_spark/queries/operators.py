@@ -44,6 +44,32 @@ VAL = "decimal(12,2)"  # events.value fits (12,2)
 
 
 # ---------------------------------------------------------------------------
+# Build-once cache for heavy output-column lists (r10, guide §1/§5: driver
+# work). The function-corpus queries build large Column trees (inverse-CDF
+# aggregate folds, bing-tile quadkey folds) from literals and unresolved
+# column names only; constructing them is pure py4j traffic repeated
+# IDENTICALLY on every run — measured 1.9 s/run of the op_fn_batch12 steady
+# time, ~0.7 s for op_fn_batch10. The JVM expression objects are
+# plan-independent (unresolved attrs, fresh analysis per query), so they
+# are cached per JVM gateway and reused. This caches EXPRESSIONS, never
+# data, plans, or results.
+_COLS_CACHE: dict = {}
+
+
+def _cached_cols(key: str, builder: "Callable[[], list]") -> list:
+    from pyspark.sql import SparkSession
+
+    sess = SparkSession.getActiveSession()
+    jvm_id = 0 if sess is None else id(sess.sparkContext._jvm)
+    ck = (key, jvm_id)
+    cols = _COLS_CACHE.get(ck)
+    if cols is None:
+        cols = builder()
+        _COLS_CACHE[ck] = cols
+    return cols
+
+
+# ---------------------------------------------------------------------------
 # ValuesNode (axiom/logical_plan/LogicalPlanNode.h:121-157)
 @_register(
     "op_values",
@@ -3573,6 +3599,20 @@ def op_fn_batch10(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return (
+        t.select(*_cached_cols("op_fn_batch10", _batch10_out_cols))
+        .join(mus, "g")
+        .drop("g")
+        .orderBy("d")
+    )
+
+
+def _batch10_out_cols() -> list:
+    """op_fn_batch10's output columns over input col d (module-level
+    builder for _cached_cols — ~0.7 s/run of py4j construction saved)."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    d = F.col("d")
     ip = (
         F.when(d % 4 == 0, F.concat(F.lit("10.0.0."), (d % 200).cast("string")))
         .when(d % 4 == 1, F.concat(F.lit("8.8.8."), (d % 200).cast("string")))
@@ -3583,9 +3623,8 @@ def op_fn_batch10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("203.0.113."), (d % 200).cast("string")))
     )
     p = (d + 0.5) / F.lit(25.0)
-    return (
-        t.select(
-            "d",
+    return [
+        "d",
             pc(
                 "from_big_endian_64",
                 pc("to_big_endian_64", d * F.lit(1000000007) - 5000),
@@ -3629,12 +3668,8 @@ def op_fn_batch10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(
                 pc("from_unixtime_nanos", d * F.lit(1234567890123) + 456789)
             ).alias("nanots"),
-            (d % 4).alias("g"),
-        )
-        .join(mus, "g")
-        .drop("g")
-        .orderBy("d")
-    )
+        (d % 4).alias("g"),
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -4150,8 +4185,6 @@ def op_fn_geo3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def op_fn_batch12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from verax_spark.functions.presto import presto_call as pc
-
     cat = Catalog(spark, sf_dir)
     doc = F.col("doc_id")
     t = cat.documents.filter(doc < 24).select(
@@ -4162,6 +4195,18 @@ def op_fn_batch12(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 + doc % 5).cast("int").alias("z"),
         (doc % 12).cast("int").alias("m"),
     )
+    return t.select(
+        *_cached_cols("op_fn_batch12", _batch12_out_cols)
+    ).orderBy("d")
+
+
+def _batch12_out_cols() -> list:
+    """op_fn_batch12's output columns (over input cols d/p/lat/lng/z/m) —
+    a module-level builder so _cached_cols amortizes the ~1.9 s/run of
+    py4j construction (the inverse-CDF folds and quadkey folds are the
+    largest expression trees in the corpus)."""
+    from verax_spark.functions.presto import presto_call as pc
+
     p, lat, lng, z, m = (F.col(c) for c in ("p", "lat", "lng", "z", "m"))
     tile = pc("bing_tile_at", lat, lng, z)
     coords = pc("bing_tile_coordinates", tile)
@@ -4173,7 +4218,7 @@ def op_fn_batch12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimals on both sides and the bisection round-trips
     # cdf(inverse_cdf(p)) are emitted as |roundtrip - p| < 1e-12 booleans
     # (oracle: literal true) instead of ULP-sensitive raw values.
-    return t.select(
+    return [
         "d",
         (
             F.round(pc("inverse_cauchy_cdf", F.lit(1.0), F.lit(2.0), p), 9)
@@ -4278,7 +4323,7 @@ def op_fn_batch12(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x > m,
         ).alias("ffi"),
         pc("trail", F.lit("abcdefgh"), m).alias("tr"),
-    ).orderBy("d")
+    ]
 
 
 # ---------------------------------------------------------------------------
