@@ -77,6 +77,9 @@ def main() -> None:
             print(f"skip {t}: {src} missing")
             continue
         for bcols, primary in layouts:
+            if "--skip-existing" in sys.argv and _have_layout(src, t, bcols):
+                print(f"{t} {bcols}: already materialized, skip", flush=True)
+                continue
             t0 = time.perf_counter()
             tbl = materialize_bucketed_layout(
                 spark, src, t, bcols, n_buckets=n, sort_cols=bcols,
@@ -89,11 +92,35 @@ def main() -> None:
         src = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(src):
             continue
+        if "--skip-existing" in sys.argv and _have_projection(src, t, derived):
+            print(f"{t} projection: already materialized, skip", flush=True)
+            continue
         t0 = time.perf_counter()
         tbl = materialize_projection_layout(
             spark, src, t, derived, sort_cols=sort_cols, n_files=n
         )
         print(f"{t} -> {tbl} ({time.perf_counter() - t0:.1f}s)", flush=True)
+
+
+def _have_layout(src: str, t: str, bcols) -> bool:
+    """Registry entry exists for this (source, bucket columns) and its
+    files are on disk — lets an interrupted run resume without rewriting
+    completed multi-GB copies (disk-peak relief: each copy's shuffle
+    stays on disk until the writing session exits)."""
+    from verax_spark.sources.layout import registered_layout
+
+    e = registered_layout(src, t, frozenset(c.lower() for c in bcols))
+    return (
+        e is not None
+        and list(e["bucket_cols"]) == list(bcols)
+        and os.path.isdir(e["location"].removeprefix("file:"))
+    )
+
+
+def _have_projection(src: str, t: str, derived) -> bool:
+    from verax_spark.sources.layout import projection_covering
+
+    return projection_covering(src, t, derived) is not None
 
 
 if __name__ == "__main__":

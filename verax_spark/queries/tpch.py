@@ -1408,18 +1408,27 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     use_bcast = est is not None and QueryGraph().broadcastable(est, 8.0)
     src = cat.orders
     big = src.filter(F.col("o_totalprice") > 480000).select("o_custkey")
-    no_orders = cat.customer.join(
+    # Single-table filters BEFORE the anti join (r10, guide §2.3 "shuffle
+    # fewer bytes"): the suffix-bucket and above-average-balance predicates
+    # commute with the anti join (both only drop customer rows), so apply
+    # them first — the shuffle-anti exchange then carries ~25% of customer
+    # instead of all of it (suffix keeps 5 of 10 digits, balance keeps
+    # ~half). The avg is a 1-row broadcast either way; results identical.
+    kept = (
+        cat.customer.join(F.broadcast(avg_bal))
+        .filter(
+            (F.col("c_acctbal") > F.col("__avg_bal"))
+            & bucket.isin("1", "3", "5", "7", "9")
+        )
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    no_orders = kept.join(
         F.broadcast(big) if use_bcast else big,
         F.col("c_custkey") == F.col("o_custkey"),
         "left_anti",
     )
     return (
-        no_orders.join(F.broadcast(avg_bal))
-        .filter(
-            (F.col("c_acctbal") > F.col("__avg_bal"))
-            & bucket.isin("1", "3", "5", "7", "9")
-        )
-        .groupBy(bucket.alias("cntrycode"))
+        no_orders.groupBy(bucket.alias("cntrycode"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_dec("c_acctbal", PRICE)).cast("double").alias("totacctbal"),
@@ -1517,6 +1526,20 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_suppkey")
         .agg(F.sum(_unit("l_quantity", 1)).alias("__qty"))
         .filter(F.col("__qty") > 1500)  # 150 in 10^-1 units, exact
+        .select("l_suppkey")
+    )
+    # the heavy-supplier key set is bounded by SUPPLIER cardinality (it is
+    # a grouped aggregate of l_suppkey), which footer stats know exactly —
+    # Catalyst sees only an aggregate with no size estimate and planned a
+    # sort-merge semi join that exchanged+sorted the full supplier table
+    # against a few-thousand-row build (r10, plan-verified at sf10).
+    # Byte-gated broadcast: supplier streams map-only; at extreme sf the
+    # estimate exceeds the budget and the shuffle semi join returns.
+    supp_stats = cat.stats("supplier")
+    heavy = _bcast_if_small(
+        heavy,
+        None if supp_stats is None else float(supp_stats.num_rows),
+        width=8.0,
     )
     return (
         cat.supplier.join(
