@@ -21,6 +21,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from verax_spark.operators._exprcache import cached_exprs
+
 
 # ---------------------------------------------------------------------------
 # Tokenize / shingle helpers (pure Column expressions — JVM-side)
@@ -159,12 +161,16 @@ def minhash_signatures(
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("__s")
     )
-    return exploded.groupBy(id_col).agg(
-        *[
+    # num_perm min/xxhash64 aggregate terms: pure unresolved-column trees,
+    # built once per JVM (measured ~0.3 s/call of py4j otherwise)
+    aggs = cached_exprs(
+        ("mh_aggs", num_perm),
+        lambda: [
             F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"mh{i}")
             for i in range(num_perm)
-        ]
+        ],
     )
+    return exploded.groupBy(id_col).agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -213,34 +219,40 @@ def minhash_lsh_pairs(
         max_bucket_size = 1 << 62  # opt-out: exact all-pairs everywhere
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, text_col, id_col, n=n, num_perm=num_perm)
-    # band key = hash of the band's slice of the signature
-    band_entries_plan = sig.select(
-        F.col(id_col),
-        # full-signature fingerprint for hot-bucket sub-grouping: equal
-        # __sig ⇒ identical 64-perm signature ⇒ estimated Jaccard 1.0
-        F.xxhash64(*[F.col(f"mh{i}") for i in range(num_perm)]).alias(
-            "__sig"
-        ),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(f"mh{b * rows_per_band + r}")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
+    # band key = hash of the band's slice of the signature; the select
+    # list (signature fingerprint + bands×rows_per_band struct array) is a
+    # pure unresolved tree — built once per JVM (guide §1.2/§5 driver work)
+    band_cols = cached_exprs(
+        ("mh_bands", id_col, num_perm, bands),
+        lambda: [
+            F.col(id_col),
+            # full-signature fingerprint for hot-bucket sub-grouping: equal
+            # __sig ⇒ identical 64-perm signature ⇒ estimated Jaccard 1.0
+            F.xxhash64(*[F.col(f"mh{i}") for i in range(num_perm)]).alias(
+                "__sig"
+            ),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.xxhash64(
+                                F.concat_ws(
+                                    ",",
+                                    *[
+                                        F.col(f"mh{b * rows_per_band + r}")
+                                        for r in range(rows_per_band)
+                                    ],
+                                )
+                            ).alias("bucket"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ],
+    )
+    band_entries_plan = sig.select(*band_cols).select(
         F.col(id_col), F.col("__sig"), F.col("bb.band"), F.col("bb.bucket")
     )
     # ONE (band, bucket) exchange serves the whole guard computation
@@ -366,8 +378,11 @@ def simhash_signatures(
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__t")
     ).select(F.col(id_col), F.xxhash64(F.col("__t")).alias("__h"))
-    lanes = exploded.groupBy(id_col).agg(
-        *[
+    # bits lane aggregates + the bit-reassembly fold: pure unresolved
+    # trees, built once per JVM (~0.6 s/call of py4j otherwise)
+    lane_aggs = cached_exprs(
+        ("sim_lanes", bits),
+        lambda: [
             F.sum(
                 F.when(
                     F.col("__h").bitwiseAND(F.shiftleft(F.lit(1).cast("bigint"), b))
@@ -376,13 +391,19 @@ def simhash_signatures(
                 ).otherwise(-1)
             ).alias(f"lane{b}")
             for b in range(bits)
-        ]
+        ],
     )
-    sim = F.lit(0).cast("bigint")
-    for b in range(bits):
-        sim = sim + F.when(
-            F.col(f"lane{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-        ).otherwise(0)
+    lanes = exploded.groupBy(id_col).agg(*lane_aggs)
+
+    def _fold():
+        sim = F.lit(0).cast("bigint")
+        for b in range(bits):
+            sim = sim + F.when(
+                F.col(f"lane{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+            ).otherwise(0)
+        return sim
+
+    sim = cached_exprs(("sim_fold", bits), _fold)
     return lanes.select(F.col(id_col), sim.alias("__sim"))
 
 
@@ -632,12 +653,18 @@ def embedding_cosine_pairs(
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         n_bands = n_projections // band_bits
-        sig = v.withColumn(
-            "__sig", lsh_signature(F.col("__qv"), n_projections=n_projections)
-        ).select(
-            "__id",
-            "__qv",
-            F.explode(
+        # the sign-projection signature (n_projections zip_with/aggregate
+        # HOF folds — the expensive tree) and the band-split explode are
+        # pure unresolved trees, built once per JVM; the two-Project shape
+        # (signature aliased below the explode) is kept so the signature
+        # is evaluated once per row, not once per band
+        sig_col = cached_exprs(
+            ("emb_sigcol", n_projections),
+            lambda: lsh_signature(F.col("__qv"), n_projections=n_projections),
+        )
+        band_col = cached_exprs(
+            ("emb_bands", n_bands, band_bits),
+            lambda: F.explode(
                 F.array(
                     *[
                         F.struct(
@@ -650,6 +677,9 @@ def embedding_cosine_pairs(
                     ]
                 )
             ).alias("bb"),
+        )
+        sig = v.withColumn("__sig", sig_col).select(
+            "__id", "__qv", band_col
         ).select("__id", "__qv", F.col("bb.band"), F.col("bb.key"))
         # materialize once: the self-join would recompute the n_projections
         # signature dot products for both sides (no ReusedExchange).

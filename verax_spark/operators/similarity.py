@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
+from verax_spark.operators._exprcache import cached_exprs
+
 QUANT_SCALE = 1 << 20
 
 
@@ -131,14 +133,22 @@ def lsh_topk(
     n_bands = n_projections // band_bits
 
     def with_bands(df: DataFrame, role: str) -> DataFrame:
-        qv = quantize(F.col(vec_col))
-        sig = lsh_signature(qv, n_projections=n_projections)
-        return df.select(
-            F.col(id_col).alias(f"{role}_id"), qv.alias(f"{role}v"), sig.alias("__sig")
-        ).select(
-            f"{role}_id",
-            f"{role}v",
-            F.explode(
+        # signature (n_projections zip_with/aggregate HOF folds) and band
+        # split are pure unresolved trees — built once per JVM, per role
+        # (guide §1.2/§5: this was ~1.5 s/call of py4j construction)
+        head = cached_exprs(
+            ("lsh_head", vec_col, id_col, role, n_projections),
+            lambda: [
+                F.col(id_col).alias(f"{role}_id"),
+                quantize(F.col(vec_col)).alias(f"{role}v"),
+                lsh_signature(
+                    quantize(F.col(vec_col)), n_projections=n_projections
+                ).alias("__sig"),
+            ],
+        )
+        band_col = cached_exprs(
+            ("lsh_bands", n_bands, band_bits),
+            lambda: F.explode(
                 F.array(
                     *[
                         F.struct(
@@ -151,6 +161,9 @@ def lsh_topk(
                     ]
                 )
             ).alias("bb"),
+        )
+        return df.select(*head).select(
+            f"{role}_id", f"{role}v", band_col
         ).select(f"{role}_id", f"{role}v", F.col("bb.band"), F.col("bb.key"))
 
     qb = F.broadcast(with_bands(queries, "query"))
@@ -266,28 +279,33 @@ def ivf_fit_assign(
     # a SINGLE partial+final aggregation (dim indexed avgs per cluster) —
     # no posexplode row blowup, no second shuffle
     dim = len(fit.select("__v").head()[0])
+    # the argmax-over-centroids tree (HOF transform with dot-product folds)
+    # and the per-dimension mean array are pure unresolved trees consumed
+    # by every Lloyd iteration plus the final assignment — build each once
+    best_cluster = cached_exprs(
+        ("ivf_best",),
+        lambda: (-_best_cluster(F.col("__v")).getField("__negc")).alias(
+            "cluster"
+        ),
+    )
+    mean_vec = cached_exprs(
+        ("ivf_mean", dim),
+        lambda: F.array(*[F.avg(F.col("__v")[i]) for i in range(dim)]).alias(
+            "__c"
+        ),
+    )
     for _ in range(iters):
         assigned = (
             fit.crossJoin(F.broadcast(_centroid_array(centroids)))
-            .select(
-                "__v",
-                (-_best_cluster(F.col("__v")).getField("__negc")).alias("cluster"),
-            )
+            .select("__v", best_cluster)
         )
         centroids = (
-            assigned.groupBy("cluster").agg(
-                F.array(
-                    *[F.avg(F.col("__v")[i]) for i in range(dim)]
-                ).alias("__c")
-            )
+            assigned.groupBy("cluster").agg(mean_vec)
         ).localCheckpoint()
     # final assignment over the FULL corpus (map-only), materialized once
     assignments = (
         vecs.crossJoin(F.broadcast(_centroid_array(centroids)))
-        .select(
-            "__vid",
-            (-_best_cluster(F.col("__v")).getField("__negc")).alias("cluster"),
-        )
+        .select("__vid", best_cluster)
         .localCheckpoint()
     )
     return assignments, centroids
