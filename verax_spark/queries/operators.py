@@ -4680,14 +4680,21 @@ def op_fn_batch15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def op_fn_geo5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from verax_spark.functions.presto import presto_call as pc
-
     cat = Catalog(spark, sf_dir)
     t = cat.documents.filter(F.col("doc_id") < 24).select(
         F.col("doc_id").alias("d"),
         (1 + F.col("doc_id") % 3).cast("double").alias("k"),
         (F.col("doc_id") % 2).cast("int").alias("m"),
     )
+    return t.select(*_cached_cols("op_fn_geo5", _geo5_out_cols)).orderBy("d")
+
+
+def _geo5_out_cols() -> list:
+    """Pure output-column list for op_fn_geo5 (builder for _cached_cols —
+    the vertex/accessor trees over WKT-concat inputs are ~1.4 s/run of
+    py4j construction, rebuilt identically every run)."""
+    from verax_spark.functions.presto import presto_call as pc
+
     k, m = F.col("k"), F.col("m")
     ks = k.cast("string")
 
@@ -4706,8 +4713,8 @@ def op_fn_geo5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = pc("st_point", F.lit(1.0), F.lit(2.0))
     tile = pc("bing_tile", F.lit(4) + m, F.lit(5), F.lit(3))
     children = pc("bing_tile_children", tile, F.lit(5))
-    return t.select(
-        "d",
+    return [
+        F.col("d"),
         pc("st_astext", pc("st_startpoint", line)).alias("sp"),
         pc("st_astext", pc("st_endpoint", line)).alias("ep"),
         pc("st_astext", pc("st_pointn", line, 2)).alias("p2"),
@@ -4727,4 +4734,4 @@ def op_fn_geo5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(
             F.transform(children, lambda c: c["x"])
         ).alias("child_min_x"),
-    ).orderBy("d")
+    ]
