@@ -195,6 +195,33 @@ def test_connected_components_transitive_closure(spark, sf_dir):
     }
 
 
+def test_connected_components_driver_vs_iterative(spark, sf_dir):
+    """The gated driver union-find fast path must return exactly the
+    distributed label-propagation fixpoint's answer (same node set, same
+    min-reachable component per node), including deep chains and string ids."""
+    from verax_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(0, 40)]  # diameter 40 > max_iter probe cadence
+    extra = [(100, 200), (200, 150), (300, 300 + 7)]
+    pairs = spark.createDataFrame(chain + extra, "id_a bigint, id_b bigint")
+    fast = {r.id: r.component for r in connected_components(pairs).collect()}
+    slow = {
+        r.id: r.component
+        for r in connected_components(pairs, driver_gate=0, max_iter=64).collect()
+    }
+    assert fast == slow and fast[40] == 0 and fast[150] == 100
+
+    spairs = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "id_a string, id_b string"
+    )
+    fast_s = {r.id: r.component for r in connected_components(spairs).collect()}
+    slow_s = {
+        r.id: r.component
+        for r in connected_components(spairs, driver_gate=0).collect()
+    }
+    assert fast_s == slow_s == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_transitive_vs_leader(spark, sf_dir):
     from verax_spark.operators import dedup
 

@@ -18,8 +18,11 @@ Scale design (the point of every choice here):
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import types as T
 
 from verax_spark.operators._exprcache import cached_exprs
 
@@ -269,29 +272,43 @@ def minhash_lsh_pairs(
     # (Without any cut, the signature aggregation — explode + num_perm
     # min-aggs over all text — would execute once per consumer; Catalyst
     # emits no ReusedExchange here, verified on the physical plan.)
-    bw = Window.partitionBy("band", "bucket")
-    sw = Window.partitionBy("band", "bucket", "__sig")
-    sized = (
-        band_entries_plan.select(
+    # window select lists: pure trees over (id_col) — cached like the band
+    # columns (the two stacked selects cost ~0.3 s/run of py4j otherwise)
+    sized_cols1 = cached_exprs(
+        ("mh_sized1", id_col),
+        lambda: [
             F.col(id_col),
-            "__sig",
-            "band",
-            "bucket",
-            F.count(F.lit(1)).over(bw).alias("__bsz"),
-            F.min(id_col).over(sw).alias("__smin"),
-        )
-        .select(
-            "*",
+            F.col("__sig"),
+            F.col("band"),
+            F.col("bucket"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("band", "bucket"))
+            .alias("__bsz"),
+            F.min(id_col)
+            .over(Window.partitionBy("band", "bucket", "__sig"))
+            .alias("__smin"),
+        ],
+    )
+    sized_cols2 = cached_exprs(
+        ("mh_sized2", id_col),
+        lambda: [
+            F.col("*"),
             # rep-set quantities, derived bucket-wide instead of from a
             # separate reps-only window pass: the reps are exactly the
             # sub-group minima, so |reps| = count of rows equal to their
             # sub-group min, and min-over-reps = bucket-wide min id (the
             # bucket's global min id is always its own sub-group's min).
             F.sum((F.col(id_col) == F.col("__smin")).cast("int"))
-            .over(bw)
+            .over(Window.partitionBy("band", "bucket"))
             .alias("__nsig"),
-            F.min(id_col).over(bw).alias("__rmin"),
-        )
+            F.min(id_col)
+            .over(Window.partitionBy("band", "bucket"))
+            .alias("__rmin"),
+        ],
+    )
+    sized = (
+        band_entries_plan.select(*sized_cols1)
+        .select(*sized_cols2)
         .localCheckpoint(eager=True)
     )
     normal = sized.filter(F.col("__bsz") <= max_bucket_size).select(
@@ -455,21 +472,28 @@ def simhash_pairs(
     # checkpoint keeps its (band,key) partitioning so the self-joins add
     # no exchange). Without a cut the signature aggregation would run
     # once per consumer (no ReusedExchange, plan-verified).
-    bw = Window.partitionBy("band", "key")
     # sub-group hot buckets by the full signature: identical __sim ⇒
-    # Hamming 0 ⇒ the star edge always survives the verify
-    sw = Window.partitionBy("band", "key", "__sim")
-    sized = (
-        bands.select(
+    # Hamming 0 ⇒ the star edge always survives the verify.
+    # Window select lists cached as pure trees (same as minhash_lsh_pairs).
+    sh_cols1 = cached_exprs(
+        ("sh_sized1", id_col),
+        lambda: [
             F.col(id_col),
-            "__sim",
-            "band",
-            "key",
-            F.count(F.lit(1)).over(bw).alias("__bsz"),
-            F.min(id_col).over(sw).alias("__smin"),
-        )
-        .select(
-            "*",
+            F.col("__sim"),
+            F.col("band"),
+            F.col("key"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("band", "key"))
+            .alias("__bsz"),
+            F.min(id_col)
+            .over(Window.partitionBy("band", "key", "__sim"))
+            .alias("__smin"),
+        ],
+    )
+    sh_cols2 = cached_exprs(
+        ("sh_sized2", id_col),
+        lambda: [
+            F.col("*"),
             # rep-set quantities bucket-wide (reps = sub-group minima):
             # |reps| = count of rows equal to their sub-group min;
             # min-over-reps keeps the representative's SIGNATURE via the
@@ -477,13 +501,15 @@ def simhash_pairs(
             # and ids are unique within a bucket, so the struct min is
             # exactly the min-id rep with its sim.
             F.sum((F.col(id_col) == F.col("__smin")).cast("int"))
-            .over(bw)
+            .over(Window.partitionBy("band", "key"))
             .alias("__nsig"),
             F.min(F.struct(F.col(id_col).alias("i"), F.col("__sim").alias("s")))
-            .over(bw)
+            .over(Window.partitionBy("band", "key"))
             .alias("__rmin"),
-        )
-        .localCheckpoint(eager=True)
+        ],
+    )
+    sized = (
+        bands.select(*sh_cols1).select(*sh_cols2).localCheckpoint(eager=True)
     )
     ham = F.bit_count(F.col("x.__sim").bitwiseXOR(F.col("y.__sim")))
 
@@ -542,6 +568,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 20,
     check_every: int = 2,
+    driver_gate: int | None = None,
 ) -> DataFrame:
     """Transitive closure of near-dup pairs → (id, component) with component
     = min id reachable. Label-propagation fixpoint (the small-star/large-star
@@ -555,11 +582,76 @@ def connected_components(
     labels (a per-iteration changed-flag column, so the probe scans
     materialized data instead of re-running a labels⋈labels join — the probe
     job is near-free and at most check_every-1 extra iterations run).
+
+    Small-graph fast path (r10, guide §2.4/§5): below ``driver_gate`` edges
+    (default 100k, env VERAX_CC_DRIVER_GATE) the closure is solved with
+    union-find in the driver — a dedup edge list is tiny relative to the
+    corpus (only docs in near-dup pairs appear), while the iterative path
+    pays ~4 sequential Spark jobs per diameter step in pure scheduling
+    latency. The collect is BOUNDED BY CONSTRUCTION: the probe reads
+    ``limit(gate+1)`` of the materialized edge list (≤ 100k 2-field rows ≈
+    a few MB via Arrow), and one extra row past the gate falls back to the
+    distributed fixpoint — identical results (component = min reachable id)
+    either way, property-tested in tests/test_pipeline.py.
     """
+    if driver_gate is None:
+        driver_gate = int(os.environ.get("VERAX_CC_DRIVER_GATE", 100_000))
     # Materialize the edge list ONCE before iterating: `pairs` usually
     # carries a whole candidate-generation DAG (MinHash banding etc.), and
     # without this cut every iteration's join would re-execute that entire
     # upstream pipeline — the dominant cost, not the propagation itself.
+    # SINGLE-DIRECTION here (r10): the old doubled-then-distinct form ran
+    # the whole pairs DAG twice inside the checkpoint job (plan-verified:
+    # every broadcast build of the verify joins appeared 2×); the swap to
+    # both directions now happens after the cut, reading materialized rows.
+    e1 = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    head = e1.limit(driver_gate + 1).toPandas() if driver_gate > 0 else None
+    if head is not None and len(head) <= driver_gate:
+        spark = pairs.sparkSession
+        parent = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(head["src"], head["dst"]):
+            a = a.item() if hasattr(a, "item") else a
+            b = b.item() if hasattr(b, "item") else b
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN so the final representative is the min id
+                # reachable — bit-identical to the fixpoint's answer
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        import pandas as pd
+
+        rows = [(x, find(x)) for x in parent]
+        schema = T.StructType(
+            [
+                T.StructField("id", e1.schema["src"].dataType),
+                T.StructField("component", e1.schema["src"].dataType),
+            ]
+        )
+        if not rows:
+            return spark.createDataFrame([], schema)
+        # Arrow-backed createDataFrame (list-of-tuples builds a pickled
+        # Python RDD whose every action pays a Python-worker launch —
+        # measured 6s/collect for 250 rows on this sandbox; the Arrow path
+        # converts JVM-side) + coalesce(1): the map is ≤ gate rows, the
+        # default would spread it over defaultParallelism tasks.
+        pdf = pd.DataFrame(rows, columns=["id", "component"])
+        return spark.createDataFrame(pdf, schema).coalesce(1)
     # repartition by src BEFORE the cut (r10): the distinct leaves the
     # edge list (src,dst)-partitioned, which no iteration can reuse — the
     # edges⋈labels join then re-shuffled the edges EVERY iteration. One
@@ -568,8 +660,7 @@ def connected_components(
     # same partition count), so each iteration pays only its groupBy(dst)
     # exchange: 1 shuffle per iteration instead of 2 (guide §2.4).
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        e1.unionAll(e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition("src")
         .localCheckpoint(eager=True)
