@@ -49,9 +49,22 @@ BUCKET_SPECS = {
 
 
 def _projection_specs():
-    from verax_spark.queries.tpch import LINEITEM_DERIVED
+    from verax_spark.queries.tpch import LINEITEM_DERIVED, ORDERS_DERIVED
 
-    return {"lineitem": (LINEITEM_DERIVED, ["l_shipdate"])}
+    # the __sd/__od DATE shadows exist because TIMESTAMP_NTZ predicates
+    # never become parquet FilterPredicates (no row-group pruning); DATE
+    # predicates do — see queries/tpch.py _range_pred.
+    # n_files: range-sorted copies serve WINDOWED scans, so the file count
+    # sets the post-pruning parallelism — at 32 files a one-year lineitem
+    # window landed on ~5 files = 5 of 32 cores (measured: the pruned scan
+    # was SLOWER end-to-end than the full bucket scan, 5.4s vs 5.0s at
+    # sf100). ~7 years of data x 32-way target parallelism → 256 lineitem
+    # files (~36 MB each; a one-year window = ~37 files), 128 for the
+    # ~5x-smaller orders.
+    return {
+        "lineitem": (LINEITEM_DERIVED, ["l_shipdate"], 256),
+        "orders": (ORDERS_DERIVED, ["o_orderdate"], 128),
+    }
 
 
 def main() -> None:
@@ -88,16 +101,18 @@ def main() -> None:
             print(
                 f"{t} -> {tbl} ({time.perf_counter() - t0:.1f}s)", flush=True
             )
-    for t, (derived, sort_cols) in _projection_specs().items():
+    for t, (derived, sort_cols, n_files) in _projection_specs().items():
         src = os.path.join(sf_dir, f"{t}.parquet")
         if not os.path.exists(src):
             continue
-        if "--skip-existing" in sys.argv and _have_projection(src, t, derived):
+        if "--skip-existing" in sys.argv and _have_projection(
+            src, t, derived, n_files
+        ):
             print(f"{t} projection: already materialized, skip", flush=True)
             continue
         t0 = time.perf_counter()
         tbl = materialize_projection_layout(
-            spark, src, t, derived, sort_cols=sort_cols, n_files=n
+            spark, src, t, derived, sort_cols=sort_cols, n_files=n_files
         )
         print(f"{t} -> {tbl} ({time.perf_counter() - t0:.1f}s)", flush=True)
 
@@ -117,10 +132,11 @@ def _have_layout(src: str, t: str, bcols) -> bool:
     )
 
 
-def _have_projection(src: str, t: str, derived) -> bool:
+def _have_projection(src: str, t: str, derived, n_files: int) -> bool:
     from verax_spark.sources.layout import projection_covering
 
-    return projection_covering(src, t, derived) is not None
+    e = projection_covering(src, t, derived)
+    return e is not None and e.get("n_files") == n_files
 
 
 if __name__ == "__main__":

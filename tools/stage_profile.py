@@ -53,8 +53,9 @@ def main() -> None:
         with urllib.request.urlopen(f"{base}/stages?status=complete") as r:
             return {s["stageId"]: s for s in json.load(r)}
 
-    # warm the JVM once
-    next(iter(qs.values()))(spark, sf_dir).collect()
+    # warm the JVM once (with a requested query, so corpora that only carry
+    # that query's tables — e.g. the TPC-H-only sf100 derivation — work)
+    qs[names[0]](spark, sf_dir).collect()
 
     for name in names:
         fn = qs[name]

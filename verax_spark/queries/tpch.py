@@ -103,6 +103,20 @@ LINEITEM_DERIVED = {
         "cast(round(l_extendedprice * 100) as bigint) * "
         "cast(round(l_discount * 100) as bigint)"
     ),
+    # DATE shadow of the sort column (r10): Spark pushes TIMESTAMP_NTZ
+    # predicates into the scan node but never builds a parquet
+    # FilterPredicate for them (ParquetFilters covers UTC-adjusted
+    # timestamps only), so the projection copy's l_shipdate sort pruned
+    # NOTHING (measured: impossible-NTZ filter 2.17s = full decode;
+    # impossible-bigint 0.27s = skipped). DATE stats do prune; queries
+    # add an IMPLIED __sd range conjunct next to the exact timestamp
+    # predicate (_range_pred), so results are unchanged by construction.
+    "__sd": "cast(l_shipdate as date)",
+}
+
+ORDERS_DERIVED = {
+    # same DATE-shadow trick for the o_orderdate windows (q3/q4/q5/q8/q10)
+    "__od": "cast(o_orderdate as date)",
 }
 
 
@@ -110,6 +124,44 @@ def _li_derived(cat: Catalog, *names: str) -> DataFrame:
     """lineitem + the requested canonical derived columns (projection copy
     when the planner chose one, inline expressions otherwise)."""
     return cat.derived("lineitem", {n: LINEITEM_DERIVED[n] for n in names})
+
+
+def _ord_derived(cat: Catalog, *names: str) -> DataFrame:
+    """orders + requested derived columns (same contract as _li_derived)."""
+    return cat.derived("orders", {n: ORDERS_DERIVED[n] for n in names})
+
+
+def _range_pred(
+    ts_col: str,
+    d_col: str,
+    lo: str | None = None,
+    hi: str | None = None,
+    *,
+    lo_strict: bool = False,
+    hi_incl: bool = False,
+) -> F.Column:
+    """Exact timestamp range predicate AND the date predicate it IMPLIES on
+    the materialized DATE shadow column (see LINEITEM_DERIVED.__sd): for a
+    midnight boundary d, x >= d ⟹ date(x) >= date(d); x > d ⟹ date(x) >=
+    date(d); x < d ⟹ date(x) < date(d); x <= d ⟹ date(x) <= date(d). The
+    date conjunct is redundant (never drops a row the ts predicate keeps)
+    but, unlike the NTZ predicate, it reaches parquet row-group stats and
+    prunes the shipdate/orderdate-sorted projection copies."""
+    p = None
+    if lo is not None:
+        ts = F.col(ts_col) > _ts(lo) if lo_strict else F.col(ts_col) >= _ts(lo)
+        p = ts & (F.col(d_col) >= F.lit(lo).cast("date"))
+    if hi is not None:
+        ts = (
+            F.col(ts_col) <= _ts(hi) if hi_incl else F.col(ts_col) < _ts(hi)
+        )
+        d = (
+            F.col(d_col) <= F.lit(hi).cast("date")
+            if hi_incl
+            else F.col(d_col) < F.lit(hi).cast("date")
+        )
+        p = (p & ts & d) if p is not None else (ts & d)
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -223,6 +275,22 @@ def _semi_if_bcast(
     return df
 
 
+def _supp_cols(cat: Catalog) -> DataFrame:
+    """(s_suppkey, s_nationkey), broadcast when the footer-known supplier
+    cardinality clears the byte gate (1M rows x 12 B = 12 MB at sf100 —
+    Catalyst's own estimate for the 11-column table is over the 10 MB auto
+    threshold, so without the projection-aware gate it planned a shuffle
+    of BOTH fact and supplier; measured in q9 as a full extra ~1 GB
+    exchange of the reduced fact). Falls back to SHUFFLE_HASH (build the
+    1-M-row side per partition, skip sorting the fact) past the gate."""
+    supp = cat.supplier.select("s_suppkey", "s_nationkey")
+    st = cat.stats("supplier")
+    gated = _bcast_if_small(
+        supp, None if st is None else float(st.num_rows), width=12.0
+    )
+    return gated if gated is not supp else supp.hint("SHUFFLE_HASH")
+
+
 def _bcast_if_small(df: DataFrame, est_rows: float | None, width: float = 24.0) -> DataFrame:
     """Explicit broadcast when the footer ESTIMATE clears the byte-aware
     gate (Distribution::broadcast analog — the decision Catalyst cannot
@@ -260,7 +328,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the planner picked one (precomputed int64 columns + shipdate sort),
     # identical inline expressions otherwise (r10; see LINEITEM_DERIVED)
     li = _li_derived(
-        cat, "__qty_u", "__price_u", "__disc_u", "__ru", "__charge_u"
+        cat, "__qty_u", "__price_u", "__disc_u", "__ru", "__charge_u", "__sd"
     )
     qty_u = F.col("__qty_u")
     price_u = F.col("__price_u")
@@ -273,7 +341,7 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     import decimal as _d
 
     agg = (
-        li.filter(F.col("l_shipdate") < _ts("1998-09-03"))
+        li.filter(_range_pred("l_shipdate", "__sd", hi="1998-09-03"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum(qty_u).alias("_q"),
@@ -406,7 +474,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=8.0,
     )
     orders = (
-        cat.orders.filter(F.col("o_orderdate") < _ts("1997-03-15"))
+        _ord_derived(cat, "__od")
+        .filter(_range_pred("o_orderdate", "__od", hi="1997-03-15"))
         .join(cust_keys, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         # build a per-partition hash table on the reduced orders side
         # instead of sort-merge: skips SORTING the ~360M-row fact stream
@@ -425,8 +494,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or the orderkey-bucketed copy (shuffle-free join) — costed, then
     # A/B'd; the inline fallback is the identical expression.
     line = (
-        _li_derived(cat, "__ru")
-        .filter(F.col("l_shipdate") > _ts("1997-03-15"))
+        _li_derived(cat, "__ru", "__sd")
+        .filter(_range_pred("l_shipdate", "__sd", lo="1997-03-15", lo_strict=True))
         .select("l_orderkey", "__ru")
     )
     return (
@@ -460,8 +529,8 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = Catalog(spark, sf_dir)
     region = F.broadcast(cat.region.filter(F.col("r_name") == "ASIA"))
     nation = F.broadcast(cat.nation).join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-    orders = cat.orders.filter(
-        (F.col("o_orderdate") >= _ts("1996-01-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
+    orders = _ord_derived(cat, "__od").filter(
+        _range_pred("o_orderdate", "__od", lo="1996-01-01", hi="1997-01-01")
     )
     # implied-predicate pushdown (r05): the final join requires
     # c_nationkey = s_nationkey AND s_nationkey ∈ ASIA, so customers are
@@ -504,8 +573,11 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust_orders
         .join(fact, F.col("l_orderkey") == F.col("o_orderkey"))
+        # only (s_suppkey, s_nationkey) survive this join — the projected,
+        # byte-gated broadcast (see _supp_cols) keeps the fact-join output
+        # streaming map-only instead of exchanging it on l_suppkey
         .join(
-            cat.supplier,
+            _supp_cols(cat),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -540,9 +612,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactness — see _unit/_descale.
     rev_units = F.col("__dxp_u")
     return (
-        _li_derived(cat, "__dxp_u").filter(
-            (F.col("l_shipdate") >= _ts("1996-01-01"))
-            & (F.col("l_shipdate") < _ts("1997-01-01"))
+        _li_derived(cat, "__dxp_u", "__sd").filter(
+            _range_pred("l_shipdate", "__sd", lo="1996-01-01", hi="1997-01-01")
             & (F.col("l_discount") >= 0.05)
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
@@ -585,8 +656,11 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         cat.customer, two_nations, F.col("c_nationkey") == F.col("__nk"), fact_n
     )
     shipping = (
-        cat.lineitem.filter(
-            F.col("l_shipdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+        _li_derived(cat, "__ru", "__sd")
+        .filter(
+            _range_pred(
+                "l_shipdate", "__sd", lo="1996-01-01", hi="1997-12-31", hi_incl=True
+            )
         )
         .join(
             F.broadcast(supp_2n)
@@ -606,7 +680,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
             "cust_nation",
             F.year("l_shipdate").cast("bigint").alias("l_year"),
-            _rev_units().alias("volume_u"),
+            F.col("__ru").alias("volume_u"),
         )
     )
     return (
@@ -672,8 +746,11 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     # carries (o_orderkey, o_year) only; joined FIRST because it is the
     # most reducing join, so the supplier join shuffles ~6% of the fact
     orders = (
-        cat.orders.filter(
-            F.col("o_orderdate").between(_ts("1996-01-01"), _ts("1997-12-31"))
+        _ord_derived(cat, "__od")
+        .filter(
+            _range_pred(
+                "o_orderdate", "__od", lo="1996-01-01", hi="1997-12-31", hi_incl=True
+            )
         )
         .join(amer_cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .select(
@@ -686,7 +763,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_suppkey", _rev_units().alias("volume_u"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(
-            cat.supplier.select("s_suppkey", "s_nationkey").hint("SHUFFLE_HASH"),
+            _supp_cols(cat),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(n2, F.col("s_nationkey") == F.col("n2_key"))
@@ -774,7 +851,7 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
         .join(
-            cat.supplier.select("s_suppkey", "s_nationkey").hint("SHUFFLE_HASH"),
+            _supp_cols(cat),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
@@ -816,9 +893,11 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-first shape shuffled the wide (c_name-carrying) intermediate
     twice."""
     cat = Catalog(spark, sf_dir)
-    orders = cat.orders.filter(
-        (F.col("o_orderdate") >= _ts("1996-10-01")) & (F.col("o_orderdate") < _ts("1997-01-01"))
-    ).select("o_orderkey", "o_custkey")
+    orders = (
+        _ord_derived(cat, "__od")
+        .filter(_range_pred("o_orderdate", "__od", lo="1996-10-01", hi="1997-01-01"))
+        .select("o_orderkey", "o_custkey")
+    )
     line = cat.lineitem.filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", _rev_units().alias("__rev_u1")
     )
@@ -968,8 +1047,8 @@ def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the hint is reserved for joins whose build side a filter/semi has
     # already cut (q3/q8/q21).
     orders = cat.orders.select("o_orderkey", high.alias("__high"))
-    line = cat.lineitem.filter(
-        (F.col("l_shipdate") >= _ts("1996-01-01")) & (F.col("l_shipdate") < _ts("1997-01-01"))
+    line = _li_derived(cat, "__sd").filter(
+        _range_pred("l_shipdate", "__sd", lo="1996-01-01", hi="1997-01-01")
     )
     return (
         orders.join(line, F.col("o_orderkey") == F.col("l_orderkey"))
@@ -1038,8 +1117,8 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Promotion effect (ref tpch.queries/q14.sql): join + conditional-sum /
     sum ratio."""
     cat = Catalog(spark, sf_dir)
-    line = _li_derived(cat, "__ru").filter(
-        (F.col("l_shipdate") >= _ts("1996-09-01")) & (F.col("l_shipdate") < _ts("1996-10-01"))
+    line = _li_derived(cat, "__ru", "__sd").filter(
+        _range_pred("l_shipdate", "__sd", lo="1996-09-01", hi="1996-10-01")
     )
     joined = line.join(cat.part, F.col("l_partkey") == F.col("p_partkey")).select(
         F.col("p_type"), F.col("__ru").alias("volume_u")
@@ -1296,8 +1375,8 @@ def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped count. Adapted: lineitem has no commitdate/receiptdate, so the
     exists-condition is a high-quantity line."""
     cat = Catalog(spark, sf_dir)
-    orders = cat.orders.filter(
-        (F.col("o_orderdate") >= _ts("1996-07-01")) & (F.col("o_orderdate") < _ts("1996-10-01"))
+    orders = _ord_derived(cat, "__od").filter(
+        _range_pred("o_orderdate", "__od", lo="1996-07-01", hi="1996-10-01")
     )
     big_lines = cat.lineitem.filter(F.col("l_quantity") >= 45)
     return (
@@ -1470,12 +1549,10 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cat = Catalog(spark, sf_dir)
     rev = (
-        cat.lineitem.filter(
-            (F.col("l_shipdate") >= _ts("1996-01-01"))
-            & (F.col("l_shipdate") < _ts("1996-04-01"))
-        )
+        _li_derived(cat, "__ru", "__sd")
+        .filter(_range_pred("l_shipdate", "__sd", lo="1996-01-01", hi="1996-04-01"))
         .groupBy("l_suppkey")
-        .agg(F.sum(_rev_units()).alias("__rev"))  # exact long unit sum
+        .agg(F.sum(F.col("__ru")).alias("__rev"))  # exact long unit sum
     )
     top = rev.withColumn(
         "__mx", F.max("__rev").over(Window.partitionBy(F.lit(1)))
@@ -1513,18 +1590,22 @@ def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     part-name IN becomes a broadcast semi-join)."""
     cat = Catalog(spark, sf_dir)
     red_parts = cat.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    # quantity units through the derived-column path (r10): the planner may
+    # serve the materialized-projection copy, whose l_shipdate SORT turns
+    # this one-year filter into ~6/7 row-group pruning (the bucket copies
+    # are key-sorted, so the same pushed filter prunes nothing there); the
+    # inline fallback is the identical expression (LINEITEM_DERIVED).
     heavy = (
-        cat.lineitem.filter(
-            (F.col("l_shipdate") >= _ts("1997-01-01"))
-            & (F.col("l_shipdate") < _ts("1998-01-01"))
-        )
+        _li_derived(cat, "__qty_u", "__sd")
+        .filter(_range_pred("l_shipdate", "__sd", lo="1997-01-01", hi="1998-01-01"))
+        .select("l_partkey", "l_suppkey", "__qty_u")
         .join(
             F.broadcast(red_parts),
             F.col("l_partkey") == F.col("p_partkey"),
             "left_semi",
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_unit("l_quantity", 1)).alias("__qty"))
+        .agg(F.sum(F.col("__qty_u")).alias("__qty"))
         .filter(F.col("__qty") > 1500)  # 150 in 10^-1 units, exact
         .select("l_suppkey")
     )
