@@ -97,16 +97,19 @@ def ngram_jaccard_pairs(
     formulation measured ~20× slower at sf0.1 and diverges quadratically).
     Optional block_col further restricts pairs to equal-block docs.
     """
+    # shingle ONCE and cut lineage at the array relation: word_shingles is
+    # a chain of zip_with/array_distinct/array_sort HOFs that Spark only
+    # INTERPRETS (no codegen), so it is the dominant per-row cost — the
+    # previous shape materialized only the (id, count) relation and re-ran
+    # the whole shingle construction for the explode branch (2x the HOF
+    # work; measured 2.8 -> 2.1s at sf0.1). Both consumers now read the
+    # materialized arrays.
     shingled = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
         word_shingles(F.col(text_col), n).alias("__sh"),
-    )
-    # consumed twice (na/nb); materialize the narrow (id, count) relation so
-    # the doc scan + shingle construction behind it runs once, not twice
-    sizes = shingled.select(
-        F.col(id_col), F.size("__sh").alias("__n")
     ).localCheckpoint(eager=True)
+    sizes = shingled.select(F.col(id_col), F.size("__sh").alias("__n"))
     exploded = shingled.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
@@ -735,12 +738,31 @@ def embedding_cosine_pairs(
     - ``exact=True``: all-pairs verification, O(n²) — the correctness oracle
       baseline for tests and small relations only.
     """
-    from verax_spark.operators.similarity import cosine, lsh_signature, quantize
+    from verax_spark.operators.similarity import (
+        cosine_with_norms,
+        dot,
+        lsh_signature,
+        quantize,
+    )
 
-    v = df.select(F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv"))
+    # per-vector norm folded ONCE here (cosine_with_norms: zip_with/
+    # aggregate folds run interpreted — per-pair re-evaluation of dot(v,v)
+    # made the verify 3 interpreted O(dim) folds per pair; measured 1.6s →
+    # 0.6s on the 250-vector exact path at sf0.1)
+    v = df.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col)).alias("__qv")
+    ).withColumn("__n2", dot(F.col("__qv"), F.col("__qv")))
     if exact:
-        a = v.select(F.col("__id").alias("id_a"), F.col("__qv").alias("__va"))
-        b = v.select(F.col("__id").alias("id_b"), F.col("__qv").alias("__vb"))
+        a = v.select(
+            F.col("__id").alias("id_a"),
+            F.col("__qv").alias("__va"),
+            F.col("__n2").alias("__na2"),
+        )
+        b = v.select(
+            F.col("__id").alias("id_b"),
+            F.col("__qv").alias("__vb"),
+            F.col("__n2").alias("__nb2"),
+        )
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
         n_bands = n_projections // band_bits
@@ -770,8 +792,8 @@ def embedding_cosine_pairs(
             ).alias("bb"),
         )
         sig = v.withColumn("__sig", sig_col).select(
-            "__id", "__qv", band_col
-        ).select("__id", "__qv", F.col("bb.band"), F.col("bb.key"))
+            "__id", "__qv", "__n2", band_col
+        ).select("__id", "__qv", "__n2", F.col("bb.band"), F.col("bb.key"))
         # materialize once: the self-join would recompute the n_projections
         # signature dot products for both sides (no ReusedExchange).
         # Repartition on the join key first (r10) so the checkpoint is
@@ -779,20 +801,34 @@ def embedding_cosine_pairs(
         # exchange on either side.
         sig = sig.repartition("band", "key").localCheckpoint(eager=True)
         left = sig.select(
-            F.col("__id").alias("id_a"), F.col("__qv").alias("__va"), "band", "key"
+            F.col("__id").alias("id_a"),
+            F.col("__qv").alias("__va"),
+            F.col("__n2").alias("__na2"),
+            "band",
+            "key",
         )
         right = sig.select(
-            F.col("__id").alias("id_b"), F.col("__qv").alias("__vb"), "band", "key"
+            F.col("__id").alias("id_b"),
+            F.col("__qv").alias("__vb"),
+            F.col("__n2").alias("__nb2"),
+            "band",
+            "key",
         )
+        # norms ride through the distinct (functionally dependent on the
+        # vectors — the candidate pair set is unchanged)
         cand = (
             left.join(right, ["band", "key"])
             .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "__va", "__vb")
+            .select("id_a", "id_b", "__va", "__vb", "__na2", "__nb2")
             .distinct()
         )
     return (
         cand.select(
-            "id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine")
+            "id_a",
+            "id_b",
+            cosine_with_norms(
+                dot(F.col("__va"), F.col("__vb")), F.col("__na2"), F.col("__nb2")
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
         .orderBy("id_a", "id_b")

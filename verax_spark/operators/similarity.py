@@ -46,8 +46,20 @@ def dot(a: Column, b: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     """Cosine from exact integer dot/norms; the only floats are two sqrts
     and one division, identical on any engine given the same integers."""
-    return dot(a, b).cast("double") / (
-        F.sqrt(dot(a, a).cast("double")) * F.sqrt(dot(b, b).cast("double"))
+    return cosine_with_norms(dot(a, b), dot(a, a), dot(b, b))
+
+
+def cosine_with_norms(dot_ab: Column, n2_a: Column, n2_b: Column) -> Column:
+    """The cosine() float expression over PRECOMPUTED exact-integer self
+    dot products. Higher-order functions (zip_with/aggregate) run
+    interpreted — Spark never codegens them — so evaluating dot(a,a) and
+    dot(b,b) per PAIR was 3 interpreted O(dim) folds per comparison
+    (measured: the 250-vector all-pairs verify spent 1.6s in 3 jobs at
+    sf0.1). Call sites now fold each vector's norm ONCE per vector before
+    the pair join and pass the integers here: same integers → the same
+    two sqrts and one division → bit-identical doubles."""
+    return dot_ab.cast("double") / (
+        F.sqrt(n2_a.cast("double")) * F.sqrt(n2_b.cast("double"))
     )
 
 
@@ -61,20 +73,25 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query → (query_id, neighbor_id,
     cosine, rnk). Self-matches excluded. Broadcast the query side."""
+    # per-vector norms folded ONCE before the pair join (see
+    # cosine_with_norms: HOF folds are interpreted, so per-pair
+    # re-evaluation of dot(v,v) tripled the verify cost)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), quantize(F.col(vec_col)).alias("qv")
-        )
+        ).withColumn("__qn2", dot(F.col("qv"), F.col("qv")))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("__cn2", dot(F.col("cv"), F.col("cv")))
     scored = (
         c.join(q, F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cosine"),
+            cosine_with_norms(
+                dot(F.col("qv"), F.col("cv")), F.col("__qn2"), F.col("__cn2")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -141,6 +158,11 @@ def lsh_topk(
             lambda: [
                 F.col(id_col).alias(f"{role}_id"),
                 quantize(F.col(vec_col)).alias(f"{role}v"),
+                # per-vector norm folded once here, not per candidate pair
+                # (cosine_with_norms — HOF folds are interpreted)
+                dot(quantize(F.col(vec_col)), quantize(F.col(vec_col))).alias(
+                    f"__{role}n2"
+                ),
                 lsh_signature(
                     quantize(F.col(vec_col)), n_projections=n_projections
                 ).alias("__sig"),
@@ -163,19 +185,36 @@ def lsh_topk(
             ).alias("bb"),
         )
         return df.select(*head).select(
-            f"{role}_id", f"{role}v", band_col
-        ).select(f"{role}_id", f"{role}v", F.col("bb.band"), F.col("bb.key"))
+            f"{role}_id", f"{role}v", f"__{role}n2", band_col
+        ).select(
+            f"{role}_id",
+            f"{role}v",
+            f"__{role}n2",
+            F.col("bb.band"),
+            F.col("bb.key"),
+        )
 
     qb = F.broadcast(with_bands(queries, "query"))
     cb = with_bands(corpus, "neighbor")
+    # the norms ride through the candidate distinct (functionally dependent
+    # on the vectors, so the distinct's pair set is unchanged)
     cand = (
         cb.join(qb, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "queryv", "neighborv")
+        .select(
+            "query_id", "neighbor_id", "queryv", "neighborv",
+            "__queryn2", "__neighborn2",
+        )
         .distinct()
     )
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("queryv"), F.col("neighborv")).alias("cosine")
+        "query_id",
+        "neighbor_id",
+        cosine_with_norms(
+            dot(F.col("queryv"), F.col("neighborv")),
+            F.col("__queryn2"),
+            F.col("__neighborn2"),
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -354,13 +393,24 @@ def ivf_topk(
             ).alias("cluster"),
         )
     )
+    # per-vector norms folded once per side (cosine_with_norms — HOF folds
+    # are interpreted, so per-pair norm re-evaluation tripled rerank cost)
     cands = corpus.select(
         F.col(id_col).alias("neighbor_id"), quantize(F.col(vec_col)).alias("cv")
-    ).join(assignments, F.col("neighbor_id") == F.col("__vid"))
+    ).withColumn("__cn2", dot(F.col("cv"), F.col("cv"))).join(
+        assignments, F.col("neighbor_id") == F.col("__vid")
+    )
+    routed = routed.withColumn("__qn2", dot(F.col("qv"), F.col("qv")))
     scored = (
         routed.join(cands, "cluster")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_with_norms(
+                dot(F.col("qv"), F.col("cv")), F.col("__qn2"), F.col("__cn2")
+            ).alias("cosine"),
+        )
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")

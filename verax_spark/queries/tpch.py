@@ -1175,11 +1175,24 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         # before the part join (to shrink the countDistinct expand input
         # ~7x) measured 57-65s vs 17-35s for this shape at sf100 — the
         # 600M-pair distinct hash state spills; rejected.
+        # r10 (guide §2.3 shuffle fewer bytes): the countDistinct exchange
+        # carried (p_brand, p_type, p_size, l_suppkey) — ~50 B of strings
+        # per surviving pair. The attrs are replaced by a COMPACT exact
+        # group id (min p_partkey per distinct attr triple — a groupBy on
+        # the 2.6M-row filtered part, no window, deterministic) so the
+        # exchange moves (bigint, bigint) and the attrs come back via a
+        # broadcast join of the ~30k-row dim onto the aggregate.
+        dim = part.groupBy("p_brand", "p_type", "p_size").agg(
+            F.min("p_partkey").alias("__gid")
+        )
+        part_g = part.join(
+            F.broadcast(dim), ["p_brand", "p_type", "p_size"]
+        ).select("p_partkey", "__gid")
         return (
             cat.lineitem
             .select("l_partkey", "l_suppkey")
             .join(
-                part.hint("SHUFFLE_HASH"),
+                part_g.hint("SHUFFLE_HASH"),
                 F.col("l_partkey") == F.col("p_partkey"),
             )
             .join(
@@ -1187,8 +1200,10 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_suppkey") == F.col("s_suppkey"),
                 "left_anti",
             )
-            .groupBy("p_brand", "p_type", "p_size")
+            .groupBy("__gid")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .join(F.broadcast(dim), "__gid")
+            .select("p_brand", "p_type", "p_size", "supplier_cnt")
             .orderBy(
                 F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
             )
