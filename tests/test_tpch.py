@@ -30,3 +30,93 @@ def test_semi_reduction_forced_on_matches_oracle(spark, sf_dir, name, monkeypatc
     monkeypatch.setattr(tpch, "SEMI_REDUCE_MIN_FACT_ROWS", 0)
     rows = run_differential(spark, sf_dir, name, tpch.QUERIES[name], tpch.ORACLE[name])
     assert rows > 0
+
+
+def test_range_pred_date_conjunct_is_implied(spark):
+    """_range_pred adds a DATE conjunct to the exact timestamp predicate
+    (for parquet row-group pruning — NTZ predicates never become parquet
+    FilterPredicates). The conjunct must be IMPLIED: the filtered row set
+    is identical to the plain timestamp predicate for every boundary
+    shape, including rows exactly ON the midnight boundary and rows with
+    non-midnight times."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [
+            ("1996-12-31 23:59:59",),
+            ("1997-01-01 00:00:00",),
+            ("1997-01-01 00:00:01",),
+            ("1997-06-15 12:34:56",),
+            ("1997-12-31 23:59:59",),
+            ("1998-01-01 00:00:00",),
+            ("1998-01-01 00:00:01",),
+        ],
+        "s string",
+    ).select(
+        F.col("s").cast("timestamp").alias("ts"),
+        F.col("s").cast("timestamp").cast("date").alias("d"),
+    )
+    cases = [
+        dict(lo="1997-01-01"),
+        dict(lo="1997-01-01", lo_strict=True),
+        dict(hi="1998-01-01"),
+        dict(hi="1997-12-31", hi_incl=True),
+        dict(lo="1997-01-01", hi="1998-01-01"),
+        dict(lo="1997-01-01", lo_strict=True, hi="1997-12-31", hi_incl=True),
+    ]
+    for kw in cases:
+        plain = None
+        if "lo" in kw:
+            p = (
+                F.col("ts") > tpch._ts(kw["lo"])
+                if kw.get("lo_strict")
+                else F.col("ts") >= tpch._ts(kw["lo"])
+            )
+            plain = p
+        if "hi" in kw:
+            p = (
+                F.col("ts") <= tpch._ts(kw["hi"])
+                if kw.get("hi_incl")
+                else F.col("ts") < tpch._ts(kw["hi"])
+            )
+            plain = p if plain is None else (plain & p)
+        got = sorted(
+            r.ts for r in df.filter(tpch._range_pred("ts", "d", **kw)).collect()
+        )
+        want = sorted(r.ts for r in df.filter(plain).collect())
+        assert got == want, (kw, got, want)
+
+
+def test_cosine_with_norms_bit_identical(spark):
+    """cosine_with_norms over precomputed integer norms must produce the
+    EXACT double cosine() produces (same integers -> same two sqrts and
+    one division)."""
+    import pyspark.sql.functions as F
+
+    from verax_spark.operators.similarity import (
+        cosine,
+        cosine_with_norms,
+        dot,
+        quantize,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ([0.1, -0.2, 0.33], [0.1, -0.2, 0.331]),
+            ([1.0, 2.0, 3.0], [-3.0, 2.0, -1.0]),
+            ([0.5, 0.5, 0.5], [0.5, 0.5, 0.5]),
+        ],
+        "a array<float>, b array<float>",
+    ).select(quantize(F.col("a")).alias("qa"), quantize(F.col("b")).alias("qb"))
+    rows = df.select(
+        cosine(F.col("qa"), F.col("qb")).alias("ref"),
+        cosine_with_norms(
+            dot(F.col("qa"), F.col("qb")),
+            dot(F.col("qa"), F.col("qa")),
+            dot(F.col("qb"), F.col("qb")),
+        ).alias("pre"),
+    ).collect()
+    import struct
+
+    for r in rows:
+        assert struct.pack("<d", r.ref) == struct.pack("<d", r.pre)
