@@ -33,11 +33,16 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from verax_spark.sources import versions
 
 
-def _affected_files(spark: SparkSession, path: str, predicate: Column) -> list[str]:
+def _affected_files(
+    spark: SparkSession, path: str, predicate: Column, schema=None
+) -> list[str]:
     """Files containing ≥1 matching row (driver-side list, bounded by file
-    count). Column-pruned: only _metadata + predicate columns are read."""
+    count). Column-pruned: only _metadata + predicate columns are read.
+    An explicit ``schema`` skips the footer-inference pass (the hidden
+    ``_metadata`` column is available either way)."""
+    reader = spark.read.schema(schema) if schema is not None else spark.read
     rows = (
-        spark.read.parquet(path)
+        reader.parquet(path)
         .filter(predicate)
         .select("_metadata.file_path")
         .distinct()
@@ -56,6 +61,7 @@ def _rewrite(
     affected: list[str],
     transform,
     txn=None,
+    schema=None,
 ) -> int:
     """Copy-on-write body: transform(affected-file rows) → new files in the
     table dir, then drop the superseded files. Returns #files rewritten.
@@ -65,7 +71,8 @@ def _rewrite(
     the rewrite reversible at file-metadata cost."""
     if not affected:
         return 0
-    schema = spark.read.parquet(path).schema  # pin schema (all-delete case)
+    if schema is None:  # pin schema (all-delete case)
+        schema = spark.read.parquet(path).schema
     replaced = transform(spark.read.schema(schema).parquet(*affected))
     staging = os.path.join(_local(path), f"_cow_staging_{uuid.uuid4().hex[:12]}")
     replaced.write.mode("overwrite").parquet(staging)
@@ -90,14 +97,18 @@ def _rewrite(
 
 
 def delete_rows(
-    spark: SparkSession, path: str, predicate: Column, txn=None
+    spark: SparkSession, path: str, predicate: Column, txn=None, schema=None
 ) -> int:
     """DELETE FROM <path> WHERE predicate (WriteKind::kDelete analog).
 
-    Returns the number of files rewritten.
+    Returns the number of files rewritten. ``schema`` (optional, the
+    table's pinned schema) removes every footer-inference job — DML never
+    changes a table's schema, so callers that hold it should pass it.
     """
-    affected = _affected_files(spark, path, predicate)
-    return _rewrite(spark, path, affected, lambda df: df.filter(~predicate), txn)
+    affected = _affected_files(spark, path, predicate, schema)
+    return _rewrite(
+        spark, path, affected, lambda df: df.filter(~predicate), txn, schema
+    )
 
 
 def update_rows(
@@ -106,6 +117,7 @@ def update_rows(
     assignments: dict[str, Column],
     predicate: Column,
     txn=None,
+    schema=None,
 ) -> int:
     """UPDATE <path> SET col = expr, ... WHERE predicate (kUpdate analog).
 
@@ -116,8 +128,10 @@ def update_rows(
     """
     import pyspark.sql.functions as F
 
-    schema = {f.name: f.dataType.simpleString() for f in spark.read.parquet(path).schema}
-    unknown = set(assignments) - set(schema)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+    types = {f.name: f.dataType.simpleString() for f in schema}
+    unknown = set(assignments) - set(types)
     if unknown:
         raise ValueError(f"UPDATE of unknown columns: {sorted(unknown)}")
 
@@ -126,9 +140,9 @@ def update_rows(
         for col, expr in assignments.items():
             out = out.withColumn(
                 col,
-                F.when(predicate, expr.cast(schema[col])).otherwise(F.col(col)),
+                F.when(predicate, expr.cast(types[col])).otherwise(F.col(col)),
             )
         return out
 
-    affected = _affected_files(spark, path, predicate)
-    return _rewrite(spark, path, affected, patch, txn)
+    affected = _affected_files(spark, path, predicate, schema)
+    return _rewrite(spark, path, affected, patch, txn, schema)

@@ -94,6 +94,7 @@ def _proc_flush_metadata_cache(session: "PrestoSession") -> str:
     from verax_spark.sources import stats as stats_mod
 
     stats_mod._STATS_CACHE.clear()
+    session._pinned.clear()  # pinned DML-table schemas re-infer too
     session.spark.catalog.clearCache()
     return f"flushed {n} cached scans"
 
@@ -246,6 +247,13 @@ class PrestoSession:
         # explicitly registered writable table (connector WriteKind surface,
         # ref ConnectorMetadata.h:457-627).
         self.writable: dict[str, str] = {}
+        # pinned schema per writable-table path: DML never changes a
+        # table's schema (INSERT coerces to it, DELETE/UPDATE preserve it,
+        # there is no ALTER TABLE surface), so after one inference every
+        # re-read — refresh, CoW prune/rewrite, time-travel snapshot —
+        # passes the schema explicitly and skips the footer-inference job.
+        # Cleared by CALL system.flush_metadata_cache.
+        self._pinned: dict[str, "StructType"] = {}
         # active transaction (sources/txn.py undo log) + tables it touched
         self._txn = None
         self._txn_tables: set[str] = set()
@@ -362,7 +370,15 @@ class PrestoSession:
                     f"{ts}{node.version_before}".encode()
                 ).hexdigest()[:10]
             view = f"{self._view_name(name)}__asof_{tag}"
-            self.spark.read.parquet(*files).createOrReplaceTempView(view)
+            # snapshots share the live table's schema (DML preserves it),
+            # so the pinned schema skips footer inference per snapshot read
+            schema = self._pinned.get(path)
+            reader = (
+                self.spark.read.schema(schema)
+                if schema is not None
+                else self.spark.read
+            )
+            reader.parquet(*files).createOrReplaceTempView(view)
             node.alias = node.alias or node.name[-1]
             node.name = [view]
             node.version_kind, node.version_expr = None, None
@@ -639,8 +655,18 @@ class PrestoSession:
         are rewritten to the same spelling in _resolve_connector_tables)."""
         return name.replace(".", "__")
 
+    def _read_writable(self, path: str) -> DataFrame:
+        """Read a writable table with its pinned schema (one inference per
+        session per table; every later read is footer-free)."""
+        schema = self._pinned.get(path)
+        if schema is None:
+            df = self.spark.read.parquet(path)
+            self._pinned[path] = df.schema
+            return df
+        return self.spark.read.schema(schema).parquet(path)
+
     def _refresh(self, name: str) -> None:
-        self.spark.read.parquet(self.writable[name]).createOrReplaceTempView(
+        self._read_writable(self.writable[name]).createOrReplaceTempView(
             self._view_name(name)
         )
 
@@ -682,7 +708,7 @@ class PrestoSession:
         from verax_spark.sources.cow import delete_rows, update_rows
 
         path = self._writable_path(stmt.table)
-        target = self.spark.read.parquet(path)
+        target = self._read_writable(path)
         if isinstance(stmt, ast.InsertStmt):
             src = self.spark.sql(self._optimize(stmt.query).sql())
             names = stmt.columns or [f.name for f in target.schema.fields]
@@ -733,11 +759,11 @@ class PrestoSession:
         if self._txn is not None:
             self._txn_tables.add(stmt.table)
         if isinstance(stmt, ast.DeleteStmt):
-            delete_rows(self.spark, path, pred, self._txn)
+            delete_rows(self.spark, path, pred, self._txn, target.schema)
             self._refresh(stmt.table)
             return local_values(self.spark, [(n,)], "rows_deleted bigint")
         assignments = {c: F.expr(e.sql()) for c, e in stmt.assignments}
-        update_rows(self.spark, path, assignments, pred, self._txn)
+        update_rows(self.spark, path, assignments, pred, self._txn, target.schema)
         self._refresh(stmt.table)
         return local_values(self.spark, [(n,)], "rows_updated bigint")
 
@@ -969,11 +995,13 @@ class PrestoSession:
                 )
             query = self._optimize(stmt.query)
             path = self._ddl_path(f"mview_{self._view_name(stmt.name)}")
-            self.spark.sql(query.sql()).write.mode("overwrite").parquet(path)
+            materialized = self.spark.sql(query.sql())
+            materialized.write.mode("overwrite").parquet(path)
             self.mviews[stmt.name] = (stmt.query, path)
-            self.spark.read.parquet(path).createOrReplaceTempView(
-                self._view_name(stmt.name)
-            )
+            # the writer's schema IS the stored schema — skip re-inference
+            self.spark.read.schema(materialized.schema).parquet(
+                path
+            ).createOrReplaceTempView(self._view_name(stmt.name))
             return local_values(self.spark, [(True,)], "created boolean")
         if isinstance(stmt, ast.RefreshMViewStmt):
             if stmt.name not in self.mviews:
@@ -984,17 +1012,16 @@ class PrestoSession:
             # recompute into a staging dir, then swap — a failed refresh
             # leaves the previous materialization intact
             staging = path + ".staging"
-            self.spark.sql(self._optimize(query).sql()).write.mode(
-                "overwrite"
-            ).parquet(staging)
+            recomputed = self.spark.sql(self._optimize(query).sql())
+            recomputed.write.mode("overwrite").parquet(staging)
             shutil.rmtree(path, ignore_errors=True)
             import os as _os
 
             _os.rename(staging, path)
             self.spark.catalog.refreshByPath(path)
-            self.spark.read.parquet(path).createOrReplaceTempView(
-                self._view_name(stmt.name)
-            )
+            self.spark.read.schema(recomputed.schema).parquet(
+                path
+            ).createOrReplaceTempView(self._view_name(stmt.name))
             return local_values(self.spark, [(True,)], "refreshed boolean")
         if isinstance(stmt, ast.DropMViewStmt):
             entry = self.mviews.pop(stmt.name, None)
@@ -1063,6 +1090,7 @@ class PrestoSession:
             empty = self.spark.createDataFrame([], ddl)
             path = self._ddl_path(stmt.table)
             empty.write.mode("overwrite").parquet(path)
+            self._pinned[path] = empty.schema  # writer schema = stored schema
             self.register_table(stmt.table, path)
             return local_values(self.spark, [(0,)], "rows bigint")
         if isinstance(stmt, ast.CreateTableAsStmt):
@@ -1078,6 +1106,7 @@ class PrestoSession:
             df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                 "overwrite"
             ).parquet(path)
+            self._pinned[path] = df.schema  # writer schema = stored schema
             self.register_table(stmt.table, path)
             return local_values(
                 self.spark, [(int(obs.get["rows"]),)], "rows bigint"
