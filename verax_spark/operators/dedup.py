@@ -599,20 +599,16 @@ def connected_components(
     """
     if driver_gate is None:
         driver_gate = int(os.environ.get("VERAX_CC_DRIVER_GATE", 100_000))
-    # Materialize the edge list ONCE before iterating: `pairs` usually
-    # carries a whole candidate-generation DAG (MinHash banding etc.), and
-    # without this cut every iteration's join would re-execute that entire
-    # upstream pipeline — the dominant cost, not the propagation itself.
-    # SINGLE-DIRECTION here (r10): the old doubled-then-distinct form ran
-    # the whole pairs DAG twice inside the checkpoint job (plan-verified:
-    # every broadcast build of the verify joins appeared 2×); the swap to
-    # both directions now happens after the cut, reading materialized rows.
-    e1 = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    head = e1.limit(driver_gate + 1).toPandas() if driver_gate > 0 else None
+    raw = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # Gate probe BEFORE any checkpoint (r10 session 5): the probe itself
+    # executes the pairs DAG with an early-terminating limit, so in the
+    # small-graph case the collected rows ARE the whole edge list and the
+    # separate distinct+checkpoint job (plus its broadcast-build jobs) is
+    # never paid. Duplicate/undirected duplicates are harmless to
+    # union-find, so no distinct is needed on this path. Only the
+    # distributed fixpoint below needs the deduplicated, materialized,
+    # re-partitioned edge relation.
+    head = raw.limit(driver_gate + 1).toPandas() if driver_gate > 0 else None
     if head is not None and len(head) <= driver_gate:
         spark = pairs.sparkSession
         parent = {}
@@ -642,8 +638,8 @@ def connected_components(
         rows = [(x, find(x)) for x in parent]
         schema = T.StructType(
             [
-                T.StructField("id", e1.schema["src"].dataType),
-                T.StructField("component", e1.schema["src"].dataType),
+                T.StructField("id", raw.schema["src"].dataType),
+                T.StructField("component", raw.schema["src"].dataType),
             ]
         )
         if not rows:
@@ -655,6 +651,14 @@ def connected_components(
         # default would spread it over defaultParallelism tasks.
         pdf = pd.DataFrame(rows, columns=["id", "component"])
         return spark.createDataFrame(pdf, schema).coalesce(1)
+    # Materialize the edge list ONCE before iterating: `pairs` usually
+    # carries a whole candidate-generation DAG (MinHash banding etc.), and
+    # without this cut every iteration's join would re-execute that entire
+    # upstream pipeline — the dominant cost, not the propagation itself.
+    # SINGLE-DIRECTION first (r10): a doubled-then-distinct form runs the
+    # whole pairs DAG twice inside the checkpoint job; the swap to both
+    # directions happens after the cut, reading materialized rows.
+    e1 = raw.distinct().localCheckpoint(eager=True)
     # repartition by src BEFORE the cut (r10): the distinct leaves the
     # edge list (src,dst)-partitioned, which no iteration can reuse — the
     # edges⋈labels join then re-shuffled the edges EVERY iteration. One
