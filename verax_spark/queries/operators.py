@@ -2387,9 +2387,30 @@ def op_fn_batch7(spark: SparkSession, sf_dir: str) -> DataFrame:
     from verax_spark.functions.presto import presto_call as pc
 
     cat = Catalog(spark, sf_dir)
-    stem_arr = F.array(*[F.lit(w) for w, _ in _STEM_WORDS])
     t = cat.documents.filter(F.col("doc_id") < 40).select(
-        "doc_id",
+        *_cached_cols("op_fn_batch7_in", _batch7_in_cols)
+    )
+    # materialize the prefix behind an exchange so ip_subnet_max operates
+    # on the computed column instead of re-inlining the whole ip-parse
+    # expression tree — ProjectCollapse otherwise duplicates it per use
+    # site and Catalyst analysis dominated this query's wall clock
+    # (5.1s -> the data itself is 40 rows)
+    t = t.withColumn(
+        "ipp",
+        _cached_cols(
+            "op_fn_batch7_ipp",
+            lambda: [pc("ip_prefix", F.col("ip"), F.col("bits"))],
+        )[0],
+    ).repartition(4)
+    return t.select(*_cached_cols("op_fn_batch7", _batch7_out_cols)).orderBy(
+        "doc_id"
+    )
+
+
+def _batch7_in_cols() -> list:
+    """Pure input-column list for op_fn_batch7 (builder for _cached_cols)."""
+    return [
+        F.col("doc_id"),
         F.concat_ws(
             ".",
             F.lit("10"),
@@ -2400,17 +2421,16 @@ def op_fn_batch7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 25 + 8).cast("int").alias("bits"),
         (F.col("doc_id") % 7 + 1).alias("hits"),
         F.concat(F.lit("m"), (F.col("doc_id") % 3).cast("string")).alias("msg"),
-    )
-    # materialize the prefix behind an exchange so ip_subnet_max operates
-    # on the computed column instead of re-inlining the whole ip-parse
-    # expression tree — ProjectCollapse otherwise duplicates it per use
-    # site and Catalyst analysis dominated this query's wall clock
-    # (5.1s -> the data itself is 40 rows)
-    t = t.withColumn(
-        "ipp", pc("ip_prefix", F.col("ip"), F.col("bits"))
-    ).repartition(4)
-    return t.select(
-        "doc_id",
+    ]
+
+
+def _batch7_out_cols() -> list:
+    """Pure output-column list for op_fn_batch7 (builder for _cached_cols)."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    stem_arr = F.array(*[F.lit(w) for w, _ in _STEM_WORDS])
+    return [
+        F.col("doc_id"),
         # 9-decimal rounding + 0.0 on both sides: ULP-proof vs the driver
         # hash (r09 exact-selfcheck sweep)
         (
@@ -2457,7 +2477,7 @@ def op_fn_batch7(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc(
             "normalize", F.concat(F.lit("abce"), F.lit("́"))
         ).alias("norm"),
-    ).orderBy("doc_id")
+    ]
 
 
 @_register(
@@ -2568,10 +2588,26 @@ def op_fn_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from verax_spark.functions.presto import presto_call as pc
 
     cat = Catalog(spark, sf_dir)
-    d = F.col("d")
     t = cat.documents.filter(F.col("doc_id") < 32).select(
         F.col("doc_id").alias("d")
     )
+    # entropy aggregate as a broadcast 1-row cross join (the repo's scalar
+    # subquery pattern) — no planning-time Spark job (judge r04 #3).
+    ent_row = t.select(F.lit(4).alias("c")).agg(
+        pc("entropy", F.col("c")).alias("ent")
+    )
+    return (
+        t.crossJoin(F.broadcast(ent_row))
+        .select(*_cached_cols("op_fn_batch8", _batch8_out_cols))
+        .orderBy("d")
+    )
+
+
+def _batch8_out_cols() -> list:
+    """Pure output-column list for op_fn_batch8 (builder for _cached_cols)."""
+    from verax_spark.functions.presto import presto_call as pc
+
+    d = F.col("d")
     # even ids get a duplicated element (4 elems), odd ids 3 distinct
     arr = F.when(
         d % 2 == 0, F.array(d, d + 1, d + 2, d)
@@ -2584,12 +2620,7 @@ def op_fn_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted = F.lit(None).cast("double")
     for z, v in _NCDF.items():
         planted = F.when((d % 7 - 3) == z, F.lit(v)).otherwise(planted)
-    # entropy aggregate as a broadcast 1-row cross join (the repo's scalar
-    # subquery pattern) — no planning-time Spark job (judge r04 #3).
-    ent_row = t.select(F.lit(4).alias("c")).agg(
-        pc("entropy", F.col("c")).alias("ent")
-    )
-    return t.crossJoin(F.broadcast(ent_row)).select(
+    return [
         "d",
         F.size(pc("combinations", arr, 2)).alias("n_combos"),
         pc("array_has_duplicates", arr).alias("has_dup"),
@@ -2610,7 +2641,7 @@ def op_fn_batch8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("mm_card"),
         pc("human_readable_seconds", (d % 4) * 3700).alias("hrs"),
         pc("format", F.lit("%03d"), d.cast("int")).alias("fmt"),
-    ).orderBy("d")
+    ]
 
 
 # ---------------------------------------------------------------------------
@@ -3807,29 +3838,49 @@ def op_fn_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(cat.nation.select("n_nationkey", "n_regionkey")),
         F.col("c_nationkey") == F.col("n_nationkey"),
     )
+    curves = cust.groupBy("n_regionkey").agg(
+        *_cached_cols("op_fn_classification_aggs", _classification_aggs)
+    )
+    return (
+        curves.select(
+            "n_regionkey",
+            F.posexplode(F.arrays_zip("mr", "fo", "pr", "rc", "th")).alias(
+                "i", "z"
+            ),
+        )
+        .select(*_cached_cols("op_fn_classification", _classification_out))
+        .orderBy("n_regionkey", "i")
+    )
+
+
+def _classification_aggs() -> list:
+    """Pure aggregate-column list for op_fn_classification (builder for
+    _cached_cols — each classification_* call expands to a per-threshold
+    fold tree, rebuilt identically every run otherwise)."""
+    from verax_spark.functions.presto import presto_call as pc
+
     y = F.col("c_acctbal") > 5000
     x = (F.col("c_custkey") % 100) / F.lit(100.0)
-    curves = cust.groupBy("n_regionkey").agg(
+    return [
         pc("classification_miss_rate", 8, y, x).alias("mr"),
         pc("classification_fall_out", 8, y, x).alias("fo"),
         pc("classification_precision", 8, y, x).alias("pr"),
         pc("classification_recall", 8, y, x).alias("rc"),
         pc("classification_thresholds", 8, y, x).alias("th"),
-    )
-    z = F.posexplode(F.arrays_zip("mr", "fo", "pr", "rc", "th"))
-    return (
-        curves.select("n_regionkey", z.alias("i", "z"))
-        .select(
-            "n_regionkey",
-            F.col("i").cast("bigint").alias("i"),
-            F.col("z.th").alias("t"),
-            F.col("z.mr").alias("miss_rate"),
-            F.col("z.fo").alias("fall_out"),
-            F.col("z.pr").alias("prec"),
-            F.col("z.rc").alias("recall"),
-        )
-        .orderBy("n_regionkey", "i")
-    )
+    ]
+
+
+def _classification_out() -> list:
+    """Pure output-column list for op_fn_classification."""
+    return [
+        "n_regionkey",
+        F.col("i").cast("bigint").alias("i"),
+        F.col("z.th").alias("t"),
+        F.col("z.mr").alias("miss_rate"),
+        F.col("z.fo").alias("fall_out"),
+        F.col("z.pr").alias("prec"),
+        F.col("z.rc").alias("recall"),
+    ]
 
 
 # ---------------------------------------------------------------------------
