@@ -57,6 +57,52 @@ def test_update_rows_patches_only_matches(spark, table):
     assert dict(back.dtypes)["v"] == "double"
 
 
+def test_dml_with_pinned_schema_identical(spark, table):
+    """r10: callers that hold the table schema pass it through so no
+    footer-inference job runs — results must be identical to the
+    infer-per-call path, including the all-delete schema-pin case."""
+    schema = spark.read.parquet(table).schema
+    n = delete_rows(spark, table, F.col("bucket") == 2, schema=schema)
+    assert n >= 1
+    back = spark.read.parquet(table)
+    assert back.filter(F.col("bucket") == 2).count() == 0
+    assert back.count() == 75
+    assert back.schema == schema
+    update_rows(
+        spark, table, {"v": F.col("v") * 10}, F.col("bucket") == 1,
+        schema=schema,
+    )
+    back = spark.read.parquet(table)
+    assert back.schema == schema
+    assert back.filter(F.col("bucket") == 1).agg(
+        F.min((F.col("v") == F.col("id") * 10.0).cast("int"))
+    ).collect()[0][0] == 1
+    with pytest.raises(ValueError, match="unknown columns"):
+        update_rows(
+            spark, table, {"zz": F.lit(1)}, F.col("bucket") == 1,
+            schema=schema,
+        )
+
+
+def test_session_schema_pin_cleared_by_flush(spark, table):
+    """CALL system.flush_metadata_cache drops the pinned DML schemas, and
+    DML keeps working (re-pins) afterwards."""
+    from verax_spark.sql import PrestoSession
+
+    sess = PrestoSession(spark)
+    sess.register_table("t_pin", table)
+    assert table in sess._pinned
+    sess.sql("delete from t_pin where bucket = 3")
+    assert sess.sql("select count(*) as n from t_pin").collect()[0].n == 75
+    sess.sql("call system.flush_metadata_cache()")
+    assert sess._pinned == {}
+    sess.sql("update t_pin set v = v + 1 where bucket = 0")
+    assert table in sess._pinned  # re-pinned on first post-flush read
+    assert sess.sql(
+        "select cast(sum(v) as double) as s from t_pin where bucket = 0"
+    ).collect()[0].s == sum(float(i) + 1 for i in range(100) if i % 4 == 0)
+
+
 def test_update_unknown_column_raises(spark, table):
     with pytest.raises(ValueError, match="unknown columns"):
         update_rows(spark, table, {"nope": F.lit(1)}, F.col("bucket") == 0)
