@@ -80,7 +80,15 @@ def main() -> None:
 
     sf_dir = sys.argv[1]
     names = sys.argv[2:]
-    spark = get_spark("verax-layout-ab")
+    # A/B sweeps build a fresh DataFrame per candidate; without periodic
+    # context GC the dead candidates' shuffle files accumulate in blockmgr
+    # for the whole process lifetime (measured: an sf100 q3 sweep filled
+    # 23 GB of temp and died on ENOSPC). 30s periodic GC bounds it to the
+    # live candidate's working set.
+    spark = get_spark(
+        "verax-layout-ab",
+        extra_conf={"spark.cleaner.periodicGC.interval": "30s"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     for name in names:
