@@ -400,8 +400,31 @@ def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     window form reuses the same l_partkey exchange for min and filter)."""
     cat = Catalog(spark, sf_dir)
     region = F.broadcast(cat.region.filter(F.col("r_name") == "EUROPE"))
-    nation = F.broadcast(cat.nation).join(region, F.col("n_regionkey") == F.col("r_regionkey"))
-    supp_eur = cat.supplier.join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+    nation = (
+        F.broadcast(cat.nation)
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    # Projected to the consumed columns BEFORE the byte gate: the
+    # broadcast side is bounded by SUPPLIER cardinality (footer-known) x
+    # ~60 B of kept columns. Without the explicit gate Catalyst compared
+    # its own pruned-size estimates and at sf1 chose to broadcast the
+    # 6M-row LINEITEM projection as the build side (plan-verified,
+    # 2.4-3.3s of single-threaded broadcast build for a 3-column fact) —
+    # a Filter/Join estimate is its child's size, so the dimension chain
+    # looked bigger than the fact (guide §3.1). Past the byte budget the
+    # estimate declines and AQE's runtime choice stands.
+    supp_eur = (
+        cat.supplier.select("s_suppkey", "s_nationkey", "s_name", "s_acctbal")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    supp_stats = cat.stats("supplier")
+    supp_eur = _bcast_if_small(
+        supp_eur,
+        None if supp_stats is None else float(supp_stats.num_rows),
+        width=60.0,
+    )
     # Europe-restricted part-supplier offers
     offers = cat.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice").join(
         supp_eur, F.col("l_suppkey") == F.col("s_suppkey")
