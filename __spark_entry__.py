@@ -33,14 +33,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # then r05, then r07). The first 50 of the r07 ordering all greened in
 # CORRECTNESS_r07 and rotate to the back.
 _PRIORITY = [
+    # -- r10 session-5 changes (optimization round, changed-first):
+    # q2 build-side flip, DML schema pinning (every DML/storage demo),
+    # CC gate-probe restructure (cc/curate), cached expression trees
+    # (batch7/batch8/classification). Duplicates later in the list are
+    # harmless — first occurrence wins in _ordered().
+    "tpch_q2",
+    "sql_delete",
+    "sql_update",
+    "sql_insert",
+    "sql_txn",
+    "sql_ctas",
+    "sql_time_travel",
+    "sql_mview",
+    "op_table_delete",
+    "op_table_update",
+    "op_fn_batch7",
+    "op_fn_batch8",
+    "op_fn_classification",
+    "pl_dedup_cc",
+    "pl_curate",
     # -- r10 rotation (VERDICT r09 #4: changed-first, stalest-green
-    # next). Positions 1-12: queries whose implementation or oracle
-    # changed in r10 (projection-derived q1/q6/q14, two-level
-    # hot-bucket dedup, curate lineage cut, bing let-binding in
-    # batch12, lookup-join IN fix, scale-independent explain
-    # options). Positions 13-41: the 29 queries whose latest green
-    # is r05. Positions 42-50: the oldest r07 block. Everything
-    # else rotates behind, previous order preserved.
+    # next). Positions 1-12 of the mid-build rotation: queries whose
+    # implementation or oracle changed in r10 (projection-derived
+    # q1/q6/q14, two-level hot-bucket dedup, curate lineage cut, bing
+    # let-binding in batch12, lookup-join IN fix, scale-independent
+    # explain options). Then the 29 queries whose latest green is r05,
+    # then the oldest r07 block. Everything else rotates behind,
+    # previous order preserved.
     "op_fn_batch15",
     "op_fn_geo5",
     "op_fn_batch14",
