@@ -99,6 +99,26 @@ def main() -> int:
         rec: dict = {}
         try:
             df = fn(spark, sf_dir)
+            # Driver fidelity (r10): the driver canonicalizes results by
+            # sorting rows in pandas, which raises "unhashable type" on
+            # list/dict cells — op_fn_batch13/15 went red in
+            # CORRECTNESS_r10 exactly this way while this gate's
+            # tuple-normalizing _norm passed them. Complex-typed output
+            # columns are therefore a FAIL here regardless of values.
+            from pyspark.sql import types as T
+
+            bad = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(
+                    f.dataType, (T.ArrayType, T.MapType, T.StructType)
+                )
+            ]
+            if bad:
+                raise TypeError(
+                    "driver-unsortable complex-typed output columns: "
+                    f"{bad} (serialize arrays/maps to strings)"
+                )
             srows = df.collect()
             scols, sdata = _table([tuple(r) for r in srows], df.columns)
         except Exception as exc:  # noqa: BLE001

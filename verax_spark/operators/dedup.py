@@ -592,10 +592,14 @@ def connected_components(
     corpus (only docs in near-dup pairs appear), while the iterative path
     pays ~4 sequential Spark jobs per diameter step in pure scheduling
     latency. The collect is BOUNDED BY CONSTRUCTION: the probe reads
-    ``limit(gate+1)`` of the materialized edge list (≤ 100k 2-field rows ≈
-    a few MB via Arrow), and one extra row past the gate falls back to the
-    distributed fixpoint — identical results (component = min reachable id)
-    either way, property-tested in tests/test_pipeline.py.
+    ``limit(gate+1)`` of the RAW (pre-distinct) pair stream (≤ 100k 2-field
+    rows ≈ a few MB via Arrow) — so the gate is a raw-row bound, not a
+    distinct-edge bound: duplicate candidate pairs (e.g. the same pair from
+    multiple MinHash bands) count against it, and a dup-heavy small graph
+    may conservatively take the distributed path. One extra row past the
+    gate falls back to the distributed fixpoint — identical results
+    (component = min reachable id) either way, property-tested in
+    tests/test_pipeline.py.
     """
     if driver_gate is None:
         driver_gate = int(os.environ.get("VERAX_CC_DRIVER_GATE", 100_000))

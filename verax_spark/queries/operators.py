@@ -59,9 +59,13 @@ _COLS_CACHE: dict = {}
 def _cached_cols(key: str, builder: "Callable[[], list]") -> list:
     from pyspark.sql import SparkSession
 
+    # Keyed on applicationId (ADVICE r10): id(_jvm) can be reused by a new
+    # gateway object after a session restart, serving stale py4j Column
+    # refs bound to a dead gateway. applicationId is unique per SparkContext
+    # (same convention as catalog._STATS_CACHE).
     sess = SparkSession.getActiveSession()
-    jvm_id = 0 if sess is None else id(sess.sparkContext._jvm)
-    ck = (key, jvm_id)
+    app_id = "" if sess is None else sess.sparkContext.applicationId
+    ck = (key, app_id)
     cols = _COLS_CACHE.get(ck)
     if cols is None:
         cols = builder()
@@ -4501,13 +4505,13 @@ def _geo4_out_cols() -> list:
     select d,
       repeat('b', m3 + 6) as maxby,
       repeat('a', m3 + 1) as minby,
-      [9, 7] as top2,
+      '9,7' as top2,
       cast(ceil((m5 + 3) / 2.0) as int) as chunks_n,
       cast(case when (m5 + 3) % 2 = 0 then 2 else 1 end as int) as last_sz,
       true as cs_t,
       false as cs_f,
-      list_sort([m3, 5, 7]) as au,
-      [m3 % 2] as ad,
+      array_to_string(list_sort([m3, 5, 7]), ',') as au,
+      cast(m3 % 2 as varchar) as ad,
       true as akm,
       false as akm_f,
       true as avm,
@@ -4535,11 +4539,18 @@ def op_fn_batch13(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = pc("array_split_into_chunks", run, F.lit(2))
     onetofive = F.sequence(F.lit(1), F.lit(5))
     m = F.create_map(F.lit("ab"), F.col("d"), F.lit("cde"), F.col("d") + 1)
+    # Array results are serialized to ','-joined strings: the driver's
+    # canonicalizer sorts result rows via pandas, which cannot sort
+    # list-typed cells (r10 driver rows for batch13/15 errored on exactly
+    # that) — every declared query must emit flat scalar columns.
+    def sjoin(arr: F.Column) -> F.Column:
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return t.select(
         "d",
         pc("array_max_by", strs, lambda s: F.length(s)).alias("maxby"),
         pc("array_min_by", strs, lambda s: F.length(s)).alias("minby"),
-        pc("array_top_n", nums, F.lit(2)).alias("top2"),
+        sjoin(pc("array_top_n", nums, F.lit(2))).alias("top2"),
         F.size(chunks).alias("chunks_n"),
         F.size(F.element_at(chunks, -1)).alias("last_sz"),
         pc(
@@ -4549,12 +4560,12 @@ def op_fn_batch13(spark: SparkSession, sf_dir: str) -> DataFrame:
         pc(
             "contains_sequence", onetofive, F.array(F.lit(1), F.lit(3))
         ).alias("cs_f"),
-        F.array_sort(
+        sjoin(F.array_sort(
             pc("arrays_union", F.array(m3, F.lit(5)), F.array(F.lit(5), F.lit(7)))
-        ).alias("au"),
-        F.array_sort(
+        )).alias("au"),
+        sjoin(F.array_sort(
             pc("array_dupes", F.array(m3 % 2, F.lit(1), m3 % 2, F.lit(4)))
-        ).alias("ad"),
+        )).alias("ad"),
         pc("all_keys_match", m, lambda k: F.length(k) >= 2).alias("akm"),
         pc("all_keys_match", m, lambda k: F.length(k) >= 3).alias("akm_f"),
         pc("any_values_match", m, lambda v: v > F.col("d")).alias("avm"),
@@ -4650,13 +4661,13 @@ def op_fn_batch14(spark: SparkSession, sf_dir: str) -> DataFrame:
       from documents where doc_id < 24)
     select g,
       string_agg(cast(m3 as varchar), ',' order by d) as s,
-      case g when 0 then [1] when 1 then [0] when 2 then [0]
-        else [3] end as alf,
+      case g when 0 then '1' when 1 then '0' when 2 then '0'
+        else '3' end as alf,
       true as hd,
       false as hd_f,
-      ['b'] as mtk,
-      ['b'] as mkv,
-      [10 - g] as mvk
+      'b' as mtk,
+      'b' as mkv,
+      cast(10 - g as varchar) as mvk
     from t group by g order by g
     """,
 )
@@ -4673,6 +4684,11 @@ def op_fn_batch15(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = F.col("g")
     bag = F.concat(F.collect_list("m3"), F.array(F.first(g)))
     m = F.create_map(F.lit("a"), F.first(g), F.lit("b"), F.lit(10) - F.first(g))
+    # Array results serialized to ','-joined strings (flat scalar columns
+    # only — the driver's pandas canonicalizer cannot sort list cells).
+    def sjoin(arr: F.Column) -> F.Column:
+        return F.array_join(F.transform(arr, lambda x: x.cast("string")), ",")
+
     return (
         t.groupBy("g")
         .agg(
@@ -4680,14 +4696,14 @@ def op_fn_batch15(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "listagg(cast(m3 as string), ',')"
                 " within group (order by d)"
             ).alias("s"),
-            pc("array_least_frequent", bag).alias("alf"),
+            sjoin(pc("array_least_frequent", bag)).alias("alf"),
             pc("array_has_dupes", bag).alias("hd"),
             pc(
                 "array_has_dupes", F.array(F.first(g), F.first(g) + 1)
             ).alias("hd_f"),
-            pc("map_top_n_keys", m, 1).alias("mtk"),
-            pc("map_keys_by_top_n_values", m, 1).alias("mkv"),
-            pc("map_values_by_top_n_keys", m, 1).alias("mvk"),
+            sjoin(pc("map_top_n_keys", m, 1)).alias("mtk"),
+            sjoin(pc("map_keys_by_top_n_values", m, 1)).alias("mkv"),
+            sjoin(pc("map_values_by_top_n_keys", m, 1)).alias("mvk"),
         )
         .orderBy("g")
     )

@@ -655,6 +655,20 @@ class PrestoSession:
         are rewritten to the same spelling in _resolve_connector_tables)."""
         return name.replace(".", "__")
 
+    @staticmethod
+    def _nullable(schema: "StructType") -> "StructType":
+        """Nullable-normalized copy of a writer schema (ADVICE r10): a
+        CTAS/CREATE writer DataFrame can carry nullable=false fields
+        (aggregates, literals), but a later INSERT may write NULLs into
+        such a column — reading parquet under a user-supplied
+        non-nullable schema can silently return wrong results. Parquet
+        file-source reads are always-nullable; pin the same."""
+        from pyspark.sql.types import StructField, StructType
+
+        return StructType(
+            [StructField(f.name, f.dataType, True, f.metadata) for f in schema]
+        )
+
     def _read_writable(self, path: str) -> DataFrame:
         """Read a writable table with its pinned schema (one inference per
         session per table; every later read is footer-free)."""
@@ -999,7 +1013,8 @@ class PrestoSession:
             materialized.write.mode("overwrite").parquet(path)
             self.mviews[stmt.name] = (stmt.query, path)
             # the writer's schema IS the stored schema — skip re-inference
-            self.spark.read.schema(materialized.schema).parquet(
+            # (nullable-normalized: parquet file-source read semantics)
+            self.spark.read.schema(self._nullable(materialized.schema)).parquet(
                 path
             ).createOrReplaceTempView(self._view_name(stmt.name))
             return local_values(self.spark, [(True,)], "created boolean")
@@ -1019,7 +1034,7 @@ class PrestoSession:
 
             _os.rename(staging, path)
             self.spark.catalog.refreshByPath(path)
-            self.spark.read.schema(recomputed.schema).parquet(
+            self.spark.read.schema(self._nullable(recomputed.schema)).parquet(
                 path
             ).createOrReplaceTempView(self._view_name(stmt.name))
             return local_values(self.spark, [(True,)], "refreshed boolean")
@@ -1090,7 +1105,7 @@ class PrestoSession:
             empty = self.spark.createDataFrame([], ddl)
             path = self._ddl_path(stmt.table)
             empty.write.mode("overwrite").parquet(path)
-            self._pinned[path] = empty.schema  # writer schema = stored schema
+            self._pinned[path] = self._nullable(empty.schema)
             self.register_table(stmt.table, path)
             return local_values(self.spark, [(0,)], "rows bigint")
         if isinstance(stmt, ast.CreateTableAsStmt):
@@ -1106,7 +1121,7 @@ class PrestoSession:
             df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
                 "overwrite"
             ).parquet(path)
-            self._pinned[path] = df.schema  # writer schema = stored schema
+            self._pinned[path] = self._nullable(df.schema)
             self.register_table(stmt.table, path)
             return local_values(
                 self.spark, [(int(obs.get["rows"]),)], "rows bigint"
