@@ -1159,7 +1159,9 @@ def with_auto_layouts(fn):
     DataFrame would let Spark reuse the prior run's completed shuffle map
     stages, which turns a repeat timing into result reuse, not steady-state
     execution (measured: 22-query sf10 "steady" collapsed 25s -> 1.7s from
-    stage reuse alone — a benchmark lie, reverted r09)."""
+    stage reuse alone — a benchmark lie, reverted r09). What IS kept across
+    calls is the analyzed logical plan (verax_spark/plancache): a fresh
+    Dataset is wrapped around it per call, which re-executes everything."""
 
     @functools.wraps(fn)
     def run(spark, sf_dir: str):
@@ -1175,8 +1177,7 @@ def with_auto_layouts(fn):
         if os.environ.get("SPARK_GRAFT_DISABLE_LAYOUTS") or not os.path.isdir(
             LAYOUT_REGISTRY_DIR
         ):
-            with policy("flat"):
-                return fn(spark, sf_dir)
+            return _build(spark, sf_dir, "flat")
         overrides = load_layout_feedback(fn.__module__, fn.__qualname__, sf_dir)
         if overrides is None:
             key = (
@@ -1194,10 +1195,46 @@ def with_auto_layouts(fn):
                     overrides = choose_layouts(flat_df, cat, sf_dir)
                 _store_decision(key, overrides)
         if not overrides:
-            with policy("flat"):
-                return fn(spark, sf_dir)
-        with policy(dict(overrides)):
-            return fn(spark, sf_dir)
+            return _build(spark, sf_dir, "flat")
+        return _build(spark, sf_dir, dict(overrides))
+
+    def _build(spark, sf_dir: str, pol):
+        # Logical-plan cache (r11, guide §1/§5 — see verax_spark/plancache
+        # for the full honesty argument: fresh Dataset per call, full
+        # re-execution, never caches materialized state or job-running
+        # builds). Keyed on the layout policy + registry state so a
+        # changed decision or a rebuilt copy always rebuilds the plan.
+        from verax_spark import plancache
+
+        ck = None
+        if plancache.enabled():
+            pol_key = (
+                pol
+                if isinstance(pol, str)
+                else tuple(sorted((t, tuple(v)) for t, v in pol.items()))
+            )
+            ck = (
+                fn.__module__,
+                fn.__qualname__,
+                sf_dir,
+                spark.sparkContext.applicationId,
+                MODEL_VERSION,
+                _registry_state(sf_dir),
+                pol_key,
+            )
+            hit = plancache.get(ck, spark)
+            if hit is not None:
+                return hit
+        # max-job-id probe, not a count: see plancache.cached_query (the
+        # UI store evicts old job ids past spark.ui.retainedJobs).
+        tracker = spark.sparkContext.statusTracker()
+        before = max(tracker.getJobIdsForGroup(None) or [-1])
+        with policy(pol):
+            df = fn(spark, sf_dir)
+        after = max(tracker.getJobIdsForGroup(None) or [-1])
+        if ck is not None and after == before:
+            plancache.offer(ck, df)
+        return df
 
     run.__wrapped_query__ = fn
     return run

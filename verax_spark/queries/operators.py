@@ -4802,3 +4802,16 @@ def _geo5_out_cols() -> list:
             F.transform(children, lambda c: c["x"])
         ).alias("child_min_x"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# Logical-plan cache over the whole registry (r11, guide §1/§5): pure
+# SELECT builders are re-served as a fresh Dataset around the cached
+# analyzed plan (full re-execution, no stage reuse — see
+# verax_spark/plancache). Queries whose build runs Spark jobs (DML demos,
+# format round-trips, EXPLAIN/collect probes) or whose plan embeds
+# materialized/local data are detected and always rebuilt.
+from verax_spark.plancache import cache_pure_queries as _cpq
+
+_cpq(QUERIES)
+del _cpq

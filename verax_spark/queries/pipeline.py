@@ -1703,3 +1703,15 @@ def pl_resample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Logical-plan cache (r11): pure pipeline builders re-serve a fresh
+# Dataset around the cached analyzed plan (full re-execution — see
+# verax_spark/plancache). Checkpointing fixpoints (dedup/cc/kNN),
+# streaming drains and any job-running build are auto-detected as impure
+# and always rebuilt.
+from verax_spark.plancache import cache_pure_queries as _cpq
+
+_cpq(QUERIES)
+del _cpq
