@@ -40,7 +40,7 @@ class FilesConnector(Connector):
         *,
         name: str = "files",
         unique_keys: dict[str, frozenset] | None = None,
-        schemas: dict[str, str] | None = None,
+        schemas: dict[str, "str | StructType"] | None = None,
     ):
         self.spark = spark
         self.root = root

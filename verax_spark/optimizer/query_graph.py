@@ -34,6 +34,7 @@ alone, so a small table reached over a high-fanout edge is demoted.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import pyspark.sql.functions as F
@@ -106,12 +107,42 @@ def _parquet_row_count(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
-    if any(".parquet" not in f.rsplit("/", 1)[-1] for f in files):
+    names = [f.rsplit("/", 1)[-1] for f in files]
+    if all(".orc" in n for n in names):
+        # ORC footers carry exact row counts too (driver-side metadata
+        # read, no Spark job) — connector tables stored as ORC otherwise
+        # pay a count() job per planning pass.
+        return _orc_row_count(files)
+    if any(".parquet" not in n for n in names):
         return None
     from verax_spark.sources.stats import parquet_stats
 
     stats = parquet_stats(list(files))  # process-cached footer read
     return None if stats is None else stats.num_rows
+
+
+_ORC_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _orc_row_count(files: list[str]) -> int | None:
+    try:
+        from pyarrow import orc as pa_orc
+    except ImportError:
+        return None
+    total = 0
+    for f in files:
+        path = f[7:] if f.startswith("file://") else f
+        try:
+            st = os.stat(path)
+            ck = (path, st.st_size, st.st_mtime_ns)
+            n = _ORC_COUNT_CACHE.get(ck)
+            if n is None:
+                n = pa_orc.ORCFile(path).nrows
+                _ORC_COUNT_CACHE[ck] = n
+        except Exception:  # noqa: BLE001 - unreadable/foreign ORC: fall back
+            return None
+        total += n
+    return total
 
 
 @dataclass
@@ -340,6 +371,16 @@ class QueryGraph:
             # r03 — a stale or unsound metadata fanout persisted here would
             # silently steer join order across queries).
             return meta
+        if mod > 1 and max(
+            self._estimate_rows(self.tables[e.left]),
+            self._estimate_rows(self.tables[e.right]),
+        ) <= 10_000:
+            # Small relations (memoized estimate, often footer-free sources
+            # like CSV/JSON connectors): the hash sample would very likely
+            # miss a low-cardinality key domain and trigger the exhaustive
+            # mod=1 re-probe anyway — go exhaustive directly and save the
+            # wasted sampling job (mod=1 is exact, cost ~ #rows ≤ 10k).
+            return self._edge_fanout(e, mod=1)
 
         def keyed(name: str, key: str) -> DataFrame:
             return (

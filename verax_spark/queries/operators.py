@@ -3532,7 +3532,19 @@ def op_connector_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").orc(os.path.join(root, "supplier.orc"))
 
     ps = PrestoSession(spark, sf_dir)
-    ps.attach(FilesConnector(spark, root, name="files"))
+    # The writer's schema IS the stored schema (same pinning rule as the
+    # DML tables, r10): without it the CSV readback pays header+inferSchema
+    # passes and the JSON readback a full inference pass — 3 extra Spark
+    # jobs per call for types the writer already knows. The files are
+    # still written and re-read every call (the roundtrip is the query).
+    ps.attach(
+        FilesConnector(
+            spark,
+            root,
+            name="files",
+            schemas={"nation": cat.nation.schema, "region": cat.region.schema},
+        )
+    )
     return ps.sql(
         "select n.n_name as nation, r.r_name as region, "
         "cast(count(s.s_suppkey) as bigint) as suppliers, "
