@@ -25,100 +25,37 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver evaluates queries in dict order and (empirically) stops after 50
-# entries.  Order matters.  Round-8 rotation per the round-7 judge (#4):
-# the 7 queries whose latest green driver row is still r03
-# (tpch_q2/q6/q9/q15/q18/q20/q21 — just outside the r07 window) go at
-# positions 1-7, then queries whose implementation changed this round
-# (must re-verify), then everything else oldest-green first (r04 block,
-# then r05, then r07). The first 50 of the r07 ordering all greened in
-# CORRECTNESS_r07 and rotate to the back.
+# entries.  Order matters.  Rotation protocol since r08 (round-7 judge #4):
+# queries whose implementation or oracle changed this round go first (must
+# re-verify), then everything else stalest-green first; the previous
+# window's green rows rotate to the back.
 _PRIORITY = [
-    # -- r10 session-5 changes (optimization round, changed-first):
-    # q2 build-side flip, DML schema pinning (every DML/storage demo),
-    # CC gate-probe restructure (cc/curate), cached expression trees
-    # (batch7/batch8/classification). Duplicates later in the list are
-    # harmless — first occurrence wins in _ordered().
-    "tpch_q2",
-    "sql_delete",
-    "sql_update",
-    "sql_insert",
-    "sql_txn",
-    "sql_ctas",
-    "sql_time_travel",
-    "sql_mview",
-    "op_table_delete",
-    "op_table_update",
-    "op_fn_batch7",
-    "op_fn_batch8",
-    "op_fn_classification",
-    "pl_dedup_cc",
-    "pl_curate",
-    # -- r10 rotation (VERDICT r09 #4: changed-first, stalest-green
-    # next). Positions 1-12 of the mid-build rotation: queries whose
-    # implementation or oracle changed in r10 (projection-derived
-    # q1/q6/q14, two-level hot-bucket dedup, curate lineage cut, bing
-    # let-binding in batch12, lookup-join IN fix, scale-independent
-    # explain options). Then the 29 queries whose latest green is r05,
-    # then the oldest r07 block. Everything else rotates behind,
-    # previous order preserved.
+    # -- r11 rotation (protocol: changed-first, stalest-green next).
+    # Changed this round: batch13/15 (array outputs serialized for the
+    # driver canonicalizer — the two red rows of CORRECTNESS_r10),
+    # connector_formats (pinned readback schemas), the two join-reorder
+    # demos (fanout estimation now goes exhaustive on small relations).
+    # Then every query NOT in the r10 driver window (stalest green),
+    # previous order preserved; the 48 r10-green window rows rotate back.
     "op_fn_batch15",
-    "op_fn_geo5",
-    "op_fn_batch14",
-    "op_fn_geo4",
     "op_fn_batch13",
-    "sql_explain_options",
-    "tpch_q1",
-    "tpch_q6",
-    "tpch_q14",
-    "pl_dedup_minhash",
-    "pl_dedup_simhash",
-    "pl_dedup_cc",
-    "pl_curate",
-    "op_fn_batch12",
-    "op_join_lookup",
-    "op_builder_reorder",
+    "op_connector_formats",
     "sql_join_reorder",
-    "op_join_semi",
-    "op_sessionize",
-    "op_setop_intersect",
-    "op_setop_union_all",
-    "op_special_forms",
-    "op_subquery_scalar",
-    "op_table_delete",
-    "op_table_update",
-    "op_unnest_structs",
-    "op_values",
-    "op_window_groups_frame",
-    "pl_chunk_documents",
-    "pl_decontaminate",
-    "pl_embed_ops",
-    "pl_embed_stats",
-    "pl_multimodal_audio",
-    "pl_multimodal_image",
-    "pl_multimodal_video",
-    "pl_sample_stratified",
-    "pl_text_pii_scrub",
-    "pl_text_repetition",
-    "sql_function",
-    "sql_mview",
+    "op_builder_reorder",
     "sql_natural_join",
     "sql_quantified",
     "sql_schema",
     "sql_statement_tail",
-    "sql_time_travel",
     "st_session_windows",
     "tpch_q3",
     "op_agg_ordered",
     "op_cube",
-    "op_fn_classification",
     "op_fn_setdigest",
     "op_join_cross",
     "op_join_full",
-    # -- r08/r09-validated tail, previous rotation order --
     "op_fn_geo3",
     "op_fn_geo2",
     "op_fn_geo",
-    "op_fn_batch7",
     "op_fn_batch9",
     "op_fn_batch10",
     "op_fn_extra",
@@ -130,24 +67,17 @@ _PRIORITY = [
     "pl_text_stats",
     "pl_time_rollup",
     "sql_ansi_forms",
-    "sql_ctas",
-    "sql_delete",
     "sql_describe",
-    "sql_insert",
     "sql_ordered_agg",
-    "sql_txn",
     "sql_unnest_map_kv",
     "sql_unnest_ordinality",
-    "sql_update",
     "st_dedup",
     "st_enrich_join",
     "st_stream_join",
     "op_agg_distinct",
-    "op_connector_formats",
     "op_distinct",
     "op_fn_agg2",
     "op_fn_batch6",
-    "op_fn_batch8",
     "op_fn_collections",
     "op_fn_datetime",
     "op_fn_hll",
@@ -187,7 +117,6 @@ _PRIORITY = [
     "sql_try",
     "sql_window_clause",
     "st_windowed_counts",
-    "tpch_q2",
     "tpch_q9",
     "tpch_q15",
     "tpch_q18",
@@ -227,6 +156,54 @@ _PRIORITY = [
     "pl_multimodal_resize",
     "pl_range_join",
     "pl_text_fingerprint",
+    "op_join_left",
+    "op_join_right",
+    "tpch_q2",
+    "sql_delete",
+    "sql_update",
+    "sql_insert",
+    "sql_txn",
+    "sql_ctas",
+    "sql_time_travel",
+    "sql_mview",
+    "op_table_delete",
+    "op_table_update",
+    "op_fn_batch7",
+    "op_fn_batch8",
+    "op_fn_classification",
+    "pl_dedup_cc",
+    "pl_curate",
+    "op_fn_geo5",
+    "op_fn_batch14",
+    "op_fn_geo4",
+    "sql_explain_options",
+    "tpch_q1",
+    "tpch_q6",
+    "tpch_q14",
+    "pl_dedup_minhash",
+    "pl_dedup_simhash",
+    "op_fn_batch12",
+    "op_join_lookup",
+    "op_join_semi",
+    "op_sessionize",
+    "op_setop_intersect",
+    "op_setop_union_all",
+    "op_special_forms",
+    "op_subquery_scalar",
+    "op_unnest_structs",
+    "op_values",
+    "op_window_groups_frame",
+    "pl_chunk_documents",
+    "pl_decontaminate",
+    "pl_embed_ops",
+    "pl_embed_stats",
+    "pl_multimodal_audio",
+    "pl_multimodal_image",
+    "pl_multimodal_video",
+    "pl_sample_stratified",
+    "pl_text_pii_scrub",
+    "pl_text_repetition",
+    "sql_function",
 ]
 
 

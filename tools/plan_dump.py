@@ -39,7 +39,7 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = os.path.join(REPO, "plans", "r10")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r11"))
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         try:
